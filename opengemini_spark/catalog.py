@@ -1,0 +1,62 @@
+"""Measurement catalog: maps table names to DataFrames over Parquet.
+
+openGemini's database → retention policy → measurement hierarchy
+(lib/util/lifted/influx/meta/measurement.go:238) becomes a catalog of
+Parquet-backed tables; shard groups (meta/shardinfo.go:33) become time-bucket
+partition directories that Spark prunes on the time predicate — at 100 TB
+the scan never touches out-of-range partitions.
+
+The driver's test tables live unpartitioned at ``/root/testdata/sf*``;
+``load_tables`` normalizes time columns so every operator sees the
+openGemini time model: ``time_ns`` int64 nanoseconds as source of truth,
+plus a derived µs ``ts`` TimestampType for Spark window ops (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    # The events table stores TIMESTAMP(NANOS); Spark rejects it unless this
+    # legacy flag maps it to int64 — which is exactly the openGemini model.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing the time columns."""
+    _ensure_nanos_as_long(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as int64 ns → keep as time_ns, derive µs timestamp.
+        df = (
+            df.withColumnRenamed("ts", "time_ns")
+            .withColumn("ts", F.timestamp_micros((F.col("time_ns") / 1000).cast("long")))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql access."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

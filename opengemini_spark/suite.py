@@ -1,0 +1,823 @@
+"""Query suite: one entry per implemented SURVEY.md §2 operator.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string for DuckDB over the same parquet
+tables. The driver hash-compares values order-insensitively, so:
+
+- every computed column is aliased identically on both sides;
+- doubles are rounded (4-6 dp) on both sides so summation-order noise
+  cannot flip a bit in the hash;
+- sums of BIGINT are cast back to BIGINT in DuckDB (it widens to HUGEINT);
+- event times are exposed as int64 ns (``time_ns``) — DuckDB side uses
+  ``epoch_ns(ts)``; date columns are formatted to ISO strings.
+
+Determinism: any selector/top-k has an explicit total-order tie-break so
+Spark and the oracle pick identical rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.operators.window_agg import HOUR, MINUTE, SECOND, window_agg
+from opengemini_spark.operators.fill import fill_time_spine
+from opengemini_spark.operators import selectors as sel
+from opengemini_spark.operators import transforms as tr
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_builder, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a µs-truncated time column.
+
+    The oracle (DuckDB) reads the parquet TIMESTAMP(NANOS) at µs precision,
+    so oracle-compared queries expose/compute time as ``time_us`` =
+    ``time_ns div 1000`` — exactly DuckDB's ``epoch_us(ts)``. The ns column
+    remains the engine's source of truth.
+    """
+    return load_table(spark, sf_dir, "events").withColumn(
+        "time_us", F.expr("time_ns div 1000")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scan + filter + projection (predicate pushdown to parquet)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT event_id, epoch_us(ts) AS time_us, user_id, round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'error' AND value > 100
+    """,
+)
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select(
+            "event_id",
+            "time_us",
+            "user_id",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@register(
+    "filter_regex_like",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE regexp_matches(text, 'join.*window') AND source LIKE 'src1%'
+    """,
+)
+def q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").rlike("join.*window") & F.col("source").like("src1%")
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "filter_blank",
+    # FilterBlank (filter_blank_transfrom.go): drop rows where all projected
+    # fields are null — here props json field "k" extracted, may miss.
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL AND event_type = 'click'
+    """,
+)
+def q_filter_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    proj = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return proj.na.drop(how="all", subset=["k"])
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_basic",
+    # avg is stated as round(sum)/count: rounding the sum first makes the
+    # double bit-identical across engines, so the final round can't straddle
+    # a half-way boundary differently.
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias(
+            "avg_qty"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_stats",
+    # stddev via the sum/sumsq identity over *rounded* sums: both engines
+    # then take sqrt of bit-identical doubles (plain stddev_samp accumulates
+    # in engine-specific order → hash-unstable at the rounding boundary).
+    """
+    SELECT event_type,
+           round(sqrt((round(sum(value * value), 2) -
+                       round(sum(value), 2) * round(sum(value), 2) / count(*))
+                      / (count(*) - 1)), 4) AS stddev_v,
+           round(max(value) - min(value), 4) AS spread_v,
+           round(median(value), 4) AS median_v,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    n = F.count(F.lit(1))
+    s1 = F.round(F.sum("value"), 2)
+    s2 = F.round(F.sum(F.col("value") * F.col("value")), 2)
+    return ev.groupBy("event_type").agg(
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 4).alias("stddev_v"),
+        F.round(F.max("value") - F.min("value"), 4).alias("spread_v"),
+        F.round(F.median("value"), 4).alias("median_v"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "agg_distinct",
+    "SELECT DISTINCT user_id, event_type FROM events WHERE value > 150",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.filter(F.col("value") > 150).select("user_id", "event_type").distinct()
+
+
+@register(
+    "agg_mode",
+    """
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, count(*) AS freq
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode FROM counted
+    QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY freq DESC, l_quantity ASC) = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return sel.mode_agg(li, "l_quantity", ["l_returnflag"])
+
+
+@register(
+    "agg_percentile_exact",
+    # openGemini nearest-rank percentile (agg_functions.go:88): element at
+    # 1-based rank floor(q*n + 0.5), clamped to >= 1.
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, value AS percentile FROM ranked
+    WHERE rn = greatest(CAST(floor(0.95 * cnt + 0.5) AS BIGINT), 1)
+    """,
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return sel.percentile_exact(ev, "value", 95.0, ["event_type"])
+
+
+@register(
+    "agg_histogram",
+    # histogram(value, buckets): width_bucket + groupBy (agg_functions.go:106)
+    """
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events WHERE value >= 0 AND value < 250
+    GROUP BY event_type, bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter((F.col("value") >= 0) & (F.col("value") < 250))
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50.0).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 selectors (first/last/top/bottom) — value + companion columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "selector_first_last",
+    """
+    WITH f AS (
+      SELECT event_type, epoch_us(ts) AS first_time, value AS first_value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts, value, event_id) = 1
+    ), l AS (
+      SELECT event_type, epoch_us(ts) AS last_time, value AS last_value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts DESC, value DESC, event_id DESC) = 1
+    )
+    SELECT f.event_type, f.first_time, f.first_value, l.last_time, l.last_value
+    FROM f JOIN l ON f.event_type = l.event_type
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first = sel.first_last_agg(
+        ev, "time_us", "value", ["event_type"], "first", ["event_id"]
+    ).select(
+        "event_type",
+        F.col("time_us").alias("first_time"),
+        F.col("value").alias("first_value"),
+    )
+    last = sel.first_last_agg(
+        ev, "time_us", "value", ["event_type"], "last", ["event_id"]
+    ).select(
+        "event_type",
+        F.col("time_us").alias("last_time"),
+        F.col("value").alias("last_value"),
+    )
+    return first.join(last, "event_type")
+
+
+@register(
+    "selector_top_per_group",
+    """
+    SELECT event_type, epoch_us(ts) AS time_us, value, user_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id ASC) <= 3
+    """,
+)
+def q_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return sel.top_bottom(
+        ev,
+        "value",
+        3,
+        ["event_type"],
+        "top",
+        tie_break=["event_id"],
+        keep_cols=["event_type", "time_us", "value", "user_id"],
+    )
+
+
+@register(
+    "selector_bottom_per_group",
+    """
+    SELECT event_type, epoch_us(ts) AS time_us, value, user_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY value ASC, event_id ASC) <= 3
+    """,
+)
+def q_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return sel.top_bottom(
+        ev,
+        "value",
+        3,
+        ["event_type"],
+        "bottom",
+        tie_break=["event_id"],
+        keep_cols=["event_type", "time_us", "value", "user_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 time windows + fill
+# ---------------------------------------------------------------------------
+
+_WINDOW_SQL = """
+    WITH agg AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % {ivl} AS bucket_ns,
+             event_type,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_v,
+             round(round(sum(value), 2) / count(*), 6) AS mean_v
+      FROM events GROUP BY bucket_ns, event_type
+    )
+    SELECT * FROM agg
+"""
+
+
+@register("window_tumbling_agg", _WINDOW_SQL.format(ivl=6 * HOUR))
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return window_agg(
+        ev,
+        "time_ns",
+        6 * HOUR,
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias("mean_v"),
+        ],
+        dims=["event_type"],
+    )
+
+
+_FILL_SQL = """
+    WITH agg AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % {ivl} AS bucket_ns,
+             event_type,
+             round(sum(value), 2) AS sum_v
+      FROM events WHERE event_type IN ('error', 'signup') GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket_ns) AS lo, max(bucket_ns) AS hi FROM agg
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    {ivl})) AS bucket_ns
+    ), series AS (
+      SELECT DISTINCT event_type FROM agg
+    )
+    SELECT s.bucket_ns, se.event_type, {val} AS sum_v
+    FROM spine s CROSS JOIN series se
+    LEFT JOIN agg a ON a.bucket_ns = s.bucket_ns AND a.event_type = se.event_type
+"""
+
+
+@register(
+    "window_fill_null",
+    _FILL_SQL.format(ivl=30 * MINUTE, val="a.sum_v"),
+)
+def q_fill_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("error", "signup"))
+    agg = window_agg(
+        ev, "time_ns", 30 * MINUTE,
+        [F.round(F.sum("value"), 2).alias("sum_v")], dims=["event_type"],
+    )
+    return fill_time_spine(
+        agg, "bucket_ns", 30 * MINUTE, ["event_type"], ["sum_v"], mode="null"
+    )
+
+
+@register(
+    "window_fill_value",
+    _FILL_SQL.format(ivl=30 * MINUTE, val="coalesce(a.sum_v, 0.0)"),
+)
+def q_fill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("error", "signup"))
+    agg = window_agg(
+        ev, "time_ns", 30 * MINUTE,
+        [F.round(F.sum("value"), 2).alias("sum_v")], dims=["event_type"],
+    )
+    return fill_time_spine(
+        agg, "bucket_ns", 30 * MINUTE, ["event_type"], ["sum_v"],
+        mode="value", fill_value=0.0,
+    )
+
+
+@register(
+    "window_fill_previous",
+    """
+    WITH agg AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % {ivl} AS bucket_ns,
+             event_type,
+             round(sum(value), 2) AS sum_v
+      FROM events WHERE event_type IN ('error', 'signup') GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket_ns) AS lo, max(bucket_ns) AS hi FROM agg
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    {ivl})) AS bucket_ns
+    ), series AS (
+      SELECT DISTINCT event_type FROM agg
+    ), joined AS (
+      SELECT s.bucket_ns, se.event_type, a.sum_v
+      FROM spine s CROSS JOIN series se
+      LEFT JOIN agg a ON a.bucket_ns = s.bucket_ns AND a.event_type = se.event_type
+    )
+    SELECT bucket_ns, event_type,
+           last_value(sum_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ns
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v
+    FROM joined
+    """.format(ivl=30 * MINUTE),
+)
+def q_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("error", "signup"))
+    agg = window_agg(
+        ev, "time_ns", 30 * MINUTE,
+        [F.round(F.sum("value"), 2).alias("sum_v")], dims=["event_type"],
+    )
+    return fill_time_spine(
+        agg, "bucket_ns", 30 * MINUTE, ["event_type"], ["sum_v"], mode="previous"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 transform family (derivative / difference / cumulative / moving / ...)
+# ---------------------------------------------------------------------------
+
+@register(
+    "transform_derivative",
+    """
+    SELECT user_id, epoch_us(ts) AS time_us,
+           round((value - lag(value) OVER w)
+                 / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6), 6)
+             AS derivative
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY derivative IS NOT NULL
+    """,
+)
+def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tr.derivative(ev, "time_us", "value", ["user_id"], unit_ns=1_000_000)
+    return out.select(
+        "user_id", "time_us", F.round("derivative", 6).alias("derivative")
+    )
+
+
+@register(
+    "transform_difference",
+    """
+    SELECT user_id, epoch_us(ts) AS time_us,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS difference
+    FROM events
+    QUALIFY difference IS NOT NULL
+    """,
+)
+def q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tr.difference(ev, "time_us", "value", ["user_id"])
+    return out.select(
+        "user_id", "time_us", F.round("difference", 4).alias("difference")
+    )
+
+
+@register(
+    "transform_cumulative_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cumulative_sum
+    FROM events
+    """,
+)
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # orderBy(time, event_id) for full determinism on equal timestamps
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("time_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("cumulative_sum"),
+    )
+
+
+@register(
+    "transform_moving_average",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_average
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, moving_average FROM t WHERE rn >= 4
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("time_us", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "moving_average",
+            F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 4),
+        )
+        .filter(F.col("__rn") >= 4)
+        .select("user_id", "event_id", "moving_average")
+    )
+
+
+@register(
+    "transform_elapsed",
+    """
+    SELECT user_id, epoch_us(ts) AS time_us,
+           CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0)
+                AS BIGINT) AS elapsed
+    FROM events
+    QUALIFY elapsed IS NOT NULL
+    """,
+)
+def q_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tr.elapsed(ev, "time_us", ["user_id"], unit_ns=1_000_000)
+    return out.select("user_id", "time_us", "elapsed")
+
+
+@register(
+    "transform_integral",
+    """
+    WITH t AS (
+      SELECT user_id,
+             (value + lag(value) OVER w) / 2.0
+               * ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6) AS area
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, round(sum(area), 2) AS integral FROM t GROUP BY user_id
+    """,
+)
+def q_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tr.integral(ev, "time_us", "value", ["user_id"], unit_ns=1_000_000)
+    return out.select("user_id", F.round("integral", 2).alias("integral"))
+
+
+@register(
+    "transform_rate",
+    """
+    SELECT user_id,
+           round((arg_max(value, ts) - arg_min(value, ts))
+                 / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6), 6) AS rate
+    FROM events GROUP BY user_id
+    HAVING max(epoch_us(ts)) > min(epoch_us(ts))
+    """,
+)
+def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tr.rate(ev, "time_us", "value", ["user_id"], unit_ns=1_000_000)
+    # guard single-point series (zero time span → undefined rate)
+    return out.filter(F.col("rate").isNotNull() & ~F.isnan("rate")).select(
+        "user_id", F.round("rate", 6).alias("rate")
+    )
+
+
+@register(
+    "transform_spread",
+    "SELECT user_id, round(max(value) - min(value), 4) AS spread FROM events GROUP BY user_id",
+)
+def q_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tr.spread(ev, "value", ["user_id"])
+    return out.select("user_id", F.round("spread", 4).alias("spread"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins / §2.2 IN-subquery / §2.7 set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    # full join over per-side aggregates keyed on nation — pads both sides
+    # (full_join_transform.go semantics on (tags) key)
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL JOIN s ON c.nk = s.nk
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    # USING-style full join coalesces the key column in Spark
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi_in_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_not_in",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(keys, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "union_all_by_name",
+    """
+    SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS side
+    FROM customer
+    UNION ALL
+    SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return cust.unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / per-series limit / SLIMIT
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_limit_global",
+    """
+    SELECT event_id, epoch_us(ts) AS time_us, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", "time_us", "value")
+        .limit(20)
+    )
+
+
+@register(
+    "limit_per_series",
+    # per-series LIMIT 5 OFFSET 2, ordered by time (limit_transform.go)
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS time_us FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            BETWEEN 3 AND 7
+    """,
+)
+def q_limit_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("time_us", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").between(3, 7))
+        .select("user_id", "event_id", "time_us")
+    )
+
+
+@register(
+    "slimit_series",
+    # SLIMIT 3: keep only the first 3 series (distinct tag-sets, ordered)
+    """
+    WITH series AS (
+      SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 3
+    )
+    SELECT e.event_type, count(*) AS n, round(sum(e.value), 2) AS sum_v
+    FROM events e JOIN series s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    series = (
+        ev.select("event_type").distinct().orderBy("event_type").limit(3)
+    )
+    return (
+        ev.join(F.broadcast(series), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
+    }
