@@ -1,0 +1,83 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan build + execution to a driver-side
+count/collect). A tiny warmup query runs first so JVM/codegen startup isn't
+attributed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opengemini_spark.session import get_spark  # noqa: E402
+from opengemini_spark import suite  # noqa: E402
+
+# headline shapes: scan+filter, hash agg, window agg, fill spine, join,
+# top-k, lag-window transform, per-series limit, dedup/similarity (datapipe)
+HEADLINE = [
+    "scan_filter_project",
+    "agg_basic",
+    "window_tumbling_agg",
+    "window_fill_null",
+    "join_inner",
+    "selector_top_per_group",
+    "transform_derivative",
+    "limit_per_series",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "similarity_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    qs = suite.queries()
+
+    # warmup: spin the JVM + parquet reader on the smallest table
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
