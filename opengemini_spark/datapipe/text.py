@@ -1,0 +1,141 @@
+"""Text analysis for corpus pipelines: token counts, quality scoring,
+language ID, document fingerprinting.
+
+Pure JVM-side column expressions (no Python in the hot path) — at 100 TB
+these run inside whole-stage codegen over the parquet scan with full
+column pruning (only ``text`` + ids are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from opengemini_spark.datapipe.hashing import FP_MOD, h60, tokens_expr
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic;
+# deterministic tie-break prefers the earlier list.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pas"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "no"),
+}
+UNKNOWN_LANG = "und"
+
+# quality-score weights (length, word length, punctuation, stopwords)
+QS_LEN_CAP = 500.0
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace/punct token count + a BPE-ish subword proxy count.
+
+    ``n_tokens`` = word tokens; ``n_subwords`` = total chars of tokens
+    divided by 4 rounded up per token (the classic ~4-chars-per-BPE-token
+    heuristic), computed exactly so the oracle can reproduce it.
+    """
+    return df.select(
+        F.col(id_col),
+        tokens_expr(text_col).alias("__toks"),
+    ).select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(__toks, 0L, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
+        ).alias("n_subwords"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in basis points [0, 10000]:
+
+      4000 · min(n_chars, 500)/500         (enough content)
+    + 3000 · clamp(mean_word_len/8, 0, 1)  (not all one-char noise)
+    + 2000 · (1 − punct_ratio)             (not symbol soup)
+    + 1000 · min(stopword_ratio · 5, 1)    (natural-language-like)
+
+    Integer-exact: every component uses int64 floor division, so the score
+    is bit-identical across engines/re-runs — no float rounding boundary
+    can flip it, which matters for reproducible corpus curation.
+    """
+    toks = tokens_expr(text_col)
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in stop_all) + ")"
+    d = (
+        df.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
+        .withColumn("nc", F.length(text_col).cast("long"))
+        .withColumn("nt", F.greatest(F.size("__toks"), F.lit(1)).cast("long"))
+        .withColumn(
+            "np",
+            (
+                F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+            ).cast("long"),
+        )
+        .withColumn(
+            "ns",
+            F.expr(
+                f"size(filter(__toks, t -> array_contains({stop_arr}, t)))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "sl", F.expr("aggregate(__toks, 0L, (acc, t) -> acc + length(t))")
+        )
+    )
+    c1 = F.lit(8) * F.least(F.col("nc"), F.lit(int(QS_LEN_CAP)))
+    c2 = F.when(F.col("sl") >= 8 * F.col("nt"), F.lit(3000)).otherwise(
+        F.expr("(3000 * sl) div (8 * nt)")
+    )
+    c3 = F.lit(2000) - F.expr("(2000 * np) div greatest(nc, 1L)")
+    c4 = F.when(5 * F.col("ns") >= F.col("nt"), F.lit(1000)).otherwise(
+        F.expr("(5000 * ns) div nt")
+    )
+    return d.select(
+        F.col(id_col), (c1 + c2 + c3 + c4).cast("long").alias("quality_bp")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language hit counts.
+
+    Deterministic: ties resolve in LANG_STOPWORDS declaration order; zero
+    hits everywhere → 'und'. (A production system would use char-n-gram
+    profiles; the hit-count argmax structure is identical.)
+    """
+    d = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        d = d.withColumn(
+            f"__hits_{lang}",
+            F.expr(f"size(filter(__toks, t -> array_contains({arr}, t)))"),
+        )
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"__hits_{lg}") for lg in langs])
+    pred = F.lit(UNKNOWN_LANG)
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(
+            (best > 0) & (F.col(f"__hits_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return d.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("n_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling document fingerprint mod FP_MOD.
+
+    fp = Σ_pos (h60(token) mod M) · (pos + 1)  mod M — position-weighted so
+    token reorderings change the fingerprint (unlike a bag-of-words hash).
+    Products stay < 1e12 and the running sum < 1e18, so int64-exact, which
+    is what lets the DuckDB oracle reproduce it bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    term = (h60(F.col("tok")) % F.lit(FP_MOD)) * (F.col("pos") + 1)
+    return (
+        toks.groupBy(id_col)
+        .agg((F.sum(term) % F.lit(FP_MOD)).alias("fingerprint"))
+    )

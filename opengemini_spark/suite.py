@@ -814,10 +814,17 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {
         name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
     }
+
+
+def _load_extensions() -> None:
+    """Import extension suites that register into REGISTRY (idempotent)."""
+    from opengemini_spark import suite_datapipe  # noqa: F401

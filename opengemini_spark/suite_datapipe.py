@@ -1,0 +1,425 @@
+"""Datapipe query registrations: dedup / similarity / text / multimodal.
+
+Each Spark operator gets a DuckDB oracle generated from the SAME constants
+(hash seeds, band layout, thresholds, weights) in
+``opengemini_spark.datapipe.hashing`` — the oracle re-runs the algorithm
+independently rather than trusting the engine, so a hash-compare failure
+localizes the bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.datapipe import dedup, multimodal, similarity, text
+from opengemini_spark.datapipe.hashing import (
+    FP_MOD,
+    h60_seeded_sql,
+    h60_sql,
+    shingles_sql,
+    tokens_sql,
+)
+from opengemini_spark.suite import register
+
+EMB_DIM = 64
+TOPK_QUERIES = 8     # query set = vec_id < 8
+TOPK_K = 5
+IVF_NPROBE = 2
+COS_NEAR_DUP_T = 0.45
+SAMPLE_EVERY_N = 7
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB twins of the Spark operators)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min({h60_seeded_sql('shingle', s)}) AS mh{s}"
+        for s in range(dedup.NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(dedup.NUM_BANDS):
+        cols = ", ".join(
+            f"mh{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig"
+        )
+    bands = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s AS shingle FROM (
+        SELECT doc_id, unnest({shingles_sql('toks', dedup.SHINGLE_K)}) AS s FROM docs)
+    ), sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.c / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    """
+
+
+def _ngram_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s AS shingle FROM (
+        SELECT doc_id, unnest({shingles_sql('toks', dedup.NGRAM_K)}) AS s FROM docs)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.c / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.5
+    """
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS byte FROM sim"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM docs
+    ), hh AS (
+      SELECT doc_id, {h60_sql('tok')} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM hh GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {dedup.SIMHASH_MAX_HAMMING}
+    """
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Explicit left-assoc 64-term dot product — same fold order as Spark."""
+    return " + ".join(
+        f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, EMB_DIM + 1)
+    )
+
+
+def _norm_sql(e: str) -> str:
+    return f"sqrt({_dot_sql(e, e)})"
+
+
+def _cos_neardup_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(({_dot_sql('a.embedding', 'b.embedding')})
+                 / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 4)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+                / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 4)
+          >= {COS_NEAR_DUP_T}
+    """
+
+
+def _topk_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {TOPK_QUERIES}
+    ), c AS (
+      SELECT vec_id, embedding AS ce FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(({_dot_sql('q.qe', 'c.ce')})
+                   / ({_norm_sql('q.qe')} * {_norm_sql('c.ce')}), 4) AS cosine
+      FROM c CROSS JOIN q
+      WHERE q.query_id != c.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {TOPK_K}
+    """
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+    ), idx AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS i
+    ), centpos AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+      FROM e CROSS JOIN idx GROUP BY label, i
+    ), cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM centpos GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < {TOPK_QUERIES}
+    ), routed AS (
+      SELECT q.query_id, q.qe, cent.label,
+             round(({_dot_sql('q.qe', 'cent.centroid')})
+                   / ({_norm_sql('q.qe')} * {_norm_sql('cent.centroid')}), 6)
+               AS cent_cos
+      FROM q CROSS JOIN cent
+    ), probes AS (
+      SELECT query_id, qe, label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cent_cos DESC, label ASC) AS r
+        FROM routed)
+      WHERE r <= {IVF_NPROBE}
+    ), scored AS (
+      SELECT p.query_id, e.vec_id,
+             round(({_dot_sql('p.qe', 'e.embedding')})
+                   / ({_norm_sql('p.qe')} * {_norm_sql('e.embedding')}), 4) AS cosine
+      FROM e JOIN probes p ON e.label = p.label
+      WHERE p.query_id != e.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {TOPK_K}
+    """
+
+
+_STOP_ALL = sorted({w for ws in text.LANG_STOPWORDS.values() for w in ws})
+
+
+def _quality_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(greatest(len(toks), 1) AS BIGINT) AS nt,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS BIGINT) AS np,
+             CAST(len(list_filter(toks, t -> list_contains({stop_list}, t)))
+                  AS BIGINT) AS ns,
+             CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                  AS BIGINT) AS sl
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(8 * least(nc, {int(text.QS_LEN_CAP)})
+              + (CASE WHEN sl >= 8 * nt THEN 3000 ELSE (3000 * sl) // (8 * nt) END)
+              + (2000 - (2000 * np) // greatest(nc, 1))
+              + (CASE WHEN 5 * ns >= nt THEN 1000 ELSE (5000 * ns) // nt END)
+             AS BIGINT) AS quality_bp
+    FROM m
+    """
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains({lst}, t))) AS hits_{lang}"
+        )
+    langs = list(text.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN hits_{lg} = {best} THEN '{lg}' "
+    case += "END"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), h AS (
+      SELECT doc_id, {', '.join(hit_cols)} FROM d
+    )
+    SELECT doc_id, {case} AS pred_lang, CAST({best} AS BIGINT) AS n_hits FROM h
+    """
+
+
+# ---------------------------------------------------------------------------
+# registrations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register("dedup_ngram_jaccard", _ngram_oracle())
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine", _cos_neardup_oracle())
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=COS_NEAR_DUP_T
+    )
+
+
+@register("similarity_cosine_topk", _topk_oracle())
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K
+    )
+
+
+@register("similarity_ivf_topk", _ivf_oracle())
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K, nprobe=IVF_NPROBE
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    SELECT doc_id, len(toks) AS n_tokens,
+           coalesce(CAST(list_sum(list_transform(
+             toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT), 0)
+             AS n_subwords
+    FROM d
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality_score", _quality_oracle())
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(sum(({h60_sql('tok')} % {FP_MOD}) * i) % {FP_MOD} AS BIGINT)
+             AS fingerprint
+    FROM t GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_decode_features",
+    # byte-level features of the utf-8 payload (documents.text is ASCII, so
+    # byte values == ascii codes; the Spark side runs real mapInPandas)
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                % {multimodal.BYTE_SUM_MOD} AS BIGINT) AS byte_sum_mod
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_stub_features(docs)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE {h60_sql('doc_id::VARCHAR')} % {SAMPLE_EVERY_N} = 0
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(docs, SAMPLE_EVERY_N).select(
+        "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )

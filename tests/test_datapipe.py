@@ -1,0 +1,128 @@
+"""Unit tests for the training-data pipeline operators (datapipe/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengemini_spark.datapipe import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different words entirely here now today ok fine"),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2          # doc 2 collapsed into doc 1
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # exact dup → jaccard 1
+    assert (1, 3) in pairs               # near dup found
+    assert pairs[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)  # unrelated doc untouched
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(docs, max_hamming=5).collect()
+    }
+    assert out[(1, 2)] == 0
+
+
+def test_cosine_topk_toy(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["vec_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]  # nearest is the almost-parallel vector
+
+
+def test_ivf_topk_probes_restrict(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.95, 0.05]),
+        (2, 1, [0.0, 1.0]),
+        (3, 1, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, nprobe=1
+    ).collect()
+    # nprobe=1 → only label 0 scanned → sole hit is vec 1
+    assert [r["vec_id"] for r in out] == [1]
+
+
+def test_token_stats_and_fingerprint_deterministic(docs):
+    ts = {r["doc_id"]: r["n_tokens"] for r in text.token_stats(docs).collect()}
+    assert ts[1] == 9 and ts[5] == 1
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert fp1[1] == fp1[2] != fp1[3]  # same text → same fp; order-sensitive
+
+
+def test_quality_score_bounds(docs):
+    out = {r["doc_id"]: r["quality_bp"] for r in text.quality_score(docs).collect()}
+    assert all(0 <= v <= 10000 for v in out.values())
+    assert out[1] > out[5]  # real sentence beats 4-char fragment
+
+
+def test_lang_id_stopword_argmax(spark):
+    rows = [
+        (1, "the cat is in the house and it is warm"),
+        (2, "der hund ist ein tier und das ist gut"),
+        (3, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_multimodal_stub(docs):
+    with_payload = multimodal.attach_payload(docs)
+    feats = {
+        r["doc_id"]: r for r in multimodal.decode_stub_features(with_payload).collect()
+    }
+    assert feats[5]["n_bytes"] == 4
+    assert feats[5]["first_byte"] == ord("t")
+    assert feats[5]["last_byte"] == ord("y")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG")
+
+
+def test_frame_sample_deterministic(docs):
+    wp = multimodal.attach_payload(docs)
+    a = sorted(r["doc_id"] for r in multimodal.frame_sample_plan(wp, 2).collect())
+    b = sorted(r["doc_id"] for r in multimodal.frame_sample_plan(wp, 2).collect())
+    assert a == b
