@@ -1,0 +1,255 @@
+"""PromQL range-vector operators (SURVEY.md §2.4 prom variants, §3.3).
+
+Reference semantics: ``engine/prom_function_reducers.go`` +
+``lib/util/lifted/promql2influxql/transpiler.go`` — a range vector at step
+``t`` holds the samples in ``(t - range, t]`` per label-set; functions
+reduce each window.
+
+Spark-first realization: a point at time ``p`` belongs to every grid step
+``t`` with ``p ≤ t < p + range`` — so each row explodes into
+``range/step`` step assignments (integer arithmetic on the µs time),
+then a single groupBy((labels, t)) aggregates every window in one shuffle.
+That replaces Prometheus's per-step window iteration with one set-oriented
+pass — the explode factor is the small constant ``range/step``, and the
+shuffle key (labels, t) is high-cardinality and skew-free at 100 TB.
+
+Duplicate-timestamp resolution: max(value) per (labels, time) before
+windowing (openGemini's last-write-wins needs arrival order, which a batch
+scan doesn't have; max is the deterministic analog).
+
+``rate``/``increase`` implement Prometheus's full ``extrapolatedRate``
+(counter-reset correction + boundary extrapolation + counter zero-limit),
+as deterministic column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+US = 1_000_000  # microseconds per second
+
+
+def normalize_samples(
+    df: DataFrame, labels: list[str], time_col: str, value_col: str
+) -> DataFrame:
+    """One sample per (labels, timestamp): max-value dedup."""
+    return df.groupBy(*labels, time_col).agg(F.max(value_col).alias("value"))
+
+
+def explode_steps(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str,
+    range_us: int,
+    step_us: int,
+) -> DataFrame:
+    """Assign each sample to every grid step whose window contains it.
+
+    Grid = multiples of step_us; window at t is (t - range, t].
+    """
+    p = F.col(time_col)
+    # smallest grid point ≥ p … largest grid point strictly below p + range
+    t_min = F.expr(f"(({time_col} + {step_us - 1}) div {step_us}) * {step_us}")
+    t_max = F.expr(f"(({time_col} + {range_us - 1}) div {step_us}) * {step_us}")
+    return (
+        df.withColumn("__tmin", t_min.cast("long"))
+        .withColumn("__tmax", t_max)
+        .filter(F.col("__tmax") >= F.col("__tmin"))
+        .withColumn(
+            "t", F.explode(F.expr(f"sequence(__tmin, __tmax, {step_us})"))
+        )
+        .drop("__tmin", "__tmax")
+    )
+
+
+def over_time(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str,
+    value_col: str,
+    range_us: int,
+    step_us: int,
+    calls: dict[str, Column],
+) -> DataFrame:
+    """Generic *_over_time: normalize → explode → one grouped aggregate.
+
+    ``calls`` maps output name → aggregate Column over (value, time).
+    """
+    s = normalize_samples(df, labels, time_col, value_col)
+    e = explode_steps(s, labels, time_col, range_us, step_us)
+    return e.groupBy(*labels, "t").agg(
+        *[c.alias(n) for n, c in calls.items()]
+    )
+
+
+def _extrapolated(
+    g: DataFrame,
+    labels: list[str],
+    range_us: int,
+    is_counter: bool,
+    per_second: bool,
+) -> DataFrame:
+    """Prometheus extrapolatedRate over pre-grouped window stats.
+
+    Expects columns: n, first_t, first_v, last_t, last_v, delta (already
+    reset-corrected when is_counter). Emits ``result`` per (labels, t).
+    """
+    rng = float(range_us) / US
+    first_t = F.col("first_t") / US
+    last_t = F.col("last_t") / US
+    t_end = F.col("t") / US
+    t_start = t_end - rng
+
+    sampled = last_t - first_t
+    to_start = first_t - t_start
+    to_end = t_end - last_t
+    avg_ivl = sampled / (F.col("n") - 1)
+    threshold = avg_ivl * 1.1
+
+    if is_counter:
+        # limit extrapolation below zero for counters
+        dur_zero = sampled * (F.col("first_v") / F.col("delta"))
+        to_start = F.when(
+            (F.col("delta") > 0) & (F.col("first_v") >= 0) & (dur_zero < to_start),
+            dur_zero,
+        ).otherwise(to_start)
+
+    extrap = (
+        sampled
+        + F.when(to_start < threshold, to_start).otherwise(avg_ivl / 2)
+        + F.when(to_end < threshold, to_end).otherwise(avg_ivl / 2)
+    )
+    result = F.col("delta") / sampled * extrap
+    if per_second:
+        result = result / rng
+    return (
+        g.filter((F.col("n") >= 2) & (sampled > 0))
+        .withColumn("result", result)
+        .select(*labels, "t", "result")
+    )
+
+
+def _window_stats(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str,
+    value_col: str,
+    range_us: int,
+    step_us: int,
+    counter_correct: bool,
+) -> DataFrame:
+    """Per-(labels, t) stats: n, first/last sample, (reset-corrected) delta."""
+    s = normalize_samples(df, labels, time_col, value_col)
+    e = explode_steps(s, labels, time_col, range_us, step_us)
+    if counter_correct:
+        w = Window.partitionBy(*labels, "t").orderBy(time_col)
+        e = e.withColumn("__prev", F.lag("value").over(w)).withColumn(
+            "__reset", F.when(F.col("value") < F.col("__prev"), F.col("__prev")).otherwise(0.0)
+        )
+        reset_sum = F.sum("__reset")
+    else:
+        reset_sum = F.lit(0.0)
+    g = e.groupBy(*labels, "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(time_col).alias("first_t"),
+        F.max(time_col).alias("last_t"),
+        F.min_by("value", time_col).alias("first_v"),
+        F.max_by("value", time_col).alias("last_v"),
+        reset_sum.alias("__resets"),
+    )
+    return g.withColumn(
+        "delta", F.col("last_v") - F.col("first_v") + F.col("__resets")
+    ).drop("__resets")
+
+
+def rate_prom(
+    df: DataFrame, labels: list[str], time_col: str, value_col: str,
+    range_us: int, step_us: int,
+) -> DataFrame:
+    """rate(): per-second extrapolated counter rate."""
+    g = _window_stats(df, labels, time_col, value_col, range_us, step_us, True)
+    return _extrapolated(g, labels, range_us, is_counter=True, per_second=True)
+
+
+def increase_prom(
+    df: DataFrame, labels: list[str], time_col: str, value_col: str,
+    range_us: int, step_us: int,
+) -> DataFrame:
+    """increase(): extrapolated counter delta over the window."""
+    g = _window_stats(df, labels, time_col, value_col, range_us, step_us, True)
+    return _extrapolated(g, labels, range_us, is_counter=True, per_second=False)
+
+
+def delta_prom(
+    df: DataFrame, labels: list[str], time_col: str, value_col: str,
+    range_us: int, step_us: int,
+) -> DataFrame:
+    """delta(): extrapolated gauge difference (no reset correction)."""
+    g = _window_stats(df, labels, time_col, value_col, range_us, step_us, False)
+    return _extrapolated(g, labels, range_us, is_counter=False, per_second=False)
+
+
+def irate_idelta_prom(
+    df: DataFrame, labels: list[str], time_col: str, value_col: str,
+    range_us: int, step_us: int,
+) -> DataFrame:
+    """irate()/idelta(): from the last two samples of each window."""
+    s = normalize_samples(df, labels, time_col, value_col)
+    e = explode_steps(s, labels, time_col, range_us, step_us)
+    w = Window.partitionBy(*labels, "t").orderBy(F.col(time_col).desc())
+    top2 = e.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 2)
+    g = top2.groupBy(*labels, "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("value", time_col).alias("last_v"),
+        F.min_by("value", time_col).alias("prev_v"),
+        F.max(time_col).alias("last_t"),
+        F.min(time_col).alias("prev_t"),
+    )
+    span = (F.col("last_t") - F.col("prev_t")) / US
+    return (
+        g.filter((F.col("n") == 2) & (span > 0))
+        .withColumn("idelta", F.col("last_v") - F.col("prev_v"))
+        .withColumn(
+            "irate",
+            F.when(
+                F.col("last_v") >= F.col("prev_v"),
+                (F.col("last_v") - F.col("prev_v")) / span,
+            ).otherwise(F.col("last_v") / span),  # counter reset → from 0
+        )
+        .select(*labels, "t", "idelta", "irate")
+    )
+
+
+def histogram_quantile(
+    buckets: DataFrame,
+    q: float,
+    labels: list[str],
+    le_col: str = "le",
+    count_col: str = "bucket_count",
+) -> DataFrame:
+    """histogram_quantile(q, buckets): linear interpolation within the
+    bucket containing rank q·total (Prometheus semantics).
+
+    ``buckets`` holds CUMULATIVE counts per (labels, le), le = double with
+    +Inf as the last bucket. Returns one row per label-set.
+    """
+    w = Window.partitionBy(*labels).orderBy(le_col)
+    total = Window.partitionBy(*labels)
+    b = (
+        buckets.withColumn("prev_le", F.lag(le_col).over(w))
+        .withColumn("prev_cum", F.lag(count_col).over(w))
+        .withColumn("max_cum", F.max(count_col).over(total))
+        .withColumn("rank", F.lit(q) * F.col("max_cum"))
+    )
+    hit = b.filter(
+        (F.col(count_col) >= F.col("rank"))
+        & ((F.col("prev_cum").isNull()) | (F.col("prev_cum") < F.col("rank")))
+    )
+    lo = F.coalesce(F.col("prev_le"), F.lit(0.0))
+    lo_cum = F.coalesce(F.col("prev_cum"), F.lit(0.0))
+    interp = lo + (F.col(le_col) - lo) * (F.col("rank") - lo_cum) / (
+        F.col(count_col) - lo_cum
+    )
+    # +Inf bucket → return the upper bound of the last finite bucket
+    result = F.when(F.col(le_col) == float("inf"), lo).otherwise(interp)
+    return hit.select(*labels, result.alias("quantile"))
