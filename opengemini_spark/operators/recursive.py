@@ -1,0 +1,235 @@
+"""Stateful per-series recurrences: EMA family, Holt-Winters, anomaly
+detection (the reference's castor/ML hook).
+
+Reference: the EMA/Kaufman/Holt-Winters family is compiled at
+``query/compile.go:810-818`` and executed by dedicated transforms
+(``holt_winters_transform.go``); ``castor()`` ships chunks to a Python
+worker over Arrow (``engine/executor/udaf_functions.go:39``,
+``services/castor/``).
+
+Spark-first realization: ``applyInPandas`` over ``groupBy(series)`` — the
+Arrow batch transfer the reference hand-built is Spark's native UDF path.
+Each series' rows are sorted inside the pandas function (cheap: in-memory,
+per-group) and the recurrence runs in a tight Python loop over numpy
+arrays. Scale: one group = one series; groups are independent, so the
+stage parallelizes across all executors; a single enormous series would
+need chunked prefix-scan treatment, which time-series workloads don't hit
+(series are sharded by tags).
+
+Determinism note: recurrences use only +,*,- IEEE doubles in fixed order,
+so the DuckDB recursive-CTE oracles in suite_advanced.py reproduce them
+bit-for-bit — even the pandas path is hash-checked, not trusted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def _per_series_schema(id_cols: list[tuple[str, object]], out_cols: list[str]) -> StructType:
+    fields = [StructField(n, t) for n, t in id_cols]
+    fields.append(StructField("rn", LongType()))
+    fields += [StructField(c, DoubleType()) for c in out_cols]
+    return StructType(fields)
+
+
+def _apply_recurrence(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_cols: list[str],
+    fn: Callable[[pd.Series], pd.DataFrame],
+) -> DataFrame:
+    """Run ``fn(values) -> DataFrame[out_cols]`` per series, time-ordered.
+
+    Output: series columns + ``rn`` (1-based position) + out_cols.
+    """
+    schema_ids = [
+        (c, df.schema[c].dataType) for c in series_cols
+    ]
+    schema = _per_series_schema(schema_ids, out_cols)
+    cols = series_cols + order_cols + [value_col]
+    src = df.select(*cols)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        out = fn(pdf[value_col].reset_index(drop=True))
+        out.insert(0, "rn", range(1, len(out) + 1))
+        for c in reversed(series_cols):
+            out.insert(0, c, pdf[c].iloc[0])
+        return out
+
+    return src.groupBy(*series_cols).applyInPandas(run, schema)
+
+
+def exponential_moving_average(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """EMA: ema_1 = x_1; ema_i = α·x_i + (1−α)·ema_{i−1}."""
+    a, b = alpha, 1.0 - alpha
+
+    def ema(x: pd.Series) -> pd.DataFrame:
+        out = []
+        prev = None
+        for v in x:
+            prev = v if prev is None else a * v + b * prev
+            out.append(prev)
+        return pd.DataFrame({"ema": out})
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["ema"], ema)
+
+
+def holt_winters_fit(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing, fitted values.
+
+    l_1 = x_1, b_1 = 0;
+    l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1});
+    b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1};  fit_i = l_i + b_i.
+    (The reference's holt_winters seasonal variant adds a seasonal index;
+    the recurrence structure — and the Spark execution shape — is the same.)
+    """
+    a, b2 = alpha, beta
+
+    def hw(x: pd.Series) -> pd.DataFrame:
+        fit = []
+        lv = bv = None
+        for v in x:
+            if lv is None:
+                lv, bv = v, 0.0
+            else:
+                prev_l = lv
+                lv = a * v + (1.0 - a) * (lv + bv)
+                bv = b2 * (lv - prev_l) + (1.0 - b2) * bv
+            fit.append(lv + bv)
+        return pd.DataFrame({"hw_fit": fit})
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["hw_fit"], hw)
+
+
+def kaufman_adaptive_ma(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+    fast: int = 2,
+    slow: int = 30,
+) -> DataFrame:
+    """KAMA: efficiency-ratio-adaptive EMA (kaufmans_adaptive_moving_average).
+
+    er_i = |x_i − x_{i−n}| / Σ|x_j − x_{j−1}| over the window;
+    sc_i = (er·(2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²;
+    kama_i = kama_{i−1} + sc_i·(x_i − kama_{i−1}), seeded at x_n.
+    Emitted from position n+1 (rn > n).
+    """
+    fsc, ssc = 2.0 / (fast + 1), 2.0 / (slow + 1)
+
+    def kama(x: pd.Series) -> pd.DataFrame:
+        vals = x.to_list()
+        out: list[float | None] = []
+        prev = None
+        for i, v in enumerate(vals):
+            if i < n:
+                out.append(None)
+                continue
+            if prev is None:
+                prev = vals[i - 1] if i > 0 else v
+            change = abs(v - vals[i - n])
+            vol = sum(abs(vals[j] - vals[j - 1]) for j in range(i - n + 1, i + 1))
+            er = change / vol if vol != 0 else 0.0
+            sc = (er * (fsc - ssc) + ssc) ** 2
+            prev = prev + sc * (v - prev)
+            out.append(prev)
+        return pd.DataFrame({"kama": out})
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["kama"], kama)
+
+
+def mad_anomaly(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    k: float = 5.0,
+) -> DataFrame:
+    """Castor-style anomaly detection: robust median/MAD outlier flagging.
+
+    Per series: med = lower median of x; mad = lower median of |x − med|;
+    anomaly ⇔ |x − med| > k·mad. Selection-based (no float summation), so
+    exactly reproducible by the SQL oracle — the shape of the reference's
+    castor detect pipeline (per-series Arrow batch → python algo → flags).
+    """
+
+    def detect(x: pd.Series) -> pd.DataFrame:
+        vals = sorted(x)
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in x)
+        mad = devs[(n + 1) // 2 - 1]
+        flags = [1.0 if abs(v - med) > k * mad else 0.0 for v in x]
+        return pd.DataFrame({"anomaly": flags, "score": [abs(v - med) for v in x]})
+
+    return _apply_recurrence(
+        df, series_cols, order_cols, value_col, ["anomaly", "score"], detect
+    )
+
+
+def chande_momentum(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+) -> DataFrame:
+    """chande_momentum_oscillator: window-based, built-in window functions.
+
+    cmo = 100·(Σgains − Σlosses)/(Σgains + Σlosses) over the last n diffs
+    — no recursion, so this stays JVM-side (lag + sum over a row frame).
+
+    Diffs are quantized to integer cents before the frame sums: window
+    aggregation order over doubles is engine-specific (segment trees vs
+    linear scans), while int64 sums are exact in any order — so the result
+    is reproducible bit-for-bit at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(*order_cols)
+    frame = w.rowsBetween(-(n - 1), 0)
+    d = df.withColumn(
+        "__diff",
+        F.round((F.col(value_col) - F.lag(value_col).over(w)) * 100).cast("long"),
+    )
+    d = (
+        d.withColumn("__gain", F.when(F.col("__diff") > 0, F.col("__diff")).otherwise(F.lit(0)))
+        .withColumn("__loss", F.when(F.col("__diff") < 0, -F.col("__diff")).otherwise(F.lit(0)))
+        .withColumn("__nd", F.count("__diff").over(frame))
+        .withColumn("__sg", F.sum("__gain").over(frame))
+        .withColumn("__sl", F.sum("__loss").over(frame))
+    )
+    return (
+        d.filter(F.col("__nd") >= n)
+        .withColumn(
+            "cmo",
+            F.when(
+                F.col("__sg") + F.col("__sl") > 0,
+                100.0 * (F.col("__sg") - F.col("__sl")) / (F.col("__sg") + F.col("__sl")),
+            ).otherwise(0.0),
+        )
+        .select(*series_cols, *order_cols, "cmo")
+    )

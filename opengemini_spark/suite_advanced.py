@@ -1,0 +1,257 @@
+"""Advanced operator registrations: recursive pandas-UDF family (EMA,
+Holt-Winters, castor-style anomaly), CMO, sliding windows, hash sampling,
+approx percentile.
+
+The recursive operators run as ``applyInPandas`` in Spark; their oracles
+are DuckDB RECURSIVE CTEs stepping the same recurrence — smoothing
+constants are chosen binary-exact (0.25/0.5/0.75) so both engines produce
+bit-identical doubles at every step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.operators import recursive as rec
+from opengemini_spark.suite import register
+
+EMA_ALPHA = 0.25        # 1-α = 0.75, both exact binary fractions
+HW_ALPHA = 0.5
+HW_BETA = 0.25
+CMO_N = 10
+SLIDE_N = 3
+SAMPLE_N = 20
+
+_ORDERED_CTE = """
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    )
+"""
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "time_us", F.expr("time_ns div 1000")
+    )
+
+
+@register(
+    "transform_ema",
+    _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered")
+    + f"""
+    , ema AS (
+      SELECT user_id, rn, value AS ema FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CAST({EMA_ALPHA} AS DOUBLE) * o.value
+               + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.ema
+      FROM ordered o JOIN ema e ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, rn, ema FROM ema
+    """,
+)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.exponential_moving_average(
+        ev, ["user_id"], ["time_us", "event_id"], "value", EMA_ALPHA
+    )
+    # no rounding: the recursion is bit-identical across engines (verified),
+    # while round() half-way behavior differs at exact binary boundaries.
+    return out.select("user_id", "rn", "ema")
+
+
+@register(
+    "transform_holt_winters",
+    _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered")
+    + f"""
+    , hw AS (
+      SELECT user_id, rn, value, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.value,
+             CAST({HW_ALPHA} AS DOUBLE) * o.value
+               + CAST({1.0 - HW_ALPHA} AS DOUBLE) * (h.l + h.b) AS l,
+             CAST({HW_BETA} AS DOUBLE)
+               * ((CAST({HW_ALPHA} AS DOUBLE) * o.value
+                   + CAST({1.0 - HW_ALPHA} AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST({1.0 - HW_BETA} AS DOUBLE) * h.b AS b
+      FROM ordered o JOIN hw h ON o.user_id = h.user_id AND o.rn = h.rn + 1
+    )
+    SELECT user_id, rn, round(l + b, 6) AS hw_fit FROM hw
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.holt_winters_fit(
+        ev, ["user_id"], ["time_us", "event_id"], "value", HW_ALPHA, HW_BETA
+    )
+    return out.select("user_id", "rn", F.round("hw_fit", 6).alias("hw_fit"))
+
+
+@register(
+    "castor_mad_anomaly",
+    # castor() analog: per-series robust outlier detection via applyInPandas;
+    # medians are selection-based (no float summation) → exact oracle.
+    _ORDERED_CTE
+    + """
+    , med AS (
+      SELECT user_id, value AS med FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value) AS vr,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM ordered)
+      WHERE vr = (n + 1) // 2
+    ), dev AS (
+      SELECT o.user_id, o.rn, abs(o.value - m.med) AS dev
+      FROM ordered o JOIN med m USING (user_id)
+    ), madt AS (
+      SELECT user_id, dev AS mad FROM (
+        SELECT user_id, dev,
+               row_number() OVER (PARTITION BY user_id ORDER BY dev) AS dr,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM dev)
+      WHERE dr = (n + 1) // 2
+    )
+    SELECT d.user_id, d.rn,
+           CASE WHEN d.dev > 5.0 * m.mad THEN 1.0 ELSE 0.0 END AS anomaly,
+           round(d.dev, 6) AS score
+    FROM dev d JOIN madt m USING (user_id)
+    """,
+)
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.mad_anomaly(
+        ev, ["user_id"], ["time_us", "event_id"], "value", k=5.0
+    )
+    return out.select(
+        "user_id", "rn", "anomaly", F.round("score", 6).alias("score")
+    )
+
+
+@register("transform_kama", None)  # recursion over float window sums: rows-only check
+def q_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.kaufman_adaptive_ma(
+        ev, ["user_id"], ["time_us", "event_id"], "value", n=10
+    )
+    return out.filter(F.col("kama").isNotNull()).select(
+        "user_id", "rn", F.round("kama", 6).alias("kama")
+    )
+
+
+@register(
+    "transform_cmo",
+    f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(round((value - lag(value) OVER w) * 100) AS BIGINT) AS diff
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), f AS (
+      SELECT user_id, tu, event_id,
+             count(diff) OVER fr AS nd,
+             sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER fr AS sg,
+             sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER fr AS sl
+      FROM d
+      WINDOW fr AS (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN {CMO_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, tu AS time_us,
+           round(CASE WHEN sg + sl > 0
+                      THEN 100.0 * (sg - sl) / (sg + sl) ELSE 0.0 END, 6) AS cmo
+    FROM f WHERE nd >= {CMO_N}
+    """,
+)
+def q_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.chande_momentum(
+        ev, ["user_id"], ["time_us", "event_id"], "value", n=CMO_N
+    )
+    return out.select("user_id", "time_us", F.round("cmo", 6).alias("cmo"))
+
+
+@register(
+    "window_sliding_count",
+    # sliding_window(count, 3) over 6h tumbling buckets (sliding_window_transform)
+    f"""
+    WITH agg AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % {6 * 3600 * 10**9} AS bucket_ns,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, bucket_ns,
+             count(*) OVER fr AS nw,
+             sum(n) OVER fr AS total
+      FROM agg
+      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_ns
+                    ROWS BETWEEN CURRENT ROW AND {SLIDE_N - 1} FOLLOWING)
+    )
+    SELECT event_type, bucket_ns,
+           round(total / {SLIDE_N}.0, 6) AS sliding_mean_count
+    FROM s WHERE nw = {SLIDE_N}
+    """,
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from opengemini_spark.operators.window_agg import HOUR, window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = window_agg(
+        ev, "time_ns", 6 * HOUR, [F.count(F.lit(1)).alias("n")], dims=["event_type"]
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ns")
+        .rowsBetween(0, SLIDE_N - 1)
+    )
+    return (
+        agg.withColumn("nw", F.count(F.lit(1)).over(fr))
+        .withColumn("total", F.sum("n").over(fr))
+        .filter(F.col("nw") == SLIDE_N)
+        .select(
+            "event_type",
+            "bucket_ns",
+            F.round(F.col("total") / float(SLIDE_N), 6).alias("sliding_mean_count"),
+        )
+    )
+
+
+@register(
+    "agg_sample_hash",
+    # sample(value, N): deterministic hash-ordered N per series (agg sample);
+    # md5-order replaces rand() so retries/oracles agree.
+    f"""
+    SELECT event_type, event_id, round(value, 4) AS value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+      FROM events)
+    WHERE rn <= {SAMPLE_N}
+    """,
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string"))
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_N)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+@register("agg_percentile_approx", None)  # sketch differs per engine: rows-only
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.95, 1000), 4).alias("p95_approx")
+    )
