@@ -1,0 +1,133 @@
+"""CREATE STREAM / CQ / downsample as Structured Streaming + batch jobs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+# the reference restricts stream calls to these four (lib/stream/stream.go:71)
+STREAM_CALLS = ("min", "max", "sum", "count")
+
+
+@dataclass
+class StreamDef:
+    """CREATE STREAM dst ON SELECT call(field) FROM src GROUP BY time(ivl), dims DELAY d."""
+
+    name: str
+    interval: str                 # e.g. "30 minutes"
+    delay: str                    # allowed lateness, e.g. "5 minutes"
+    dims: list[str] = field(default_factory=list)
+    calls: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # calls: out_name -> (call, field), call ∈ STREAM_CALLS
+
+    def validate(self) -> None:
+        for out, (call, _) in self.calls.items():
+            if call not in STREAM_CALLS:
+                raise ValueError(
+                    f"stream call {call!r} for {out!r} not in {STREAM_CALLS} "
+                    "(reference restriction, lib/stream/stream.go:71-81)"
+                )
+
+
+def _agg_cols(sd: StreamDef) -> list[F.Column]:
+    cols = []
+    for out, (call, fld) in sd.calls.items():
+        fn = {"min": F.min, "max": F.max, "sum": F.sum,
+              "count": F.count}[call]
+        cols.append(fn(fld).alias(out))
+    return cols
+
+
+def stream_agg(src: DataFrame, sd: StreamDef, ts_col: str = "ts") -> DataFrame:
+    """The windowed aggregation at the heart of a stream (works on both a
+    batch and a streaming DataFrame — Spark's unified model).
+
+    Watermark = DELAY: rows later than the window close are dropped, which
+    is exactly the reference's rotation-based late-row drop
+    (time_task.go:174-179).
+    """
+    sd.validate()
+    d = src
+    if d.isStreaming:
+        d = d.withWatermark(ts_col, sd.delay)
+    return (
+        d.groupBy(F.window(ts_col, sd.interval).alias("w"), *sd.dims)
+        .agg(*_agg_cols(sd))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *sd.dims,
+            *[F.col(o) for o in sd.calls],
+        )
+    )
+
+
+def start_stream(
+    src_stream: DataFrame,
+    sd: StreamDef,
+    dest_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Wire a stream to its destination table (append mode — windows emit
+    once their watermark passes, matching the reference's window-close
+    flush at truncate(t)+interval+delay)."""
+    out = stream_agg(src_stream, sd, ts_col)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest_path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(sd.name)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def continuous_query_once(
+    src: DataFrame,
+    sd: StreamDef,
+    dest_path: str,
+    ts_col: str = "ts",
+) -> None:
+    """One tick of a continuous query: SELECT … INTO dest, idempotent via
+    dynamic partition overwrite on the window-start day partition."""
+    out = stream_agg(src, sd, ts_col).withColumn(
+        "p_day", F.to_date("window_start")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_day")
+        .parquet(dest_path)
+    )
+
+
+def downsample_once(
+    src: DataFrame,
+    interval: str,
+    dims: list[str],
+    aggs: list[F.Column],
+    dest_path: str,
+    ts_col: str = "ts",
+) -> None:
+    """Downsample job: rewrite a time range at lower resolution
+    (engine_downsample.go analog). Partitioned by day for pruning +
+    idempotent overwrite."""
+    out = (
+        src.groupBy(F.window(ts_col, interval).alias("w"), *dims)
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *dims, "*")
+        .drop("w")
+        .withColumn("p_day", F.to_date("window_start"))
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_day")
+        .parquet(dest_path)
+    )
