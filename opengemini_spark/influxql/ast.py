@@ -1,0 +1,77 @@
+"""InfluxQL AST (subset of lib/util/lifted/influx/influxql/ast.go nodes)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    pass
+
+
+@dataclass
+class VarRef(Node):
+    name: str
+
+
+@dataclass
+class Literal(Node):
+    value: object          # str | int | float | bool | None
+
+
+@dataclass
+class RegexLit(Node):
+    pattern: str
+
+
+@dataclass
+class Call(Node):
+    name: str
+    args: list[Node] = field(default_factory=list)
+
+
+@dataclass
+class BinaryExpr(Node):
+    op: str                # = != < <= > >= =~ !~ + - * / % and or
+    lhs: Node
+    rhs: Node
+
+
+@dataclass
+class UnaryExpr(Node):
+    op: str
+    expr: Node
+
+
+@dataclass
+class Field(Node):
+    expr: Node
+    alias: str | None = None
+
+
+@dataclass
+class TimeDimension(Node):
+    interval_ns: int
+    offset_ns: int = 0
+
+
+@dataclass
+class SelectStatement(Node):
+    fields: list[Field]
+    source: str                         # measurement name (v1: no subqueries)
+    where: Node | None = None
+    group_time: TimeDimension | None = None
+    group_tags: list[str] = field(default_factory=list)
+    fill: str | float | None = None     # 'null' 'none' 'previous' 'linear' | number
+    order_desc: bool = False
+    limit: int | None = None
+    offset: int | None = None
+    slimit: int | None = None
+    tz: str | None = None
+
+
+@dataclass
+class ShowStatement(Node):
+    what: str                           # measurements | tag_keys | tag_values | field_keys
+    source: str | None = None
+    key: str | None = None              # for TAG VALUES WITH KEY = k

@@ -1,0 +1,239 @@
+"""Recursive-descent InfluxQL parser (subset).
+
+Mirrors the hand-written reference parser
+(``lib/util/lifted/influx/influxql/parser.go``) for:
+
+  SELECT <fields> FROM <measurement>
+    [WHERE <cond>] [GROUP BY time(<dur>[,<off>])[, <tags…>]] [FILL(<opt>)]
+    [ORDER BY time [DESC|ASC]] [LIMIT n] [OFFSET n] [SLIMIT n] [TZ('zone')]
+
+  SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m]
+  | SHOW TAG VALUES [FROM m] WITH KEY = k | SHOW FIELD KEYS [FROM m]
+
+Expression grammar: or → and → comparison (=,!=,<,<=,>,>=,=~,!~)
+→ additive → multiplicative → unary → primary (call | var | literal |
+regex | parens).
+"""
+
+from __future__ import annotations
+
+from opengemini_spark.influxql import ast
+from opengemini_spark.influxql.lexer import Tok, lex
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # --- token helpers ---
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(
+                f"InfluxQL: expected {text or kind}, got {got.text!r}"
+            )
+        return t
+
+    def kw(self, word: str) -> Tok | None:
+        return self.accept("KEYWORD", word)
+
+    # --- statements ---
+    def parse_statement(self) -> ast.Node:
+        if self.kw("select"):
+            return self.select_statement()
+        if self.kw("show"):
+            return self.show_statement()
+        raise SyntaxError(f"InfluxQL: unsupported statement {self.peek().text!r}")
+
+    def show_statement(self) -> ast.ShowStatement:
+        if self.kw("measurements"):
+            return ast.ShowStatement("measurements")
+        if self.kw("tag"):
+            if self.kw("keys"):
+                return ast.ShowStatement("tag_keys", source=self._opt_from())
+            self.expect("KEYWORD", "values")
+            src = self._opt_from()
+            self.expect("KEYWORD", "with")
+            self.expect("KEYWORD", "key")
+            self.expect("OP", "=")
+            key = self.expect("IDENT").value
+            return ast.ShowStatement("tag_values", source=src, key=key)
+        if self.kw("field"):
+            self.expect("KEYWORD", "keys")
+            return ast.ShowStatement("field_keys", source=self._opt_from())
+        raise SyntaxError("InfluxQL: unsupported SHOW")
+
+    def _opt_from(self) -> str | None:
+        if self.kw("from"):
+            return self.expect("IDENT").value
+        return None
+
+    def select_statement(self) -> ast.SelectStatement:
+        fields = [self.field()]
+        while self.accept("OP", ","):
+            fields.append(self.field())
+        self.expect("KEYWORD", "from")
+        source = self.expect("IDENT").value
+
+        stmt = ast.SelectStatement(fields=fields, source=source)
+        if self.kw("where"):
+            stmt.where = self.expr()
+        if self.kw("group"):
+            self.expect("KEYWORD", "by")
+            self._group_by(stmt)
+        if self.kw("fill"):
+            self.expect("OP", "(")
+            t = self.next()
+            if t.kind == "KEYWORD" and t.text in ("null", "none", "previous", "linear"):
+                stmt.fill = t.text
+            elif t.kind in ("NUMBER", "INTEGER"):
+                stmt.fill = float(t.value)
+            else:
+                raise SyntaxError(f"InfluxQL: bad FILL option {t.text!r}")
+            self.expect("OP", ")")
+        if self.kw("order"):
+            self.expect("KEYWORD", "by")
+            self.expect("KEYWORD", "time")
+            if self.kw("desc"):
+                stmt.order_desc = True
+            else:
+                self.kw("asc")
+        if self.kw("limit"):
+            stmt.limit = self.expect("INTEGER").value
+        if self.kw("offset"):
+            stmt.offset = self.expect("INTEGER").value
+        if self.kw("slimit"):
+            stmt.slimit = self.expect("INTEGER").value
+        if self.kw("tz"):
+            self.expect("OP", "(")
+            stmt.tz = self.expect("STRING").value
+            self.expect("OP", ")")
+        self.expect("EOF")
+        return stmt
+
+    def _group_by(self, stmt: ast.SelectStatement) -> None:
+        while True:
+            if self.kw("time"):
+                self.expect("OP", "(")
+                ivl = self.expect("DURATION").value
+                off = 0
+                if self.accept("OP", ","):
+                    off = self.expect("DURATION").value
+                self.expect("OP", ")")
+                stmt.group_time = ast.TimeDimension(ivl, off)
+            else:
+                stmt.group_tags.append(self.expect("IDENT").value)
+            if not self.accept("OP", ","):
+                break
+
+    def field(self) -> ast.Field:
+        e = self.expr()
+        alias = None
+        if self.kw("as"):
+            alias = self.expect("IDENT").value
+        return ast.Field(e, alias)
+
+    # --- expressions ---
+    def expr(self) -> ast.Node:
+        return self._or()
+
+    def _or(self) -> ast.Node:
+        lhs = self._and()
+        while self.kw("or"):
+            lhs = ast.BinaryExpr("or", lhs, self._and())
+        return lhs
+
+    def _and(self) -> ast.Node:
+        lhs = self._cmp()
+        while self.kw("and"):
+            lhs = ast.BinaryExpr("and", lhs, self._cmp())
+        return lhs
+
+    _CMP_OPS = ("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~")
+
+    def _cmp(self) -> ast.Node:
+        lhs = self._add()
+        t = self.peek()
+        if t.kind == "OP" and t.text in self._CMP_OPS:
+            self.next()
+            op = "!=" if t.text == "<>" else t.text
+            return ast.BinaryExpr(op, lhs, self._add())
+        return lhs
+
+    def _add(self) -> ast.Node:
+        lhs = self._mul()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("+", "-"):
+                self.next()
+                lhs = ast.BinaryExpr(t.text, lhs, self._mul())
+            else:
+                return lhs
+
+    def _mul(self) -> ast.Node:
+        lhs = self._unary()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("*", "/", "%"):
+                self.next()
+                lhs = ast.BinaryExpr(t.text, lhs, self._unary())
+            else:
+                return lhs
+
+    def _unary(self) -> ast.Node:
+        if self.accept("OP", "-"):
+            return ast.UnaryExpr("-", self._unary())
+        if self.kw("not"):
+            return ast.UnaryExpr("not", self._unary())
+        return self._primary()
+
+    def _primary(self) -> ast.Node:
+        t = self.next()
+        if t.kind == "OP" and t.text == "(":
+            e = self.expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind in ("NUMBER", "INTEGER", "STRING", "DURATION"):
+            return ast.Literal(t.value)
+        if t.kind == "REGEX":
+            return ast.RegexLit(t.value)
+        if t.kind == "KEYWORD" and t.text in ("time", "distinct"):
+            # time as var ref; distinct(x) as call
+            if t.text == "distinct" and self.accept("OP", "("):
+                arg = self.expr()
+                self.expect("OP", ")")
+                return ast.Call("distinct", [arg])
+            return ast.VarRef("time")
+        if t.kind == "KEYWORD" and t.text == "null":
+            return ast.Literal(None)
+        if t.kind == "IDENT":
+            if self.accept("OP", "("):
+                args: list[ast.Node] = []
+                if not self.accept("OP", ")"):
+                    args.append(self.expr())
+                    while self.accept("OP", ","):
+                        args.append(self.expr())
+                    self.expect("OP", ")")
+                return ast.Call(t.value.lower(), args)
+            return ast.VarRef(t.value)
+        raise SyntaxError(f"InfluxQL: unexpected token {t.text!r}")
+
+
+def parse(src: str) -> ast.Node:
+    return Parser(lex(src)).parse_statement()

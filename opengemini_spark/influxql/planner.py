@@ -1,0 +1,332 @@
+"""InfluxQL AST → DataFrame planner.
+
+The reference lowers the rewritten SELECT into a QueryNode tree and then a
+transform DAG (``select.go:179``, ``logic_plan.go:2880``); here the
+"logical plan" IS the DataFrame expression tree — Catalyst takes over
+everything below (predicate pushdown, partial aggs, exchanges).
+
+Data model mapping (schema-driven, like the reference's CleanSchema):
+string columns = tags, numeric columns = fields, ``time_ns`` = time.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.influxql import ast
+from opengemini_spark.operators.fill import fill_time_spine
+from opengemini_spark.operators.window_agg import window_agg
+
+TIME_COL = "time_ns"
+
+
+def _parse_time_literal(v: object) -> int:
+    """RFC3339 string or int ns → int64 ns since epoch."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        s = v.replace("Z", "+00:00")
+        if "T" not in s:
+            s += "T00:00:00+00:00"
+        elif "+" not in s and "-" not in s[10:]:
+            s += "+00:00"
+        dt = datetime.fromisoformat(s).astimezone(timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+    raise ValueError(f"InfluxQL: bad time literal {v!r}")
+
+
+def _is_time_ref(e: ast.Node) -> bool:
+    return isinstance(e, ast.VarRef) and e.name.lower() == "time"
+
+
+class Planner:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # --- schema roles ---
+    def _load(self, measurement: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, measurement)
+
+    @staticmethod
+    def tag_columns(df: DataFrame) -> list[str]:
+        return [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+
+    @staticmethod
+    def field_columns(df: DataFrame) -> list[str]:
+        return [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("double", "float", "bigint", "int")
+            and f.name != TIME_COL
+        ]
+
+    # --- expression lowering ---
+    def col_expr(self, e: ast.Node, in_time_cmp: bool = False) -> Column:
+        if isinstance(e, ast.VarRef):
+            if e.name.lower() == "time":
+                return F.col(TIME_COL)
+            return F.col(e.name)
+        if isinstance(e, ast.Literal):
+            return F.lit(e.value)
+        if isinstance(e, ast.UnaryExpr):
+            c = self.col_expr(e.expr)
+            return ~c if e.op == "not" else -c
+        if isinstance(e, ast.BinaryExpr):
+            return self._binary(e)
+        if isinstance(e, ast.Call):
+            return self._scalar_call(e)
+        raise ValueError(f"InfluxQL: cannot lower {e!r}")
+
+    def _binary(self, e: ast.BinaryExpr) -> Column:
+        op = e.op
+        # time comparison: rhs literal is RFC3339/ns
+        if op in ("=", "!=", "<", "<=", ">", ">=") and (
+            _is_time_ref(e.lhs) or _is_time_ref(e.rhs)
+        ):
+            if _is_time_ref(e.lhs) and isinstance(e.rhs, ast.Literal):
+                lhs, rhs = F.col(TIME_COL), F.lit(_parse_time_literal(e.rhs.value))
+            elif _is_time_ref(e.rhs) and isinstance(e.lhs, ast.Literal):
+                lhs, rhs = F.lit(_parse_time_literal(e.lhs.value)), F.col(TIME_COL)
+            else:
+                lhs, rhs = self.col_expr(e.lhs), self.col_expr(e.rhs)
+            return self._cmp(op, lhs, rhs)
+        if op in ("=~", "!~"):
+            c = self.col_expr(e.lhs)
+            assert isinstance(e.rhs, ast.RegexLit), "regex match needs /regex/"
+            m = c.rlike(e.rhs.pattern)
+            return m if op == "=~" else ~m
+        lhs, rhs = self.col_expr(e.lhs), self.col_expr(e.rhs)
+        if op == "and":
+            return lhs & rhs
+        if op == "or":
+            return lhs | rhs
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            return self._cmp(op, lhs, rhs)
+        if op == "+":
+            return lhs + rhs
+        if op == "-":
+            return lhs - rhs
+        if op == "*":
+            return lhs * rhs
+        if op == "/":
+            return lhs / rhs
+        if op == "%":
+            return lhs % rhs
+        raise ValueError(f"InfluxQL: op {op!r}")
+
+    @staticmethod
+    def _cmp(op: str, lhs: Column, rhs: Column) -> Column:
+        return {
+            "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+            "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+        }[op]
+
+    _SCALARS = {
+        "abs": F.abs, "sin": F.sin, "cos": F.cos, "tan": F.tan, "exp": F.exp,
+        "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
+        "floor": F.floor, "ceil": F.ceil, "round": F.round, "sgn": F.signum,
+        "strlen": F.length, "lower": F.lower, "upper": F.upper,
+    }
+
+    def _scalar_call(self, e: ast.Call) -> Column:
+        if e.name == "pow":
+            return F.pow(self.col_expr(e.args[0]), self.col_expr(e.args[1]))
+        if e.name in self._SCALARS:
+            return self._SCALARS[e.name](self.col_expr(e.args[0]))
+        raise ValueError(f"InfluxQL: unknown scalar function {e.name!r}")
+
+    # --- aggregate calls ---
+    _SIMPLE_AGGS = {
+        "count": F.count, "sum": F.sum, "mean": F.avg, "min": F.min,
+        "max": F.max, "median": F.median, "stddev": F.stddev,
+    }
+
+    def agg_column(self, call: ast.Call, out: str) -> Column:
+        name = call.name
+        arg = call.args[0]
+        assert isinstance(arg, ast.VarRef), f"agg over expression: {name}"
+        c = F.col(arg.name)
+        if name in self._SIMPLE_AGGS:
+            return self._SIMPLE_AGGS[name](c).alias(out)
+        if name == "spread":
+            return (F.max(c) - F.min(c)).alias(out)
+        if name == "first":
+            return F.min_by(arg.name, TIME_COL).alias(out)
+        if name == "last":
+            return F.max_by(arg.name, TIME_COL).alias(out)
+        if name == "distinct":
+            return F.collect_set(c).alias(out)
+        if name == "percentile":
+            q = call.args[1].value / 100.0
+            return F.percentile(c, F.lit(q)).alias(out)
+        raise ValueError(f"InfluxQL: unknown aggregate {name!r}")
+
+    # --- statement planning ---
+    def plan(self, stmt: ast.Node) -> DataFrame:
+        if isinstance(stmt, ast.ShowStatement):
+            return self.plan_show(stmt)
+        assert isinstance(stmt, ast.SelectStatement)
+        df = self._load(stmt.source)
+        if stmt.where is not None:
+            df = df.filter(self.col_expr(stmt.where))
+
+        calls = [
+            (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
+            and f.expr.name not in self._SCALARS and f.expr.name != "pow"
+        ]
+        if calls and stmt.fields and all(
+            isinstance(f.expr, (ast.Call,)) for f in stmt.fields
+        ):
+            return self._plan_agg(stmt, df)
+        if calls:
+            return self._plan_selector(stmt, df)
+        return self._plan_raw(stmt, df)
+
+    def _out_name(self, f: ast.Field, default: str) -> str:
+        return f.alias or default
+
+    def _plan_agg(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
+        aggs = []
+        value_cols = []
+        for f in stmt.fields:
+            call = f.expr
+            out = self._out_name(f, call.name)
+            aggs.append(self.agg_column(call, out))
+            value_cols.append(out)
+        if stmt.group_time is not None:
+            out = window_agg(
+                df, TIME_COL, stmt.group_time.interval_ns, aggs,
+                dims=stmt.group_tags, offset_ns=stmt.group_time.offset_ns,
+            ).withColumnRenamed("bucket_ns", "time")
+            if stmt.fill is not None and stmt.fill != "none":
+                mode = stmt.fill if isinstance(stmt.fill, str) else "value"
+                fv = stmt.fill if isinstance(stmt.fill, float) else None
+                out = fill_time_spine(
+                    out, "time", stmt.group_time.interval_ns,
+                    stmt.group_tags, value_cols, mode=mode, fill_value=fv,
+                )
+        elif stmt.group_tags:
+            out = df.groupBy(*stmt.group_tags).agg(*aggs)
+        else:
+            out = df.agg(*aggs)
+
+        order_cols = []
+        if stmt.group_time is not None:
+            order_cols.append(
+                F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+            )
+        if stmt.group_tags:
+            order_cols += [F.col(t).asc() for t in stmt.group_tags]
+        if order_cols:
+            out = out.orderBy(*order_cols)
+        if stmt.slimit and stmt.group_tags:
+            series = (
+                out.select(*stmt.group_tags).distinct()
+                .orderBy(*stmt.group_tags).limit(stmt.slimit)
+            )
+            out = out.join(F.broadcast(series), stmt.group_tags)
+        if stmt.offset:
+            w = Window.orderBy(*([c for c in ["time"] if "time" in out.columns]
+                                 + stmt.group_tags))
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > stmt.offset)
+                .drop("__rn")
+            )
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        return out
+
+    def _plan_selector(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
+        """SELECT max(value), other, … — selector row semantics: companion
+        columns come from the row the selector picked (compile.go:762-770)."""
+        sel = next(f for f in stmt.fields if isinstance(f.expr, ast.Call))
+        call = sel.expr
+        fld = call.args[0].name
+        others = [
+            (self._out_name(f, f.expr.name), f.expr.name)
+            for f in stmt.fields
+            if isinstance(f.expr, ast.VarRef)
+        ]
+        key = {
+            "max": F.struct(F.col(fld), F.col(TIME_COL)),
+            "min": F.struct(F.col(fld), F.col(TIME_COL)),
+            "first": F.struct(F.col(TIME_COL)),
+            "last": F.struct(F.col(TIME_COL)),
+        }[call.name]
+        pick = F.struct(F.col(TIME_COL).alias("__t"), F.col(fld).alias("__v"),
+                        *[F.col(src).alias(f"__o{i}") for i, (_, src) in enumerate(others)])
+        agg_fn = F.max_by if call.name in ("max", "last") else F.min_by
+        gcols = stmt.group_tags
+        g = df.groupBy(*gcols) if gcols else df.groupBy()
+        out = g.agg(agg_fn(pick, key).alias("__pick"))
+        sel_out = self._out_name(sel, call.name)
+        cols = [F.col("__pick.__t").alias("time")]
+        cols += [F.col(t) for t in gcols]
+        cols.append(F.col("__pick.__v").alias(sel_out))
+        cols += [
+            F.col(f"__pick.__o{i}").alias(out_name)
+            for i, (out_name, _) in enumerate(others)
+        ]
+        return out.select(*cols)
+
+    def _plan_raw(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
+        cols = [F.col(TIME_COL).alias("time")] if TIME_COL in df.columns else []
+        for f in stmt.fields:
+            default = (
+                f.expr.name if isinstance(f.expr, ast.VarRef)
+                else getattr(f.expr, "name", "expr")
+            )
+            cols.append(self.col_expr(f.expr).alias(self._out_name(f, default)))
+        out = df.select(*cols)
+        if "time" in out.columns:
+            out = out.orderBy(
+                F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+            )
+        if stmt.offset:
+            w = Window.orderBy(F.col("time").desc() if stmt.order_desc
+                               else F.col("time").asc())
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > stmt.offset)
+                .drop("__rn")
+            )
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        return out
+
+    def plan_show(self, stmt: ast.ShowStatement) -> DataFrame:
+        from opengemini_spark.catalog import TABLES
+
+        if stmt.what == "measurements":
+            return self.spark.createDataFrame(
+                [(t,) for t in TABLES], ["name"]
+            )
+        df = self._load(stmt.source or "events")
+        if stmt.what == "tag_keys":
+            return self.spark.createDataFrame(
+                [(t,) for t in self.tag_columns(df)], ["tagKey"]
+            )
+        if stmt.what == "field_keys":
+            return self.spark.createDataFrame(
+                [(c,) for c in self.field_columns(df)], ["fieldKey"]
+            )
+        if stmt.what == "tag_values":
+            return (
+                df.select(F.col(stmt.key).alias("value"))
+                .distinct()
+                .orderBy("value")
+            )
+        raise ValueError(f"InfluxQL: unsupported SHOW {stmt.what}")
+
+
+def plan(spark: SparkSession, sf_dir: str, stmt: ast.Node) -> DataFrame:
+    return Planner(spark, sf_dir).plan(stmt)

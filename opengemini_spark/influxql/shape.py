@@ -1,0 +1,68 @@
+"""InfluxDB-compatible result shaping.
+
+Reference: ``engine/executor/httpsender_transform.go`` formats chunks into
+``{"results":[{"statement_id":0,"series":[{"name","tags","columns",
+"values"}]}]}`` — one series block per tag-set, ``time`` first in columns,
+rows ordered by time within a block (emit loop
+``statement_executor.go:1144-1193``).
+
+This is driver-side presentation of an already-aggregated (small) result —
+the one place a collect() is correct.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+RFC3339 = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _fmt_time(ns: int, epoch: str | None) -> Any:
+    if epoch == "ns" or epoch is None:
+        return ns
+    div = {"u": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[epoch]
+    return ns // div
+
+
+def to_influx_json(
+    df: DataFrame,
+    measurement: str,
+    tag_cols: list[str] | None = None,
+    time_col: str = "time",
+    epoch: str | None = "ns",
+) -> dict:
+    """Collect a (small, final) result into the InfluxDB response shape."""
+    tag_cols = tag_cols or []
+    value_cols = [
+        c for c in df.columns if c not in tag_cols and c != time_col
+    ]
+    columns = ([time_col] if time_col in df.columns else []) + value_cols
+
+    rows = df.collect()
+    series: dict[tuple, dict] = {}
+    for r in rows:
+        key = tuple(r[t] for t in tag_cols)
+        blk = series.setdefault(
+            key,
+            {
+                "name": measurement,
+                **(
+                    {"tags": {t: r[t] for t in tag_cols}} if tag_cols else {}
+                ),
+                "columns": columns,
+                "values": [],
+            },
+        )
+        vals = []
+        if time_col in df.columns:
+            vals.append(_fmt_time(r[time_col], epoch))
+        vals += [r[c] for c in value_cols]
+        blk["values"].append(vals)
+
+    ordered = [series[k] for k in sorted(series, key=lambda k: tuple(map(str, k)))]
+    for blk in ordered:
+        if time_col in df.columns:
+            blk["values"].sort(key=lambda v: v[0])
+    return {"results": [{"statement_id": 0, "series": ordered}]}

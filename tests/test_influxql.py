@@ -1,0 +1,139 @@
+"""InfluxQL front-end tests: lexer, parser, planner vs direct DataFrame
+results, SHOW statements, JSON shaping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.influxql import parse, query, to_influx_json
+from opengemini_spark.influxql import ast
+from opengemini_spark.influxql.lexer import lex
+
+
+def test_lexer_durations_and_strings():
+    toks = lex("SELECT mean(value) FROM events WHERE t >= '2025-01-01' GROUP BY time(1h30m)")
+    durs = [t for t in toks if t.kind == "DURATION"]
+    assert durs[0].value == (90 * 60) * 10**9
+    strs = [t for t in toks if t.kind == "STRING"]
+    assert strs[0].value == "2025-01-01"
+
+
+def test_parser_full_select():
+    stmt = parse(
+        "SELECT mean(value) AS m, count(value) FROM events "
+        "WHERE event_type = 'error' AND time >= '2025-01-01T00:00:00Z' "
+        "GROUP BY time(30m), event_type FILL(previous) "
+        "ORDER BY time DESC LIMIT 10 OFFSET 2 SLIMIT 3"
+    )
+    assert isinstance(stmt, ast.SelectStatement)
+    assert stmt.fields[0].alias == "m"
+    assert stmt.group_time.interval_ns == 30 * 60 * 10**9
+    assert stmt.group_tags == ["event_type"]
+    assert stmt.fill == "previous"
+    assert stmt.order_desc and stmt.limit == 10 and stmt.offset == 2
+    assert stmt.slimit == 3
+
+
+def test_parser_regex_and_arithmetic():
+    stmt = parse("SELECT value * 2 + 1 FROM events WHERE event_type =~ /err.*/")
+    assert isinstance(stmt.where, ast.BinaryExpr)
+    assert stmt.where.op == "=~"
+
+
+def test_plan_simple_agg(spark, sf_dir):
+    got = query(spark, sf_dir, "SELECT count(value), mean(value) FROM events").first()
+    ev = load_table(spark, sf_dir, "events")
+    exp = ev.agg(F.count("value"), F.avg("value")).first()
+    assert got[0] == exp[0]
+    assert got[1] == pytest.approx(exp[1])
+
+
+def test_plan_group_by_time_and_tag(spark, sf_dir):
+    got = query(
+        spark, sf_dir,
+        "SELECT sum(value) AS s FROM events "
+        "WHERE event_type = 'error' GROUP BY time(6h), event_type",
+    )
+    assert set(got.columns) == {"time", "event_type", "s"}
+    n = got.count()
+    assert n > 0
+    # fill(null) adds the empty windows
+    filled = query(
+        spark, sf_dir,
+        "SELECT sum(value) AS s FROM events "
+        "WHERE event_type = 'error' GROUP BY time(6h), event_type FILL(null)",
+    )
+    assert filled.count() >= n
+
+
+def test_plan_where_time_range(spark, sf_dir):
+    df = query(
+        spark, sf_dir,
+        "SELECT value FROM events WHERE time >= '2025-01-02T00:00:00Z' "
+        "AND time < '2025-01-03T00:00:00Z'",
+    )
+    lo = 1735776000 * 10**9
+    ev = load_table(spark, sf_dir, "events")
+    exp = ev.filter(
+        (F.col("time_ns") >= lo) & (F.col("time_ns") < lo + 86400 * 10**9)
+    ).count()
+    assert df.count() == exp
+
+
+def test_plan_selector_companion(spark, sf_dir):
+    """SELECT max(value), user_id — companion column from the max row."""
+    got = query(spark, sf_dir, "SELECT max(value), user_id FROM events").first()
+    ev = load_table(spark, sf_dir, "events")
+    top = ev.orderBy(F.col("value").desc()).first()
+    assert got["max"] == top["value"]
+    assert got["user_id"] == top["user_id"]
+
+
+def test_plan_limit_offset_order(spark, sf_dir):
+    df = query(
+        spark, sf_dir,
+        "SELECT value FROM events ORDER BY time DESC LIMIT 5",
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    times = [r["time"] for r in rows]
+    assert times == sorted(times, reverse=True)
+
+
+def test_show_statements(spark, sf_dir):
+    ms = query(spark, sf_dir, "SHOW MEASUREMENTS")
+    assert "events" in {r["name"] for r in ms.collect()}
+    tk = query(spark, sf_dir, "SHOW TAG KEYS FROM events")
+    assert "event_type" in {r["tagKey"] for r in tk.collect()}
+    fk = query(spark, sf_dir, "SHOW FIELD KEYS FROM events")
+    fields = {r["fieldKey"] for r in fk.collect()}
+    assert "value" in fields and "event_type" not in fields
+    tv = query(spark, sf_dir, "SHOW TAG VALUES FROM events WITH KEY = event_type")
+    vals = [r["value"] for r in tv.collect()]
+    assert vals == sorted(vals) and "error" in vals
+
+
+def test_influx_json_shape(spark, sf_dir):
+    df = query(
+        spark, sf_dir,
+        "SELECT count(value) AS n FROM events GROUP BY time(12h), event_type",
+    )
+    out = to_influx_json(df, "events", tag_cols=["event_type"], epoch="s")
+    assert out["results"][0]["statement_id"] == 0
+    blocks = out["results"][0]["series"]
+    assert len(blocks) == 5  # one per event_type
+    b0 = blocks[0]
+    assert b0["name"] == "events"
+    assert b0["columns"][0] == "time"
+    assert set(b0["tags"]) == {"event_type"}
+    col_time = [v[0] for v in b0["values"]]
+    assert col_time == sorted(col_time)
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError):
+        parse("SELECT FROM events")
+    with pytest.raises(SyntaxError):
+        parse("DELETE FROM events")
