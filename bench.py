@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "similarity_cosine_topk",
+    "prom_rate_extrapolated",
+    "transform_ema",
+    "influxql_window_agg_fill",
 ]
 
 

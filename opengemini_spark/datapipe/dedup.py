@@ -34,6 +34,26 @@ from opengemini_spark.datapipe.hashing import (
 NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+# Carter-Wegman hash family: h_i(x) = (A_i·(h60(x) mod P) + B_i) mod P.
+# One md5 per shingle feeds all NUM_HASHES functions (16× less hashing than
+# seeded-md5 per function — this stage dominated the dedup benchmark).
+# P = 2^31 − 1 keeps products < 2^62 (int64-safe in Spark AND DuckDB).
+MINHASH_P = 2_147_483_647
+
+
+def _lcg(seed: int):
+    while True:
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        yield seed
+
+
+def _gen_ab(n: int) -> list[tuple[int, int]]:
+    g = _lcg(42)
+    return [(next(g) % (MINHASH_P - 1) + 1, next(g) % MINHASH_P) for _ in range(n)]
+
+
+MINHASH_AB = _gen_ab(NUM_HASHES)
 SHINGLE_K = 2          # word bigrams for minhash
 NGRAM_K = 4            # rarer 4-word shingles for the direct-join variant
 SIMHASH_BITS = 32
@@ -59,10 +79,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_shingles(
     df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct k-word shingles per document: ``(doc_id, shingle)``."""
+    """Distinct hashed k-word shingles per document: ``(doc_id, sh)``.
+
+    Shingles are reduced to their 60-bit hash map-side, *before* the
+    distinct shuffle — every downstream exchange and join then moves
+    (long, long) rows instead of ~50-byte strings. Set semantics over the
+    hashes equal set semantics over the shingles up to 2⁻⁶⁰ collisions
+    (and the oracle hashes identically, so even a collision matches).
+    """
     return (
         df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
-        .select(id_col, F.explode(F.expr(shingles_expr("__toks", k))).alias("shingle"))
+        .select(id_col, F.explode(F.expr(shingles_expr("__toks", k))).alias("__s"))
+        .select(id_col, h60(F.col("__s")).alias("sh"))
         .distinct()
     )
 
@@ -70,13 +98,15 @@ def doc_shingles(
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """MinHash signature: NUM_HASHES columns ``mh0..mhN`` per doc.
 
-    A single aggregate pass computes all seeds — no repeated explode.
+    The Carter-Wegman affine family over the already-hashed shingles —
+    a single aggregate pass computes all NUM_HASHES minima, no md5 here.
     """
+    based = shingles.withColumn("__base", F.col("sh") % MINHASH_P)
     aggs = [
-        F.min(h60_seeded(F.col("shingle"), s)).alias(f"mh{s}")
-        for s in range(NUM_HASHES)
+        F.min((F.lit(a) * F.col("__base") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -113,11 +143,11 @@ def jaccard_verify(
     Returns ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold, rounded 4dp.
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -145,7 +175,10 @@ def minhash_lsh_dedup(
 
     Returns verified near-dup pairs ``(id_a, id_b, jaccard ≥ threshold)``.
     """
-    shingles = doc_shingles(df, SHINGLE_K, text_col, id_col)
+    # the shingle set feeds signature, sizes, and both sides of the
+    # intersection join — persist it once instead of re-exploding 4×
+    # (at cluster scale this is a checkpoint table, same idea)
+    shingles = doc_shingles(df, SHINGLE_K, text_col, id_col).persist()
     sig = minhash_signatures(shingles, id_col)
     cand = candidate_pairs(lsh_band_keys(sig, id_col), id_col)
     return jaccard_verify(cand, shingles, threshold, id_col)
@@ -162,11 +195,11 @@ def ngram_jaccard_dedup(
     Uses NGRAM_K-word shingles — long shingles are rare, so the
     intersection join on the shingle key stays sparse (no LSH needed).
     """
-    shingles = doc_shingles(df, NGRAM_K, text_col, id_col)
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    shingles = doc_shingles(df, NGRAM_K, text_col, id_col).persist()
+    sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "sh")
     pairs = (
-        sa.join(sb, "shingle")
+        sa.join(sb, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -36,9 +36,10 @@ SAMPLE_EVERY_N = 7
 
 
 def _minhash_oracle() -> str:
+    base = f"(sh % {dedup.MINHASH_P})"
     mins = ",\n           ".join(
-        f"min({h60_seeded_sql('shingle', s)}) AS mh{s}"
-        for s in range(dedup.NUM_HASHES)
+        f"min(({a} * {base} + {b}) % {dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_AB)
     )
     band_selects = []
     for b in range(dedup.NUM_BANDS):
@@ -53,7 +54,7 @@ def _minhash_oracle() -> str:
     WITH docs AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
     ), sh AS (
-      SELECT DISTINCT doc_id, s AS shingle FROM (
+      SELECT DISTINCT doc_id, {h60_sql('s')} AS sh FROM (
         SELECT doc_id, unnest({shingles_sql('toks', dedup.SHINGLE_K)}) AS s FROM docs)
     ), sig AS (
       SELECT doc_id,
@@ -71,7 +72,7 @@ def _minhash_oracle() -> str:
       SELECT c.id_a, c.id_b, count(*) AS c
       FROM cand c
       JOIN sh x ON x.doc_id = c.id_a
-      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
@@ -88,18 +89,18 @@ def _ngram_oracle() -> str:
     WITH docs AS (
       SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
     ), sh AS (
-      SELECT DISTINCT doc_id, s AS shingle FROM (
+      SELECT DISTINCT doc_id, {h60_sql('s')} AS sh FROM (
         SELECT doc_id, unnest({shingles_sql('toks', dedup.NGRAM_K)}) AS s FROM docs)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
       SELECT c.id_a, c.id_b, count(*) AS c
       FROM cand c
       JOIN sh x ON x.doc_id = c.id_a
-      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
