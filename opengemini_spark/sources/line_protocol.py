@@ -56,12 +56,66 @@ def _unescape(s: str) -> str:
     return s.replace("\\,", ",").replace("\\ ", " ").replace("\\=", "=")
 
 
+def _split_sections(line: str) -> list[str]:
+    """Split into [key, fields, ts?] on unescaped spaces outside quotes."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_q = esc = False
+    for ch in line:
+        if esc:
+            buf.append(ch)
+            esc = False
+            continue
+        if ch == "\\":
+            buf.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+            continue
+        if ch == " " and not in_q:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p for p in parts if p]
+
+
+def _split_fields(s: str) -> list[str]:
+    """Split k=v pairs on unescaped commas outside quotes."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_q = esc = False
+    for ch in s:
+        if esc:
+            buf.append(ch)
+            esc = False
+            continue
+        if ch == "\\":
+            buf.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+            continue
+        if ch == "," and not in_q:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
     """Parse one line into normalized rows (one per field)."""
     line = line.strip()
     if not line or line.startswith("#"):
         return []
-    parts = _UNESCAPED_SPLIT[" "].split(line)
+    parts = _split_sections(line)
     if len(parts) < 2:
         raise ValueError(f"line protocol: missing fields in {line!r}")
     key, fields_raw = parts[0], parts[1]
@@ -75,7 +129,7 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
         tags[_unescape(k)] = _unescape(v)
 
     rows = []
-    for fv in _UNESCAPED_SPLIT[","].split(fields_raw):
+    for fv in _split_fields(fields_raw):
         k, v = _UNESCAPED_SPLIT["="].split(fv, 1)
         row = {
             "measurement": measurement, "tags": tags, "field": _unescape(k),

@@ -830,5 +830,6 @@ def _load_extensions() -> None:
     from opengemini_spark import suite_datapipe  # noqa: F401
     from opengemini_spark import suite_advanced  # noqa: F401
     from opengemini_spark import suite_influxql  # noqa: F401
+    from opengemini_spark import suite_meta  # noqa: F401
     from opengemini_spark import suite_prom  # noqa: F401
     from opengemini_spark import suite_scalars  # noqa: F401

@@ -1,0 +1,149 @@
+"""Sink, metadata, and remaining §2 registrations: SELECT INTO,
+*CARDINALITY, regr_slope (deriv/predict_linear analog), compare()
+time-shift.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.suite import register
+
+DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "sink_select_into",
+    # SELECT …INTO dst (target_transform.go:150 writeTarget): the Spark query
+    # writes the result to a parquet target and returns the read-back — the
+    # oracle recomputes the aggregate directly, proving write/read fidelity.
+    """
+    SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def q_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dst = os.path.join(
+        tempfile.gettempdir(), f"og_spark_into_{os.path.basename(sf_dir)}"
+    )
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)
+
+
+@register(
+    "show_cardinality",
+    # SHOW TAG VALUES CARDINALITY / SERIES CARDINALITY (statement_executor
+    # dispatch): distinct tag-set counts from the catalog scan
+    """
+    SELECT 'event_type' AS tag_key,
+           count(DISTINCT event_type) AS cardinality,
+           (SELECT count(DISTINCT event_type) FROM events) AS series_cardinality
+    FROM events
+    """,
+)
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select("event_type").distinct().count()
+    return ev.agg(
+        F.lit("event_type").alias("tag_key"),
+        F.countDistinct("event_type").alias("cardinality"),
+        F.lit(series).alias("series_cardinality"),
+    )
+
+
+@register(
+    "agg_regr_slope",
+    # regr_slope (agg_functions.go:462) / predict_linear's regression core.
+    # x = per-series row index (exact ints), y = value; float sums rounded
+    # before the closed-form slope so both engines divide identical doubles.
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), s AS (
+      SELECT user_id, count(*) AS n,
+             sum(rn) AS sx, sum(rn * rn) AS sxx,
+             round(sum(value), 2) AS sy,
+             round(sum(rn * value), 2) AS sxy
+      FROM o GROUP BY user_id
+    )
+    SELECT user_id,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM s WHERE n >= 2
+    """,
+)
+def q_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "time_us", F.expr("time_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("time_us", "event_id")
+    o = ev.withColumn("rn", F.row_number().over(w))
+    s = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rn").alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).alias("sxx"),
+        F.round(F.sum("value"), 2).alias("sy"),
+        F.round(F.sum(F.col("rn") * F.col("value")), 2).alias("sxy"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope"),
+    )
+
+
+@register(
+    "compare_timeshift",
+    # compare(metric, 1d): today's window vs the same window shifted back one
+    # day (query/compare_function.go family) — self-join on shifted bucket.
+    f"""
+    WITH d AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % {DAY_NS} AS day_ns, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day_ns, a.event_type, a.sum_v,
+           b.sum_v AS sum_v_prev,
+           round(a.sum_v / b.sum_v, 6) AS ratio_1d
+    FROM d a JOIN d b
+      ON a.event_type = b.event_type AND b.day_ns = a.day_ns - {DAY_NS}
+    """,
+)
+def q_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.operators.window_agg import window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    d = window_agg(
+        ev, "time_ns", DAY_NS,
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v")],
+        dims=["event_type"], bucket_alias="day_ns",
+    )
+    a = d.select("day_ns", "event_type", "sum_v")
+    b = d.select(
+        (F.col("day_ns") + DAY_NS).alias("day_ns"),
+        F.col("event_type"),
+        F.col("sum_v").alias("sum_v_prev"),
+    )
+    return a.join(b, ["day_ns", "event_type"]).select(
+        "day_ns", "event_type", "sum_v", "sum_v_prev",
+        F.round(F.col("sum_v") / F.col("sum_v_prev"), 6).alias("ratio_1d"),
+    )
