@@ -1,0 +1,89 @@
+"""Storage lifecycle: time-partitioned layout, retention, compaction.
+
+Reference mapping (SURVEY.md §1.1, §3.2):
+
+- shard group (time-ranged, ``meta/shardinfo.go:33``) → parquet partition
+  directory keyed by a time bucket column — Spark prunes partitions from
+  the WHERE time range exactly like the shard mapper prunes shard groups.
+- retention policy duration (``retentionpolicy.go:33``) → drop whole
+  partition directories past the TTL (no row-level deletes).
+- compaction (``immutable/compact.go``) → per-partition file coalescing;
+  the LSM level machinery disappears because partitions are immutable
+  day buckets.
+
+At 100 TB: one partition per (day) keeps directory listings sane
+(~365/yr); within a partition files are sized by
+``spark.sql.files.maxPartitionBytes`` at read. Writes append; compaction
+rewrites one partition at a time (bounded memory), and retention is a
+metadata-only directory drop.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DAY_NS = 86_400_000_000_000
+PARTITION_COL = "p_day"
+
+
+def with_partition(df: DataFrame, time_col: str = "time_ns") -> DataFrame:
+    """Attach the shard-group partition column (UTC day bucket)."""
+    return df.withColumn(
+        PARTITION_COL,
+        F.to_date(F.timestamp_micros((F.col(time_col) / 1000).cast("long"))),
+    )
+
+
+def write_measurement(
+    df: DataFrame,
+    root: str,
+    time_col: str = "time_ns",
+    mode: str = "append",
+) -> None:
+    """Append rows into the time-partitioned measurement table."""
+    (
+        with_partition(df, time_col)
+        .write.mode(mode)
+        .partitionBy(PARTITION_COL)
+        .parquet(root)
+    )
+
+
+def read_measurement(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(root)
+
+
+def retention_drop(root: str, cutoff_day: str) -> list[str]:
+    """Drop partitions strictly older than ``cutoff_day`` ('YYYY-MM-DD').
+
+    Metadata-only: removes whole partition directories, like the
+    reference's shard-group expiry (services/retention). Returns dropped
+    partition names.
+    """
+    dropped = []
+    for p in sorted(Path(root).glob(f"{PARTITION_COL}=*")):
+        day = p.name.split("=", 1)[1]
+        if day < cutoff_day:
+            shutil.rmtree(p)
+            dropped.append(p.name)
+    return dropped
+
+
+def compact_partition(spark: SparkSession, root: str, day: str, target_files: int = 1) -> int:
+    """Rewrite one partition into ``target_files`` files (full compaction
+    analog, immutable/compact.go:418 FullCompact — but per immutable day
+    bucket, so memory is bounded by one partition).
+
+    Returns the file count before compaction.
+    """
+    part_dir = Path(root) / f"{PARTITION_COL}={day}"
+    files_before = len(list(part_dir.glob("*.parquet")))
+    df = spark.read.parquet(str(part_dir))
+    tmp = str(part_dir) + ".compact"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    Path(tmp).rename(part_dir)
+    return files_before

@@ -17,6 +17,47 @@ from opengemini_spark.suite import register
 DAY_NS = 86_400_000_000_000
 
 
+def _countmin_oracle_sql() -> str:
+    from opengemini_spark.datapipe.dedup import MINHASH_AB, MINHASH_P
+    from opengemini_spark.datapipe.hashing import h60_sql
+    from opengemini_spark.operators.sketch import CM_DEPTH, CM_WIDTH
+
+    def bucket(i: int) -> str:
+        a, b = MINHASH_AB[i]
+        return f"(({a} * base + {b}) % {MINHASH_P}) % {CM_WIDTH}"
+
+    cell_rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket(i)} AS bucket FROM hashed"
+        for i in range(CM_DEPTH)
+    )
+    kcell_rows = "\n      UNION ALL ".join(
+        f"SELECT k, {i} AS row, {bucket(i)} AS bucket FROM keys"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT user_id::VARCHAR AS k,
+             ({h60_sql("user_id::VARCHAR")} % {MINHASH_P}) AS base
+      FROM events
+    ), cells AS (
+      {cell_rows}
+    ), sketch AS (
+      SELECT row, bucket, count(*) AS c FROM cells GROUP BY row, bucket
+    ), keys AS (
+      SELECT DISTINCT k, base FROM hashed
+    ), kcells AS (
+      {kcell_rows}
+    ), est AS (
+      SELECT CAST(k AS BIGINT) AS key, min(c) AS est
+      FROM kcells JOIN sketch USING (row, bucket) GROUP BY k
+    )
+    SELECT key, est, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY est DESC, key ASC) AS rank FROM est)
+    WHERE rank <= 10
+    """
+
+
+
 @register(
     "sink_select_into",
     # SELECT …INTO dst (target_transform.go:150 writeTarget): the Spark query
@@ -147,3 +188,16 @@ def q_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_ns", "event_type", "sum_v", "sum_v_prev",
         F.round(F.col("sum_v") / F.col("sum_v_prev"), 6).alias("ratio_1d"),
     )
+
+
+@register(
+    "sketch_countmin_topn",
+    # topn_ddcm analog: count-min sketch (d=4 Carter-Wegman rows, w=256) —
+    # deterministic, so the oracle rebuilds the same counter matrix.
+    _countmin_oracle_sql(),
+)
+def q_countmin_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.operators.sketch import countmin_topn
+
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_topn(ev, "user_id", 10)
