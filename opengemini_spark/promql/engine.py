@@ -1,0 +1,250 @@
+"""PromQL evaluation over the range-vector operator library.
+
+Evaluates a parsed expression on a step grid. Grid restriction: ``start``
+and ``step`` must be step-aligned to the epoch (the common Grafana case);
+the range-vector explode in ``operators/prom.py`` then applies directly.
+
+A metric is a view over a measurement: (label columns, µs time, value).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opengemini_spark.operators import prom
+from opengemini_spark.promql import parser as P
+
+US = 1_000_000
+DEFAULT_LOOKBACK_S = 300
+
+
+@dataclass
+class Metric:
+    loader: Callable[[SparkSession, str], DataFrame]
+    labels: list[str]
+    time_col: str = "tu"         # µs
+    value_col: str = "value"
+
+
+class MetricRegistry:
+    def __init__(self):
+        self._metrics: dict[str, Metric] = {}
+
+    def register(self, name: str, metric: Metric) -> None:
+        self._metrics[name] = metric
+
+    def get(self, name: str) -> Metric:
+        if name not in self._metrics:
+            raise KeyError(f"PromQL: unknown metric {name!r}")
+        return self._metrics[name]
+
+
+@dataclass
+class _Vector:
+    """Instant vector: DataFrame (labels…, t, value)."""
+    df: DataFrame
+    labels: list[str]
+
+
+@dataclass
+class _RangeVector:
+    """Unevaluated range selector: samples + range width."""
+    samples: DataFrame           # (labels…, tu, value)
+    labels: list[str]
+    range_s: int
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        registry: MetricRegistry,
+        start_s: int,
+        end_s: int,
+        step_s: int,
+        lookback_s: int = DEFAULT_LOOKBACK_S,
+    ):
+        if start_s % step_s or step_s <= 0:
+            raise ValueError("PromQL engine: start must be step-aligned")
+        self.spark, self.sf_dir, self.registry = spark, sf_dir, registry
+        self.start_us = start_s * US
+        self.end_us = end_s * US
+        self.step_us = step_s * US
+        self.lookback_s = lookback_s
+
+    # --- selectors ---
+    def _samples(self, sel: P.VectorSelector) -> tuple[DataFrame, list[str]]:
+        m = self.registry.get(sel.metric)
+        df = m.loader(self.spark, self.sf_dir)
+        d = df.select(
+            *[F.col(c) for c in m.labels],
+            F.col(m.time_col).alias("tu"),
+            F.col(m.value_col).alias("value"),
+        )
+        for mt in sel.matchers:
+            c = F.col(mt.label)
+            if mt.op == "=":
+                d = d.filter(c == mt.value)
+            elif mt.op == "!=":
+                d = d.filter(c != mt.value)
+            elif mt.op == "=~":
+                d = d.filter(c.rlike(mt.value))
+            else:
+                d = d.filter(~c.rlike(mt.value))
+        return d, m.labels
+
+    def _clip(self, df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col("t") >= self.start_us) & (F.col("t") <= self.end_us)
+            & (F.col("t") % self.step_us == 0)
+        )
+
+    # --- evaluation ---
+    def eval(self, node) -> _Vector:
+        out = self._eval(node)
+        if isinstance(out, _RangeVector):
+            raise ValueError("PromQL: range vector needs a function (e.g. rate)")
+        return out
+
+    def _eval(self, node):
+        if isinstance(node, P.NumberLit):
+            return node
+        if isinstance(node, P.VectorSelector):
+            if node.range_s is not None:
+                s, labels = self._samples(node)
+                return _RangeVector(s, labels, node.range_s)
+            return self._instant(node)
+        if isinstance(node, P.FuncCall):
+            return self._func(node)
+        if isinstance(node, P.Aggregate):
+            return self._aggregate(node)
+        if isinstance(node, P.BinOp):
+            return self._binop(node)
+        raise ValueError(f"PromQL: cannot evaluate {node!r}")
+
+    def _instant(self, sel: P.VectorSelector) -> _Vector:
+        s, labels = self._samples(sel)
+        out = prom.over_time(
+            s, labels, "tu", "value",
+            self.lookback_s * US, self.step_us,
+            {"value": F.max_by("value", "tu")},
+        )
+        return _Vector(self._clip(out), labels)
+
+    _OVER_TIME = {
+        "avg_over_time": lambda: F.avg("value"),
+        "sum_over_time": lambda: F.sum("value"),
+        "min_over_time": lambda: F.min("value"),
+        "max_over_time": lambda: F.max("value"),
+        "count_over_time": lambda: F.count(F.lit(1)).cast("double"),
+        "last_over_time": lambda: F.max_by("value", "tu"),
+    }
+
+    def _func(self, call: P.FuncCall):
+        name = call.name
+        if name in ("abs", "clamp_min", "clamp_max"):
+            v = self._eval(call.args[0])
+            assert isinstance(v, _Vector), f"{name} needs an instant vector"
+            col = F.abs(F.col("value")) if name == "abs" else (
+                F.greatest(F.col("value"), F.lit(call.args[1].value))
+                if name == "clamp_min"
+                else F.least(F.col("value"), F.lit(call.args[1].value))
+            )
+            return _Vector(v.df.withColumn("value", col), v.labels)
+
+        rv = self._eval(call.args[0])
+        assert isinstance(rv, _RangeVector), f"{name} needs a range vector"
+        rng_us = rv.range_s * US
+        if name in self._OVER_TIME:
+            out = prom.over_time(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                {"value": self._OVER_TIME[name]()},
+            )
+        elif name in ("rate", "increase", "delta"):
+            fn = {"rate": prom.rate_prom, "increase": prom.increase_prom,
+                  "delta": prom.delta_prom}[name]
+            out = fn(rv.samples, rv.labels, "tu", "value", rng_us, self.step_us)
+            out = out.withColumnRenamed("result", "value")
+        elif name in ("irate", "idelta"):
+            out = prom.irate_idelta_prom(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us
+            )
+            out = out.select(*rv.labels, "t", F.col(name).alias("value"))
+        else:
+            raise ValueError(f"PromQL: unsupported function {name}")
+        return _Vector(self._clip(out), rv.labels)
+
+    _AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+             "count": lambda c: F.count(F.lit(1)).cast("double")}
+
+    def _aggregate(self, agg: P.Aggregate) -> _Vector:
+        v = self._eval(agg.expr)
+        assert isinstance(v, _Vector), "aggregate needs an instant vector"
+        keep = (
+            agg.by if agg.by
+            else [l for l in v.labels if l not in agg.without]
+        )
+        out = v.df.groupBy("t", *keep).agg(
+            self._AGGS[agg.op](F.col("value")).alias("value")
+        )
+        return _Vector(out, keep)
+
+    def _binop(self, b: P.BinOp) -> _Vector:
+        lhs, rhs = self._eval(b.lhs), self._eval(b.rhs)
+        # scalar side
+        if isinstance(rhs, P.NumberLit) or isinstance(lhs, P.NumberLit):
+            vec, lit, flip = (
+                (lhs, rhs.value, False) if isinstance(rhs, P.NumberLit)
+                else (rhs, lhs.value, True)
+            )
+            c, litc = F.col("value"), F.lit(lit)
+            a, bb = (litc, c) if flip else (c, litc)
+            if b.op in ("+", "-", "*", "/", "%"):
+                expr = {"+": a + bb, "-": a - bb, "*": a * bb,
+                        "/": a / bb, "%": a % bb}[b.op]
+                return _Vector(vec.df.withColumn("value", expr), vec.labels)
+            cmp = {"==": a == bb, "!=": a != bb, ">": a > bb, "<": a < bb,
+                   ">=": a >= bb, "<=": a <= bb}[b.op]
+            return _Vector(vec.df.filter(cmp), vec.labels)
+
+        on = b.on if b.on is not None else [
+            l for l in lhs.labels if l in rhs.labels
+            and (b.ignoring is None or l not in b.ignoring)
+        ]
+        lx = lhs.df.select(*on, "t", F.col("value").alias("__l"))
+        rx = rhs.df.select(*on, "t", F.col("value").alias("__r"))
+        j = lx.join(rx, [*on, "t"])
+        a, bb = F.col("__l"), F.col("__r")
+        if b.op in ("+", "-", "*", "/", "%"):
+            expr = {"+": a + bb, "-": a - bb, "*": a * bb, "/": a / bb,
+                    "%": a % bb}[b.op]
+            out = j.withColumn("value", expr)
+        else:
+            cmp = {"==": a == bb, "!=": a != bb, ">": a > bb, "<": a < bb,
+                   ">=": a >= bb, "<=": a <= bb}[b.op]
+            out = j.filter(cmp).withColumn("value", a)
+        return _Vector(out.select(*on, "t", "value"), on)
+
+
+def query_range(
+    spark: SparkSession,
+    sf_dir: str,
+    registry: MetricRegistry,
+    promql: str,
+    start_s: int,
+    end_s: int,
+    step_s: int,
+    lookback_s: int = DEFAULT_LOOKBACK_S,
+) -> DataFrame:
+    """Evaluate a PromQL expression over [start, end] at step resolution.
+
+    Returns (labels…, t µs, value) — the matrix result of
+    ``/api/v1/query_range``.
+    """
+    node = P.parse_promql(promql)
+    eng = Engine(spark, sf_dir, registry, start_s, end_s, step_s, lookback_s)
+    return eng.eval(node).df

@@ -1,0 +1,250 @@
+"""PromQL parser (subset): selectors, range selectors, function calls,
+aggregation operators with by/without, binary ops with on/ignoring.
+
+Grammar mirrors Prometheus's promql/parser (lifted into the reference);
+hand-written recursive descent like the InfluxQL front-end.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<duration>\d+[smhdw])
+  | (?P<number>\d+\.\d+|\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<op>=~|!~|!=|==|<=|>=|[-+*/%(){}\[\],=<>])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    value: object = None
+
+
+def lex(src: str) -> list[Tok]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"PromQL: bad char {src[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "ws":
+            continue
+        if kind == "duration":
+            toks.append(Tok("DURATION", text, int(text[:-1]) * DUR_S[text[-1]]))
+        elif kind == "number":
+            toks.append(Tok("NUMBER", text, float(text)))
+        elif kind == "string":
+            toks.append(Tok("STRING", text, text[1:-1]))
+        elif kind == "ident":
+            toks.append(Tok("IDENT", text, text))
+        else:
+            toks.append(Tok("OP", text, text))
+    toks.append(Tok("EOF", ""))
+    return toks
+
+
+# --- AST ---
+
+@dataclass
+class Matcher:
+    label: str
+    op: str          # = != =~ !~
+    value: str
+
+
+@dataclass
+class VectorSelector:
+    metric: str
+    matchers: list[Matcher] = field(default_factory=list)
+    range_s: int | None = None       # set for range selectors m[5m]
+
+
+@dataclass
+class FuncCall:
+    name: str
+    args: list
+
+
+@dataclass
+class Aggregate:
+    op: str                          # sum avg min max count
+    expr: object
+    by: list[str] = field(default_factory=list)
+    without: list[str] = field(default_factory=list)
+
+
+@dataclass
+class BinOp:
+    op: str                          # + - * / == != > < >= <=
+    lhs: object
+    rhs: object
+    on: list[str] | None = None
+    ignoring: list[str] | None = None
+
+
+@dataclass
+class NumberLit:
+    value: float
+
+
+AGG_OPS = {"sum", "avg", "min", "max", "count"}
+FUNCS = {
+    "rate", "increase", "delta", "irate", "idelta",
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "abs", "clamp_min", "clamp_max",
+}
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            raise SyntaxError(f"PromQL: expected {text or kind}, got {self.peek().text!r}")
+        return t
+
+    def parse(self):
+        e = self.expr()
+        self.expect("EOF")
+        return e
+
+    _CMP = ("==", "!=", ">", "<", ">=", "<=")
+
+    def expr(self):
+        lhs = self.add()
+        t = self.peek()
+        if t.kind == "OP" and t.text in self._CMP:
+            self.next()
+            on, ignoring = self._matching()
+            return BinOp(t.text, lhs, self.add(), on, ignoring)
+        return lhs
+
+    def add(self):
+        lhs = self.mul()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("+", "-"):
+                self.next()
+                on, ignoring = self._matching()
+                lhs = BinOp(t.text, lhs, self.mul(), on, ignoring)
+            else:
+                return lhs
+
+    def mul(self):
+        lhs = self.primary()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("*", "/", "%"):
+                self.next()
+                on, ignoring = self._matching()
+                lhs = BinOp(t.text, lhs, self.primary(), on, ignoring)
+            else:
+                return lhs
+
+    def _matching(self) -> tuple[list[str] | None, list[str] | None]:
+        if self.accept("IDENT", "on"):
+            return self._label_list(), None
+        if self.accept("IDENT", "ignoring"):
+            return None, self._label_list()
+        return None, None
+
+    def _label_list(self) -> list[str]:
+        self.expect("OP", "(")
+        labels = []
+        if not self.accept("OP", ")"):
+            labels.append(self.expect("IDENT").value)
+            while self.accept("OP", ","):
+                labels.append(self.expect("IDENT").value)
+            self.expect("OP", ")")
+        return labels
+
+    def primary(self):
+        t = self.peek()
+        if t.kind == "NUMBER":
+            self.next()
+            return NumberLit(t.value)
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self.expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind == "IDENT":
+            name = self.next().value
+            if name in AGG_OPS:
+                return self._aggregate(name)
+            if name in FUNCS:
+                self.expect("OP", "(")
+                args = [self.expr()]
+                while self.accept("OP", ","):
+                    args.append(self.expr())
+                self.expect("OP", ")")
+                return FuncCall(name, args)
+            return self._selector(name)
+        raise SyntaxError(f"PromQL: unexpected {t.text!r}")
+
+    def _aggregate(self, op: str) -> Aggregate:
+        by, without = [], []
+        if self.accept("IDENT", "by"):
+            by = self._label_list()
+        elif self.accept("IDENT", "without"):
+            without = self._label_list()
+        self.expect("OP", "(")
+        e = self.expr()
+        self.expect("OP", ")")
+        if not by and not without:
+            if self.accept("IDENT", "by"):
+                by = self._label_list()
+            elif self.accept("IDENT", "without"):
+                without = self._label_list()
+        return Aggregate(op, e, by, without)
+
+    def _selector(self, metric: str) -> VectorSelector:
+        matchers = []
+        if self.accept("OP", "{"):
+            while not self.accept("OP", "}"):
+                label = self.expect("IDENT").value
+                op = self.expect("OP").text
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise SyntaxError(f"PromQL: bad matcher op {op}")
+                value = self.expect("STRING").value
+                matchers.append(Matcher(label, op, value))
+                self.accept("OP", ",")
+        rng = None
+        if self.accept("OP", "["):
+            rng = self.expect("DURATION").value
+            self.expect("OP", "]")
+        return VectorSelector(metric, matchers, rng)
+
+
+def parse_promql(src: str):
+    return Parser(lex(src)).parse()

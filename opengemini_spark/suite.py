@@ -832,4 +832,5 @@ def _load_extensions() -> None:
     from opengemini_spark import suite_influxql  # noqa: F401
     from opengemini_spark import suite_meta  # noqa: F401
     from opengemini_spark import suite_prom  # noqa: F401
+    from opengemini_spark import suite_promql  # noqa: F401
     from opengemini_spark import suite_scalars  # noqa: F401

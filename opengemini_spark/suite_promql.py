@@ -1,0 +1,81 @@
+"""PromQL end-to-end registrations: promql text → parser → engine →
+DataFrame, hash-checked against the same range-vector oracles as
+suite_prom (restricted to the query_range window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.promql import MetricRegistry, query_range
+from opengemini_spark.promql.engine import Metric
+from opengemini_spark.suite import register
+from opengemini_spark.suite_prom import _EXPLODE_CTE, _STATS_CTE, RANGE_S
+
+START = 1704067200          # 2024-01-01 00:00 UTC (6h-aligned)
+END = START + 35 * 86400
+STEP = 21600
+_T_BOUND = f"t >= {START * 10**6} AND t <= {END * 10**6}"
+
+
+def _registry() -> MetricRegistry:
+    def loader(spark, sf_dir):
+        return load_table(spark, sf_dir, "events").withColumn(
+            "tu", F.expr("time_ns div 1000")
+        )
+
+    r = MetricRegistry()
+    r.register("events_value", Metric(loader, labels=["event_type"]))
+    return r
+
+
+def _run(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    return query_range(spark, sf_dir, _registry(), q, START, END, STEP)
+
+
+@register(
+    "promql_rate_e2e",
+    _STATS_CTE
+    + f"""
+    SELECT event_type, t,
+           round(delta / sampled * extrap / {RANGE_S}, 6) AS value
+    FROM x WHERE {_T_BOUND}
+    """,
+)
+def q_promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run(spark, sf_dir, "rate(events_value[12h])")
+    return out.select("event_type", "t", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_count_over_time_matcher",
+    _EXPLODE_CTE
+    + f"""
+    SELECT event_type, t, CAST(count(*) AS DOUBLE) AS value
+    FROM e WHERE event_type IN ('error', 'click')
+    GROUP BY event_type, t
+    HAVING {_T_BOUND}
+    """,
+)
+def q_promql_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir,
+        'count_over_time(events_value{event_type=~"error|click"}[12h])',
+    )
+
+
+@register(
+    "promql_binop_cmp_filter",
+    # comparison filters the vector (Prometheus semantics): keep windows
+    # whose max sample exceeds the threshold
+    _EXPLODE_CTE
+    + f"""
+    SELECT event_type, t, max(value) AS value
+    FROM e GROUP BY event_type, t
+    HAVING max(value) > 249 AND {_T_BOUND}
+    """,
+)
+def q_promql_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, "max_over_time(events_value[12h]) > 249")

@@ -1,0 +1,132 @@
+"""PromQL front-end tests: parser shapes, engine evaluation vs direct
+operator calls, aggregations, binops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengemini_spark.catalog import load_table
+from opengemini_spark.operators import prom
+from opengemini_spark.promql import MetricRegistry, parse_promql, query_range
+from opengemini_spark.promql import parser as P
+from opengemini_spark.promql.engine import Metric
+
+START = 1704067200          # 2024-01-01 00:00 UTC, 6h-aligned
+END = START + 35 * 86400
+STEP = 21600                # 6h
+
+
+def _events_metric():
+    def loader(spark, sf_dir):
+        return load_table(spark, sf_dir, "events").withColumn(
+            "tu", F.expr("time_ns div 1000")
+        )
+
+    return Metric(loader, labels=["event_type"])
+
+
+@pytest.fixture(scope="module")
+def registry():
+    r = MetricRegistry()
+    r.register("events_value", _events_metric())
+    return r
+
+
+def test_parse_shapes():
+    n = parse_promql('rate(events_value{event_type="error"}[5m])')
+    assert isinstance(n, P.FuncCall) and n.name == "rate"
+    sel = n.args[0]
+    assert sel.range_s == 300
+    assert sel.matchers[0].label == "event_type"
+
+    agg = parse_promql("sum by (event_type) (events_value)")
+    assert isinstance(agg, P.Aggregate) and agg.by == ["event_type"]
+
+    b = parse_promql("events_value / on (event_type) events_value")
+    assert isinstance(b, P.BinOp) and b.on == ["event_type"]
+
+    with pytest.raises(SyntaxError):
+        parse_promql("rate(events_value[5m]")
+
+
+def test_rate_matches_operator(spark, sf_dir, registry):
+    got = query_range(
+        spark, sf_dir, registry, "rate(events_value[12h])", START, END, STEP
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tu", F.expr("time_ns div 1000")
+    )
+    exp = prom.rate_prom(
+        ev, ["event_type"], "tu", "value", 12 * 3600 * 10**6, STEP * 10**6
+    ).filter(
+        (F.col("t") >= START * 10**6) & (F.col("t") <= END * 10**6)
+    )
+    a = {(r["event_type"], r["t"]): r["value"] for r in got.collect()}
+    b = {(r["event_type"], r["t"]): r["result"] for r in exp.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_matcher_filters(spark, sf_dir, registry):
+    got = query_range(
+        spark, sf_dir, registry,
+        'count_over_time(events_value{event_type="error"}[12h])',
+        START, END, STEP,
+    )
+    types = {r["event_type"] for r in got.select("event_type").distinct().collect()}
+    assert types == {"error"}
+
+
+def test_aggregate_by(spark, sf_dir, registry):
+    got = query_range(
+        spark, sf_dir, registry,
+        "sum by (event_type) (sum_over_time(events_value[12h]))",
+        START, END, STEP,
+    )
+    assert set(got.columns) == {"event_type", "t", "value"}
+    assert got.count() > 0
+
+
+def test_scalar_binop_and_cmp(spark, sf_dir, registry):
+    doubled = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_value[12h]) * 2", START, END, STEP,
+    )
+    base = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_value[12h])", START, END, STEP,
+    )
+    a = {(r["event_type"], r["t"]): r["value"] for r in doubled.collect()}
+    b = {(r["event_type"], r["t"]): r["value"] for r in base.collect()}
+    assert all(a[k] == 2 * b[k] for k in a)
+
+    filtered = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_value[12h]) > 1000", START, END, STEP,
+    )
+    vals = [r["value"] for r in filtered.collect()]
+    assert all(v > 1000 for v in vals) and len(vals) < len(b)
+
+
+def test_vector_binop_ratio(spark, sf_dir, registry):
+    got = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_value[12h]) / on (event_type) "
+        "count_over_time(events_value[12h])",
+        START, END, STEP,
+    )
+    # ratio == avg_over_time
+    avg = query_range(
+        spark, sf_dir, registry,
+        "avg_over_time(events_value[12h])", START, END, STEP,
+    )
+    a = {(r["event_type"], r["t"]): r["value"] for r in got.collect()}
+    b = {(r["event_type"], r["t"]): r["value"] for r in avg.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k])
+
+
+def test_unaligned_start_rejected(spark, sf_dir, registry):
+    with pytest.raises(ValueError, match="step-aligned"):
+        query_range(spark, sf_dir, registry, "events_value", 7, END, STEP)
