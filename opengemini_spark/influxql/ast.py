@@ -58,7 +58,7 @@ class TimeDimension(Node):
 @dataclass
 class SelectStatement(Node):
     fields: list[Field]
-    source: str                         # measurement name (v1: no subqueries)
+    source: object                      # measurement name | SelectStatement
     where: Node | None = None
     group_time: TimeDimension | None = None
     group_tags: list[str] = field(default_factory=list)

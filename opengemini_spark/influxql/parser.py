@@ -84,12 +84,17 @@ class Parser:
             return self.expect("IDENT").value
         return None
 
-    def select_statement(self) -> ast.SelectStatement:
+    def select_statement(self, sub: bool = False) -> ast.SelectStatement:
         fields = [self.field()]
         while self.accept("OP", ","):
             fields.append(self.field())
         self.expect("KEYWORD", "from")
-        source = self.expect("IDENT").value
+        if self.accept("OP", "("):
+            self.expect("KEYWORD", "select")
+            source: object = self.select_statement(sub=True)
+            self.expect("OP", ")")
+        else:
+            source = self.expect("IDENT").value
 
         stmt = ast.SelectStatement(fields=fields, source=source)
         if self.kw("where"):
@@ -124,7 +129,8 @@ class Parser:
             self.expect("OP", "(")
             stmt.tz = self.expect("STRING").value
             self.expect("OP", ")")
-        self.expect("EOF")
+        if not sub:
+            self.expect("EOF")
         return stmt
 
     def _group_by(self, stmt: ast.SelectStatement) -> None:

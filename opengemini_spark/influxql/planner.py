@@ -170,11 +170,38 @@ class Planner:
         raise ValueError(f"InfluxQL: unknown aggregate {name!r}")
 
     # --- statement planning ---
+    @staticmethod
+    def _time_conds(e: ast.Node | None) -> list[ast.Node]:
+        """Top-level conjunctive time predicates of a WHERE tree."""
+        if e is None:
+            return []
+        if isinstance(e, ast.BinaryExpr):
+            if e.op == "and":
+                return Planner._time_conds(e.lhs) + Planner._time_conds(e.rhs)
+            if _is_time_ref(e.lhs) or _is_time_ref(e.rhs):
+                return [e]
+        return []
+
     def plan(self, stmt: ast.Node) -> DataFrame:
         if isinstance(stmt, ast.ShowStatement):
             return self.plan_show(stmt)
         assert isinstance(stmt, ast.SelectStatement)
-        df = self._load(stmt.source)
+        if isinstance(stmt.source, ast.SelectStatement):
+            # subquery: the outer time range is inherited by the inner query
+            # BEFORE it windows/aggregates (statement_rewriter.go subquery
+            # handling — SURVEY §7.4.7); the result's bucket column becomes
+            # the inner table's time.
+            inner = stmt.source
+            for cond in self._time_conds(stmt.where):
+                inner.where = (
+                    cond if inner.where is None
+                    else ast.BinaryExpr("and", inner.where, cond)
+                )
+            df = self.plan(inner)
+            if "time" in df.columns:
+                df = df.withColumnRenamed("time", TIME_COL)
+        else:
+            df = self._load(stmt.source)
         if stmt.where is not None:
             df = df.filter(self.col_expr(stmt.where))
 
@@ -182,6 +209,12 @@ class Planner:
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
             and f.expr.name not in self._SCALARS and f.expr.name != "pow"
         ]
+        if len(calls) == 1 and calls[0][1].name in ("top", "bottom"):
+            return self._plan_top_bottom(stmt, df, calls[0][0])
+        if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
+            arg = calls[0][1].args[0]
+            return df.select(F.col(arg.name).alias(
+                self._out_name(calls[0][0], "distinct"))).distinct()
         if calls and stmt.fields and all(
             isinstance(f.expr, (ast.Call,)) for f in stmt.fields
         ):
@@ -189,6 +222,30 @@ class Planner:
         if calls:
             return self._plan_selector(stmt, df)
         return self._plan_raw(stmt, df)
+
+    def _plan_top_bottom(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """top(field, N) / bottom(field, N) per tag group — rank-window
+        top-k carrying time + tags (top/bottom selector, agg_functions.go:123)."""
+        call = f.expr
+        fld = call.args[0].name
+        n = int(call.args[1].value)
+        desc = call.name == "top"
+        w = Window.partitionBy(*stmt.group_tags).orderBy(
+            F.col(fld).desc() if desc else F.col(fld).asc(),
+            F.col(TIME_COL).asc(),
+        )
+        out_name = self._out_name(f, call.name)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(
+                F.col(TIME_COL).alias("time"),
+                *stmt.group_tags,
+                F.col(fld).alias(out_name),
+            )
+        )
 
     def _out_name(self, f: ast.Field, default: str) -> str:
         return f.alias or default

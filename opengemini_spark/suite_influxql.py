@@ -104,3 +104,29 @@ def q_influxql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT value FROM events WHERE event_type =~ /^(err|sign)/ "
         "AND value % 2 > 1.5",
     ).withColumn("time_us", F.expr("time div 1000")).drop("time")
+
+
+@register(
+    "influxql_subquery_inherit",
+    # subquery with outer time-range inheritance (SURVEY §7.4.7): inner
+    # 6h-window counts, outer min/max/count over windows in the time range
+    """
+    WITH inner_q AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS t,
+             event_type, count(*) AS s
+      FROM events
+      WHERE epoch_ns(ts) >= 1704412800000000000
+        AND epoch_ns(ts) < 1704844800000000000
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n, min(s) AS mn, max(s) AS mx FROM inner_q
+    WHERE t >= 1704412800000000000 AND t < 1704844800000000000
+    """,
+)
+def q_influxql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return query(
+        spark, sf_dir,
+        "SELECT count(s) AS n, min(s) AS mn, max(s) AS mx FROM "
+        "(SELECT count(value) AS s FROM events GROUP BY time(6h), event_type) "
+        "WHERE time >= '2024-01-05T00:00:00Z' AND time < '2024-01-10T00:00:00Z'",
+    )

@@ -137,3 +137,51 @@ def test_parse_errors():
         parse("SELECT FROM events")
     with pytest.raises(SyntaxError):
         parse("DELETE FROM events")
+
+
+def test_subquery_time_inheritance(spark, sf_dir):
+    """Outer WHERE time bounds must reach the inner windowed agg."""
+    q = (
+        "SELECT mean(s) AS m FROM "
+        "(SELECT sum(value) AS s FROM events GROUP BY time(6h), event_type) "
+        "WHERE time >= '2024-01-05T00:00:00Z' AND time < '2024-01-10T00:00:00Z'"
+    )
+    got = query(spark, sf_dir, q).first()
+
+    lo = 1704412800 * 10**9
+    hi = 1704844800 * 10**9
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("time_ns") >= lo) & (F.col("time_ns") < hi)
+    )
+    from opengemini_spark.operators.window_agg import HOUR, window_agg
+
+    inner = window_agg(
+        ev, "time_ns", 6 * HOUR, [F.sum("value").alias("s")], dims=["event_type"]
+    )
+    exp = inner.agg(F.avg("s")).first()[0]
+    assert got["m"] == pytest.approx(exp)
+
+
+def test_top_bottom_call(spark, sf_dir):
+    got = query(
+        spark, sf_dir, "SELECT top(value, 3) FROM events GROUP BY event_type"
+    )
+    rows = got.collect()
+    assert len(rows) == 15  # 3 per event_type
+    ev = load_table(spark, sf_dir, "events")
+    best = ev.groupBy("event_type").agg(F.max("value").alias("mx"))
+    mx = {r["event_type"]: r["mx"] for r in best.collect()}
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["top"])
+    for t, vals in by_type.items():
+        assert max(vals) == mx[t] and len(vals) == 3
+
+    bot = query(spark, sf_dir, "SELECT bottom(value, 2) FROM events GROUP BY event_type")
+    assert bot.count() == 10
+
+
+def test_distinct_call(spark, sf_dir):
+    got = query(spark, sf_dir, "SELECT distinct(event_type) FROM events")
+    vals = sorted(r["distinct"] for r in got.collect())
+    assert vals == ["click", "error", "purchase", "signup", "view"]
