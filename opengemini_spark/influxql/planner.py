@@ -259,10 +259,36 @@ class Planner:
             aggs.append(self.agg_column(call, out))
             value_cols.append(out)
         if stmt.group_time is not None:
-            out = window_agg(
-                df, TIME_COL, stmt.group_time.interval_ns, aggs,
-                dims=stmt.group_tags, offset_ns=stmt.group_time.offset_ns,
-            ).withColumnRenamed("bucket_ns", "time")
+            src = df
+            if stmt.tz:
+                # tz('…') shifts interval boundaries to local wall time
+                # (ProcessorOptions.Location, query/select.go:177): bucket on
+                # the zone-shifted clock, then map the boundary back to UTC
+                # ns. DST-correct because the shift is per-timestamp.
+                local_us = F.unix_micros(
+                    F.from_utc_timestamp(
+                        F.timestamp_micros(F.expr(f"{TIME_COL} div 1000")), stmt.tz
+                    )
+                )
+                src = df.withColumn("__local_ns", local_us * 1000)
+                out = window_agg(
+                    src, "__local_ns", stmt.group_time.interval_ns, aggs,
+                    dims=stmt.group_tags, offset_ns=stmt.group_time.offset_ns,
+                )
+                out = out.withColumn(
+                    "time",
+                    F.unix_micros(
+                        F.to_utc_timestamp(
+                            F.timestamp_micros(F.expr("bucket_ns div 1000")), stmt.tz
+                        )
+                    )
+                    * 1000,
+                ).drop("bucket_ns")
+            else:
+                out = window_agg(
+                    src, TIME_COL, stmt.group_time.interval_ns, aggs,
+                    dims=stmt.group_tags, offset_ns=stmt.group_time.offset_ns,
+                ).withColumnRenamed("bucket_ns", "time")
             if stmt.fill is not None and stmt.fill != "none":
                 mode = stmt.fill if isinstance(stmt.fill, str) else "value"
                 fv = stmt.fill if isinstance(stmt.fill, float) else None

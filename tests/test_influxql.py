@@ -185,3 +185,20 @@ def test_distinct_call(spark, sf_dir):
     got = query(spark, sf_dir, "SELECT distinct(event_type) FROM events")
     vals = sorted(r["distinct"] for r in got.collect())
     assert vals == ["click", "error", "purchase", "signup", "view"]
+
+
+def test_tz_shifts_day_boundaries(spark, sf_dir):
+    """TZ('America/New_York') day buckets start at 05:00 UTC (EST)."""
+    got = query(
+        spark, sf_dir,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d) "
+        "TZ('America/New_York')",
+    )
+    times = [r["time"] for r in got.collect()]
+    assert times
+    # January (EST = UTC-5): bucket boundaries at 05:00 UTC
+    assert all((t // 10**9) % 86400 == 5 * 3600 for t in times)
+    utc = query(spark, sf_dir, "SELECT count(value) AS n FROM events GROUP BY time(1d)")
+    assert all((r["time"] // 10**9) % 86400 == 0 for r in utc.collect())
+    # same total rows either way
+    assert sum(r["n"] for r in got.collect()) == sum(r["n"] for r in utc.collect())

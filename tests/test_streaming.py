@@ -71,3 +71,59 @@ def test_cq_idempotent(spark, sf_dir, sd, tmp_path):
     continuous_query_once(ev, sd, dest)  # re-run must not duplicate
     n2 = spark.read.parquet(dest).count()
     assert n1 == n2 > 0
+
+
+def test_incremental_agg_state_across_restarts(spark, sf_dir, tmp_path):
+    """inc-query analog: running per-series totals survive a restart via
+    checkpointed state (applyInPandasWithState)."""
+    from opengemini_spark.streaming.stateful import incremental_agg
+
+    src_dir = str(tmp_path / "inc_src")
+    dest = str(tmp_path / "inc_dest")
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    half1 = ev.limit(4000)
+    half1.write.mode("append").parquet(src_dir)
+
+    schema = ev.schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = incremental_agg(stream, "event_type", "value")
+
+        def sink(batch_df, batch_id):
+            # upsert sink stand-in: append; readers take the latest totals
+            batch_df.write.mode("append").parquet(dest)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second tranche arrives; restart resumes from checkpointed state
+    ev.write.mode("append").parquet(src_dir)  # full set again → totals add up
+    run_once()
+
+    got = spark.read.parquet(dest)
+    # last emitted row per series = running totals over both tranches
+    latest = got.groupBy("series").agg(F.max("n").alias("n"))
+    expect = (
+        half1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
+        .join(
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n2")),
+            "event_type",
+        )
+        .select(
+            F.col("event_type").alias("series"),
+            (F.col("n1") + F.col("n2")).alias("n"),
+        )
+    )
+    a = {r["series"]: r["n"] for r in latest.collect()}
+    b = {r["series"]: r["n"] for r in expect.collect()}
+    assert a == b
