@@ -51,8 +51,21 @@ def main() -> None:
     spark = get_spark("bench")
     qs = suite.queries()
 
-    # warmup: spin the JVM + parquet reader on the smallest table
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warmup: run every headline query once at sf0.001 so JVM startup,
+    # whole-stage-codegen compilation, and Python-worker spin-up are not
+    # attributed to the measured run (the measured SF data is NOT touched
+    # during warmup; steady-state is what a resident cluster sees).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is not None:
+                try:
+                    fn(spark, warm_dir).count()
+                except Exception as e:  # warmup must never fail the bench
+                    print(f"# warmup {name}: {e}", file=sys.stderr)
+    else:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -76,23 +76,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def doc_shingles(
+def doc_shingles_raw(
     df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct hashed k-word shingles per document: ``(doc_id, sh)``.
+    """Hashed k-word shingles per document WITH duplicates: ``(doc_id, sh)``.
 
-    Shingles are reduced to their 60-bit hash map-side, *before* the
-    distinct shuffle — every downstream exchange and join then moves
-    (long, long) rows instead of ~50-byte strings. Set semantics over the
-    hashes equal set semantics over the shingles up to 2⁻⁶⁰ collisions
-    (and the oracle hashes identically, so even a collision matches).
+    Shingles are reduced to their 60-bit hash map-side — downstream
+    exchanges and joins move (long, long) rows instead of ~50-byte strings.
+    Set semantics over the hashes equal set semantics over the shingles up
+    to 2⁻⁶⁰ collisions (and the oracle hashes identically, so even a
+    collision matches). No shuffle happens here.
     """
     return (
         df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(id_col, F.explode(F.expr(shingles_expr("__toks", k))).alias("__s"))
         .select(id_col, h60(F.col("__s")).alias("sh"))
-        .distinct()
     )
+
+
+def doc_shingles(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct hashed k-word shingles per document: ``(doc_id, sh)``."""
+    return doc_shingles_raw(df, k, text_col, id_col).distinct()
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -175,13 +181,27 @@ def minhash_lsh_dedup(
 
     Returns verified near-dup pairs ``(id_a, id_b, jaccard ≥ threshold)``.
     """
-    # the shingle set feeds signature, sizes, and both sides of the
-    # intersection join — persist it once instead of re-exploding 4×
-    # (at cluster scale this is a checkpoint table, same idea)
-    shingles = doc_shingles(df, SHINGLE_K, text_col, id_col).persist()
-    sig = minhash_signatures(shingles, id_col)
+    # signature from the raw (non-distinct) explode: min() is duplicate-
+    # insensitive, so the groupBy partial-aggregates map-side and the only
+    # shuffle is 1 row/doc × 16 columns — the full shingle set never moves.
+    raw = doc_shingles_raw(df, SHINGLE_K, text_col, id_col)
+    sig = minhash_signatures(raw, id_col)
     cand = candidate_pairs(lsh_band_keys(sig, id_col), id_col)
-    return jaccard_verify(cand, shingles, threshold, id_col)
+    # exact verification only touches candidate docs: semi-join the explode
+    # down to them before the distinct — at any scale the distinct shuffle
+    # is proportional to candidates, not the corpus.
+    cand_docs = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # re-shingle just the candidate documents (tiny) rather than re-running
+    # or caching the corpus-wide explode
+    sh_cand = doc_shingles(
+        df.join(F.broadcast(cand_docs), id_col, "left_semi"),
+        SHINGLE_K, text_col, id_col,
+    )
+    return jaccard_verify(cand, sh_cand, threshold, id_col)
 
 
 def ngram_jaccard_dedup(

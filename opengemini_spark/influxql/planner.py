@@ -209,6 +209,13 @@ class Planner:
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
             and f.expr.name not in self._SCALARS and f.expr.name != "pow"
         ]
+        if (
+            len(calls) == 1
+            and calls[0][1].name in self._TRANSFORMS
+            and calls[0][1].args
+            and isinstance(calls[0][1].args[0], ast.Call)
+        ):
+            return self._plan_transform(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name in ("top", "bottom"):
             return self._plan_top_bottom(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
@@ -222,6 +229,60 @@ class Planner:
         if calls:
             return self._plan_selector(stmt, df)
         return self._plan_raw(stmt, df)
+
+    _TRANSFORMS = (
+        "derivative", "non_negative_derivative", "difference",
+        "non_negative_difference", "cumulative_sum", "moving_average",
+    )
+
+    def _plan_transform(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """Nested transform over an aggregated series:
+        ``SELECT derivative(mean(value), 1h) … GROUP BY time(1h), tags`` —
+        the inner call aggregates per window, the outer lag-transform runs
+        over the bucket series per tag-set (compile.go nested-call path)."""
+        outer = f.expr
+        inner_call = outer.args[0]
+        assert stmt.group_time is not None, f"{outer.name} requires GROUP BY time"
+        inner = ast.SelectStatement(
+            fields=[ast.Field(inner_call, "__v")],
+            source="__sub__",
+            group_time=stmt.group_time,
+            group_tags=stmt.group_tags,
+            fill=stmt.fill,
+        )
+        agg = self._plan_agg(inner, df)
+
+        w = Window.partitionBy(*stmt.group_tags).orderBy("time")
+        v, t = F.col("__v"), F.col("time")
+        name = outer.name
+        out_name = self._out_name(f, name)
+        if name in ("derivative", "non_negative_derivative"):
+            unit_ns = (
+                outer.args[1].value if len(outer.args) > 1 else 1_000_000_000
+            )
+            col = (v - F.lag(v).over(w)) / ((t - F.lag(t).over(w)) / F.lit(unit_ns))
+        elif name in ("difference", "non_negative_difference"):
+            col = v - F.lag(v).over(w)
+        elif name == "cumulative_sum":
+            col = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        else:  # moving_average
+            n = int(outer.args[1].value)
+            col = F.avg(v).over(w.rowsBetween(-(n - 1), 0))
+            cnt = F.count(v).over(w.rowsBetween(-(n - 1), 0))
+            col = F.when(cnt == n, col)
+        out = agg.withColumn(out_name, col)
+        if name.startswith("non_negative"):
+            out = out.filter(F.col(out_name) >= 0)
+        out = out.filter(F.col(out_name).isNotNull()).select(
+            "time", *stmt.group_tags, out_name
+        )
+        if stmt.order_desc:
+            out = out.orderBy(F.col("time").desc())
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        return out
 
     def _plan_top_bottom(
         self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field

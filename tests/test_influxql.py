@@ -202,3 +202,44 @@ def test_tz_shifts_day_boundaries(spark, sf_dir):
     assert all((r["time"] // 10**9) % 86400 == 0 for r in utc.collect())
     # same total rows either way
     assert sum(r["n"] for r in got.collect()) == sum(r["n"] for r in utc.collect())
+
+
+def test_nested_transform_derivative(spark, sf_dir):
+    """derivative(mean(value), 6h) over GROUP BY time(6h): change per window."""
+    got = query(
+        spark, sf_dir,
+        "SELECT derivative(mean(value), 6h) FROM events GROUP BY time(6h), event_type",
+    )
+    assert set(got.columns) == {"time", "event_type", "derivative"}
+    base = query(
+        spark, sf_dir,
+        "SELECT mean(value) AS m FROM events GROUP BY time(6h), event_type",
+    )
+    b = {(r["event_type"], r["time"]): r["m"] for r in base.collect()}
+    rows = got.collect()
+    assert rows
+    for r in rows[:50]:
+        t, et = r["time"], r["event_type"]
+        prev = [k for k in b if k[0] == et and k[1] < t]
+        if not prev:
+            continue
+        pt = max(k[1] for k in prev)
+        expected = (b[(et, t)] - b[(et, pt)]) / ((t - pt) / (6 * 3600 * 10**9))
+        assert r["derivative"] == pytest.approx(expected)
+
+
+def test_nested_transform_cumsum_and_moving(spark, sf_dir):
+    cs = query(
+        spark, sf_dir,
+        "SELECT cumulative_sum(count(value)) FROM events GROUP BY time(1d), event_type",
+    )
+    rows = [r for r in cs.collect() if r["event_type"] == "error"]
+    rows.sort(key=lambda r: r["time"])
+    vals = [r["cumulative_sum"] for r in rows]
+    assert vals == sorted(vals)  # counts are positive → cumsum monotone
+
+    ma = query(
+        spark, sf_dir,
+        "SELECT moving_average(count(value), 3) FROM events GROUP BY time(1d), event_type",
+    )
+    assert ma.count() > 0
