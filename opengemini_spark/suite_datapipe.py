@@ -424,3 +424,41 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(docs, SAMPLE_EVERY_N).select(
         "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
     )
+
+
+@register(
+    "dedup_connected_components",
+    # transitive closure of minhash near-dup pairs → duplicate groups with a
+    # canonical (min-id) representative; oracle = recursive reachability
+    _minhash_oracle().replace(
+        """SELECT i.id_a, i.id_b,
+           round(i.c / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    """,
+        """, pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+    """,
+    ).replace("    WITH docs AS (", "    WITH RECURSIVE docs AS ("),
+)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.cluster import connected_components
+
+    pairs = dedup.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    return connected_components(pairs)

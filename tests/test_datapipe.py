@@ -126,3 +126,20 @@ def test_frame_sample_deterministic(docs):
     a = sorted(r["doc_id"] for r in multimodal.frame_sample_plan(wp, 2).collect())
     b = sorted(r["doc_id"] for r in multimodal.frame_sample_plan(wp, 2).collect())
     assert a == b
+
+
+def test_connected_components_chain(spark):
+    """Transitive chain A-B, B-C, D-E → components {A,B,C}, {D,E}."""
+    from opengemini_spark.datapipe.cluster import connected_components, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, "t") for i in (1, 2, 3, 10, 11, 99)],
+                                 ["doc_id", "text"])
+    keep = {r["doc_id"]: r["keep"] for r in
+            dedup_keep_list(docs, connected_components(pairs)).collect()}
+    assert keep == {1: True, 2: False, 3: False, 10: True, 11: False, 99: True}
