@@ -1,0 +1,117 @@
+"""Query/write API layer: the ``/query`` + ``/write`` handler semantics
+without the HTTP server (reference: ``httpd/handler.go:1160 serveQuery``,
+``:1488 serveWrite``).
+
+- multi-statement queries (``;``-separated), one result block each
+- InfluxQL SELECT/SHOW via the front-end; EXPLAIN returns the Spark plan
+  (the reference's EXPLAIN prints its logical/physical plan the same way)
+- errors per statement in the InfluxDB shape ``{"error": "..."}``
+- chunked emission: series blocks split every ``chunk_size`` rows
+  (handler chunked=true behavior)
+- writes: line protocol → parsed rows → time-partitioned parquet append
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from opengemini_spark import storage
+from opengemini_spark.influxql import parse, plan, to_influx_json
+from opengemini_spark.influxql import ast as iast
+from opengemini_spark.influxql.planner import Planner
+from opengemini_spark.sources.line_protocol import (
+    parse_line_protocol,
+    to_measurement_table,
+)
+
+
+def _split_statements(q: str) -> list[str]:
+    return [s.strip() for s in q.split(";") if s.strip()]
+
+
+def handle_query(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    epoch: str | None = "ns",
+    chunk_size: int | None = None,
+) -> dict:
+    """Execute one or more InfluxQL statements → InfluxDB response JSON."""
+    results = []
+    for i, stmt_text in enumerate(_split_statements(q)):
+        try:
+            explain = False
+            if stmt_text.lower().startswith("explain "):
+                explain = True
+                stmt_text = stmt_text[len("explain "):]
+            stmt = parse(stmt_text)
+            df = plan(spark, sf_dir, stmt)
+            if explain:
+                plan_str = df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "simple"
+                    )
+                )
+                results.append(
+                    {
+                        "statement_id": i,
+                        "series": [
+                            {
+                                "name": "explain",
+                                "columns": ["QUERY PLAN"],
+                                "values": [[ln] for ln in plan_str.splitlines()],
+                            }
+                        ],
+                    }
+                )
+                continue
+            measurement = (
+                stmt.source if isinstance(stmt, iast.SelectStatement)
+                and isinstance(stmt.source, str) else "results"
+            )
+            tag_cols = (
+                stmt.group_tags if isinstance(stmt, iast.SelectStatement) else []
+            )
+            body = to_influx_json(df, measurement, tag_cols=tag_cols, epoch=epoch)
+            block = body["results"][0]
+            block["statement_id"] = i
+            if chunk_size:
+                block["series"] = _chunk_series(block["series"], chunk_size)
+            results.append(block)
+        except (SyntaxError, ValueError, KeyError, AssertionError) as e:
+            results.append({"statement_id": i, "error": str(e)})
+    return {"results": results}
+
+
+def _chunk_series(series: list[dict], n: int) -> list[dict]:
+    out = []
+    for blk in series:
+        vals = blk["values"]
+        if len(vals) <= n:
+            out.append(blk)
+            continue
+        for off in range(0, len(vals), n):
+            part = dict(blk)
+            part["values"] = vals[off : off + n]
+            part["partial"] = off + n < len(vals)
+            out.append(part)
+    return out
+
+
+def handle_write(
+    spark: SparkSession,
+    lines: list[str],
+    data_root: str,
+) -> dict:
+    """Line-protocol write: parse → pivot per measurement → partitioned
+    append under ``data_root/<measurement>/``."""
+    parsed = parse_line_protocol(spark, lines)
+    measurements = [
+        r["measurement"] for r in parsed.select("measurement").distinct().collect()
+    ]
+    written = {}
+    for m in measurements:
+        wide = to_measurement_table(parsed, m)
+        storage.write_measurement(wide, f"{data_root}/{m}")
+        written[m] = wide.count()
+    return {"written": written}

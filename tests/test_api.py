@@ -1,0 +1,64 @@
+"""API layer tests: multi-statement dispatch, EXPLAIN, errors, chunking,
+write path round-trip."""
+
+from __future__ import annotations
+
+from opengemini_spark import storage
+from opengemini_spark.api import handle_query, handle_write
+
+
+def test_multi_statement_and_error(spark, sf_dir):
+    out = handle_query(
+        spark, sf_dir,
+        "SELECT count(value) AS n FROM events; SELECT bogus( FROM x; SHOW MEASUREMENTS",
+        epoch="s",
+    )
+    r = out["results"]
+    assert [b["statement_id"] for b in r] == [0, 1, 2]
+    assert r[0]["series"][0]["columns"] == ["n"]
+    assert "error" in r[1]
+    assert any("events" in v for blk in r[2]["series"] for v in sum(blk["values"], []))
+
+
+def test_explain_returns_plan(spark, sf_dir):
+    out = handle_query(
+        spark, sf_dir,
+        "EXPLAIN SELECT count(value) FROM events WHERE event_type = 'error'",
+    )
+    lines = [v[0] for v in out["results"][0]["series"][0]["values"]]
+    text = "\n".join(lines)
+    assert "Physical Plan" in text or "Scan" in text
+
+
+def test_chunked_series(spark, sf_dir):
+    out = handle_query(
+        spark, sf_dir,
+        "SELECT count(value) AS n FROM events GROUP BY time(1d)",
+        chunk_size=5,
+    )
+    blocks = out["results"][0]["series"]
+    assert len(blocks) > 1
+    assert blocks[0]["partial"] is True
+    assert "partial" not in blocks[-1] or blocks[-1]["partial"] is False
+    total = sum(len(b["values"]) for b in blocks)
+    unchunked = handle_query(
+        spark, sf_dir, "SELECT count(value) AS n FROM events GROUP BY time(1d)"
+    )
+    assert total == len(unchunked["results"][0]["series"][0]["values"])
+
+
+def test_write_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "data")
+    lines = [
+        "cpu,host=h1 usage=0.5 1700000000000000000",
+        "cpu,host=h1 usage=0.7 1700000060000000000",
+        "cpu,host=h2 usage=0.9 1700090000000000000",
+    ]
+    res = handle_write(spark, lines, root)
+    assert res["written"] == {"cpu": 3}
+    back = storage.read_measurement(spark, f"{root}/cpu")
+    assert back.count() == 3
+    assert {r["host"] for r in back.collect()} == {"h1", "h2"}
+    # second write appends
+    handle_write(spark, ["cpu,host=h3 usage=1.0 1700000120000000000"], root)
+    assert storage.read_measurement(spark, f"{root}/cpu").count() == 4
