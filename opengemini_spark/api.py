@@ -35,11 +35,28 @@ def handle_query(
     q: str,
     epoch: str | None = "ns",
     chunk_size: int | None = None,
+    ddl=None,
 ) -> dict:
-    """Execute one or more InfluxQL statements → InfluxDB response JSON."""
+    """Execute one or more InfluxQL statements → InfluxDB response JSON.
+
+    ``ddl``: optional :class:`opengemini_spark.ddl.DDLExecutor` — when
+    given, DDL statements (CREATE DATABASE, …) are dispatched to it first,
+    mirroring the statement_executor.go dispatch table.
+    """
     results = []
     for i, stmt_text in enumerate(_split_statements(q)):
         try:
+            if ddl is not None:
+                first = stmt_text.split(None, 1)[0].lower()
+                if first in ("create", "drop", "delete") or (
+                    first == "show"
+                    and stmt_text.lower().split()[1]
+                    in ("databases", "retention")
+                ):
+                    out = ddl.execute(stmt_text)
+                    out["statement_id"] = i
+                    results.append(out)
+                    continue
             explain = False
             if stmt_text.lower().startswith("explain "):
                 explain = True

@@ -1,0 +1,230 @@
+"""DDL statements + metadata store (SURVEY.md §2.11).
+
+Reference dispatch: ``statement_executor.go:241-450`` — CREATE/DROP
+DATABASE, RETENTION POLICY, MEASUREMENT; SHOW DATABASES / RETENTION
+POLICIES; DELETE/DROP SERIES. The raft-replicated ts-meta store becomes a
+JSON metadata file next to the data (on a cluster: the lakehouse catalog);
+row deletion becomes a partition-wise rewrite (no tombstones needed —
+partitions are immutable day buckets).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+from pyspark.sql import SparkSession, functions as F
+
+from opengemini_spark import storage
+from opengemini_spark.influxql.lexer import DUR_NS
+
+
+@dataclass
+class RetentionPolicy:
+    name: str
+    duration_ns: int
+    shard_group_duration_ns: int = 86_400_000_000_000  # 1d partitions
+    default: bool = False
+
+
+@dataclass
+class Database:
+    name: str
+    retention_policies: dict[str, RetentionPolicy] = field(default_factory=dict)
+    measurements: list[str] = field(default_factory=list)
+
+
+class MetaStore:
+    """JSON-file metadata catalog (ts-meta analog, single-writer)."""
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.path = self.root / "_meta.json"
+        self.databases: dict[str, Database] = {}
+        if self.path.exists():
+            raw = json.loads(self.path.read_text())
+            for name, d in raw.items():
+                db = Database(
+                    name,
+                    {
+                        r["name"]: RetentionPolicy(**r)
+                        for r in d["retention_policies"].values()
+                    },
+                    d["measurements"],
+                )
+                self.databases[name] = db
+
+    def save(self) -> None:
+        self.path.write_text(
+            json.dumps(
+                {
+                    n: {
+                        "name": d.name,
+                        "retention_policies": {
+                            rn: asdict(rp) for rn, rp in d.retention_policies.items()
+                        },
+                        "measurements": d.measurements,
+                    }
+                    for n, d in self.databases.items()
+                },
+                indent=1,
+            )
+        )
+
+    def db_dir(self, db: str) -> Path:
+        return self.root / db
+
+
+_DUR_RE = re.compile(r"(\d+)(ns|u|ms|s|m|h|d|w)")
+
+
+def _dur_ns(s: str) -> int:
+    if s.lower() == "inf":
+        return 0
+    return sum(int(v) * DUR_NS[u] for v, u in _DUR_RE.findall(s))
+
+
+class DDLExecutor:
+    """Regex-dispatch executor for the DDL surface (the reference's own DDL
+    grammar is flat keyword sequences — sql.y DDL productions)."""
+
+    def __init__(self, spark: SparkSession, meta: MetaStore):
+        self.spark = spark
+        self.meta = meta
+
+    def execute(self, q: str) -> dict:
+        s = q.strip().rstrip(";")
+        low = s.lower()
+        for pattern, fn in self._DISPATCH:
+            m = re.match(pattern, low)
+            if m:
+                return fn(self, s, m)
+        raise ValueError(f"DDL: unsupported statement {q!r}")
+
+    # --- databases ---
+    def _create_db(self, s, m):
+        name = m.group(1)
+        if name not in self.meta.databases:
+            self.meta.databases[name] = Database(name)
+            self.meta.databases[name].retention_policies["autogen"] = (
+                RetentionPolicy("autogen", 0, default=True)
+            )
+            self.meta.db_dir(name).mkdir(parents=True, exist_ok=True)
+            self.meta.save()
+        return {"ok": True}
+
+    def _drop_db(self, s, m):
+        name = m.group(1)
+        self.meta.databases.pop(name, None)
+        shutil.rmtree(self.meta.db_dir(name), ignore_errors=True)
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_dbs(self, s, m):
+        return {
+            "series": [
+                {
+                    "name": "databases",
+                    "columns": ["name"],
+                    "values": [[n] for n in sorted(self.meta.databases)],
+                }
+            ]
+        }
+
+    # --- retention policies ---
+    def _create_rp(self, s, m):
+        rp_name, db, dur = m.group(1), m.group(2), m.group(3)
+        d = self.meta.databases[db]
+        rp = RetentionPolicy(rp_name, _dur_ns(dur), default="default" in m.group(0))
+        d.retention_policies[rp_name] = rp
+        if rp.default:
+            for other in d.retention_policies.values():
+                other.default = other.name == rp_name
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_rps(self, s, m):
+        db = m.group(1)
+        rps = self.meta.databases[db].retention_policies
+        return {
+            "series": [
+                {
+                    "name": "retention policies",
+                    "columns": ["name", "duration_ns", "shardGroupDuration_ns", "default"],
+                    "values": [
+                        [r.name, r.duration_ns, r.shard_group_duration_ns, r.default]
+                        for r in rps.values()
+                    ],
+                }
+            ]
+        }
+
+    # --- measurements / series ---
+    def _drop_measurement(self, s, m):
+        name = m.group(1)
+        for d in self.meta.databases.values():
+            if name in d.measurements:
+                d.measurements.remove(name)
+                shutil.rmtree(self.meta.db_dir(d.name) / name, ignore_errors=True)
+        self.meta.save()
+        return {"ok": True}
+
+    def _delete_where_time(self, s, m):
+        """DELETE FROM <m> WHERE time < '…' — partition-wise rewrite: whole
+        partitions before the cutoff are dropped; the boundary partition is
+        rewritten with the residual filter."""
+        name, op, cutoff_ns = m.group(1), m.group(2), int(m.group(3))
+        assert op in ("<", "<="), "DELETE supports time < / <= cutoffs"
+        found = None
+        for d in self.meta.databases.values():
+            if name in d.measurements:
+                found = self.meta.db_dir(d.name) / name
+        if found is None:
+            raise ValueError(f"DELETE: unknown measurement {name!r}")
+        root = str(found)
+        cutoff_day = str(
+            __import__("datetime").datetime.fromtimestamp(
+                cutoff_ns / 1e9, __import__("datetime").timezone.utc
+            ).date()
+        )
+        storage.retention_drop(root, cutoff_day)
+        # rewrite the boundary partition with the residual predicate
+        part = Path(root) / f"{storage.PARTITION_COL}={cutoff_day}"
+        if part.exists():
+            df = self.spark.read.parquet(str(part))
+            kept = df.filter(~(
+                F.col("time_ns") < cutoff_ns if op == "<"
+                else F.col("time_ns") <= cutoff_ns
+            ))
+            tmp = str(part) + ".rewrite"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part)
+            Path(tmp).rename(part)
+        return {"ok": True}
+
+    _DISPATCH = [
+        (r"create database ([a-z_][a-z0-9_]*)$", _create_db),
+        (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
+        (r"show databases$", _show_dbs),
+        (
+            r"create retention policy ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*) "
+            r"duration ([a-z0-9]+)(?: replication \d+)?( default)?$",
+            _create_rp,
+        ),
+        (r"show retention policies on ([a-z_][a-z0-9_]*)$", _show_rps),
+        (r"drop measurement ([a-z_][a-z0-9_]*)$", _drop_measurement),
+        (
+            r"delete from ([a-z_][a-z0-9_]*) where time (<|<=) (\d+)$",
+            _delete_where_time,
+        ),
+    ]
+
+    def register_measurement(self, db: str, name: str) -> None:
+        d = self.meta.databases[db]
+        if name not in d.measurements:
+            d.measurements.append(name)
+            self.meta.save()

@@ -361,3 +361,62 @@ def q_prom_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return a.join(b, "shard", "left_anti").select("shard", "v")
+
+
+@register(
+    "prom_label_replace_join",
+    # label_replace / label_join (query/label_functions.go:26-31): regex
+    # rewrite + concat of label columns
+    """
+    SELECT DISTINCT event_type,
+           regexp_replace(event_type, '^(err).*', '\\1!') AS short_label,
+           event_type || '-' || (user_id % 10) AS joined_label
+    FROM events
+    """,
+)
+def q_prom_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        F.regexp_replace("event_type", r"^(err).*", "$1!").alias("short_label"),
+        F.concat_ws("-", F.col("event_type"), (F.col("user_id") % 10).cast("string"))
+        .alias("joined_label"),
+    ).distinct()
+
+
+@register(
+    "prom_quantile_over_time",
+    # quantile_over_time(0.9, m[12h]): exact nearest-rank-style selection
+    # within each range window (Prometheus linear interpolation differs; we
+    # use the deterministic rank-selection variant, documented)
+    _EXPLODE_CTE
+    + """
+    , ranked AS (
+      SELECT event_type, t, value,
+             row_number() OVER (PARTITION BY event_type, t
+                                ORDER BY value, tu) AS vr,
+             count(*) OVER (PARTITION BY event_type, t) AS n
+      FROM e
+    )
+    SELECT event_type, t, value AS q90
+    FROM ranked
+    WHERE vr = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+    """,
+)
+def q_prom_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir)
+    s = prom.normalize_samples(ev, ["event_type"], "tu", "value")
+    e = prom.explode_steps(s, ["event_type"], "tu", RANGE_US, STEP_US)
+    w = Window.partitionBy("event_type", "t").orderBy("value", "tu")
+    cw = Window.partitionBy("event_type", "t")
+    return (
+        e.withColumn("vr", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+        .filter(
+            F.col("vr")
+            == F.greatest(F.ceil(0.9 * F.col("n")).cast("long"), F.lit(1))
+        )
+        .select("event_type", "t", F.col("value").alias("q90"))
+    )

@@ -62,3 +62,18 @@ def test_write_roundtrip(spark, tmp_path):
     # second write appends
     handle_write(spark, ["cpu,host=h3 usage=1.0 1700000120000000000"], root)
     assert storage.read_measurement(spark, f"{root}/cpu").count() == 4
+
+
+def test_ddl_routed_through_query(spark, sf_dir, tmp_path):
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(spark, MetaStore(str(tmp_path / "meta")))
+    out = handle_query(
+        spark, sf_dir,
+        "CREATE DATABASE tsdb; SHOW DATABASES; SELECT count(value) AS n FROM events",
+        ddl=ddl,
+    )
+    r = out["results"]
+    assert r[0]["ok"] is True
+    assert r[1]["series"][0]["values"] == [["tsdb"]]
+    assert r[2]["series"][0]["columns"] == ["n"]

@@ -1,0 +1,64 @@
+"""DDL + metastore tests: database/RP lifecycle, persistence, DELETE
+partition rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengemini_spark import storage
+from opengemini_spark.catalog import load_table
+from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+
+@pytest.fixture()
+def ddl(spark, tmp_path):
+    return DDLExecutor(spark, MetaStore(str(tmp_path / "meta")))
+
+
+def test_database_lifecycle(ddl, spark, tmp_path):
+    ddl.execute("CREATE DATABASE mydb")
+    out = ddl.execute("SHOW DATABASES")
+    assert [["mydb"]] == out["series"][0]["values"]
+    # autogen RP exists and is default
+    rps = ddl.execute("SHOW RETENTION POLICIES ON mydb")["series"][0]["values"]
+    assert rps[0][0] == "autogen" and rps[0][3] is True
+
+    ddl.execute("CREATE RETENTION POLICY hot ON mydb DURATION 30d DEFAULT")
+    rps = {r[0]: r for r in
+           ddl.execute("SHOW RETENTION POLICIES ON mydb")["series"][0]["values"]}
+    assert rps["hot"][1] == 30 * 86400 * 10**9
+    assert rps["hot"][3] is True and rps["autogen"][3] is False
+
+    # metastore persists across re-open
+    reopened = DDLExecutor(ddl.spark, MetaStore(str(ddl.meta.root)))
+    assert "mydb" in reopened.meta.databases
+    assert reopened.meta.databases["mydb"].retention_policies["hot"].default
+
+    ddl.execute("DROP DATABASE mydb")
+    assert ddl.execute("SHOW DATABASES")["series"][0]["values"] == []
+
+
+def test_unsupported_raises(ddl):
+    with pytest.raises(ValueError):
+        ddl.execute("GRANT ALL TO bob")
+
+
+def test_delete_from_partition_rewrite(ddl, spark, sf_dir):
+    ddl.execute("CREATE DATABASE db1")
+    ev = load_table(spark, sf_dir, "events").select("time_ns", "event_type", "value")
+    root = str(ddl.meta.db_dir("db1") / "events")
+    storage.write_measurement(ev, root)
+    ddl.register_measurement("db1", "events")
+
+    total = ev.count()
+    # cutoff mid-day on day 3 of the data
+    lo = ev.agg(F.min("time_ns")).first()[0]
+    cutoff = (lo // storage.DAY_NS + 3) * storage.DAY_NS + storage.DAY_NS // 2
+    expect = ev.filter(~(F.col("time_ns") < cutoff)).count()
+    assert expect < total
+
+    ddl.execute(f"DELETE FROM events WHERE time < {cutoff}")
+    back = storage.read_measurement(spark, root)
+    assert back.count() == expect
+    assert back.agg(F.min("time_ns")).first()[0] >= cutoff
