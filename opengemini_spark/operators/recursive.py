@@ -233,3 +233,33 @@ def chande_momentum(
         )
         .select(*series_cols, *order_cols, "cmo")
     )
+
+
+def double_ema(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """DEMA (double_exponential_moving_average): 2·EMA(x) − EMA(EMA(x)).
+
+    Two chained recurrences in one pandas pass; the oracle chains two
+    recursive CTEs the same way.
+    """
+    a, b = alpha, 1.0 - alpha
+
+    def dema(x: pd.Series) -> pd.DataFrame:
+        e1: list[float] = []
+        prev = None
+        for v in x:
+            prev = v if prev is None else a * v + b * prev
+            e1.append(prev)
+        e2: list[float] = []
+        prev = None
+        for v in e1:
+            prev = v if prev is None else a * v + b * prev
+            e2.append(prev)
+        return pd.DataFrame({"dema": [2.0 * u - w for u, w in zip(e1, e2)]})
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["dema"], dema)

@@ -255,3 +255,34 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.percentile_approx("value", 0.95, 1000), 4).alias("p95_approx")
     )
+
+
+@register(
+    "transform_double_ema",
+    _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered")
+    + f"""
+    , ema1 AS (
+      SELECT user_id, rn, value AS e1 FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CAST({EMA_ALPHA} AS DOUBLE) * o.value
+               + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e1
+      FROM ordered o JOIN ema1 e ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    ), ema2 AS (
+      SELECT user_id, rn, e1 AS e2 FROM ema1 WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CAST({EMA_ALPHA} AS DOUBLE) * o.e1
+               + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e2
+      FROM ema1 o JOIN ema2 e ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT a.user_id, a.rn, 2.0 * a.e1 - b.e2 AS dema
+    FROM ema1 a JOIN ema2 b ON a.user_id = b.user_id AND a.rn = b.rn
+    """,
+)
+def q_double_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.double_ema(
+        ev, ["user_id"], ["time_us", "event_id"], "value", EMA_ALPHA
+    )
+    return out.select("user_id", "rn", "dema")

@@ -201,3 +201,42 @@ def q_countmin_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return countmin_topn(ev, "user_id", 10)
+
+
+@register(
+    "table_function_rca",
+    # UDTF registry example (table_function_factory.go): rca over the
+    # mid-point split of the events range, per event_type
+    """
+    WITH sides AS (
+      SELECT event_type,
+             CASE WHEN epoch_ns(ts) < 1705363200000000000
+                  THEN 'before' ELSE 'after' END AS side,
+             value
+      FROM events
+    ), p AS (
+      SELECT event_type,
+             round(coalesce(sum(CASE WHEN side = 'before' THEN value END), 0), 2)
+               AS before,
+             round(coalesce(sum(CASE WHEN side = 'after' THEN value END), 0), 2)
+               AS after
+      FROM sides GROUP BY event_type
+    ), c AS (
+      SELECT *, round(after - before, 2) AS contribution FROM p
+    )
+    SELECT event_type, before, after, contribution, rank FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY abs(contribution) DESC, event_type ASC) AS rank
+      FROM c)
+    WHERE rank <= 5
+    """,
+)
+def q_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.functions.table_functions import get_table_function
+
+    ev = load_table(spark, sf_dir, "events")
+    fn = get_table_function("rca")
+    return fn(
+        ev, time_col="time_ns", dim_col="event_type", value_col="value",
+        split_ns=1705363200000000000, top=5,
+    )
