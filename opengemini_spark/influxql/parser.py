@@ -55,15 +55,40 @@ class Parser:
 
     # --- statements ---
     def parse_statement(self) -> ast.Node:
+        if self.kw("with"):
+            return self.with_statement()
         if self.kw("select"):
             return self.select_statement()
         if self.kw("show"):
             return self.show_statement()
         raise SyntaxError(f"InfluxQL: unsupported statement {self.peek().text!r}")
 
+    def with_statement(self) -> ast.SelectStatement:
+        """WITH name AS (SELECT …) [, name2 AS (…)] SELECT … FROM name
+        (WithSelectStatement, statement_executor.go:448 / cte_transform.go)."""
+        ctes: dict[str, ast.SelectStatement] = {}
+        while True:
+            name = self.expect("IDENT").value
+            self.expect("KEYWORD", "as")
+            self.expect("OP", "(")
+            self.expect("KEYWORD", "select")
+            ctes[name] = self.select_statement(sub=True)
+            self.expect("OP", ")")
+            if not self.accept("OP", ","):
+                break
+        self.expect("KEYWORD", "select")
+        stmt = self.select_statement()
+        # resolve CTE references in FROM (single level, like the reference)
+        if isinstance(stmt.source, str) and stmt.source in ctes:
+            stmt.source = ctes[stmt.source]
+        return stmt
+
     def show_statement(self) -> ast.ShowStatement:
         if self.kw("measurements"):
             return ast.ShowStatement("measurements")
+        if self.peek().kind == "IDENT" and self.peek().text.lower() == "series":
+            self.next()
+            return ast.ShowStatement("series", source=self._opt_from())
         if self.kw("tag"):
             if self.kw("keys"):
                 return ast.ShowStatement("tag_keys", source=self._opt_from())

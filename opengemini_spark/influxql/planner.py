@@ -469,6 +469,20 @@ class Planner:
                 .distinct()
                 .orderBy("value")
             )
+        if stmt.what == "series":
+            # series key = measurement,tag1=v1,tag2=v2 (inverted-index dump)
+            tags = self.tag_columns(df)
+            key = F.concat_ws(
+                ",",
+                F.lit(stmt.source or "events"),
+                *[
+                    F.concat(F.lit(f"{t}="), F.col(t).cast("string"))
+                    for t in tags
+                ],
+            )
+            return (
+                df.select(key.alias("key")).distinct().orderBy("key")
+            )
         raise ValueError(f"InfluxQL: unsupported SHOW {stmt.what}")
 
 

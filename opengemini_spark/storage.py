@@ -47,6 +47,7 @@ def write_measurement(
     (
         with_partition(df, time_col)
         .write.mode(mode)
+        .option("compression", "zstd")   # per-type codecs analog (README.md:52)
         .partitionBy(PARTITION_COL)
         .parquet(root)
     )
@@ -83,7 +84,7 @@ def compact_partition(spark: SparkSession, root: str, day: str, target_files: in
     files_before = len(list(part_dir.glob("*.parquet")))
     df = spark.read.parquet(str(part_dir))
     tmp = str(part_dir) + ".compact"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    df.coalesce(target_files).write.mode("overwrite").option("compression", "zstd").parquet(tmp)
     shutil.rmtree(part_dir)
     Path(tmp).rename(part_dir)
     return files_before

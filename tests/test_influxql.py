@@ -243,3 +243,27 @@ def test_nested_transform_cumsum_and_moving(spark, sf_dir):
         "SELECT moving_average(count(value), 3) FROM events GROUP BY time(1d), event_type",
     )
     assert ma.count() > 0
+
+
+def test_with_cte(spark, sf_dir):
+    """WITH name AS (SELECT …) SELECT … FROM name (cte_transform analog)."""
+    got = query(
+        spark, sf_dir,
+        "WITH daily AS (SELECT count(value) AS n FROM events "
+        "GROUP BY time(1d), event_type) "
+        "SELECT max(n) AS peak FROM daily",
+    ).first()
+    exp = (
+        query(spark, sf_dir,
+              "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type")
+        .agg(F.max("n")).first()[0]
+    )
+    assert got["peak"] == exp
+
+
+def test_show_series(spark, sf_dir):
+    got = query(spark, sf_dir, "SHOW SERIES FROM documents")
+    keys = [r["key"] for r in got.collect()]
+    assert keys == sorted(keys)
+    assert all(k.startswith("documents,") for k in keys)
+    assert any("lang=en" in k for k in keys)
