@@ -215,8 +215,23 @@ class Engine:
             l for l in lhs.labels if l in rhs.labels
             and (b.ignoring is None or l not in b.ignoring)
         ]
-        lx = lhs.df.select(*on, "t", F.col("value").alias("__l"))
-        rx = rhs.df.select(*on, "t", F.col("value").alias("__r"))
+        # many-to-one matching: the "many" side keeps its full label set;
+        # the "one" side must be unique per (match labels, t) —
+        # prom_binop_transform's group_left/group_right semantics.
+        if b.group == "left":
+            keep = lhs.labels
+            lx = lhs.df.select(*keep, "t", F.col("value").alias("__l"))
+            rx = rhs.df.select(*on, "t", F.col("value").alias("__r"))
+            out_labels = keep
+        elif b.group == "right":
+            keep = rhs.labels
+            lx = lhs.df.select(*on, "t", F.col("value").alias("__l"))
+            rx = rhs.df.select(*keep, "t", F.col("value").alias("__r"))
+            out_labels = keep
+        else:
+            lx = lhs.df.select(*on, "t", F.col("value").alias("__l"))
+            rx = rhs.df.select(*on, "t", F.col("value").alias("__r"))
+            out_labels = on
         j = lx.join(rx, [*on, "t"])
         a, bb = F.col("__l"), F.col("__r")
         if b.op in ("+", "-", "*", "/", "%"):
@@ -227,7 +242,7 @@ class Engine:
             cmp = {"==": a == bb, "!=": a != bb, ">": a > bb, "<": a < bb,
                    ">=": a >= bb, "<=": a <= bb}[b.op]
             out = j.filter(cmp).withColumn("value", a)
-        return _Vector(out.select(*on, "t", "value"), on)
+        return _Vector(out.select(*out_labels, "t", "value"), out_labels)
 
 
 def query_range(

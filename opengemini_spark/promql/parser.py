@@ -94,6 +94,7 @@ class BinOp:
     rhs: object
     on: list[str] | None = None
     ignoring: list[str] | None = None
+    group: str | None = None         # 'left' | 'right' (many-to-one matching)
 
 
 @dataclass
@@ -145,8 +146,8 @@ class Parser:
         t = self.peek()
         if t.kind == "OP" and t.text in self._CMP:
             self.next()
-            on, ignoring = self._matching()
-            return BinOp(t.text, lhs, self.add(), on, ignoring)
+            on, ignoring, group = self._matching()
+            return BinOp(t.text, lhs, self.add(), on, ignoring, group)
         return lhs
 
     def add(self):
@@ -155,8 +156,8 @@ class Parser:
             t = self.peek()
             if t.kind == "OP" and t.text in ("+", "-"):
                 self.next()
-                on, ignoring = self._matching()
-                lhs = BinOp(t.text, lhs, self.mul(), on, ignoring)
+                on, ignoring, group = self._matching()
+                lhs = BinOp(t.text, lhs, self.mul(), on, ignoring, group)
             else:
                 return lhs
 
@@ -166,17 +167,26 @@ class Parser:
             t = self.peek()
             if t.kind == "OP" and t.text in ("*", "/", "%"):
                 self.next()
-                on, ignoring = self._matching()
-                lhs = BinOp(t.text, lhs, self.primary(), on, ignoring)
+                on, ignoring, group = self._matching()
+                lhs = BinOp(t.text, lhs, self.primary(), on, ignoring, group)
             else:
                 return lhs
 
-    def _matching(self) -> tuple[list[str] | None, list[str] | None]:
+    def _matching(self):
+        on = ignoring = group = None
         if self.accept("IDENT", "on"):
-            return self._label_list(), None
-        if self.accept("IDENT", "ignoring"):
-            return None, self._label_list()
-        return None, None
+            on = self._label_list()
+        elif self.accept("IDENT", "ignoring"):
+            ignoring = self._label_list()
+        if self.accept("IDENT", "group_left"):
+            group = "left"
+            if self.peek().text == "(":
+                self._label_list()  # carried labels: parsed, not yet projected
+        elif self.accept("IDENT", "group_right"):
+            group = "right"
+            if self.peek().text == "(":
+                self._label_list()
+        return on, ignoring, group
 
     def _label_list(self) -> list[str]:
         self.expect("OP", "(")

@@ -834,3 +834,60 @@ def _load_extensions() -> None:
     from opengemini_spark import suite_prom  # noqa: F401
     from opengemini_spark import suite_promql  # noqa: F401
     from opengemini_spark import suite_scalars  # noqa: F401
+
+
+@register(
+    "window_fill_linear",
+    """
+    WITH agg AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % {ivl} AS bucket_ns,
+             event_type,
+             round(sum(value), 2) AS sum_v
+      FROM events WHERE event_type IN ('error', 'signup') GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket_ns) AS lo, max(bucket_ns) AS hi FROM agg
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    {ivl})) AS bucket_ns
+    ), series AS (
+      SELECT DISTINCT event_type FROM agg
+    ), joined AS (
+      SELECT s.bucket_ns, se.event_type, a.sum_v
+      FROM spine s CROSS JOIN series se
+      LEFT JOIN agg a ON a.bucket_ns = s.bucket_ns AND a.event_type = se.event_type
+    ), ctx AS (
+      SELECT bucket_ns, event_type, sum_v,
+             last_value(sum_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ns
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+             last_value(CASE WHEN sum_v IS NOT NULL THEN bucket_ns END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_ns
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+             first_value(sum_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ns
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN sum_v IS NOT NULL THEN bucket_ns END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_ns
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+      FROM joined
+    )
+    SELECT bucket_ns, event_type,
+           round(coalesce(sum_v,
+                 prev_v + (next_v - prev_v)
+                   * ((bucket_ns - prev_t) / (next_t - prev_t))), 4) AS sum_v
+    FROM ctx
+    """.format(ivl=30 * MINUTE),
+)
+def q_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("error", "signup"))
+    agg = window_agg(
+        ev, "time_ns", 30 * MINUTE,
+        [F.round(F.sum("value"), 2).alias("sum_v")], dims=["event_type"],
+    )
+    out = fill_time_spine(
+        agg, "bucket_ns", 30 * MINUTE, ["event_type"], ["sum_v"], mode="linear"
+    )
+    return out.select(
+        "bucket_ns", "event_type", F.round("sum_v", 4).alias("sum_v")
+    )

@@ -130,3 +130,31 @@ def test_vector_binop_ratio(spark, sf_dir, registry):
 def test_unaligned_start_rejected(spark, sf_dir, registry):
     with pytest.raises(ValueError, match="step-aligned"):
         query_range(spark, sf_dir, registry, "events_value", 7, END, STEP)
+
+
+def test_group_left_many_to_one(spark, sf_dir, registry):
+    """events per (event_type, shard) vs per event_type total: group_left
+    joins the per-type total onto every shard row (many-to-one)."""
+    from opengemini_spark.promql.engine import Metric
+
+    def loader2(spark2, sf_dir2):
+        return (
+            load_table(spark2, sf_dir2, "events")
+            .withColumn("tu", F.expr("time_ns div 1000"))
+            .withColumn("shard", (F.col("user_id") % 3).cast("string"))
+        )
+
+    registry.register(
+        "events_sharded", Metric(loader2, labels=["event_type", "shard"])
+    )
+    got = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_sharded[12h]) "
+        "/ on (event_type) group_left "
+        "sum_over_time(events_value[12h])",
+        START, END, STEP,
+    )
+    assert set(got.columns) == {"event_type", "shard", "t", "value"}
+    # shares per (event_type, t) sum to 1
+    s = got.groupBy("event_type", "t").agg(F.sum("value").alias("tot")).collect()
+    assert s and all(abs(r["tot"] - 1.0) < 1e-9 for r in s)
