@@ -195,6 +195,8 @@ class Engine:
 
     def _binop(self, b: P.BinOp) -> _Vector:
         lhs, rhs = self._eval(b.lhs), self._eval(b.rhs)
+        if b.op in ("and", "or", "unless"):
+            return self._set_binop(b, lhs, rhs)
         # scalar side
         if isinstance(rhs, P.NumberLit) or isinstance(lhs, P.NumberLit):
             vec, lit, flip = (
@@ -243,6 +245,32 @@ class Engine:
                    ">=": a >= bb, "<=": a <= bb}[b.op]
             out = j.filter(cmp).withColumn("value", a)
         return _Vector(out.select(*out_labels, "t", "value"), out_labels)
+
+    def _set_binop(self, b: P.BinOp, lhs: _Vector, rhs: _Vector) -> _Vector:
+        """vector and/or/unless vector (prom_binop_transform set ops):
+        and → semi join on match labels; unless → anti join; or → left
+        series plus right series whose label-set is absent on the left."""
+        on = b.on if b.on is not None else [
+            l for l in lhs.labels if l in rhs.labels
+            and (b.ignoring is None or l not in b.ignoring)
+        ]
+        lx, rx = lhs.df, rhs.df
+        if b.op == "and":
+            out = lx.join(rx.select(*on, "t").distinct(), [*on, "t"], "left_semi")
+            return _Vector(out, lhs.labels)
+        if b.op == "unless":
+            out = lx.join(rx.select(*on, "t").distinct(), [*on, "t"], "left_anti")
+            return _Vector(out, lhs.labels)
+        # or: keep all of lhs; add rhs rows with no lhs match on (labels, t)
+        shared = sorted(set(lhs.labels) & set(rhs.labels))
+        extra = rx.join(
+            lx.select(*shared, "t").distinct(), [*shared, "t"], "left_anti"
+        )
+        out = (
+            lx.select(*shared, "t", "value")
+            .unionByName(extra.select(*shared, "t", "value"))
+        )
+        return _Vector(out, shared)
 
 
 def query_range(

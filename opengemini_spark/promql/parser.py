@@ -142,6 +142,21 @@ class Parser:
     _CMP = ("==", "!=", ">", "<", ">=", "<=")
 
     def expr(self):
+        # precedence (loosest → tightest): or | and/unless | cmp | add | mul
+        return self._setop()
+
+    def _setop(self):
+        lhs = self._cmp_level()
+        while True:
+            t = self.peek()
+            if t.kind == "IDENT" and t.text in ("and", "or", "unless"):
+                self.next()
+                on, ignoring, group = self._matching()
+                lhs = BinOp(t.text, lhs, self._cmp_level(), on, ignoring, group)
+            else:
+                return lhs
+
+    def _cmp_level(self):
         lhs = self.add()
         t = self.peek()
         if t.kind == "OP" and t.text in self._CMP:

@@ -158,3 +158,26 @@ def test_group_left_many_to_one(spark, sf_dir, registry):
     # shares per (event_type, t) sum to 1
     s = got.groupBy("event_type", "t").agg(F.sum("value").alias("tot")).collect()
     assert s and all(abs(r["tot"] - 1.0) < 1e-9 for r in s)
+
+
+def test_set_binops(spark, sf_dir, registry):
+    base = "sum_over_time(events_value[12h])"
+    big = f"{base} > 1000"
+    # and: windows of base that are also in big == big itself (values from lhs)
+    both = query_range(spark, sf_dir, registry, f"{base} and {big}",
+                       START, END, STEP)
+    bigv = query_range(spark, sf_dir, registry, big, START, END, STEP)
+    a = {(r["event_type"], r["t"]): r["value"] for r in both.collect()}
+    b = {(r["event_type"], r["t"]): r["value"] for r in bigv.collect()}
+    assert a == b
+    # unless: base minus big
+    rest = query_range(spark, sf_dir, registry, f"{base} unless {big}",
+                       START, END, STEP)
+    allv = query_range(spark, sf_dir, registry, base, START, END, STEP)
+    r = {(x["event_type"], x["t"]) for x in rest.collect()}
+    assert r == {(x["event_type"], x["t"]) for x in allv.collect()} - set(b)
+    # or: unless ∪ and == base
+    union = query_range(spark, sf_dir, registry,
+                        f"({base} unless {big}) or ({base} and {big})",
+                        START, END, STEP)
+    assert union.count() == allv.count()
