@@ -44,6 +44,14 @@ class UnaryExpr(Node):
 
 
 @dataclass
+class InCondition(Node):
+    """x [NOT] IN (SELECT f FROM …) — InCondition, influxql/ast.go:7677."""
+    column: str
+    sub: Node                 # SelectStatement
+    negate: bool = False
+
+
+@dataclass
 class Field(Node):
     expr: Node
     alias: str | None = None

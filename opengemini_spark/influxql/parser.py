@@ -201,6 +201,21 @@ class Parser:
     def _cmp(self) -> ast.Node:
         lhs = self._add()
         t = self.peek()
+        negate = False
+        if t.kind == "KEYWORD" and t.text == "not":
+            self.next()
+            negate = True
+            t = self.peek()
+        if t.kind == "KEYWORD" and t.text == "in":
+            self.next()
+            assert isinstance(lhs, ast.VarRef), "IN requires a column reference"
+            self.expect("OP", "(")
+            self.expect("KEYWORD", "select")
+            sub = self.select_statement(sub=True)
+            self.expect("OP", ")")
+            return ast.InCondition(lhs.name, sub, negate)
+        if negate:
+            raise SyntaxError("InfluxQL: NOT only supported before IN")
         if t.kind == "OP" and t.text in self._CMP_OPS:
             self.next()
             op = "!=" if t.text == "<>" else t.text

@@ -171,6 +171,25 @@ class Planner:
 
     # --- statement planning ---
     @staticmethod
+    def _split_in_conds(
+        e: ast.Node | None,
+    ) -> tuple[list[ast.InCondition], ast.Node | None]:
+        """Split a WHERE tree into top-level-AND InConditions + residual."""
+        if e is None:
+            return [], None
+        if isinstance(e, ast.InCondition):
+            return [e], None
+        if isinstance(e, ast.BinaryExpr) and e.op == "and":
+            li, lr = Planner._split_in_conds(e.lhs)
+            ri, rr = Planner._split_in_conds(e.rhs)
+            residual = (
+                lr if rr is None else rr if lr is None
+                else ast.BinaryExpr("and", lr, rr)
+            )
+            return li + ri, residual
+        return [], e
+
+    @staticmethod
     def _time_conds(e: ast.Node | None) -> list[ast.Node]:
         """Top-level conjunctive time predicates of a WHERE tree."""
         if e is None:
@@ -202,8 +221,18 @@ class Planner:
                 df = df.withColumnRenamed("time", TIME_COL)
         else:
             df = self._load(stmt.source)
-        if stmt.where is not None:
-            df = df.filter(self.col_expr(stmt.where))
+        in_conds, residual = self._split_in_conds(stmt.where)
+        for ic in in_conds:
+            # IN (SELECT …) → semi join; NOT IN → anti (LogicalIn,
+            # in_transform.go)
+            sub = self.plan(ic.sub)
+            keys = sub.select(F.col(sub.columns[-1]).alias(ic.column)).distinct()
+            df = df.join(
+                F.broadcast(keys), ic.column,
+                "left_anti" if ic.negate else "left_semi",
+            )
+        if residual is not None:
+            df = df.filter(self.col_expr(residual))
 
         calls = [
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)

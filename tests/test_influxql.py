@@ -267,3 +267,29 @@ def test_show_series(spark, sf_dir):
     assert keys == sorted(keys)
     assert all(k.startswith("documents,") for k in keys)
     assert any("lang=en" in k for k in keys)
+
+
+def test_in_subquery(spark, sf_dir):
+    """WHERE user_id IN (SELECT …) → semi join; NOT IN → anti join."""
+    got = query(
+        spark, sf_dir,
+        "SELECT value FROM events WHERE user_id IN "
+        "(SELECT distinct(user_id) FROM events WHERE value > 245) "
+        "AND event_type = 'click'",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.filter(F.col("value") > 245).select("user_id").distinct()
+    exp = (
+        ev.join(hot, "user_id", "left_semi")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert got.count() == exp > 0
+
+    anti = query(
+        spark, sf_dir,
+        "SELECT value FROM events WHERE user_id NOT IN "
+        "(SELECT distinct(user_id) FROM events WHERE value > 245)",
+    )
+    exp_anti = ev.join(hot, "user_id", "left_anti").count()
+    assert anti.count() == exp_anti
