@@ -36,6 +36,7 @@ def handle_query(
     epoch: str | None = "ns",
     chunk_size: int | None = None,
     ddl=None,
+    data_root: str | None = None,
 ) -> dict:
     """Execute one or more InfluxQL statements → InfluxDB response JSON.
 
@@ -62,7 +63,21 @@ def handle_query(
                 explain = True
                 stmt_text = stmt_text[len("explain "):]
             stmt = parse(stmt_text)
-            df = plan(spark, sf_dir, stmt)
+            loader = None
+            if data_root is not None:
+                import os as _os
+
+                def loader(name, _root=data_root):  # noqa: E306
+                    path = f"{_root}/{name}"
+                    if _os.path.isdir(path):
+                        return storage.read_measurement(spark, path).drop(
+                            storage.PARTITION_COL
+                        )
+                    return None
+
+            from opengemini_spark.influxql.planner import Planner as _P
+
+            df = _P(spark, sf_dir, loader=loader).plan(stmt)
             if explain:
                 plan_str = df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -83,7 +98,8 @@ def handle_query(
                 )
                 continue
             measurement = (
-                stmt.source if isinstance(stmt, iast.SelectStatement)
+                stmt.source.rsplit(".", 1)[-1]
+                if isinstance(stmt, iast.SelectStatement)
                 and isinstance(stmt.source, str) else "results"
             )
             tag_cols = (

@@ -251,6 +251,8 @@ class Parser:
 
     def _primary(self) -> ast.Node:
         t = self.next()
+        if t.kind == "OP" and t.text == "*":
+            return ast.VarRef("*")      # wildcard argument: count(*)
         if t.kind == "OP" and t.text == "(":
             e = self.expr()
             self.expect("OP", ")")

@@ -43,13 +43,20 @@ def _is_time_ref(e: ast.Node) -> bool:
 
 
 class Planner:
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: str, loader=None):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.loader = loader      # optional: measurement name -> DataFrame
 
     # --- schema roles ---
     def _load(self, measurement: str) -> DataFrame:
-        return load_table(self.spark, self.sf_dir, measurement)
+        # db.rp.measurement → measurement (db/rp resolution is metadata-only)
+        name = measurement.rsplit(".", 1)[-1]
+        if self.loader is not None:
+            df = self.loader(name)
+            if df is not None:
+                return df
+        return load_table(self.spark, self.sf_dir, name)
 
     @staticmethod
     def tag_columns(df: DataFrame) -> list[str]:
@@ -201,6 +208,21 @@ class Planner:
                 return [e]
         return []
 
+    @staticmethod
+    def _lower_time_bound(e: ast.Node | None) -> int:
+        """InfluxDB stamps ungrouped aggregate rows with the query's lower
+        time bound (0 when unbounded) — handler epoch conversion semantics."""
+        best = 0
+        for cond in Planner._time_conds(e):
+            if (
+                isinstance(cond, ast.BinaryExpr)
+                and cond.op in (">=", ">")
+                and _is_time_ref(cond.lhs)
+                and isinstance(cond.rhs, ast.Literal)
+            ):
+                best = max(best, _parse_time_literal(cond.rhs.value))
+        return best
+
     def plan(self, stmt: ast.Node) -> DataFrame:
         if isinstance(stmt, ast.ShowStatement):
             return self.plan_show(stmt)
@@ -249,8 +271,21 @@ class Planner:
             return self._plan_top_bottom(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
             arg = calls[0][1].args[0]
-            return df.select(F.col(arg.name).alias(
-                self._out_name(calls[0][0], "distinct"))).distinct()
+            bound = self._lower_time_bound(stmt.where)
+            return (
+                df.select(F.col(arg.name).alias(
+                    self._out_name(calls[0][0], "distinct"))).distinct()
+                .select(F.lit(bound).alias("time"), "*")
+            )
+        if (
+            len(calls) == 1
+            and len(stmt.fields) == 1
+            and calls[0][1].name in ("first", "last", "max", "min")
+            and stmt.group_time is None
+        ):
+            # bare selector: the row's own time is returned (InfluxDB
+            # selector semantics), not the query bound
+            return self._plan_selector(stmt, df)
         if calls and stmt.fields and all(
             isinstance(f.expr, (ast.Call,)) for f in stmt.fields
         ):
@@ -345,6 +380,20 @@ class Planner:
         value_cols = []
         for f in stmt.fields:
             call = f.expr
+            if (
+                call.args
+                and isinstance(call.args[0], ast.VarRef)
+                and call.args[0].name == "*"
+            ):
+                # wildcard expansion: count(*) → count_<field> per field
+                # (compile.go wildcard rewrite)
+                for fld in self.field_columns(df):
+                    out = f"{call.name}_{fld}"
+                    aggs.append(
+                        self.agg_column(ast.Call(call.name, [ast.VarRef(fld)]), out)
+                    )
+                    value_cols.append(out)
+                continue
             out = self._out_name(f, call.name)
             aggs.append(self.agg_column(call, out))
             value_cols.append(out)
@@ -387,9 +436,20 @@ class Planner:
                     stmt.group_tags, value_cols, mode=mode, fill_value=fv,
                 )
         elif stmt.group_tags:
-            out = df.groupBy(*stmt.group_tags).agg(*aggs)
+            bound = self._lower_time_bound(stmt.where)
+            out = df.groupBy(*stmt.group_tags).agg(*aggs).select(
+                F.lit(bound).alias("time"), "*"
+            )
         else:
-            out = df.agg(*aggs)
+            # InfluxDB emits NO row for an empty input (vs SQL's count()=0):
+            # a sentinel row-count drops the all-empty aggregate row.
+            bound = self._lower_time_bound(stmt.where)
+            out = (
+                df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 0)
+                .drop("__n")
+                .select(F.lit(bound).alias("time"), "*")
+            )
 
         order_cols = []
         if stmt.group_time is not None:

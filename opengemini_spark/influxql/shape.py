@@ -20,7 +20,17 @@ RFC3339 = "%Y-%m-%dT%H:%M:%SZ"
 
 
 def _fmt_time(ns: int, epoch: str | None) -> Any:
-    if epoch == "ns" or epoch is None:
+    if epoch is None or epoch == "rfc3339":
+        # InfluxDB default: RFC3339, sub-second digits only when non-zero
+        from datetime import datetime, timezone
+
+        dt = datetime.fromtimestamp(ns // 1_000_000_000, timezone.utc)
+        base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+        frac = ns % 1_000_000_000
+        if frac:
+            base += (".%09d" % frac).rstrip("0")
+        return base + "Z"
+    if epoch == "ns":
         return ns
     div = {"u": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[epoch]
     return ns // div
@@ -61,8 +71,14 @@ def to_influx_json(
         vals += [r[c] for c in value_cols]
         blk["values"].append(vals)
 
+    def _row_key(v: list) -> tuple:
+        return tuple((x is None, str(type(x)), x) for x in v)
+
     ordered = [series[k] for k in sorted(series, key=lambda k: tuple(map(str, k)))]
     for blk in ordered:
         if time_col in df.columns:
-            blk["values"].sort(key=lambda v: v[0])
+            blk["values"].sort(key=_row_key)
+    if not ordered:
+        # InfluxDB omits "series" entirely for empty results
+        return {"results": [{"statement_id": 0}]}
     return {"results": [{"statement_id": 0, "series": ordered}]}

@@ -119,7 +119,8 @@ def q_influxql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND epoch_ns(ts) < 1704844800000000000
       GROUP BY 1, 2
     )
-    SELECT count(*) AS n, min(s) AS mn, max(s) AS mx FROM inner_q
+    SELECT 1704412800000000000 AS time,
+           count(*) AS n, min(s) AS mn, max(s) AS mx FROM inner_q
     WHERE t >= 1704412800000000000 AND t < 1704844800000000000
     """,
 )

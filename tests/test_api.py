@@ -15,7 +15,7 @@ def test_multi_statement_and_error(spark, sf_dir):
     )
     r = out["results"]
     assert [b["statement_id"] for b in r] == [0, 1, 2]
-    assert r[0]["series"][0]["columns"] == ["n"]
+    assert r[0]["series"][0]["columns"] == ["time", "n"]
     assert "error" in r[1]
     assert any("events" in v for blk in r[2]["series"] for v in sum(blk["values"], []))
 
@@ -76,4 +76,4 @@ def test_ddl_routed_through_query(spark, sf_dir, tmp_path):
     r = out["results"]
     assert r[0]["ok"] is True
     assert r[1]["series"][0]["values"] == [["tsdb"]]
-    assert r[2]["series"][0]["columns"] == ["n"]
+    assert r[2]["series"][0]["columns"] == ["time", "n"]

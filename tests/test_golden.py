@@ -19,15 +19,15 @@ GOLDEN = [
                     "statement_id": 0,
                     "series": [
                         {"name": "events", "tags": {"event_type": "click"},
-                         "columns": ["n"], "values": [[210]]},
+                         "columns": ["time", "n"], "values": [[0, 210]]},
                         {"name": "events", "tags": {"event_type": "error"},
-                         "columns": ["n"], "values": [[201]]},
+                         "columns": ["time", "n"], "values": [[0, 201]]},
                         {"name": "events", "tags": {"event_type": "purchase"},
-                         "columns": ["n"], "values": [[202]]},
+                         "columns": ["time", "n"], "values": [[0, 202]]},
                         {"name": "events", "tags": {"event_type": "signup"},
-                         "columns": ["n"], "values": [[199]]},
+                         "columns": ["time", "n"], "values": [[0, 199]]},
                         {"name": "events", "tags": {"event_type": "view"},
-                         "columns": ["n"], "values": [[188]]},
+                         "columns": ["time", "n"], "values": [[0, 188]]},
                     ],
                 }
             ]

@@ -46,8 +46,9 @@ def test_plan_simple_agg(spark, sf_dir):
     got = query(spark, sf_dir, "SELECT count(value), mean(value) FROM events").first()
     ev = load_table(spark, sf_dir, "events")
     exp = ev.agg(F.count("value"), F.avg("value")).first()
-    assert got[0] == exp[0]
-    assert got[1] == pytest.approx(exp[1])
+    assert got["time"] == 0
+    assert got["count"] == exp[0]
+    assert got["mean"] == pytest.approx(exp[1])
 
 
 def test_plan_group_by_time_and_tag(spark, sf_dir):
