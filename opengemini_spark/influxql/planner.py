@@ -29,11 +29,12 @@ def _parse_time_literal(v: object) -> int:
         return v
     if isinstance(v, str):
         s = v.replace("Z", "+00:00")
-        if "T" not in s:
+        if "T" not in s and " " not in s:
             s += "T00:00:00+00:00"
-        elif "+" not in s and "-" not in s[10:]:
-            s += "+00:00"
-        dt = datetime.fromisoformat(s).astimezone(timezone.utc)
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)  # naive literals are UTC
+        dt = dt.astimezone(timezone.utc)
         return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
     raise ValueError(f"InfluxQL: bad time literal {v!r}")
 
@@ -47,6 +48,7 @@ class Planner:
         self.spark = spark
         self.sf_dir = sf_dir
         self.loader = loader      # optional: measurement name -> DataFrame
+        self._agg_subst: dict[int, str] = {}  # agg-call node id -> hidden col
 
     # --- schema roles ---
     def _load(self, measurement: str) -> DataFrame:
@@ -77,6 +79,8 @@ class Planner:
 
     # --- expression lowering ---
     def col_expr(self, e: ast.Node, in_time_cmp: bool = False) -> Column:
+        if id(e) in self._agg_subst:
+            return F.col(self._agg_subst[id(e)])
         if isinstance(e, ast.VarRef):
             if e.name.lower() == "time":
                 return F.col(TIME_COL)
@@ -209,6 +213,39 @@ class Planner:
         return []
 
     @staticmethod
+    def _upper_time_bound(e: ast.Node | None) -> int | None:
+        """Exclusive-upper query bound in ns (None when unbounded)."""
+        best = None
+        for cond in Planner._time_conds(e):
+            if (
+                isinstance(cond, ast.BinaryExpr)
+                and cond.op in ("<", "<=")
+                and _is_time_ref(cond.lhs)
+                and isinstance(cond.rhs, ast.Literal)
+            ):
+                v = _parse_time_literal(cond.rhs.value)
+                v = v + 1 if cond.op == "<=" else v
+                best = v if best is None else min(best, v)
+        return best
+
+    @staticmethod
+    def _find_agg_call(e: ast.Node) -> ast.Call | None:
+        """First aggregate call inside an expression tree."""
+        if isinstance(e, ast.Call):
+            if e.name not in Planner._SCALARS and e.name != "pow":
+                return e
+            for a in e.args:
+                found = Planner._find_agg_call(a)
+                if found:
+                    return found
+            return None
+        if isinstance(e, ast.BinaryExpr):
+            return Planner._find_agg_call(e.lhs) or Planner._find_agg_call(e.rhs)
+        if isinstance(e, ast.UnaryExpr):
+            return Planner._find_agg_call(e.expr)
+        return None
+
+    @staticmethod
     def _lower_time_bound(e: ast.Node | None) -> int:
         """InfluxDB stamps ungrouped aggregate rows with the query's lower
         time bound (0 when unbounded) — handler epoch conversion semantics."""
@@ -260,6 +297,7 @@ class Planner:
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
             and f.expr.name not in self._SCALARS and f.expr.name != "pow"
         ]
+        containing = [self._find_agg_call(f.expr) for f in stmt.fields]
         if (
             len(calls) == 1
             and calls[0][1].name in self._TRANSFORMS
@@ -286,11 +324,9 @@ class Planner:
             # bare selector: the row's own time is returned (InfluxDB
             # selector semantics), not the query bound
             return self._plan_selector(stmt, df)
-        if calls and stmt.fields and all(
-            isinstance(f.expr, (ast.Call,)) for f in stmt.fields
-        ):
+        if stmt.fields and all(c is not None for c in containing):
             return self._plan_agg(stmt, df)
-        if calls:
+        if calls or any(c is not None for c in containing):
             return self._plan_selector(stmt, df)
         return self._plan_raw(stmt, df)
 
@@ -378,8 +414,18 @@ class Planner:
     def _plan_agg(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         aggs = []
         value_cols = []
-        for f in stmt.fields:
-            call = f.expr
+        post: list[tuple[str, ast.Node, ast.Call, str]] = []
+        for i, f in enumerate(stmt.fields):
+            call = self._find_agg_call(f.expr)
+            if f.expr is not call:
+                # expression over an aggregate (e.g. 4*mean(value)): compute
+                # the agg into a hidden column, fill applies to it, then the
+                # arithmetic projects after (MathWithFill semantics)
+                hidden = f"__agg{i}"
+                aggs.append(self.agg_column(call, hidden))
+                value_cols.append(hidden)
+                post.append((self._out_name(f, call.name), f.expr, call, hidden))
+                continue
             if (
                 call.args
                 and isinstance(call.args[0], ast.VarRef)
@@ -431,9 +477,21 @@ class Planner:
             if stmt.fill is not None and stmt.fill != "none":
                 mode = stmt.fill if isinstance(stmt.fill, str) else "value"
                 fv = stmt.fill if isinstance(stmt.fill, float) else None
+                # InfluxDB generates windows for the FULL query time range,
+                # not just windows that have data (fill_transform.go)
+                ivl, off = stmt.group_time.interval_ns, stmt.group_time.offset_ns
+
+                def _bucket(t: int) -> int:
+                    sh = t - off
+                    return sh - ((sh % ivl) + ivl) % ivl + off
+
+                lower = self._lower_time_bound(stmt.where)
+                upper = self._upper_time_bound(stmt.where)
                 out = fill_time_spine(
-                    out, "time", stmt.group_time.interval_ns,
+                    out, "time", ivl,
                     stmt.group_tags, value_cols, mode=mode, fill_value=fv,
+                    start_ns=_bucket(lower) if lower else None,
+                    end_ns=_bucket(upper - 1) if upper is not None else None,
                 )
         elif stmt.group_tags:
             bound = self._lower_time_bound(stmt.where)
@@ -450,6 +508,11 @@ class Planner:
                 .drop("__n")
                 .select(F.lit(bound).alias("time"), "*")
             )
+
+        for out_name, expr_tree, call, hidden in post:
+            self._agg_subst[id(call)] = hidden
+            out = out.withColumn(out_name, self.col_expr(expr_tree)).drop(hidden)
+        self._agg_subst = {}
 
         order_cols = []
         if stmt.group_time is not None:

@@ -181,3 +181,32 @@ def test_set_binops(spark, sf_dir, registry):
                         f"({base} unless {big}) or ({base} and {big})",
                         START, END, STEP)
     assert union.count() == allv.count()
+
+
+def test_prom_matrix_shape(spark, sf_dir, registry):
+    from opengemini_spark.promql.shape import to_prom_matrix, to_prom_vector
+
+    df = query_range(
+        spark, sf_dir, registry,
+        'count_over_time(events_value{event_type="error"}[12h])',
+        START, START + 2 * 86400, STEP,
+    )
+    out = to_prom_matrix(df, "events_value", ["event_type"])
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "matrix"
+    blk = out["data"]["result"][0]
+    assert blk["metric"]["__name__"] == "events_value"
+    assert blk["metric"]["event_type"] == "error"
+    ts = [v[0] for v in blk["values"]]
+    assert ts == sorted(ts)
+    assert all(isinstance(v[1], str) for v in blk["values"])
+
+    # instant vector at a single step
+    inst = query_range(
+        spark, sf_dir, registry,
+        'count_over_time(events_value{event_type="error"}[12h])',
+        START + STEP, START + STEP, STEP,
+    )
+    vec = to_prom_vector(inst, "events_value", ["event_type"])
+    assert vec["data"]["resultType"] == "vector"
+    assert len(vec["data"]["result"]) == 1

@@ -114,3 +114,50 @@ def test_reference_case(spark, sf_dir, data_root, name, q, exp):
 
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=data_root)
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+GROUPED_CASES = [
+    # TestServer_Query_SelectGroupByTime_MultipleAggregates (server_test.go:1987)
+    (
+        "two aggregates with a group by host",
+        "SELECT mean(x) as x, mean(y) as y from db0.rp0.test where time >= 1s and time < 4s group by t, time(1s)",
+        '{"results":[{"statement_id":0,"series":['
+        '{"name":"test","tags":{"t":"a"},"columns":["time","x","y"],"values":[["1970-01-01T00:00:01Z",1,null],["1970-01-01T00:00:02Z",2,null],["1970-01-01T00:00:03Z",3,null]]},'
+        '{"name":"test","tags":{"t":"b"},"columns":["time","x","y"],"values":[["1970-01-01T00:00:01Z",null,1],["1970-01-01T00:00:02Z",null,2],["1970-01-01T00:00:03Z",null,3]]}]}]}',
+    ),
+    # TestServer_Query_MathWithFill (server_test.go:2031)
+    (
+        "multiplication with fill previous",
+        "SELECT 4*mean(value) FROM db0.rp0.cpu2 WHERE time >= '2010-07-01 18:47:00' AND time < '2010-07-01 18:48:30' GROUP BY time(30s) FILL(previous)",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu2","columns":["time","mean"],"values":[["2010-07-01T18:47:00Z",60],["2010-07-01T18:47:30Z",60],["2010-07-01T18:48:00Z",60]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def grouped_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata2"))
+    handle_write(
+        spark,
+        [
+            "test,t=a x=1i 1000000000",
+            "test,t=b y=1i 1000000000",
+            "test,t=a x=2i 2000000000",
+            "test,t=b y=2i 2000000000",
+            "test,t=a x=3i 3000000000",
+            "test,t=b y=3i 3000000000",
+            "cpu2 value=15 1278010020000000000",
+        ],
+        root,
+    )
+    return root
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", GROUPED_CASES, ids=[c[0] for c in GROUPED_CASES]
+)
+def test_reference_grouped_case(spark, sf_dir, grouped_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=grouped_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
