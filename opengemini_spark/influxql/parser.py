@@ -160,7 +160,9 @@ class Parser:
 
     def _group_by(self, stmt: ast.SelectStatement) -> None:
         while True:
-            if self.kw("time"):
+            if self.accept("OP", "*"):
+                stmt.group_tags.append("*")
+            elif self.kw("time"):
                 self.expect("OP", "(")
                 ivl = self.expect("DURATION").value
                 off = 0
@@ -172,6 +174,8 @@ class Parser:
                 stmt.group_tags.append(self.expect("IDENT").value)
             if not self.accept("OP", ","):
                 break
+
+    # (wildcard group tags are expanded against the schema in the planner)
 
     def field(self) -> ast.Field:
         e = self.expr()

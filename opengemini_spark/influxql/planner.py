@@ -280,6 +280,20 @@ class Planner:
                 df = df.withColumnRenamed("time", TIME_COL)
         else:
             df = self._load(stmt.source)
+        if "*" in stmt.group_tags:
+            # GROUP BY * → every tag column (wildcard dim expansion)
+            stmt.group_tags = self.tag_columns(df)
+        if (
+            len(stmt.fields) == 1
+            and isinstance(stmt.fields[0].expr, ast.VarRef)
+            and stmt.fields[0].expr.name == "*"
+        ):
+            # SELECT * → tags + fields in schema order
+            stmt.fields = [
+                ast.Field(ast.VarRef(c))
+                for c in df.columns
+                if c not in (TIME_COL, "ts")
+            ]
         in_conds, residual = self._split_in_conds(stmt.where)
         for ic in in_conds:
             # IN (SELECT …) → semi join; NOT IN → anti (LogicalIn,

@@ -146,6 +146,23 @@ class Engine:
 
     def _func(self, call: P.FuncCall):
         name = call.name
+        if name == "histogram_quantile":
+            q = call.args[0].value
+            v = self._eval(call.args[1])
+            assert isinstance(v, _Vector) and "le" in v.labels, (
+                "histogram_quantile needs an instant vector with an 'le' label"
+            )
+            labels = [l for l in v.labels if l != "le"]
+            buckets = v.df.withColumn(
+                "le",
+                F.when(F.col("le") == "+Inf", float("inf")).otherwise(
+                    F.col("le").cast("double")
+                ),
+            ).withColumnRenamed("value", "bucket_count")
+            out = prom.histogram_quantile(buckets, q, [*labels, "t"])
+            return _Vector(
+                out.withColumnRenamed("quantile", "value"), labels
+            )
         if name in ("abs", "clamp_min", "clamp_max"):
             v = self._eval(call.args[0])
             assert isinstance(v, _Vector), f"{name} needs an instant vector"

@@ -107,6 +107,7 @@ FUNCS = {
     "rate", "increase", "delta", "irate", "idelta",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "abs", "clamp_min", "clamp_max",
+    "histogram_quantile",
 }
 
 

@@ -294,3 +294,15 @@ def test_in_subquery(spark, sf_dir):
     )
     exp_anti = ev.join(hot, "user_id", "left_anti").count()
     assert anti.count() == exp_anti
+
+
+def test_select_star_and_group_by_star(spark, sf_dir):
+    raw = query(spark, sf_dir, "SELECT * FROM events LIMIT 3")
+    # time first, then all tags+fields
+    assert raw.columns[0] == "time"
+    assert {"event_type", "value", "user_id", "props", "event_id"} <= set(raw.columns)
+    assert raw.count() == 3
+
+    g = query(spark, sf_dir, "SELECT count(n_chars) AS n FROM documents GROUP BY *")
+    # documents tags = text/lang/source (strings); grouping by all of them
+    assert {"text", "lang", "source", "n", "time"} == set(g.columns)

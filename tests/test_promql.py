@@ -210,3 +210,28 @@ def test_prom_matrix_shape(spark, sf_dir, registry):
     vec = to_prom_vector(inst, "events_value", ["event_type"])
     assert vec["data"]["resultType"] == "vector"
     assert len(vec["data"]["result"]) == 1
+
+
+def test_histogram_quantile(spark, sf_dir, registry):
+    from opengemini_spark.promql.engine import Metric
+
+    def bucket_loader(spark2, sf_dir2):
+        rows = []
+        for tu in (START * 10**6, (START + STEP) * 10**6):
+            rows += [
+                ("api", "0.1", tu, 10.0),
+                ("api", "0.5", tu, 15.0),
+                ("api", "+Inf", tu, 20.0),
+            ]
+        return spark2.createDataFrame(rows, ["job", "le", "tu", "value"])
+
+    registry.register("req_bucket", Metric(bucket_loader, labels=["job", "le"]))
+    got = query_range(
+        spark, sf_dir, registry,
+        "histogram_quantile(0.5, req_bucket)",
+        START, START + STEP, STEP,
+    )
+    rows = got.collect()
+    assert rows and set(got.columns) == {"job", "t", "value"}
+    # rank = 0.5·20 = 10 → first bucket (le=0.1), prev=0 → interp = 0.1
+    assert all(abs(r["value"] - 0.1) < 1e-12 for r in rows)
