@@ -201,10 +201,14 @@ class Engine:
     def _aggregate(self, agg: P.Aggregate) -> _Vector:
         v = self._eval(agg.expr)
         assert isinstance(v, _Vector), "aggregate needs an instant vector"
-        keep = (
-            agg.by if agg.by
-            else [l for l in v.labels if l not in agg.without]
-        )
+        # Prometheus semantics: by → keep exactly those; without → drop
+        # those; NEITHER → drop every label
+        if agg.by is not None:
+            keep = [l for l in agg.by if l in v.labels]
+        elif agg.without is not None:
+            keep = [l for l in v.labels if l not in agg.without]
+        else:
+            keep = []
         out = v.df.groupBy("t", *keep).agg(
             self._AGGS[agg.op](F.col("value")).alias("value")
         )
@@ -278,16 +282,26 @@ class Engine:
         if b.op == "unless":
             out = lx.join(rx.select(*on, "t").distinct(), [*on, "t"], "left_anti")
             return _Vector(out, lhs.labels)
-        # or: keep all of lhs; add rhs rows with no lhs match on (labels, t)
-        shared = sorted(set(lhs.labels) & set(rhs.labels))
-        extra = rx.join(
-            lx.select(*shared, "t").distinct(), [*shared, "t"], "left_anti"
-        )
-        out = (
-            lx.select(*shared, "t", "value")
-            .unionByName(extra.select(*shared, "t", "value"))
-        )
-        return _Vector(out, shared)
+        # or: keep all of lhs; add rhs series whose FULL label signature has
+        # no lhs series at that step (Prometheus matches series identity,
+        # not shared labels — metrics may have different label schemas)
+        all_labels = sorted(set(lhs.labels) | set(rhs.labels))
+
+        def _pad(df, have):
+            for l in all_labels:
+                if l not in have:
+                    df = df.withColumn(l, F.lit(None).cast("string"))
+            return df.select(*all_labels, "t", "value")
+
+        lp, rp = _pad(lx, lhs.labels), _pad(rx, rhs.labels)
+        sig = lp.select(*all_labels, "t").distinct()
+        cond = None
+        for c in [*all_labels, "t"]:
+            eq = rp[c].eqNullSafe(sig[c])
+            cond = eq if cond is None else cond & eq
+        extra = rp.join(sig, cond, "left_anti")
+        out = lp.unionByName(extra.select(*all_labels, "t", "value"))
+        return _Vector(out, all_labels)
 
 
 def query_range(

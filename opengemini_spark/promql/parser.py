@@ -83,8 +83,8 @@ class FuncCall:
 class Aggregate:
     op: str                          # sum avg min max count
     expr: object
-    by: list[str] = field(default_factory=list)
-    without: list[str] = field(default_factory=list)
+    by: list[str] | None = None      # None = clause absent ([] = "by ()")
+    without: list[str] | None = None
 
 
 @dataclass
@@ -239,7 +239,7 @@ class Parser:
         raise SyntaxError(f"PromQL: unexpected {t.text!r}")
 
     def _aggregate(self, op: str) -> Aggregate:
-        by, without = [], []
+        by = without = None
         if self.accept("IDENT", "by"):
             by = self._label_list()
         elif self.accept("IDENT", "without"):
@@ -247,7 +247,7 @@ class Parser:
         self.expect("OP", "(")
         e = self.expr()
         self.expect("OP", ")")
-        if not by and not without:
+        if by is None and without is None:
             if self.accept("IDENT", "by"):
                 by = self._label_list()
             elif self.accept("IDENT", "without"):

@@ -1,0 +1,180 @@
+"""Prometheus compliance corpus runner (reference:
+``tests/testdata/aggregators.test``, upstream Prometheus ``load``/``eval``
+format, exercised by the reference's ``tests/prom_test.go``).
+
+``load 5m`` blocks define series with arithmetic-sequence notation
+(``0+10x10``); ``eval instant at 50m <expr>`` blocks assert the result
+vector. Every case our PromQL subset can parse MUST produce exactly the
+expected samples; unsupported syntax is counted as skipped (and bounded),
+never as silent success.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from opengemini_spark.promql import MetricRegistry, query_range
+from opengemini_spark.promql.engine import Metric
+
+CORPUS = Path("/root/reference/tests/testdata/aggregators.test")
+
+_DUR = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _dur_s(s: str) -> int:
+    m = re.fullmatch(r"(\d+)([smhd])", s)
+    return int(m.group(1)) * _DUR[m.group(2)]
+
+
+_SERIES_RE = re.compile(r"^\s+(\w+)\{([^}]*)\}\s+(\S+)\s*$")
+_VALGEN_RE = re.compile(r"^(-?\d+(?:\.\d+)?)(?:([+-]\d+(?:\.\d+)?))?x(\d+)$")
+_EXPECT_RE = re.compile(r"^\s+\{([^}]*)\}\s+(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)\s*$")
+
+
+def _parse_labels(s: str) -> dict[str, str]:
+    out = {}
+    for part in filter(None, (p.strip() for p in s.split(","))):
+        k, v = part.split("=", 1)
+        out[k.strip()] = v.strip().strip('"')
+    return out
+
+
+def parse_corpus(path: Path):
+    """→ (loads, evals): loads = [(metric, labels, [(t_s, v)])];
+    evals = [(at_s, expr, expected {labelset: value} | None-if-unparsed)]."""
+    loads: list[tuple[str, dict, list[tuple[int, float]]]] = []
+    evals = []
+    lines = path.read_text().splitlines()
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("load "):
+            ivl = _dur_s(ln.split()[1])
+            i += 1
+            while i < len(lines) and _SERIES_RE.match(lines[i]):
+                m = _SERIES_RE.match(lines[i])
+                name, labels, gen = m.group(1), _parse_labels(m.group(2)), m.group(3)
+                g = _VALGEN_RE.match(gen)
+                if g:
+                    start = float(g.group(1))
+                    step = float(g.group(2) or 0)
+                    n = int(g.group(3))
+                    samples = [(k * ivl, start + k * step) for k in range(n + 1)]
+                    loads.append((name, labels, samples))
+                i += 1
+            continue
+        m = re.match(r"^eval instant at (\S+)\s+(.*)$", ln)
+        if m:
+            at_s = _dur_s(m.group(1))
+            expr = m.group(2)
+            expected: dict[frozenset, float] = {}
+            ok = True
+            i += 1
+            while i < len(lines) and lines[i].strip() and not lines[i].startswith(
+                ("eval", "load", "#")
+            ):
+                em = _EXPECT_RE.match(lines[i])
+                if em:
+                    expected[frozenset(_parse_labels(em.group(1)).items())] = float(
+                        em.group(2)
+                    )
+                else:
+                    ok = False  # expectation syntax we can't parse → skip case
+                i += 1
+            evals.append((at_s, expr, expected if ok else None))
+            continue
+        i += 1
+    return loads, evals
+
+
+def _lower_outside_strings(s: str) -> str:
+    out, in_q = [], False
+    for ch in s:
+        if ch == '"':
+            in_q = not in_q
+        out.append(ch if in_q else ch.lower())
+    return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def corpus_registry(spark):
+    loads, _ = parse_corpus(CORPUS)
+    by_metric: dict[str, list] = {}
+    label_keys: dict[str, set] = {}
+    for name, labels, samples in loads:
+        by_metric.setdefault(name, []).append((labels, samples))
+        label_keys.setdefault(name, set()).update(labels)
+
+    reg = MetricRegistry()
+    for name, series in by_metric.items():
+        keys = sorted(label_keys[name])
+        rows = []
+        for labels, samples in series:
+            for t_s, v in samples:
+                rows.append(
+                    tuple(labels.get(k) for k in keys) + (t_s * 10**6, float(v))
+                )
+        schema = StructType(
+            [StructField(k, StringType()) for k in keys]
+            + [StructField("tu", LongType()), StructField("value", DoubleType())]
+        )
+
+        def loader(spark2, sf_dir2, _rows=rows, _schema=schema):
+            return spark2.createDataFrame(_rows, _schema)
+
+        reg.register(name, Metric(loader, labels=keys))
+    return reg
+
+
+def test_corpus_loads_parse():
+    loads, evals = parse_corpus(CORPUS)
+    assert len(loads) >= 10
+    assert len(evals) >= 30
+    # spot-check the sequence notation
+    name, labels, samples = loads[0]
+    assert name == "http_requests" and samples[0] == (0, 0.0)
+    assert samples[10] == (3000, 100.0)
+
+
+def test_corpus_eval_instant(spark, sf_dir, corpus_registry):
+    _, evals = parse_corpus(CORPUS)
+    n_pass = n_skip = 0
+    failures = []
+    for at_s, expr, expected in evals:
+        if expected is None or at_s == 0:
+            n_skip += 1
+            continue
+        q = _lower_outside_strings(expr)
+        try:
+            df = query_range(spark, sf_dir, corpus_registry, q, at_s, at_s, at_s)
+            rows = df.collect()
+        except (SyntaxError, ValueError, KeyError, AssertionError, NotImplementedError):
+            n_skip += 1
+            continue
+        got = {}
+        label_cols = [c for c in df.columns if c not in ("t", "value")]
+        for r in rows:
+            key = frozenset(
+                (c, r[c]) for c in label_cols if r[c] is not None
+            )
+            got[key] = r["value"]
+        if set(got) != set(expected) or any(
+            abs(got[k] - expected[k]) > 1e-6 * max(1.0, abs(expected[k]))
+            for k in expected
+        ):
+            failures.append((expr, expected, got))
+        else:
+            n_pass += 1
+    assert not failures, f"{len(failures)} corpus mismatches; first: {failures[0]}"
+    # the supported subset must cover a meaningful share of the corpus
+    assert n_pass >= 15, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
