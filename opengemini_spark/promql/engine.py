@@ -163,14 +163,26 @@ class Engine:
             return _Vector(
                 out.withColumnRenamed("quantile", "value"), labels
             )
-        if name in ("abs", "clamp_min", "clamp_max"):
+        if name in ("abs", "clamp_min", "clamp_max", "round", "floor", "ceil"):
             v = self._eval(call.args[0])
             assert isinstance(v, _Vector), f"{name} needs an instant vector"
-            col = F.abs(F.col("value")) if name == "abs" else (
-                F.greatest(F.col("value"), F.lit(call.args[1].value))
-                if name == "clamp_min"
-                else F.least(F.col("value"), F.lit(call.args[1].value))
-            )
+            c = F.col("value")
+            if name == "abs":
+                col = F.abs(c)
+            elif name == "floor":
+                col = F.floor(c).cast("double")
+            elif name == "ceil":
+                col = F.ceil(c).cast("double")
+            elif name == "round":
+                # Prometheus round: floor(v·(1/to) + 0.5)/(1/to) — the
+                # inverse-multiplier form matters for float parity
+                # (promql/functions.go funcRound)
+                inv = 1.0 / (call.args[1].value if len(call.args) > 1 else 1.0)
+                col = F.floor(c * inv + 0.5) / inv
+            elif name == "clamp_min":
+                col = F.greatest(c, F.lit(call.args[1].value))
+            else:
+                col = F.least(c, F.lit(call.args[1].value))
             return _Vector(v.df.withColumn("value", col), v.labels)
 
         rv = self._eval(call.args[0])
@@ -196,7 +208,9 @@ class Engine:
         return _Vector(self._clip(out), rv.labels)
 
     _AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
-             "count": lambda c: F.count(F.lit(1)).cast("double")}
+             "count": lambda c: F.count(F.lit(1)).cast("double"),
+             "stddev": F.stddev_pop, "stdvar": F.var_pop,
+             "group": lambda c: F.lit(1.0)}
 
     def _aggregate(self, agg: P.Aggregate) -> _Vector:
         v = self._eval(agg.expr)
@@ -209,6 +223,28 @@ class Engine:
             keep = [l for l in v.labels if l not in agg.without]
         else:
             keep = []
+        if agg.op in ("topk", "bottomk"):
+            # not label-reducing: k extreme series per (group, t), original
+            # labels kept (Prometheus topk/bottomk)
+            from pyspark.sql import Window
+
+            k = int(agg.param)
+            order = (F.col("value").desc() if agg.op == "topk"
+                     else F.col("value").asc())
+            w = Window.partitionBy("t", *keep).orderBy(
+                order, *[F.col(l) for l in v.labels]
+            )
+            out = (
+                v.df.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= k)
+                .drop("__rk")
+            )
+            return _Vector(out, v.labels)
+        if agg.op == "quantile":
+            out = v.df.groupBy("t", *keep).agg(
+                F.percentile(F.col("value"), F.lit(agg.param)).alias("value")
+            )
+            return _Vector(out, keep)
         out = v.df.groupBy("t", *keep).agg(
             self._AGGS[agg.op](F.col("value")).alias("value")
         )

@@ -81,10 +81,11 @@ class FuncCall:
 
 @dataclass
 class Aggregate:
-    op: str                          # sum avg min max count
+    op: str                          # sum avg min max count stddev …
     expr: object
     by: list[str] | None = None      # None = clause absent ([] = "by ()")
     without: list[str] | None = None
+    param: float | None = None       # quantile φ / topk-bottomk k
 
 
 @dataclass
@@ -102,12 +103,13 @@ class NumberLit:
     value: float
 
 
-AGG_OPS = {"sum", "avg", "min", "max", "count"}
+AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
+           "quantile", "topk", "bottomk"}
 FUNCS = {
     "rate", "increase", "delta", "irate", "idelta",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "abs", "clamp_min", "clamp_max",
-    "histogram_quantile",
+    "histogram_quantile", "round", "floor", "ceil",
 }
 
 
@@ -245,6 +247,11 @@ class Parser:
         elif self.accept("IDENT", "without"):
             without = self._label_list()
         self.expect("OP", "(")
+        param = None
+        if op in ("quantile", "topk", "bottomk"):
+            param = self.expect("NUMBER" if self.peek().kind == "NUMBER"
+                                else "DURATION").value
+            self.expect("OP", ",")
         e = self.expr()
         self.expect("OP", ")")
         if by is None and without is None:
@@ -252,7 +259,7 @@ class Parser:
                 by = self._label_list()
             elif self.accept("IDENT", "without"):
                 without = self._label_list()
-        return Aggregate(op, e, by, without)
+        return Aggregate(op, e, by, without, param)
 
     def _selector(self, metric: str) -> VectorSelector:
         matchers = []

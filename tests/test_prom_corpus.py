@@ -50,14 +50,22 @@ def _parse_labels(s: str) -> dict[str, str]:
 
 
 def parse_corpus(path: Path):
-    """→ (loads, evals): loads = [(metric, labels, [(t_s, v)])];
+    """→ epochs: [(loads, evals)] — `clear` starts a new storage epoch.
+    loads = [(metric, labels, [(t_s, v)])];
     evals = [(at_s, expr, expected {labelset: value} | None-if-unparsed)]."""
+    epochs = []
     loads: list[tuple[str, dict, list[tuple[int, float]]]] = []
     evals = []
     lines = path.read_text().splitlines()
     i = 0
     while i < len(lines):
         ln = lines[i]
+        if ln.strip() == "clear":
+            if loads or evals:
+                epochs.append((loads, evals))
+            loads, evals = [], []
+            i += 1
+            continue
         if ln.startswith("load "):
             ivl = _dur_s(ln.split()[1])
             i += 1
@@ -94,7 +102,9 @@ def parse_corpus(path: Path):
             evals.append((at_s, expr, expected if ok else None))
             continue
         i += 1
-    return loads, evals
+    if loads or evals:
+        epochs.append((loads, evals))
+    return epochs
 
 
 def _lower_outside_strings(s: str) -> str:
@@ -106,9 +116,7 @@ def _lower_outside_strings(s: str) -> str:
     return "".join(out)
 
 
-@pytest.fixture(scope="module")
-def corpus_registry(spark):
-    loads, _ = parse_corpus(CORPUS)
+def build_registry(loads) -> MetricRegistry:
     by_metric: dict[str, list] = {}
     label_keys: dict[str, set] = {}
     for name, labels, samples in loads:
@@ -137,7 +145,9 @@ def corpus_registry(spark):
 
 
 def test_corpus_loads_parse():
-    loads, evals = parse_corpus(CORPUS)
+    epochs = parse_corpus(CORPUS)
+    assert len(epochs) >= 2
+    loads, evals = epochs[0]
     assert len(loads) >= 10
     assert len(evals) >= 30
     # spot-check the sequence notation
@@ -146,20 +156,31 @@ def test_corpus_loads_parse():
     assert samples[10] == (3000, 100.0)
 
 
-def test_corpus_eval_instant(spark, sf_dir, corpus_registry):
-    _, evals = parse_corpus(CORPUS)
+def test_corpus_eval_instant(spark, sf_dir):
     n_pass = n_skip = 0
     failures = []
+    for loads, evals in parse_corpus(CORPUS):
+        corpus_registry = build_registry(loads)
+        _run_epoch(spark, sf_dir, corpus_registry, evals, failures,
+                   counters := [0, 0])
+        n_pass += counters[0]
+        n_skip += counters[1]
+    assert not failures, f"{len(failures)} corpus mismatches; first: {failures[0]}"
+    # the supported subset must cover a meaningful share of the corpus
+    assert n_pass >= 25, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
+
+
+def _run_epoch(spark, sf_dir, corpus_registry, evals, failures, counters):
     for at_s, expr, expected in evals:
         if expected is None or at_s == 0:
-            n_skip += 1
+            counters[1] += 1
             continue
         q = _lower_outside_strings(expr)
         try:
             df = query_range(spark, sf_dir, corpus_registry, q, at_s, at_s, at_s)
             rows = df.collect()
         except (SyntaxError, ValueError, KeyError, AssertionError, NotImplementedError):
-            n_skip += 1
+            counters[1] += 1
             continue
         got = {}
         label_cols = [c for c in df.columns if c not in ("t", "value")]
@@ -174,7 +195,4 @@ def test_corpus_eval_instant(spark, sf_dir, corpus_registry):
         ):
             failures.append((expr, expected, got))
         else:
-            n_pass += 1
-    assert not failures, f"{len(failures)} corpus mismatches; first: {failures[0]}"
-    # the supported subset must cover a meaningful share of the corpus
-    assert n_pass >= 15, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
+            counters[0] += 1
