@@ -218,6 +218,12 @@ class Parser:
 
     def primary(self):
         t = self.peek()
+        if t.kind == "OP" and t.text == "-":
+            self.next()
+            operand = self.primary()
+            if isinstance(operand, NumberLit):
+                return NumberLit(-operand.value)
+            return BinOp("*", NumberLit(-1.0), operand)
         if t.kind == "NUMBER":
             self.next()
             return NumberLit(t.value)
