@@ -128,9 +128,11 @@ class Engine:
 
     def _instant(self, sel: P.VectorSelector) -> _Vector:
         s, labels = self._samples(sel)
+        # +1µs: Prometheus's lookback window is inclusive at the old end
+        # (a sample exactly `lookback` old is still selected)
         out = prom.over_time(
             s, labels, "tu", "value",
-            self.lookback_s * US, self.step_us,
+            self.lookback_s * US + 1, self.step_us,
             {"value": F.max_by("value", "tu")},
         )
         return _Vector(self._clip(out), labels)
@@ -240,6 +242,20 @@ class Engine:
                 .drop("__rk")
             )
             return _Vector(out, v.labels)
+        if agg.op == "count_values":
+            # new label (param) = stringified sample value; count per value
+            # (Go formats integral floats without ".0")
+            lbl = agg.param
+            val_str = F.when(
+                F.col("value") == F.col("value").cast("long").cast("double"),
+                F.col("value").cast("long").cast("string"),
+            ).otherwise(F.col("value").cast("string"))
+            out = (
+                v.df.withColumn(lbl, val_str)
+                .groupBy("t", *keep, lbl)
+                .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            )
+            return _Vector(out, [*keep, lbl])
         if agg.op == "quantile":
             out = v.df.groupBy("t", *keep).agg(
                 F.percentile(F.col("value"), F.lit(agg.param)).alias("value")

@@ -85,7 +85,7 @@ class Aggregate:
     expr: object
     by: list[str] | None = None      # None = clause absent ([] = "by ()")
     without: list[str] | None = None
-    param: float | None = None       # quantile φ / topk-bottomk k
+    param: float | str | None = None  # quantile φ / topk k / count_values label
 
 
 @dataclass
@@ -104,7 +104,7 @@ class NumberLit:
 
 
 AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
-           "quantile", "topk", "bottomk"}
+           "quantile", "topk", "bottomk", "count_values"}
 FUNCS = {
     "rate", "increase", "delta", "irate", "idelta",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
@@ -257,6 +257,13 @@ class Parser:
         if op in ("quantile", "topk", "bottomk"):
             param = self.expect("NUMBER" if self.peek().kind == "NUMBER"
                                 else "DURATION").value
+            self.expect("OP", ",")
+        elif op == "count_values":
+            while self.accept("OP", "("):
+                pass                      # tolerate ((("label")))
+            param = self.expect("STRING").value
+            while self.accept("OP", ")") and self.peek().text != ",":
+                pass
             self.expect("OP", ",")
         e = self.expr()
         self.expect("OP", ")")
