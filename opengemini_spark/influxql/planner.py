@@ -316,7 +316,7 @@ class Planner:
             len(calls) == 1
             and calls[0][1].name in self._TRANSFORMS
             and calls[0][1].args
-            and isinstance(calls[0][1].args[0], ast.Call)
+            and isinstance(calls[0][1].args[0], (ast.Call, ast.VarRef))
         ):
             return self._plan_transform(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name in ("top", "bottom"):
@@ -358,6 +358,8 @@ class Planner:
         over the bucket series per tag-set (compile.go nested-call path)."""
         outer = f.expr
         inner_call = outer.args[0]
+        if isinstance(inner_call, ast.VarRef):
+            return self._plan_raw_transform(stmt, df, f)
         assert stmt.group_time is not None, f"{outer.name} requires GROUP BY time"
         inner = ast.SelectStatement(
             fields=[ast.Field(inner_call, "__v")],
@@ -392,6 +394,43 @@ class Planner:
         out = out.filter(F.col(out_name).isNotNull()).select(
             "time", *stmt.group_tags, out_name
         )
+        if stmt.order_desc:
+            out = out.orderBy(F.col("time").desc())
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        return out
+
+    def _plan_raw_transform(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """Transform over RAW points per series (GROUP BY tags only):
+        ``SELECT derivative(value, 1s) FROM m GROUP BY tag`` — lag windows
+        over the point stream (transform family without inner aggregation)."""
+        outer = f.expr
+        fld = outer.args[0].name
+        tags = stmt.group_tags
+        w = Window.partitionBy(*tags).orderBy(TIME_COL)
+        v, t = F.col(fld), F.col(TIME_COL)
+        name = outer.name
+        out_name = self._out_name(f, name)
+        if name in ("derivative", "non_negative_derivative"):
+            unit_ns = outer.args[1].value if len(outer.args) > 1 else 1_000_000_000
+            col = (v - F.lag(v).over(w)) / ((t - F.lag(t).over(w)) / F.lit(unit_ns))
+        elif name in ("difference", "non_negative_difference"):
+            col = v - F.lag(v).over(w)
+        elif name == "cumulative_sum":
+            col = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        else:  # moving_average
+            n = int(outer.args[1].value)
+            cnt = F.count(v).over(w.rowsBetween(-(n - 1), 0))
+            col = F.when(cnt == n, F.avg(v).over(w.rowsBetween(-(n - 1), 0)))
+        out = (
+            df.withColumn(out_name, col)
+            .filter(F.col(out_name).isNotNull())
+            .select(F.col(TIME_COL).alias("time"), *tags, out_name)
+        )
+        if name.startswith("non_negative"):
+            out = out.filter(F.col(out_name) >= 0)
         if stmt.order_desc:
             out = out.orderBy(F.col("time").desc())
         if stmt.limit:

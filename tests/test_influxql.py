@@ -306,3 +306,21 @@ def test_select_star_and_group_by_star(spark, sf_dir):
     g = query(spark, sf_dir, "SELECT count(n_chars) AS n FROM documents GROUP BY *")
     # documents tags = text/lang/source (strings); grouping by all of them
     assert {"text", "lang", "source", "n", "time"} == set(g.columns)
+
+
+def test_raw_transform_derivative(spark, sf_dir):
+    """derivative(value, 1s) over raw points per tag series."""
+    got = query(
+        spark, sf_dir,
+        "SELECT derivative(value, 1s) FROM events GROUP BY event_type",
+    )
+    assert set(got.columns) == {"time", "event_type", "derivative"}
+    n = got.count()
+    ev = load_table(spark, sf_dir, "events")
+    # one derivative per point after the first in each series
+    assert n == ev.count() - ev.select("event_type").distinct().count()
+
+    diff = query(spark, sf_dir, "SELECT difference(value) FROM events GROUP BY event_type")
+    assert diff.count() == n
+    cs = query(spark, sf_dir, "SELECT cumulative_sum(value) FROM events GROUP BY event_type")
+    assert cs.count() == ev.count()
