@@ -78,6 +78,33 @@ def handle_query(
             from opengemini_spark.influxql.planner import Planner as _P
 
             df = _P(spark, sf_dir, loader=loader).plan(stmt)
+            if (
+                isinstance(stmt, iast.SelectStatement)
+                and stmt.into is not None
+                and data_root is not None
+            ):
+                # SELECT … INTO dst (target_transform.go writeTarget):
+                # append the result to the destination measurement and
+                # report written-row counts like the reference does
+                dst = f"{data_root}/{stmt.into}"
+                w = df.withColumnRenamed("time", "time_ns") if "time" in df.columns else df
+                if "time_ns" in w.columns:
+                    storage.write_measurement(w, dst)
+                else:
+                    w.write.mode("append").parquet(dst)
+                results.append(
+                    {
+                        "statement_id": i,
+                        "series": [
+                            {
+                                "name": "result",
+                                "columns": ["time", "written"],
+                                "values": [[0, df.count()]],
+                            }
+                        ],
+                    }
+                )
+                continue
             if explain:
                 plan_str = df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

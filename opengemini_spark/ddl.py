@@ -206,6 +206,25 @@ class DDLExecutor:
             Path(tmp).rename(part)
         return {"ok": True}
 
+    def _show_shards(self, s, m):
+        """SHOW SHARDS: one row per (db, measurement, time partition) —
+        shard groups are the parquet day-partition directories."""
+        rows = []
+        for db in sorted(self.meta.databases):
+            for mst in sorted(self.meta.databases[db].measurements):
+                root = self.meta.db_dir(db) / mst
+                for p in sorted(root.glob(f"{storage.PARTITION_COL}=*")):
+                    rows.append([db, mst, p.name.split("=", 1)[1]])
+        return {
+            "series": [
+                {
+                    "name": "shards",
+                    "columns": ["database", "measurement", "shard_group"],
+                    "values": rows,
+                }
+            ]
+        }
+
     _DISPATCH = [
         (r"create database ([a-z_][a-z0-9_]*)$", _create_db),
         (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
@@ -216,6 +235,7 @@ class DDLExecutor:
             _create_rp,
         ),
         (r"show retention policies on ([a-z_][a-z0-9_]*)$", _show_rps),
+        (r"show shards$", _show_shards),
         (r"drop measurement ([a-z_][a-z0-9_]*)$", _drop_measurement),
         (
             r"delete from ([a-z_][a-z0-9_]*) where time (<|<=) (\d+)$",

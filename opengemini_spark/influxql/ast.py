@@ -67,6 +67,7 @@ class TimeDimension(Node):
 class SelectStatement(Node):
     fields: list[Field]
     source: object                      # measurement name | SelectStatement
+    into: str | None = None             # SELECT … INTO target
     where: Node | None = None
     group_time: TimeDimension | None = None
     group_tags: list[str] = field(default_factory=list)

@@ -113,6 +113,9 @@ class Parser:
         fields = [self.field()]
         while self.accept("OP", ","):
             fields.append(self.field())
+        into = None
+        if self.kw("into"):
+            into = self.expect("IDENT").value
         self.expect("KEYWORD", "from")
         if self.accept("OP", "("):
             self.expect("KEYWORD", "select")
@@ -121,7 +124,7 @@ class Parser:
         else:
             source = self.expect("IDENT").value
 
-        stmt = ast.SelectStatement(fields=fields, source=source)
+        stmt = ast.SelectStatement(fields=fields, source=source, into=into)
         if self.kw("where"):
             stmt.where = self.expr()
         if self.kw("group"):

@@ -77,3 +77,25 @@ def test_ddl_routed_through_query(spark, sf_dir, tmp_path):
     assert r[0]["ok"] is True
     assert r[1]["series"][0]["values"] == [["tsdb"]]
     assert r[2]["series"][0]["columns"] == ["time", "n"]
+
+
+def test_select_into_statement(spark, sf_dir, tmp_path):
+    """SELECT … INTO dst via the query path writes the destination
+    measurement (reference SELECT INTO response shape)."""
+    root = str(tmp_path / "into_data")
+    handle_write(spark, [
+        "src,host=a v=1.0 1000000000",
+        "src,host=a v=2.0 2000000000",
+        "src,host=b v=3.0 3000000000",
+    ], root)
+    out = handle_query(
+        spark, sf_dir,
+        "SELECT count(v) AS n INTO dst FROM src GROUP BY time(1s), host",
+        data_root=root,
+    )
+    blk = out["results"][0]["series"][0]
+    assert blk["columns"] == ["time", "written"]
+    assert blk["values"][0][1] == 3
+    back = storage.read_measurement(spark, f"{root}/dst")
+    assert back.count() == 3
+    assert {r["host"] for r in back.collect()} == {"a", "b"}

@@ -62,3 +62,15 @@ def test_delete_from_partition_rewrite(ddl, spark, sf_dir):
     back = storage.read_measurement(spark, root)
     assert back.count() == expect
     assert back.agg(F.min("time_ns")).first()[0] >= cutoff
+
+
+def test_show_shards(ddl, spark, sf_dir):
+    ddl.execute("CREATE DATABASE shdb")
+    ev = load_table(spark, sf_dir, "events").select("time_ns", "value").limit(2000)
+    storage.write_measurement(ev, str(ddl.meta.db_dir("shdb") / "events"))
+    ddl.register_measurement("shdb", "events")
+    out = ddl.execute("SHOW SHARDS")
+    rows = out["series"][0]["values"]
+    assert rows and all(r[0] == "shdb" and r[1] == "events" for r in rows)
+    days = [r[2] for r in rows]
+    assert days == sorted(days) and len(days) > 1
