@@ -538,8 +538,10 @@ class Planner:
                     sh = t - off
                     return sh - ((sh % ivl) + ivl) % ivl + off
 
-                lower = self._lower_time_bound(stmt.where)
-                upper = self._upper_time_bound(stmt.where)
+                # under tz() the buckets are not epoch-aligned in UTC, so
+                # derive the spine from present buckets instead of bounds
+                lower = self._lower_time_bound(stmt.where) if not stmt.tz else 0
+                upper = self._upper_time_bound(stmt.where) if not stmt.tz else None
                 out = fill_time_spine(
                     out, "time", ivl,
                     stmt.group_tags, value_cols, mode=mode, fill_value=fv,
