@@ -229,21 +229,25 @@ class Planner:
         return best
 
     @staticmethod
-    def _find_agg_call(e: ast.Node) -> ast.Call | None:
-        """First aggregate call inside an expression tree."""
+    def _find_agg_calls(e: ast.Node) -> list[ast.Call]:
+        """Every aggregate call inside an expression tree (document order)."""
         if isinstance(e, ast.Call):
             if e.name not in Planner._SCALARS and e.name != "pow":
-                return e
+                return [e]
+            out = []
             for a in e.args:
-                found = Planner._find_agg_call(a)
-                if found:
-                    return found
-            return None
+                out += Planner._find_agg_calls(a)
+            return out
         if isinstance(e, ast.BinaryExpr):
-            return Planner._find_agg_call(e.lhs) or Planner._find_agg_call(e.rhs)
+            return Planner._find_agg_calls(e.lhs) + Planner._find_agg_calls(e.rhs)
         if isinstance(e, ast.UnaryExpr):
-            return Planner._find_agg_call(e.expr)
-        return None
+            return Planner._find_agg_calls(e.expr)
+        return []
+
+    @staticmethod
+    def _find_agg_call(e: ast.Node) -> ast.Call | None:
+        calls = Planner._find_agg_calls(e)
+        return calls[0] if calls else None
 
     @staticmethod
     def _lower_time_bound(e: ast.Node | None) -> int:
@@ -464,20 +468,45 @@ class Planner:
     def _out_name(self, f: ast.Field, default: str) -> str:
         return f.alias or default
 
+    @staticmethod
+    def _default_field_name(e: ast.Node) -> str:
+        """InfluxDB output-column naming: refs/call names joined with '_',
+        literals dropped (``value * 2`` → value; ``max(v)+min(v)`` →
+        max_min — influxql.Field.Name semantics)."""
+        if isinstance(e, ast.VarRef):
+            return e.name
+        if isinstance(e, ast.Call):
+            return e.name
+        if isinstance(e, ast.UnaryExpr):
+            return Planner._default_field_name(e.expr)
+        if isinstance(e, ast.BinaryExpr):
+            parts = [
+                Planner._default_field_name(e.lhs),
+                Planner._default_field_name(e.rhs),
+            ]
+            return "_".join(p for p in parts if p)
+        return ""
+
     def _plan_agg(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         aggs = []
         value_cols = []
-        post: list[tuple[str, ast.Node, ast.Call, str]] = []
+        post: list[tuple[str, ast.Node, list[tuple[ast.Call, str]]]] = []
         for i, f in enumerate(stmt.fields):
             call = self._find_agg_call(f.expr)
             if f.expr is not call:
-                # expression over an aggregate (e.g. 4*mean(value)): compute
-                # the agg into a hidden column, fill applies to it, then the
-                # arithmetic projects after (MathWithFill semantics)
-                hidden = f"__agg{i}"
-                aggs.append(self.agg_column(call, hidden))
-                value_cols.append(hidden)
-                post.append((self._out_name(f, call.name), f.expr, call, hidden))
+                # expression over aggregates (4*mean(value), max(v)+min(v)):
+                # each agg computes into a hidden column, fill applies to
+                # them, the arithmetic projects after (MathWithFill)
+                pairs = []
+                for j, c in enumerate(self._find_agg_calls(f.expr)):
+                    hidden = f"__agg{i}_{j}"
+                    aggs.append(self.agg_column(c, hidden))
+                    value_cols.append(hidden)
+                    pairs.append((c, hidden))
+                post.append(
+                    (self._out_name(f, self._default_field_name(f.expr)),
+                     f.expr, pairs)
+                )
                 continue
             if (
                 call.args
@@ -564,9 +593,12 @@ class Planner:
                 .select(F.lit(bound).alias("time"), "*")
             )
 
-        for out_name, expr_tree, call, hidden in post:
-            self._agg_subst[id(call)] = hidden
-            out = out.withColumn(out_name, self.col_expr(expr_tree)).drop(hidden)
+        for out_name, expr_tree, pairs in post:
+            for c, hidden in pairs:
+                self._agg_subst[id(c)] = hidden
+            out = out.withColumn(out_name, self.col_expr(expr_tree)).drop(
+                *[h for _, h in pairs]
+            )
         self._agg_subst = {}
 
         order_cols = []
@@ -632,10 +664,7 @@ class Planner:
     def _plan_raw(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         cols = [F.col(TIME_COL).alias("time")] if TIME_COL in df.columns else []
         for f in stmt.fields:
-            default = (
-                f.expr.name if isinstance(f.expr, ast.VarRef)
-                else getattr(f.expr, "name", "expr")
-            )
+            default = self._default_field_name(f.expr) or "expr"
             cols.append(self.col_expr(f.expr).alias(self._out_name(f, default)))
         out = df.select(*cols)
         if "time" in out.columns:

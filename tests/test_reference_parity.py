@@ -161,3 +161,55 @@ def test_reference_grouped_case(spark, sf_dir, grouped_root, name, q, exp):
 
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=grouped_root)
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+MATH_CASES = [
+    # TestServer_Query_Math (server_test.go:1178); the reference marks the
+    # value*value / alias variants skip:true (its engine can't run them) —
+    # ours passes them against the documented expected outputs.
+    (
+        "multiple of float value",
+        "SELECT value * 2 from db.rp.floatm",
+        '{"results":[{"statement_id":0,"series":[{"name":"floatm","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",84.0]]}]}]}',
+    ),
+    (
+        "literal-first multiple",
+        "SELECT 2 * value from db.rp.floatm",
+        '{"results":[{"statement_id":0,"series":[{"name":"floatm","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",84.0]]}]}]}',
+    ),
+    (
+        "square of value",
+        "SELECT value * value from db.rp.floatm",
+        '{"results":[{"statement_id":0,"series":[{"name":"floatm","columns":["time","value_value"],"values":[["2000-01-01T00:00:00Z",1764.0]]}]}]}',
+    ),
+    (
+        "square with alias",
+        "SELECT value * value as square from db.rp.floatm",
+        '{"results":[{"statement_id":0,"series":[{"name":"floatm","columns":["time","square"],"values":[["2000-01-01T00:00:00Z",1764.0]]}]}]}',
+    ),
+    (
+        "sum of aggregates",
+        "SELECT max(value) + min(value) from db.rp.floatm",
+        '{"results":[{"statement_id":0,"series":[{"name":"floatm","columns":["time","max_min"],"values":[["1970-01-01T00:00:00Z",84.0]]}]}]}',
+    ),
+    (
+        "enclosed square",
+        "SELECT (value * value) from db.rp.floatm",
+        '{"results":[{"statement_id":0,"series":[{"name":"floatm","columns":["time","value_value"],"values":[["2000-01-01T00:00:00Z",1764.0]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def math_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata3"))
+    handle_write(spark, [f"floatm value=42 {T0}"], root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", MATH_CASES, ids=[c[0] for c in MATH_CASES])
+def test_reference_math_case(spark, sf_dir, math_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=math_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
