@@ -1,0 +1,49 @@
+"""End-to-end corpus curation: the composition a real training-data
+pipeline runs — near-dup clustering + quality gate + language filter into
+one keep-list with per-document reject reasons.
+
+Reject precedence (first match wins): duplicate → low_quality → lang.
+Everything is the already-oracle-checked operators composed declaratively,
+so the whole pipeline stays one Catalyst plan per stage and the keep-list
+join keys are doc ids (high-cardinality, skew-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from opengemini_spark.datapipe.cluster import connected_components
+from opengemini_spark.datapipe.dedup import minhash_lsh_dedup
+from opengemini_spark.datapipe.text import quality_score
+
+
+def curate(
+    docs: DataFrame,
+    min_quality_bp: int = 5000,
+    langs_keep: tuple[str, ...] = ("en", "de"),
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """→ ``(doc_id, keep, reason)``; reason ∈ duplicate|low_quality|lang|kept."""
+    pairs = minhash_lsh_dedup(docs, threshold=jaccard_threshold, id_col=id_col)
+    comps = connected_components(pairs)
+    dup = comps.filter(F.col("component") != F.col(id_col)).select(
+        F.col(id_col), F.lit(True).alias("__dup")
+    )
+    q = quality_score(docs, id_col=id_col)
+    out = (
+        docs.select(id_col, lang_col)
+        .join(dup, id_col, "left")
+        .join(q, id_col)
+        .withColumn(
+            "reason",
+            F.when(F.col("__dup"), "duplicate")
+            .when(F.col("quality_bp") < min_quality_bp, "low_quality")
+            .when(~F.col(lang_col).isin(*langs_keep), "lang")
+            .otherwise("kept"),
+        )
+    )
+    return out.select(
+        id_col, (F.col("reason") == "kept").alias("keep"), "reason"
+    )

@@ -462,3 +462,81 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.8
     )
     return connected_components(pairs)
+
+
+@register(
+    "curate_keep_list",
+    # full curation pipeline: minhash-CC dedup + quality gate + lang filter
+    # (reason precedence duplicate > low_quality > lang); oracle composes
+    # the component + quality oracles
+    _minhash_oracle().replace(
+        """SELECT i.id_a, i.id_b,
+           round(i.c / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    """,
+        """, pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+    ), qual AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(greatest(len(__toks2), 1) AS BIGINT) AS nt,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS BIGINT) AS np,
+             CAST(len(list_filter(__toks2, t -> list_contains(__stops, t)))
+                  AS BIGINT) AS ns,
+             CAST(coalesce(list_sum(list_transform(__toks2, t -> length(t))), 0)
+                  AS BIGINT) AS sl
+      FROM (SELECT doc_id, text, toks AS __toks2, __stops FROM docs
+            CROSS JOIN (SELECT __stoplist AS __stops))
+    ), qbp AS (
+      SELECT doc_id,
+             8 * least(nc, 500)
+             + (CASE WHEN sl >= 8 * nt THEN 3000 ELSE (3000 * sl) // (8 * nt) END)
+             + (2000 - (2000 * np) // greatest(nc, 1))
+             + (CASE WHEN 5 * ns >= nt THEN 1000 ELSE (5000 * ns) // nt END)
+               AS quality_bp
+      FROM qual
+    ), labeled AS (
+      SELECT d.doc_id,
+             CASE WHEN c.component IS NOT NULL AND c.component != d.doc_id
+                    THEN 'duplicate'
+                  WHEN q.quality_bp < 5000 THEN 'low_quality'
+                  WHEN d.lang NOT IN ('en', 'de') THEN 'lang'
+                  ELSE 'kept' END AS reason
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      JOIN qbp q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, reason = 'kept' AS keep, reason FROM labeled
+    """,
+    ).replace("    WITH docs AS (", "    WITH RECURSIVE docs AS (")
+    .replace(
+        "SELECT doc_id, {t} AS toks FROM documents".format(t=tokens_sql("text")),
+        "SELECT doc_id, text, lang, {t} AS toks FROM documents".format(
+            t=tokens_sql("text")
+        ),
+    )
+    .replace(
+        "__stoplist",
+        "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]",
+    ),
+)
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.curate import curate
+
+    return curate(load_table(spark, sf_dir, "documents"))

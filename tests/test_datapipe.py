@@ -143,3 +143,15 @@ def test_connected_components_chain(spark):
     keep = {r["doc_id"]: r["keep"] for r in
             dedup_keep_list(docs, connected_components(pairs)).collect()}
     assert keep == {1: True, 2: False, 3: False, 10: True, 11: False, 99: True}
+
+
+def test_curate_pipeline(docs):
+    from opengemini_spark.datapipe.curate import curate
+
+    d = docs.withColumn("lang", F.lit("en"))
+    out = {r["doc_id"]: r["reason"] for r in
+           curate(d, min_quality_bp=3000, jaccard_threshold=0.5).collect()}
+    assert out[2] == "duplicate"          # exact dup of doc 1
+    assert out[5] == "low_quality"        # 4-char fragment
+    assert out[1] == "kept" or out[1] == "duplicate"  # component rep kept
+    assert out[4] == "kept"
