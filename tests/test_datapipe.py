@@ -150,7 +150,7 @@ def test_curate_pipeline(docs):
 
     d = docs.withColumn("lang", F.lit("en"))
     out = {r["doc_id"]: r["reason"] for r in
-           curate(d, min_quality_bp=3000, jaccard_threshold=0.5).collect()}
+           curate(d, min_quality_bp=4000, jaccard_threshold=0.5).collect()}
     assert out[2] == "duplicate"          # exact dup of doc 1
     assert out[5] == "low_quality"        # 4-char fragment
     assert out[1] == "kept" or out[1] == "duplicate"  # component rep kept
