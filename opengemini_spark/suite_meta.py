@@ -240,3 +240,77 @@ def q_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, time_col="time_ns", dim_col="event_type", value_col="value",
         split_ns=1705363200000000000, top=5,
     )
+
+
+@register(
+    "filter_fulltext_match",
+    # MATCH / MATCHPHRASE full-text predicates (influxql token.go MATCH,
+    # engine/index/textindex): MATCH = every query term present in the
+    # tokenized text; MATCHPHRASE = exact substring
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_contains(toks, 'window') AND list_contains(toks, 'join')
+             AS match_terms,
+           contains(text, 'join window') AS match_phrase
+    FROM d
+    WHERE (list_contains(toks, 'window') AND list_contains(toks, 'join'))
+       OR contains(text, 'join window')
+    """,
+)
+def q_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.hashing import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_expr("text")
+    )
+    match_terms = F.array_contains("toks", "window") & F.array_contains(
+        "toks", "join"
+    )
+    match_phrase = F.col("text").contains("join window")
+    return (
+        d.filter(match_terms | match_phrase)
+        .select(
+            "doc_id",
+            match_terms.alias("match_terms"),
+            match_phrase.alias("match_phrase"),
+        )
+    )
+
+
+@register(
+    "sort_multi_column",
+    # columnstore multi-column sort (sort_transform.go) with deterministic
+    # total order
+    """
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_quantity > 49
+    ORDER BY l_returnflag DESC, l_linestatus ASC, l_extendedprice DESC,
+             l_orderkey ASC, l_linenumber ASC
+    LIMIT 50
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 49)
+        .orderBy(
+            F.col("l_returnflag").desc(),
+            F.col("l_linestatus").asc(),
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .limit(50)
+    )

@@ -127,3 +127,33 @@ def test_incremental_agg_state_across_restarts(spark, sf_dir, tmp_path):
     a = {r["series"]: r["n"] for r in latest.collect()}
     b = {r["series"]: r["n"] for r in expect.collect()}
     assert a == b
+
+
+def test_subscription_fanout(spark, sf_dir, sd, tmp_path):
+    """Subscriptions (coordinator/subscriber.go): mirror each batch to
+    secondary endpoints — foreachBatch fan-out to two sinks."""
+    src_dir = str(tmp_path / "sub_src")
+    primary = str(tmp_path / "sub_primary")
+    mirror = str(tmp_path / "sub_mirror")
+    ckpt = str(tmp_path / "sub_ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.write.parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+
+    def fanout(batch_df, batch_id):
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(primary)
+        batch_df.write.mode("append").parquet(mirror)   # the subscription
+        batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = ev.count()
+    assert spark.read.parquet(primary).count() == n
+    assert spark.read.parquet(mirror).count() == n
