@@ -129,8 +129,10 @@ def handle_query(
                 if isinstance(stmt, iast.SelectStatement)
                 and isinstance(stmt.source, str) else "results"
             )
-            tag_cols = (
-                stmt.group_tags if isinstance(stmt, iast.SelectStatement) else []
+            prefixed = [c for c in df.columns if c.startswith("__tag_")]
+            tag_cols = prefixed or (
+                [t for t in stmt.group_tags if t in df.columns]
+                if isinstance(stmt, iast.SelectStatement) else []
             )
             body = to_influx_json(df, measurement, tag_cols=tag_cols, epoch=epoch)
             block = body["results"][0]

@@ -292,11 +292,12 @@ class Planner:
             and isinstance(stmt.fields[0].expr, ast.VarRef)
             and stmt.fields[0].expr.name == "*"
         ):
-            # SELECT * → tags + fields in schema order
+            # SELECT * → alphabetical expansion (InfluxDB column order),
+            # minus any GROUP BY tags (they move to the series tag-set)
             stmt.fields = [
                 ast.Field(ast.VarRef(c))
-                for c in df.columns
-                if c not in (TIME_COL, "ts")
+                for c in sorted(df.columns)
+                if c not in (TIME_COL, "ts", *stmt.group_tags)
             ]
         in_conds, residual = self._split_in_conds(stmt.where)
         for ic in in_conds:
@@ -663,6 +664,9 @@ class Planner:
 
     def _plan_raw(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         cols = [F.col(TIME_COL).alias("time")] if TIME_COL in df.columns else []
+        # raw GROUP BY tags: tag columns ride along (prefixed) for series
+        # shaping — the block tag-set, distinct from selected value columns
+        cols += [F.col(t).alias(f"__tag_{t}") for t in stmt.group_tags]
         for f in stmt.fields:
             default = self._default_field_name(f.expr) or "expr"
             cols.append(self.col_expr(f.expr).alias(self._out_name(f, default)))

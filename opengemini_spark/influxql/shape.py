@@ -50,6 +50,9 @@ def to_influx_json(
     ]
     columns = ([time_col] if time_col in df.columns else []) + value_cols
 
+    def _tag_name(t: str) -> str:
+        return t.removeprefix("__tag_")
+
     rows = df.collect()
     series: dict[tuple, dict] = {}
     for r in rows:
@@ -59,7 +62,8 @@ def to_influx_json(
             {
                 "name": measurement,
                 **(
-                    {"tags": {t: r[t] for t in tag_cols}} if tag_cols else {}
+                    {"tags": {_tag_name(t): r[t] for t in tag_cols}}
+                    if tag_cols else {}
                 ),
                 "columns": columns,
                 "values": [],
@@ -67,7 +71,7 @@ def to_influx_json(
         )
         vals = []
         if time_col in df.columns:
-            vals.append(_fmt_time(r[time_col], epoch))
+            vals.append(r[time_col])    # raw ns; formatted after sorting
         vals += [r[c] for c in value_cols]
         blk["values"].append(vals)
 
@@ -77,7 +81,12 @@ def to_influx_json(
     ordered = [series[k] for k in sorted(series, key=lambda k: tuple(map(str, k)))]
     for blk in ordered:
         if time_col in df.columns:
+            # sort on the raw int time (RFC3339 strings with mixed
+            # sub-second precision are not chronologically ordered), then
+            # format
             blk["values"].sort(key=_row_key)
+            for v in blk["values"]:
+                v[0] = _fmt_time(v[0], epoch)
     if not ordered:
         # InfluxDB omits "series" entirely for empty results
         return {"results": [{"statement_id": 0}]}

@@ -213,3 +213,64 @@ def test_reference_math_case(spark, sf_dir, math_root, name, q, exp):
 
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=math_root)
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+TAGS_CASES = [
+    # TestServer_Query_Tags (server_test.go:1585)
+    (
+        "field with tag",
+        "SELECT host, value FROM db0.rp0.cput",
+        '{"results":[{"statement_id":0,"series":[{"name":"cput","columns":["time","host","value"],"values":[["2000-01-01T00:00:00Z","server01",100.0],["2000-01-01T00:00:00.000000001Z","server02",50.0]]}]}]}',
+    ),
+    (
+        "field with tag and GROUP BY",
+        "SELECT host, value FROM db0.rp0.cput GROUP BY host",
+        '{"results":[{"statement_id":0,"series":[{"name":"cput","tags":{"host":"server01"},"columns":["time","host","value"],"values":[["2000-01-01T00:00:00Z","server01",100.0]]},{"name":"cput","tags":{"host":"server02"},"columns":["time","host","value"],"values":[["2000-01-01T00:00:00.000000001Z","server02",50.0]]}]}]}',
+    ),
+    (
+        "group by tag",
+        "SELECT value FROM db0.rp0.cput GROUP BY host",
+        '{"results":[{"statement_id":0,"series":[{"name":"cput","tags":{"host":"server01"},"columns":["time","value"],"values":[["2000-01-01T00:00:00Z",100.0]]},{"name":"cput","tags":{"host":"server02"},"columns":["time","value"],"values":[["2000-01-01T00:00:00.000000001Z",50.0]]}]}]}',
+    ),
+    (
+        "select * with tags",
+        "SELECT * FROM db0.rp0.cput",
+        '{"results":[{"statement_id":0,"series":[{"name":"cput","columns":["time","core","host","value"],"values":[["2000-01-01T00:00:00Z",4.0,"server01",100.0],["2000-01-01T00:00:00.000000001Z",2.0,"server02",50.0]]}]}]}',
+    ),
+    (
+        "select * with GROUP BY *",
+        "SELECT * FROM db0.rp0.cput GROUP BY *",
+        '{"results":[{"statement_id":0,"series":[{"name":"cput","tags":{"host":"server01"},"columns":["time","core","value"],"values":[["2000-01-01T00:00:00Z",4.0,100.0]]},{"name":"cput","tags":{"host":"server02"},"columns":["time","core","value"],"values":[["2000-01-01T00:00:00.000000001Z",2.0,50.0]]}]}]}',
+    ),
+    (
+        "single field EQ tag",
+        "SELECT value FROM db0.rp0.cpu1 WHERE host = 'server01'",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu1","columns":["time","value"],"values":[["2015-02-28T01:03:36.703820946Z",100.0]]}]}]}',
+    ),
+    (
+        "two EQ tags",
+        "SELECT value FROM db0.rp0.cpu1 WHERE host = 'server01' AND region = 'us-west'",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu1","columns":["time","value"],"values":[["2015-02-28T01:03:36.703820946Z",100.0]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def tags_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata4"))
+    handle_write(spark, [
+        f"cput,host=server01 value=100,core=4 {T0}",
+        f"cput,host=server02 value=50,core=2 {946684800000000001}",
+        "cpu1,host=server01,region=us-west value=100 1425085416703820946",
+        "cpu1,host=server02 value=200 1267319017703820946",
+        "cpu1,host=server03 value=300 1330391018703820946",
+    ], root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", TAGS_CASES, ids=[c[0] for c in TAGS_CASES])
+def test_reference_tags_case(spark, sf_dir, tags_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=tags_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
