@@ -16,9 +16,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from opengemini_spark import storage
-from opengemini_spark.influxql import parse, plan, to_influx_json
+from opengemini_spark.influxql import parse, to_influx_json
 from opengemini_spark.influxql import ast as iast
-from opengemini_spark.influxql.planner import Planner
 from opengemini_spark.sources.line_protocol import (
     parse_line_protocol,
     to_measurement_table,
@@ -75,9 +74,9 @@ def handle_query(
                         )
                     return None
 
-            from opengemini_spark.influxql.planner import Planner as _P
+            from opengemini_spark.influxql.planner import Planner
 
-            df = _P(spark, sf_dir, loader=loader).plan(stmt)
+            df = Planner(spark, sf_dir, loader=loader).plan(stmt)
             if (
                 isinstance(stmt, iast.SelectStatement)
                 and stmt.into is not None

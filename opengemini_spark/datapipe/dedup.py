@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from opengemini_spark.datapipe.hashing import (
     h60,
-    h60_seeded,
     shingles_expr,
     tokens_expr,
 )

@@ -78,7 +78,7 @@ class Planner:
         ]
 
     # --- expression lowering ---
-    def col_expr(self, e: ast.Node, in_time_cmp: bool = False) -> Column:
+    def col_expr(self, e: ast.Node) -> Column:
         if id(e) in self._agg_subst:
             return F.col(self._agg_subst[id(e)])
         if isinstance(e, ast.VarRef):

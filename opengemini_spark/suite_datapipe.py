@@ -16,7 +16,6 @@ from opengemini_spark.catalog import load_table
 from opengemini_spark.datapipe import dedup, multimodal, similarity, text
 from opengemini_spark.datapipe.hashing import (
     FP_MOD,
-    h60_seeded_sql,
     h60_sql,
     shingles_sql,
     tokens_sql,
