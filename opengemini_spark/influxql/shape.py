@@ -30,9 +30,12 @@ def _fmt_time(ns: int, epoch: str | None) -> Any:
         if frac:
             base += (".%09d" % frac).rstrip("0")
         return base + "Z"
-    if epoch == "ns":
+    if epoch in ("ns", "n"):
         return ns
-    div = {"u": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[epoch]
+    div = {
+        "u": 1_000, "µ": 1_000, "ms": 1_000_000, "s": 1_000_000_000,
+        "m": 60 * 1_000_000_000, "h": 3_600 * 1_000_000_000,
+    }[epoch]
     return ns // div
 
 

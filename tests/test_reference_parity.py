@@ -274,3 +274,20 @@ def test_reference_tags_case(spark, sf_dir, tags_root, name, q, exp):
 
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=tags_root)
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# TestServer_Query_EpochPrecision (server_test.go:1515): epoch param scaling
+EPOCHS = [("n", 946684800000000000), ("u", 946684800000000), ("ms", 946684800000),
+          ("s", 946684800), ("m", 15778080), ("h", 262968)]
+
+
+@pytest.mark.parametrize("epoch,t", EPOCHS, ids=[e for e, _ in EPOCHS])
+def test_reference_epoch_precision(spark, sf_dir, tags_root, epoch, t):
+    got = handle_query(
+        spark, sf_dir,
+        "SELECT * FROM db0.rp0.cput GROUP BY * ", epoch=epoch,
+        data_root=tags_root,
+    )
+    blk = got["results"][0]["series"][0]
+    assert blk["tags"] == {"host": "server01"}
+    assert blk["values"][0][0] == t
