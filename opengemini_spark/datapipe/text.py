@@ -139,3 +139,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         toks.groupBy(id_col)
         .agg((F.sum(term) % F.lit(FP_MOD)).alias("fingerprint"))
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 10,
+    group_col: str | None = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram statistics: top-k word n-grams per group.
+
+    One explode → one count aggregate → per-group rank. The shuffle key is
+    (group, ngram) — high-cardinality; the rank window partitions by group
+    only over the already-aggregated counts (tiny).
+    """
+    from pyspark.sql import Window
+
+    from opengemini_spark.datapipe.hashing import shingles_expr
+
+    groups = [group_col] if group_col else []
+    g = (
+        df.select(*groups, tokens_expr(text_col).alias("__toks"))
+        .select(*groups, F.explode(F.expr(shingles_expr("__toks", n))).alias("ngram"))
+        .groupBy(*groups, "ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*groups).orderBy(F.col("n").desc(), F.col("ngram").asc())
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(*groups, "ngram", "n", "rank")
+    )

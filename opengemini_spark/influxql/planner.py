@@ -176,8 +176,14 @@ class Planner:
         if name == "distinct":
             return F.collect_set(c).alias(out)
         if name == "percentile":
+            # openGemini nearest-rank (agg_functions.go:88): element at
+            # 1-based rank floor(q·n + 0.5), clamped ≥ 1 — NOT interpolated
             q = call.args[1].value / 100.0
-            return F.percentile(c, F.lit(q)).alias(out)
+            ranked = F.sort_array(F.collect_list(c))
+            rank = F.greatest(
+                F.floor(F.lit(q) * F.size(ranked) + 0.5).cast("int"), F.lit(1)
+            )
+            return F.element_at(ranked, rank).alias(out)
         raise ValueError(f"InfluxQL: unknown aggregate {name!r}")
 
     # --- statement planning ---

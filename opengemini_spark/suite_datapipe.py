@@ -539,3 +539,26 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengemini_spark.datapipe.curate import curate
 
     return curate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_ngram_counts",
+    # corpus n-gram statistics: top-10 word bigrams per lang (count + rank,
+    # deterministic tie-break on the ngram)
+    f"""
+    WITH d AS (
+      SELECT lang, {tokens_sql('text')} AS toks FROM documents
+    ), grams AS (
+      SELECT lang, unnest({shingles_sql('toks', 2)}) AS ngram FROM d
+    ), counted AS (
+      SELECT lang, ngram, count(*) AS n FROM grams GROUP BY lang, ngram
+    )
+    SELECT lang, ngram, n, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, ngram ASC) AS rank
+      FROM counted)
+    WHERE rank <= 10
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_counts(load_table(spark, sf_dir, "documents"))

@@ -324,3 +324,18 @@ def test_raw_transform_derivative(spark, sf_dir):
     assert diff.count() == n
     cs = query(spark, sf_dir, "SELECT cumulative_sum(value) FROM events GROUP BY event_type")
     assert cs.count() == ev.count()
+
+
+def test_percentile_nearest_rank(spark, sf_dir):
+    """percentile() through the parser = openGemini nearest-rank."""
+    got = query(
+        spark, sf_dir,
+        "SELECT percentile(value, 95) AS p FROM events GROUP BY event_type",
+    )
+    from opengemini_spark.operators import selectors as sel
+
+    ev = load_table(spark, sf_dir, "events")
+    exp = sel.percentile_exact(ev, "value", 95.0, ["event_type"])
+    a = {r["event_type"]: r["p"] for r in got.collect()}
+    b = {r["event_type"]: r["percentile"] for r in exp.collect()}
+    assert a == b
