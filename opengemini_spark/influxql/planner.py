@@ -681,6 +681,20 @@ class Planner:
             out = out.orderBy(
                 F.col("time").desc() if stmt.order_desc else F.col("time").asc()
             )
+        if stmt.group_tags and (stmt.limit or stmt.offset):
+            # raw query with GROUP BY tags: LIMIT/OFFSET apply PER SERIES
+            # (limit_transform.go per-series limit semantics)
+            order = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+            w = Window.partitionBy(
+                *[f"__tag_{t}" for t in stmt.group_tags]
+            ).orderBy(order)
+            lo = stmt.offset or 0
+            hi = lo + stmt.limit if stmt.limit else None
+            out = out.withColumn("__rn", F.row_number().over(w)).filter(
+                (F.col("__rn") > lo)
+                & ((F.col("__rn") <= hi) if hi is not None else F.lit(True))
+            ).drop("__rn")
+            return out
         if stmt.offset:
             w = Window.orderBy(F.col("time").desc() if stmt.order_desc
                                else F.col("time").asc())

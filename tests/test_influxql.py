@@ -339,3 +339,17 @@ def test_percentile_nearest_rank(spark, sf_dir):
     a = {r["event_type"]: r["p"] for r in got.collect()}
     b = {r["event_type"]: r["percentile"] for r in exp.collect()}
     assert a == b
+
+
+def test_raw_limit_per_series(spark, sf_dir):
+    """LIMIT in raw GROUP BY tag queries applies per series (InfluxDB)."""
+    got = query(
+        spark, sf_dir,
+        "SELECT value FROM events GROUP BY event_type LIMIT 2",
+    )
+    rows = got.collect()
+    assert len(rows) == 10  # 2 per event_type × 5 types
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["__tag_event_type"], []).append(r["time"])
+    assert all(len(v) == 2 and v == sorted(v) for v in by_tag.values())
