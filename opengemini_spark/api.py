@@ -176,3 +176,30 @@ def handle_write(
         storage.write_measurement(wide, f"{data_root}/{m}")
         written[m] = wide.count()
     return {"written": written}
+
+
+def handle_prom_query_range(
+    spark: SparkSession,
+    sf_dir: str,
+    registry,
+    promql: str,
+    start_s: int,
+    end_s: int,
+    step_s: int,
+) -> dict:
+    """``GET /api/v1/query_range`` (handler_prom.go:539): PromQL text →
+    engine → matrix JSON; errors in the Prometheus envelope."""
+    from opengemini_spark.promql import query_range
+    from opengemini_spark.promql.parser import parse_promql
+    from opengemini_spark.promql.shape import to_prom_matrix, to_prom_vector
+
+    try:
+        node = parse_promql(promql)
+        df = query_range(spark, sf_dir, registry, promql, start_s, end_s, step_s)
+        labels = [c for c in df.columns if c not in ("t", "value")]
+        metric = getattr(node, "metric", "")
+        if start_s == end_s:
+            return to_prom_vector(df, metric, labels)
+        return to_prom_matrix(df, metric, labels)
+    except (SyntaxError, ValueError, KeyError, AssertionError) as e:
+        return {"status": "error", "errorType": "bad_data", "error": str(e)}

@@ -235,3 +235,19 @@ def test_histogram_quantile(spark, sf_dir, registry):
     assert rows and set(got.columns) == {"job", "t", "value"}
     # rank = 0.5·20 = 10 → first bucket (le=0.1), prev=0 → interp = 0.1
     assert all(abs(r["value"] - 0.1) < 1e-12 for r in rows)
+
+
+def test_handle_prom_query_range_endpoint(spark, sf_dir, registry):
+    from opengemini_spark.api import handle_prom_query_range
+
+    out = handle_prom_query_range(
+        spark, sf_dir, registry, "rate(events_value[12h])", START, END, STEP
+    )
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "matrix"
+    assert len(out["data"]["result"]) == 5
+
+    err = handle_prom_query_range(
+        spark, sf_dir, registry, "rate(events_value[12h]", START, END, STEP
+    )
+    assert err["status"] == "error" and "PromQL" in err["error"]
