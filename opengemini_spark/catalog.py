@@ -52,6 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow scan across all cores before CPU-heavy map work.
+
+    The driver's test parquet is a single file with one row group, so the
+    scan yields ONE input split — any explode/tokenize stage on top runs on
+    one core out of 32. Repartitioning the compact pre-explode rows is
+    cheap and buys full parallelism. At production scale the source has
+    thousands of splits, the guard is false, and this is a no-op — no extra
+    shuffle on wide inputs.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from opengemini_spark.catalog import parallelize_scan
 from opengemini_spark.datapipe.hashing import (
     h60,
     shingles_expr,
@@ -87,7 +88,8 @@ def doc_shingles_raw(
     collision matches). No shuffle happens here.
     """
     return (
-        df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(id_col, F.explode(F.expr(shingles_expr("__toks", k))).alias("__s"))
         .select(id_col, h60(F.col("__s")).alias("sh"))
     )
@@ -234,7 +236,7 @@ def simhash(
     Bit i is set iff the token-frequency-weighted ±1 vote of hash-bit i is
     ≥ 0. One explode + one aggregate with 32 conditional sums.
     """
-    toks = df.select(
+    toks = parallelize_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     ).withColumn("h", h60(F.col("tok")))
     votes = [

@@ -7,14 +7,15 @@ Reference: the EMA/Kaufman/Holt-Winters family is compiled at
 worker over Arrow (``engine/executor/udaf_functions.go:39``,
 ``services/castor/``).
 
-Spark-first realization: ``applyInPandas`` over ``groupBy(series)`` — the
-Arrow batch transfer the reference hand-built is Spark's native UDF path.
-Each series' rows are sorted inside the pandas function (cheap: in-memory,
-per-group) and the recurrence runs in a tight Python loop over numpy
-arrays. Scale: one group = one series; groups are independent, so the
-stage parallelizes across all executors; a single enormous series would
-need chunked prefix-scan treatment, which time-series workloads don't hit
-(series are sharded by tags).
+Spark-first realization: ``mapInPandas`` over data hash-partitioned by the
+series key and sorted (series, time) within partitions — the Arrow batch
+transfer the reference hand-built is Spark's native UDF path, and batching
+whole partitions (instead of one Arrow round-trip per group as
+``groupBy().applyInPandas`` does) keeps the per-series call overhead off
+the hot path when series are small and numerous. Scale: groups are
+independent and spread across all executors by the hash repartition; a
+single enormous series would need chunked prefix-scan treatment, which
+time-series workloads don't hit (series are sharded by tags).
 
 Determinism note: recurrences use only +,*,- IEEE doubles in fixed order,
 so the DuckDB recursive-CTE oracles in suite_advanced.py reproduce them
@@ -54,17 +55,48 @@ def _apply_recurrence(
     ]
     schema = _per_series_schema(schema_ids, out_cols)
     cols = series_cols + order_cols + [value_col]
-    src = df.select(*cols)
+    # mapInPandas over hash-partitioned + partition-sorted data instead of
+    # groupBy().applyInPandas(): the latter makes one Arrow round-trip PER
+    # GROUP, which for many small series (1500 series × 67 rows at sf0.1)
+    # is pure call overhead. Here each task gets whole Arrow batches and
+    # loops groups in-process; series stay intact because the repartition
+    # hashes on the full series key and the sort makes them contiguous.
+    src = (
+        df.select(*cols)
+        .repartition(*[F.col(c) for c in series_cols])
+        .sortWithinPartitions(*(series_cols + order_cols))
+    )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out = fn(pdf[value_col].reset_index(drop=True))
         out.insert(0, "rn", range(1, len(out) + 1))
         for c in reversed(series_cols):
             out.insert(0, c, pdf[c].iloc[0])
         return out
 
-    return src.groupBy(*series_cols).applyInPandas(run, schema)
+    def run_partition(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            # rows are sorted by series key, so the last key's rows form a
+            # contiguous tail block — hold it back, it may continue in the
+            # next Arrow batch.
+            last = pdf.iloc[-1]
+            tail = pd.Series(True, index=pdf.index)
+            for c in series_cols:
+                tail &= pdf[c] == last[c]
+            head, pending = pdf[~tail], pdf[tail]
+            for _, g in head.groupby(series_cols, sort=False):
+                yield run_group(g.reset_index(drop=True))
+        if pending is not None and len(pending):
+            for _, g in pending.groupby(series_cols, sort=False):
+                yield run_group(g.reset_index(drop=True))
+
+    return src.mapInPandas(run_partition, schema)
 
 
 def exponential_moving_average(
