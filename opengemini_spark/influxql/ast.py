@@ -84,3 +84,13 @@ class ShowStatement(Node):
     what: str                           # measurements | tag_keys | tag_values | field_keys
     source: str | None = None
     key: str | None = None              # for TAG VALUES WITH KEY = k
+
+
+@dataclass
+class GraphStatement(Node):
+    """GRAPH <hop_num> <start_node_id> [NODE <cond>] [EDGE <cond>]
+    (reference ast.go:12282 GraphStatement, grammar sql.y:701)."""
+    hop_num: int
+    start_node_id: str
+    node_condition: Node | None = None
+    edge_condition: Node | None = None

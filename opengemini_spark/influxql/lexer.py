@@ -14,7 +14,7 @@ KEYWORDS = {
     "offset", "slimit", "soffset", "as", "and", "or", "not", "time", "desc",
     "asc", "show", "measurements", "tag", "field", "keys", "values", "with",
     "key", "in", "distinct", "null", "none", "previous", "linear", "on",
-    "into", "tz",
+    "into", "tz", "graph", "node", "edge",
 }
 
 _DUR_RE = re.compile(r"(\d+)(ns|u|µ|ms|s|m|h|d|w)")

@@ -61,7 +61,27 @@ class Parser:
             return self.select_statement()
         if self.kw("show"):
             return self.show_statement()
+        if self.kw("graph"):
+            return self.graph_statement()
         raise SyntaxError(f"InfluxQL: unsupported statement {self.peek().text!r}")
+
+    def graph_statement(self) -> ast.GraphStatement:
+        """GRAPH <hops:int> <start:'uid'> [NODE (<cond>)] [EDGE (<cond>)]
+        (reference sql.y:701 GRAPH_STATEMENT; conditions are the restricted
+        EQ/NEQ/AND/OR predicate language of engine/executor/graph.go)."""
+        hops = self.expect("INTEGER")
+        start = self.expect("STRING")
+        node_cond = edge_cond = None
+        if self.kw("node"):
+            node_cond = self.expr()
+        if self.kw("edge"):
+            edge_cond = self.expr()
+        return ast.GraphStatement(
+            hop_num=int(hops.value),
+            start_node_id=start.value,
+            node_condition=node_cond,
+            edge_condition=edge_cond,
+        )
 
     def with_statement(self) -> ast.SelectStatement:
         """WITH name AS (SELECT …) [, name2 AS (…)] SELECT … FROM name

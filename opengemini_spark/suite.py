@@ -828,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
 def _load_extensions() -> None:
     """Import extension suites that register into REGISTRY (idempotent)."""
     from opengemini_spark import suite_datapipe  # noqa: F401
+    from opengemini_spark import suite_graph  # noqa: F401
     from opengemini_spark import suite_advanced  # noqa: F401
     from opengemini_spark import suite_influxql  # noqa: F401
     from opengemini_spark import suite_meta  # noqa: F401
