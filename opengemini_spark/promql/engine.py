@@ -108,6 +108,14 @@ class Engine:
         out = self._eval(node)
         if isinstance(out, _RangeVector):
             raise ValueError("PromQL: range vector needs a function (e.g. rate)")
+        if isinstance(out, P.NumberLit):
+            # scalar result: constant over the step grid (/query_range on a
+            # literal or scalar() expression)
+            grid = range(self.start_us, self.end_us + 1, self.step_us)
+            df = self.spark.createDataFrame(
+                [(t, float(out.value)) for t in grid], "t long, value double"
+            )
+            return _Vector(df, [])
         return out
 
     def _eval(self, node):
@@ -146,8 +154,32 @@ class Engine:
         "last_over_time": lambda: F.max_by("value", "tu"),
     }
 
+    def _scalar_value(self, node) -> float:
+        """Evaluate a parameter expression in scalar context (Prometheus
+        ``scalar()``: a one-sample vector yields its value, anything else
+        NaN — promql/functions.go funcScalar). Parameters are constant per
+        query here, so a value that varies across grid steps is rejected."""
+        if isinstance(node, P.NumberLit):
+            return node.value
+        if isinstance(node, (int, float)):
+            return float(node)
+        v = self._eval(node)
+        if isinstance(v, P.NumberLit):
+            return v.value
+        by_t: dict[int, list[float]] = {}
+        for r in v.df.collect():
+            by_t.setdefault(r["t"], []).append(r["value"])
+        vals = {v[0] if len(v) == 1 else float("nan") for v in by_t.values()}
+        if not vals:
+            return float("nan")
+        if len(vals) > 1:
+            raise NotImplementedError("scalar(): value varies across steps")
+        return vals.pop()
+
     def _func(self, call: P.FuncCall):
         name = call.name
+        if name == "scalar":
+            return P.NumberLit(self._scalar_value(call.args[0]))
         if name == "histogram_quantile":
             q = call.args[0].value
             v = self._eval(call.args[1])
@@ -230,9 +262,18 @@ class Engine:
             # labels kept (Prometheus topk/bottomk)
             from pyspark.sql import Window
 
-            k = int(agg.param)
-            order = (F.col("value").desc() if agg.op == "topk"
-                     else F.col("value").asc())
+            import math
+
+            kf = self._scalar_value(agg.param)
+            k = 0 if math.isnan(kf) else int(kf)
+            # NaN samples lose to every real number in BOTH directions
+            # (promql/engine.go aggregation heap); Spark sorts NaN as the
+            # largest double, so order on a NaN→NULL copy with nulls last.
+            clean = F.when(F.isnan("value"), F.lit(None)).otherwise(
+                F.col("value")
+            )
+            order = (clean.desc_nulls_last() if agg.op == "topk"
+                     else clean.asc_nulls_last())
             w = Window.partitionBy("t", *keep).orderBy(
                 order, *[F.col(l) for l in v.labels]
             )
@@ -258,7 +299,52 @@ class Engine:
             return _Vector(out, [*keep, lbl])
         if agg.op == "quantile":
             out = v.df.groupBy("t", *keep).agg(
-                F.percentile(F.col("value"), F.lit(agg.param)).alias("value")
+                F.percentile(
+                    F.col("value"), F.lit(self._scalar_value(agg.param))
+                ).alias("value")
+            )
+            return _Vector(out, keep)
+        if agg.op in ("min", "max"):
+            # Prometheus min/max ignore NaN samples unless the group is all
+            # NaN (promql/engine.go); Spark's NaN-is-largest ordering would
+            # make max() return NaN instead.
+            clean = F.when(F.isnan("value"), F.lit(None)).otherwise(
+                F.col("value")
+            )
+            fn = F.min if agg.op == "min" else F.max
+            out = v.df.groupBy("t", *keep).agg(
+                F.coalesce(fn(clean), F.lit(float("nan"))).alias("value")
+            )
+            return _Vector(out, keep)
+        if agg.op == "avg":
+            # Prometheus avg switches to an incremental mean when the plain
+            # sum overflows (promql/engine.go groupedAggregation float
+            # path); sum/count would return ±Inf/NaN on finite inputs near
+            # DBL_MAX. Equivalent order-free form: mean = Σ(v/n). The naive
+            # sum is kept for the finite case so regular data is bit-equal
+            # to sum()/count().
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("t", *keep)
+            d = v.df.withColumn("__n", F.count(F.lit(1)).over(w))
+            inf = float("inf")
+            out = (
+                d.groupBy("t", *keep)
+                .agg(
+                    F.sum("value").alias("__s"),
+                    F.count(F.lit(1)).alias("__c"),
+                    F.sum(F.col("value") / F.col("__n")).alias("__m"),
+                )
+                .select(
+                    "t",
+                    *keep,
+                    F.when(
+                        F.isnan("__s") | (F.abs("__s") == F.lit(inf)),
+                        F.col("__m"),
+                    )
+                    .otherwise(F.col("__s") / F.col("__c"))
+                    .alias("value"),
+                )
             )
             return _Vector(out, keep)
         out = v.df.groupBy("t", *keep).agg(

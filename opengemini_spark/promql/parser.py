@@ -109,8 +109,12 @@ FUNCS = {
     "rate", "increase", "delta", "irate", "idelta",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "abs", "clamp_min", "clamp_max",
-    "histogram_quantile", "round", "floor", "ceil",
+    "histogram_quantile", "round", "floor", "ceil", "scalar",
 }
+
+# Inf/NaN are number literals in PromQL's lexer (promql/parser/lex.go
+# scanNumber); our lexer emits them as IDENTs, mapped here.
+_NUM_IDENTS = {"inf": float("inf"), "nan": float("nan")}
 
 
 class Parser:
@@ -227,6 +231,9 @@ class Parser:
         if t.kind == "NUMBER":
             self.next()
             return NumberLit(t.value)
+        if t.kind == "IDENT" and t.text.lower() in _NUM_IDENTS:
+            self.next()
+            return NumberLit(_NUM_IDENTS[t.text.lower()])
         if t.kind == "OP" and t.text == "(":
             self.next()
             e = self.expr()
@@ -255,8 +262,13 @@ class Parser:
         self.expect("OP", "(")
         param = None
         if op in ("quantile", "topk", "bottomk"):
-            param = self.expect("NUMBER" if self.peek().kind == "NUMBER"
-                                else "DURATION").value
+            if self.peek().kind == "DURATION":
+                param = self.next().value
+            else:
+                # any scalar expression: a literal, scalar(v), (…) —
+                # promql/parser accepts a full expr as the parameter
+                p = self.expr()
+                param = p.value if isinstance(p, NumberLit) else p
             self.expect("OP", ",")
         elif op == "count_values":
             while self.accept("OP", "("):

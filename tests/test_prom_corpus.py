@@ -11,6 +11,7 @@ never as silent success.
 
 from __future__ import annotations
 
+import math
 import re
 from pathlib import Path
 
@@ -36,9 +37,16 @@ def _dur_s(s: str) -> int:
     return int(m.group(1)) * _DUR[m.group(2)]
 
 
-_SERIES_RE = re.compile(r"^\s+(\w+)\{([^}]*)\}\s+(\S+)\s*$")
-_VALGEN_RE = re.compile(r"^(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)(?:(?:([+-]\d+(?:\.\d+)?))?x(\d+))?$")
-_EXPECT_RE = re.compile(r"^\s+\{([^}]*)\}\s+(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s*$")
+# a load line is `name[{labels}] tok tok …`; each token is a literal value
+# (incl. Inf/NaN), an arithmetic sequence `a+bxN`, or `_` (gap)
+_SERIES_RE = re.compile(r"^\s+(\w+)(?:\{([^}]*)\})?[ \t]+(.+?)\s*$")
+_NUM = r"[+-]?(?:\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|\.\d+|[Ii]nf)|[Nn]a[Nn]"
+_VALGEN_RE = re.compile(
+    rf"^({_NUM})(?:([+-](?:\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|\.\d+))x(\d+))?$"
+)
+# expectations may carry the metric name: `name{labels} v`, `{labels} v`,
+# or `name v` (no labels); the name itself isn't part of our label columns
+_EXPECT_RE = re.compile(rf"^\s+(?:\w+)?(?:\{{([^}}]*)\}})?[ \t]+({_NUM})\s*$")
 
 
 def _parse_labels(s: str) -> dict[str, str]:
@@ -71,17 +79,30 @@ def parse_corpus(path: Path):
             i += 1
             while i < len(lines) and _SERIES_RE.match(lines[i]):
                 m = _SERIES_RE.match(lines[i])
-                name, labels, gen = m.group(1), _parse_labels(m.group(2)), m.group(3)
-                g = _VALGEN_RE.match(gen)
-                if g:
+                name = m.group(1)
+                labels = _parse_labels(m.group(2) or "")
+                samples, idx, ok = [], 0, True
+                for tok in m.group(3).split():
+                    if tok == "_":          # gap: advance one interval
+                        idx += 1
+                        continue
+                    g = _VALGEN_RE.match(tok)
+                    if not g:
+                        ok = False
+                        break
                     start = float(g.group(1))
                     step = float(g.group(2) or 0)
                     n = int(g.group(3) or 0)
-                    samples = [(k * ivl, start + k * step) for k in range(n + 1)]
+                    for k in range(n + 1):
+                        samples.append(((idx + k) * ivl, start + k * step))
+                    idx += n + 1
+                if ok and samples:
                     loads.append((name, labels, samples))
                 i += 1
             continue
-        m = re.match(r"^eval instant at (\S+)\s+(.*)$", ln)
+        # eval_ordered asserts order we compare set-wise (values still must
+        # match exactly); eval_skip/eval_fail are skipped upstream too
+        m = re.match(r"^eval(?:_ordered)? instant at (\S+)\s+(.*)$", ln)
         if m:
             at_s = _dur_s(m.group(1))
             expr = m.group(2)
@@ -89,12 +110,12 @@ def parse_corpus(path: Path):
             ok = True
             i += 1
             while i < len(lines) and lines[i].strip() and not lines[i].startswith(
-                ("eval", "load", "#")
+                ("eval", "load", "#", "clear")
             ):
                 em = _EXPECT_RE.match(lines[i])
                 if em:
-                    expected[frozenset(_parse_labels(em.group(1)).items())] = float(
-                        em.group(2)
+                    expected[frozenset(_parse_labels(em.group(1) or "").items())] = (
+                        float(em.group(2))
                     )
                 else:
                     ok = False  # expectation syntax we can't parse → skip case
@@ -117,27 +138,25 @@ def _lower_outside_strings(s: str) -> str:
 
 
 def build_registry(loads):
-    """→ (registry, huge_metrics): metrics holding near-overflow samples
-    (|v| > 1e200) are flagged — Spark's sum-based avg overflows where
-    Prometheus's incremental mean doesn't, a documented gap."""
-    huge = set()
+    """Load blocks → MetricRegistry of in-memory metrics."""
     by_metric: dict[str, list] = {}
     label_keys: dict[str, set] = {}
     for name, labels, samples in loads:
         by_metric.setdefault(name, []).append((labels, samples))
         label_keys.setdefault(name, set()).update(labels)
-        if any(abs(v) > 1e200 for _, v in samples):
-            huge.add(name)
 
     reg = MetricRegistry()
     for name, series in by_metric.items():
         keys = sorted(label_keys[name])
-        rows = []
+        # duplicate (labelset, timestamp) loads: last write wins (upstream
+        # promqltest storage semantics — see aggregators.test inf3)
+        by_key: dict[tuple, float] = {}
         for labels, samples in series:
             for t_s, v in samples:
-                rows.append(
-                    tuple(labels.get(k) for k in keys) + (t_s * 10**6, float(v))
+                by_key[tuple(labels.get(k) for k in keys) + (t_s * 10**6,)] = (
+                    float(v)
                 )
+        rows = [k + (v,) for k, v in by_key.items()]
         schema = StructType(
             [StructField(k, StringType()) for k in keys]
             + [StructField("tu", LongType()), StructField("value", DoubleType())]
@@ -147,7 +166,7 @@ def build_registry(loads):
             return spark2.createDataFrame(_rows, _schema)
 
         reg.register(name, Metric(loader, labels=keys))
-    return reg, huge
+    return reg
 
 
 def test_corpus_loads_parse():
@@ -166,30 +185,38 @@ def test_corpus_eval_instant(spark, sf_dir):
     n_pass = n_skip = 0
     failures = []
     for loads, evals in parse_corpus(CORPUS):
-        corpus_registry, huge = build_registry(loads)
+        corpus_registry = build_registry(loads)
         _run_epoch(spark, sf_dir, corpus_registry, evals, failures,
-                   counters := [0, 0], huge)
+                   counters := [0, 0])
         n_pass += counters[0]
         n_skip += counters[1]
     assert not failures, f"{len(failures)} corpus mismatches; first: {failures[0]}"
     # the supported subset must cover a meaningful share of the corpus
-    assert n_pass >= 25, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
+    assert n_pass >= 60, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
 
 
-def _run_epoch(spark, sf_dir, corpus_registry, evals, failures, counters,
-               huge=frozenset()):
+def _sample_eq(got: float, exp: float) -> bool:
+    """Prometheus test equality: NaN matches NaN, ±Inf exactly, else 1e-6
+    relative tolerance."""
+    if got is None:
+        return False
+    if math.isnan(exp):
+        return math.isnan(got)
+    if math.isinf(exp) or math.isinf(got):
+        return got == exp
+    return abs(got - exp) <= 1e-6 * max(1.0, abs(exp))
+
+
+def _run_epoch(spark, sf_dir, corpus_registry, evals, failures, counters):
     for at_s, expr, expected in evals:
-        if expected is None or at_s == 0:
-            counters[1] += 1
-            continue
-        if any(h in expr for h in huge):
-            # near-overflow magnitudes need Prometheus's incremental mean
-            # (Spark's sum/count avg overflows first) — documented gap
+        if expected is None:
             counters[1] += 1
             continue
         q = _lower_outside_strings(expr)
         try:
-            df = query_range(spark, sf_dir, corpus_registry, q, at_s, at_s, at_s)
+            # step > 0 required; at 0s the 1s step keeps the grid at {0}
+            df = query_range(spark, sf_dir, corpus_registry, q,
+                             at_s, at_s, max(at_s, 1))
             rows = df.collect()
         except (SyntaxError, ValueError, KeyError, AssertionError, NotImplementedError):
             counters[1] += 1
@@ -202,8 +229,7 @@ def _run_epoch(spark, sf_dir, corpus_registry, evals, failures, counters,
             )
             got[key] = r["value"]
         if set(got) != set(expected) or any(
-            abs(got[k] - expected[k]) > 1e-6 * max(1.0, abs(expected[k]))
-            for k in expected
+            not _sample_eq(got[k], expected[k]) for k in expected
         ):
             failures.append((expr, expected, got))
         else:
