@@ -37,6 +37,10 @@ def _ensure_nanos_as_long(spark: SparkSession) -> None:
     # The events table stores TIMESTAMP(NANOS); Spark rejects it unless this
     # legacy flag maps it to int64 — which is exactly the openGemini model.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The openGemini time model is UTC nanoseconds. Pin the session tz so
+    # NTZ↔TIMESTAMP casts are identities even on a driver-created plain
+    # session (the engine's own session builder also pins UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,11 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as int64 ns → keep as time_ns, derive µs timestamp.
-        df = (
-            df.withColumnRenamed("ts", "time_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("time_ns") / 1000).cast("long")))
-        )
+        # Normalize to the openGemini time model regardless of how the driver
+        # generated the file: TIMESTAMP(NANOS) reads as int64 ns under the
+        # legacy flag; TIMESTAMP(MICROS) reads as a timestamp. Either way the
+        # result exposes time_ns (int64 ns, source of truth) + ts (µs
+        # TimestampType for Spark window ops). Integer arithmetic only — a
+        # double division of ~1.7e18 ns exceeds 2^53 and loses up to ~256 ns.
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type.startswith("timestamp"):
+            # TIMESTAMP_NTZ → TIMESTAMP is an identity on the stored micros
+            # because the session timezone is pinned to UTC (session.py:42).
+            df = df.withColumn(
+                "time_ns",
+                F.expr("unix_micros(cast(ts as timestamp)) * CAST(1000 AS BIGINT)"),
+            )
+        else:
+            df = (
+                df.withColumnRenamed("ts", "time_ns")
+                .withColumn("ts", F.timestamp_micros(F.expr("time_ns div 1000")))
+            )
     return df
 
 

@@ -50,6 +50,10 @@ def stream_agg(src: DataFrame, sd: StreamDef, ts_col: str = "ts") -> DataFrame:
     """
     sd.validate()
     d = src
+    # Watermarks require TIMESTAMP; parquet written at µs precision loads as
+    # TIMESTAMP_NTZ. Session tz is UTC so the cast is an identity on micros.
+    if dict(d.dtypes).get(ts_col) == "timestamp_ntz":
+        d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if d.isStreaming:
         d = d.withWatermark(ts_col, sd.delay)
     return (

@@ -464,10 +464,13 @@ def q_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "transform_derivative",
+    # No round(): the raw IEEE-754 division is bit-identical across Spark and
+    # DuckDB when the operand order matches, whereas round-half behavior on an
+    # unstable division differs at the last ulp (driver hash compares exactly).
     """
     SELECT user_id, epoch_us(ts) AS time_us,
-           round((value - lag(value) OVER w)
-                 / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6), 6)
+           (value - lag(value) OVER w)
+             / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6)
              AS derivative
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -477,9 +480,7 @@ def q_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = tr.derivative(ev, "time_us", "value", ["user_id"], unit_ns=1_000_000)
-    return out.select(
-        "user_id", "time_us", F.round("derivative", 6).alias("derivative")
-    )
+    return out.select("user_id", "time_us", "derivative")
 
 
 @register(
@@ -595,10 +596,12 @@ def q_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "transform_rate",
+    # Unrounded: see transform_derivative note — exact IEEE division matches
+    # bit-for-bit; round() does not.
     """
     SELECT user_id,
-           round((arg_max(value, ts) - arg_min(value, ts))
-                 / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6), 6) AS rate
+           (arg_max(value, ts) - arg_min(value, ts))
+             / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6) AS rate
     FROM events GROUP BY user_id
     HAVING max(epoch_us(ts)) > min(epoch_us(ts))
     """,
@@ -608,7 +611,7 @@ def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tr.rate(ev, "time_us", "value", ["user_id"], unit_ns=1_000_000)
     # guard single-point series (zero time span → undefined rate)
     return out.filter(F.col("rate").isNotNull() & ~F.isnan("rate")).select(
-        "user_id", F.round("rate", 6).alias("rate")
+        "user_id", "rate"
     )
 
 

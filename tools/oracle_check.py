@@ -10,6 +10,7 @@ order-insensitive values. Run:
 from __future__ import annotations
 
 import math
+import struct
 import sys
 import time
 
@@ -54,8 +55,13 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
             if pd.isna(x) and pd.isna(y):
                 continue
             if isinstance(x, float) or isinstance(y, float):
+                # Exact, bitwise — the driver compares value hashes with no
+                # tolerance, so the local gate must too (VERDICT r1 item 1).
                 try:
-                    if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9):
+                    fx, fy = float(x), float(y)
+                    if math.isnan(fx) and math.isnan(fy):
+                        continue
+                    if struct.pack("<d", fx) != struct.pack("<d", fy):
                         return False, f"col {c} row {i}: {x!r} != {y!r}"
                 except (TypeError, ValueError):
                     return False, f"col {c} row {i}: {x!r} != {y!r}"
