@@ -133,7 +133,13 @@ def handle_query(
                 [t for t in stmt.group_tags if t in df.columns]
                 if isinstance(stmt, iast.SelectStatement) else []
             )
-            body = to_influx_json(df, measurement, tag_cols=tag_cols, epoch=epoch)
+            body = to_influx_json(
+                df,
+                measurement,
+                tag_cols=tag_cols,
+                epoch=epoch,
+                order_desc=bool(getattr(stmt, "order_desc", False)),
+            )
             block = body["results"][0]
             block["statement_id"] = i
             if chunk_size:

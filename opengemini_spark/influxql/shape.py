@@ -45,6 +45,7 @@ def to_influx_json(
     tag_cols: list[str] | None = None,
     time_col: str = "time",
     epoch: str | None = "ns",
+    order_desc: bool = False,
 ) -> dict:
     """Collect a (small, final) result into the InfluxDB response shape."""
     tag_cols = tag_cols or []
@@ -86,8 +87,8 @@ def to_influx_json(
         if time_col in df.columns:
             # sort on the raw int time (RFC3339 strings with mixed
             # sub-second precision are not chronologically ordered), then
-            # format
-            blk["values"].sort(key=_row_key)
+            # format; ORDER BY time DESC emits rows in the requested order
+            blk["values"].sort(key=_row_key, reverse=order_desc)
             for v in blk["values"]:
                 v[0] = _fmt_time(v[0], epoch)
     if not ordered:

@@ -9,6 +9,8 @@ A metric is a view over a measurement: (label columns, µs time, value).
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from collections.abc import Callable
 
@@ -356,6 +358,23 @@ class Engine:
         lhs, rhs = self._eval(b.lhs), self._eval(b.rhs)
         if b.op in ("and", "or", "unless"):
             return self._set_binop(b, lhs, rhs)
+        # scalar ⊕ scalar: constant-fold to a NumberLit (e.g. `1 + 2`,
+        # `-(2*3)` via the unary-minus rewrite) — treating a literal lhs as a
+        # vector would crash on .df. Scalar comparisons yield 1.0 / 0.0.
+        if isinstance(lhs, P.NumberLit) and isinstance(rhs, P.NumberLit):
+            x, y = lhs.value, rhs.value
+            try:
+                val = {
+                    "+": lambda: x + y, "-": lambda: x - y,
+                    "*": lambda: x * y, "/": lambda: x / y,
+                    "%": lambda: math.fmod(x, y), "^": lambda: x ** y,
+                    "==": lambda: float(x == y), "!=": lambda: float(x != y),
+                    ">": lambda: float(x > y), "<": lambda: float(x < y),
+                    ">=": lambda: float(x >= y), "<=": lambda: float(x <= y),
+                }[b.op]()
+            except ZeroDivisionError:
+                val = math.nan if x == 0 else math.copysign(math.inf, x)
+            return P.NumberLit(val)
         # scalar side
         if isinstance(rhs, P.NumberLit) or isinstance(lhs, P.NumberLit):
             vec, lit, flip = (

@@ -150,13 +150,26 @@ class Parser:
 
     def expr(self):
         # precedence (loosest → tightest): or | and/unless | cmp | add | mul
-        return self._setop()
+        return self._or_level()
 
-    def _setop(self):
+    def _or_level(self):
+        # Prometheus gives `or` strictly lower precedence than `and`/`unless`:
+        # `a or b and c` ≡ `a or (b and c)`.
+        lhs = self._and_unless_level()
+        while True:
+            t = self.peek()
+            if t.kind == "IDENT" and t.text == "or":
+                self.next()
+                on, ignoring, group = self._matching()
+                lhs = BinOp(t.text, lhs, self._and_unless_level(), on, ignoring, group)
+            else:
+                return lhs
+
+    def _and_unless_level(self):
         lhs = self._cmp_level()
         while True:
             t = self.peek()
-            if t.kind == "IDENT" and t.text in ("and", "or", "unless"):
+            if t.kind == "IDENT" and t.text in ("and", "unless"):
                 self.next()
                 on, ignoring, group = self._matching()
                 lhs = BinOp(t.text, lhs, self._cmp_level(), on, ignoring, group)

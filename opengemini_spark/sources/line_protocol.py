@@ -178,28 +178,49 @@ def parse_line_protocol(spark, lines: list[str]) -> DataFrame:
 
 def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
     """Pivot normalized rows into the wide per-measurement table
-    (schema-on-write: one column per field, tags as string columns)."""
+    (schema-on-write: one TYPED column per field, tags as string columns).
+
+    Field types follow the line-protocol value class (handler.go:1488 →
+    models.Point field types): float stays double, int stays int64, string
+    and boolean keep their own columns — not silently dropped. One small
+    driver-side aggregation discovers the (field → type, tag keys) schema,
+    which is the schema-on-write metadata lookup, not a data scan.
+    """
     m = parsed.filter(F.col("measurement") == measurement)
-    value = F.coalesce(
-        F.col("f_float"),
-        F.col("f_int").cast("double"),
+    # one pass: per-field value-class counts + the union of tag keys
+    schema_rows = (
+        m.select("field", "f_float", "f_int", "f_str", "f_bool",
+                 F.map_keys("tags").alias("ks"))
+        .groupBy("field")
+        .agg(
+            F.count("f_float").alias("nf"),
+            F.count("f_int").alias("ni"),
+            F.count("f_str").alias("ns"),
+            F.count("f_bool").alias("nb"),
+            F.array_distinct(F.flatten(F.collect_set("ks"))).alias("tag_keys"),
+        )
+        .collect()
     )
-    wide = (
-        m.groupBy("time_ns", "tags")
-        .pivot("field")
-        .agg(F.first(value))
-    )
+    tag_keys = sorted({k for r in schema_rows for k in r["tag_keys"]})
+
+    def _field_expr(r) -> F.Column:
+        if r["ns"]:
+            src = F.col("f_str")
+        elif r["nb"]:
+            src = F.col("f_bool")
+        elif r["nf"]:
+            # mixed float/int series widens to double (InfluxDB coercion)
+            src = F.coalesce(F.col("f_float"), F.col("f_int").cast("double"))
+        else:
+            src = F.col("f_int")
+        return F.first(
+            F.when(F.col("field") == r["field"], src), ignorenulls=True
+        ).alias(r["field"])
+
+    field_exprs = [_field_expr(r) for r in sorted(schema_rows, key=lambda r: r["field"])]
+    wide = m.groupBy("time_ns", "tags").agg(*field_exprs)
     return wide.select(
         "time_ns",
-        *[
-            F.col("tags").getItem(k).alias(k)
-            for k in sorted(
-                {
-                    k
-                    for row in m.select(F.map_keys("tags").alias("ks")).distinct().collect()
-                    for k in row["ks"]
-                }
-            )
-        ],
+        *[F.col("tags").getItem(k).alias(k) for k in tag_keys],
         *[c for c in wide.columns if c not in ("time_ns", "tags")],
     )

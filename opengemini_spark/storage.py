@@ -30,10 +30,14 @@ PARTITION_COL = "p_day"
 
 
 def with_partition(df: DataFrame, time_col: str = "time_ns") -> DataFrame:
-    """Attach the shard-group partition column (UTC day bucket)."""
+    """Attach the shard-group partition column (UTC day bucket).
+
+    Integer ``div`` only: a double division of ~1.7e18 ns exceeds 2^53 and
+    can misplace rows within ~256 ns of a UTC midnight into the wrong day.
+    """
     return df.withColumn(
         PARTITION_COL,
-        F.to_date(F.timestamp_micros((F.col(time_col) / 1000).cast("long"))),
+        F.to_date(F.timestamp_micros(F.expr(f"{time_col} div 1000"))),
     )
 
 

@@ -99,3 +99,16 @@ def test_select_into_statement(spark, sf_dir, tmp_path):
     back = storage.read_measurement(spark, f"{root}/dst")
     assert back.count() == 3
     assert {r["host"] for r in back.collect()} == {"a", "b"}
+
+
+def test_order_by_time_desc_emits_descending_rows(spark, sf_dir):
+    """ADVICE r1: ORDER BY time DESC must reach the JSON emission order."""
+    out = handle_query(
+        spark, sf_dir,
+        "SELECT value FROM events WHERE event_type = 'error' "
+        "ORDER BY time DESC LIMIT 20",
+        epoch="ns",
+    )
+    vals = out["results"][0]["series"][0]["values"]
+    times = [v[0] for v in vals]
+    assert times == sorted(times, reverse=True) and len(times) == 20

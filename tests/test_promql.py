@@ -251,3 +251,33 @@ def test_handle_prom_query_range_endpoint(spark, sf_dir, registry):
         spark, sf_dir, registry, "rate(events_value[12h]", START, END, STEP
     )
     assert err["status"] == "error" and "PromQL" in err["error"]
+
+
+def test_or_binds_looser_than_and():
+    """Prometheus precedence: `a or b and c` == `a or (b and c)`."""
+    n = parse_promql("a or b and c")
+    assert isinstance(n, P.BinOp) and n.op == "or"
+    assert isinstance(n.rhs, P.BinOp) and n.rhs.op == "and"
+    n2 = parse_promql("a and b or c")
+    assert isinstance(n2, P.BinOp) and n2.op == "or"
+    assert isinstance(n2.lhs, P.BinOp) and n2.lhs.op == "and"
+    n3 = parse_promql("a unless b or c")
+    assert isinstance(n3, P.BinOp) and n3.op == "or"
+    assert isinstance(n3.lhs, P.BinOp) and n3.lhs.op == "unless"
+
+
+def test_scalar_scalar_constant_fold(spark, sf_dir, registry):
+    """`vector * (1 + 2)` — scalar subexpression folds instead of crashing."""
+    df = query_range(
+        spark, sf_dir, registry,
+        'sum(events_value{event_type="error"}) * (1 + 2)',
+        START, END, STEP,
+    )
+    base = query_range(
+        spark, sf_dir, registry,
+        'sum(events_value{event_type="error"}) * 3',
+        START, END, STEP,
+    )
+    got = {(r["t"], r["value"]) for r in df.collect()}
+    want = {(r["t"], r["value"]) for r in base.collect()}
+    assert got == want and got

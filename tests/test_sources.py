@@ -62,3 +62,18 @@ def test_arrow_ingest(spark):
     df = spark.createDataFrame(tbl.to_pandas())
     assert df.count() == 3
     assert [f.name for f in df.schema.fields] == ["time_ns", "host", "v"]
+
+
+def test_pivot_preserves_string_bool_int_field_types(spark):
+    """String/boolean/int field values survive the pivot with their own
+    typed columns (ADVICE r1: they were silently nulled before)."""
+    parsed = parse_line_protocol(spark, LINES)
+    disk = to_measurement_table(parsed, "disk")
+    row = disk.collect()[0]
+    assert row["free"] == 12
+    assert row["label"] == "root vol"
+    assert row["ok"] is True
+    dt = dict(disk.dtypes)
+    assert dt["free"] == "bigint"
+    assert dt["label"] == "string"
+    assert dt["ok"] == "boolean"
