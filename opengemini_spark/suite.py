@@ -823,12 +823,13 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus 5 already-verified sentinels, so after two rounds every registered
 # query has a driver verdict.
 PRIORITY: tuple[str, ...] = (
-    # proven sentinels (driver-green in r1), one per core layer
+    # proven sentinels (driver-green in r1) + the two embedding-dedup
+    # entries whose implementation changed this round (blocked / LSH)
     "scan_filter_project",
     "agg_basic",
     "window_fill_null",
-    "join_inner",
-    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     # everything past r1's window, in registration order
     "graph_multihop_nodes",
     "graph_multihop_edges",

@@ -155,3 +155,35 @@ def test_curate_pipeline(docs):
     assert out[5] == "low_quality"        # 4-char fragment
     assert out[1] == "kept" or out[1] == "duplicate"  # component rep kept
     assert out[4] == "kept"
+
+
+def test_blocked_and_lsh_near_dups_match_brute_force(spark, sf_dir):
+    """blocked_near_dups and lsh_near_dups must reproduce the crossJoin
+    baseline exactly (pairs AND cosines), with no cartesian node."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = 0.40
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.embedding_near_dups(emb, t).collect()
+    }
+    assert want, "threshold too high — test would be vacuous"
+    for fn in (similarity.blocked_near_dups, similarity.lsh_near_dups):
+        df = fn(emb, t)
+        got = {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+        assert got == want, fn.__name__
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_near_dups_block_count_invariance(spark, sf_dir):
+    """Result is independent of the blocking factor."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = {tuple(r) for r in similarity.blocked_near_dups(emb, 0.35, n_blocks=3).collect()}
+    b = {tuple(r) for r in similarity.blocked_near_dups(emb, 0.35, n_blocks=11).collect()}
+    assert a == b and a
