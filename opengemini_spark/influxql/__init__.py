@@ -13,6 +13,6 @@ from opengemini_spark.influxql.planner import plan  # noqa: F401
 from opengemini_spark.influxql.shape import to_influx_json  # noqa: F401
 
 
-def query(spark, sf_dir: str, q: str):
+def query(spark, sf_dir: str, q: str, loader=None):
     """Parse + plan an InfluxQL SELECT into a DataFrame."""
-    return plan(spark, sf_dir, parse(q))
+    return plan(spark, sf_dir, parse(q), loader=loader)

@@ -184,6 +184,76 @@ class Planner:
                 F.floor(F.lit(q) * F.size(ranked) + 0.5).cast("int"), F.lit(1)
             )
             return F.element_at(ranked, rank).alias(out)
+        if name in ("percentile_approx", "percentile_ogsketch"):
+            # both map to Spark's t-digest-style sketch; ogsketch is the
+            # reference's mergeable sketch (agg_functions.go:94-100) — same
+            # contract (approximate rank query), different sketch family
+            q = call.args[1].value / 100.0
+            return F.percentile_approx(c, F.lit(q), F.lit(10000)).alias(out)
+        if name == "mode":
+            # most frequent value; LOWEST wins ties (FloatModeReduce,
+            # functions.go) — single fold over the sorted multiset, so ties
+            # resolve to the first (smallest) run
+            fld = arg.name
+            return F.expr(
+                "aggregate("
+                f"  array_sort(collect_list(cast({fld} as double))),"
+                "  named_struct('best', cast(null as double), 'bestn', 0,"
+                "               'cur', cast(null as double), 'curn', 0),"
+                "  (s, x) -> if(s.cur is not null and x = s.cur,"
+                "    named_struct('best', if(s.curn + 1 > s.bestn, s.cur, s.best),"
+                "                 'bestn', greatest(s.curn + 1, s.bestn),"
+                "                 'cur', s.cur, 'curn', s.curn + 1),"
+                "    named_struct('best', if(1 > s.bestn, x, s.best),"
+                "                 'bestn', greatest(1, s.bestn),"
+                "                 'cur', x, 'curn', 1)),"
+                "  s -> s.best)"
+            ).alias(out)
+        if name == "rate":
+            # (last − first) / Δt·unit per group (FloatRateReduce,
+            # agg_functions.go:203); null for single-point groups
+            unit = float(call.args[1].value) if len(call.args) > 1 else 1e9
+            t = F.col(TIME_COL)
+            span = (F.max(t) - F.min(t)).cast("double") / F.lit(unit)
+            return F.when(
+                F.max(t) > F.min(t),
+                (F.max_by(c, t) - F.min_by(c, t)) / span,
+            ).alias(out)
+        if name == "irate":
+            # slope of the LAST two points (IRateFunc, agg_functions.go:209)
+            unit = float(call.args[1].value) if len(call.args) > 1 else 1e9
+            arr = F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(TIME_COL).alias("t"), c.cast("double").alias("v"))
+                )
+            )
+            last, prev = F.element_at(arr, -1), F.element_at(arr, -2)
+            return F.when(
+                F.size(arr) >= 2,
+                (last["v"] - prev["v"])
+                / ((last["t"] - prev["t"]).cast("double") / F.lit(unit)),
+            ).alias(out)
+        if name == "integral":
+            # trapezoidal area (IntegralFunc, agg_functions.go:179): one fold
+            # over the time-sorted points, accumulator carries the previous
+            # point; null (no row) when the group has < 2 points
+            unit = float(call.args[1].value) if len(call.args) > 1 else 1e9
+            fld = arg.name
+            return F.expr(
+                "aggregate("
+                f"  array_sort(collect_list(named_struct("
+                f"    't', {TIME_COL}, 'v', cast({fld} as double)))),"
+                "  named_struct('acc', 0D, 'n', 0,"
+                "               'pt', cast(null as bigint), 'pv', cast(null as double)),"
+                "  (s, x) -> named_struct("
+                "    'acc', s.acc + if(s.pt is null, 0D,"
+                f"      (x.v + s.pv) / 2 * (x.t - s.pt) / {unit!r}),"
+                "    'n', s.n + 1, 'pt', x.t, 'pv', x.v),"
+                "  s -> if(s.n < 2, cast(null as double), s.acc))"
+            ).alias(out)
+        if name == "absent":
+            # 1 iff the group has any point (AbsentFunc, agg_functions.go:215)
+            return F.when(F.count(c) > 0, F.lit(1)).alias(out)
         raise ValueError(f"InfluxQL: unknown aggregate {name!r}")
 
     # --- statement planning ---
@@ -332,6 +402,10 @@ class Planner:
             return self._plan_transform(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name in ("top", "bottom"):
             return self._plan_top_bottom(stmt, df, calls[0][0])
+        if len(calls) == 1 and calls[0][1].name in self._RECURSIVE:
+            return self._plan_recursive(stmt, df, calls[0][0])
+        if len(calls) == 1 and calls[0][1].name == "sample":
+            return self._plan_sample(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
             arg = calls[0][1].args[0]
             bound = self._lower_time_bound(stmt.where)
@@ -358,6 +432,14 @@ class Planner:
     _TRANSFORMS = (
         "derivative", "non_negative_derivative", "difference",
         "non_negative_difference", "cumulative_sum", "moving_average",
+        "elapsed",
+    )
+    # recurrence / smoothing family (compile.go:441-449,810-817) — routed to
+    # the Arrow-batched per-series operators in operators/recursive.py
+    _RECURSIVE = (
+        "exponential_moving_average", "double_exponential_moving_average",
+        "kaufmans_adaptive_moving_average", "chande_momentum_oscillator",
+        "holt_winters", "holt_winters_with_fit",
     )
 
     def _plan_transform(
@@ -394,6 +476,9 @@ class Planner:
             col = v - F.lag(v).over(w)
         elif name == "cumulative_sum":
             col = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif name == "elapsed":
+            unit_ns = outer.args[1].value if len(outer.args) > 1 else 1
+            col = ((t - F.lag(t).over(w)) / F.lit(unit_ns)).cast("long")
         else:  # moving_average
             n = int(outer.args[1].value)
             col = F.avg(v).over(w.rowsBetween(-(n - 1), 0))
@@ -431,6 +516,11 @@ class Planner:
             col = v - F.lag(v).over(w)
         elif name == "cumulative_sum":
             col = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif name == "elapsed":
+            # elapsed(field[, unit]): Δt in units, default 1ns
+            # (ElapsedFunc, agg_functions.go:173)
+            unit_ns = outer.args[1].value if len(outer.args) > 1 else 1
+            col = ((t - F.lag(t).over(w)) / F.lit(unit_ns)).cast("long")
         else:  # moving_average
             n = int(outer.args[1].value)
             cnt = F.count(v).over(w.rowsBetween(-(n - 1), 0))
@@ -471,6 +561,113 @@ class Planner:
                 F.col(fld).alias(out_name),
             )
         )
+
+    def _plan_sample(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """sample(field, N): N points per series (SampleFunc,
+        agg_functions.go:110). The reference draws reservoir-randomly; here
+        selection is hash-ordered (md5 of the point identity) so retries,
+        restarts, and the SQL oracle all agree — the established
+        deterministic-sample pattern (suite agg_sample_hash)."""
+        call = f.expr
+        fld = call.args[0].name
+        n = int(call.args[1].value)
+        out_name = self._out_name(f, "sample")
+        tags = stmt.group_tags
+        w = Window.partitionBy(*tags).orderBy(
+            F.md5(F.concat_ws(",", F.col(TIME_COL), F.col(fld))), F.col(TIME_COL)
+        )
+        out = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(
+                F.col(TIME_COL).alias("time"), *tags, F.col(fld).alias(out_name)
+            )
+            .orderBy(*(tags + ["time"]))
+        )
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        return out
+
+    def _plan_recursive(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """EMA / DEMA / KAMA / CMO / holt_winters over an aggregated series
+        (compile.go:441-449): inner call aggregates per GROUP BY time
+        bucket, the outer recurrence runs per tag-set over the bucket
+        series via the Arrow-batched operators in operators/recursive.py.
+
+        InfluxDB parameterizes the EMA family by period N with
+        α = 2/(N+1); holt_winters[_with_fit](call, N, S) here yields the
+        FITTED Holt smoothing (α=2/(N+1), β=2/(S+1)) — the forecast
+        extension emits future buckets, which the sink layer does not
+        model yet."""
+        from opengemini_spark.operators import recursive as rec
+
+        outer = f.expr
+        inner_call = outer.args[0]
+        name = outer.name
+        tags = stmt.group_tags
+        if isinstance(inner_call, ast.Call):
+            assert stmt.group_time is not None, f"{name} requires GROUP BY time"
+            inner = ast.SelectStatement(
+                fields=[ast.Field(inner_call, "__v")],
+                source="__sub__",
+                group_time=stmt.group_time,
+                group_tags=tags,
+                fill=stmt.fill,
+            )
+            src = self._plan_agg(inner, df).filter(F.col("__v").isNotNull())
+        else:
+            src = df.select(
+                F.col(TIME_COL).alias("time"), *tags,
+                F.col(inner_call.name).alias("__v"),
+            )
+        out_name = self._out_name(f, name)
+
+        if name == "chande_momentum_oscillator":
+            n = int(outer.args[1].value)
+            out = rec.chande_momentum(src, tags, ["time"], "__v", n)
+            out = out.select("time", *tags, F.col("cmo").alias(out_name)).orderBy(
+                *(["time"] + list(tags))
+            )
+            return out.limit(stmt.limit) if stmt.limit else out
+
+        if name in ("exponential_moving_average",
+                    "double_exponential_moving_average"):
+            n = int(outer.args[1].value)
+            alpha = 2.0 / (n + 1.0)
+            if name == "exponential_moving_average":
+                res, col = rec.exponential_moving_average(
+                    src, tags, ["time"], "__v", alpha
+                ), "ema"
+            else:
+                res, col = rec.double_ema(src, tags, ["time"], "__v", alpha), "dema"
+        elif name == "kaufmans_adaptive_moving_average":
+            n = int(outer.args[1].value)
+            res, col = rec.kaufman_adaptive_ma(src, tags, ["time"], "__v", n), "kama"
+        else:  # holt_winters[_with_fit]
+            n = int(outer.args[1].value)
+            s = int(outer.args[2].value) if len(outer.args) > 2 else n
+            res, col = rec.holt_winters_fit(
+                src, tags, ["time"], "__v",
+                alpha=2.0 / (n + 1.0), beta=2.0 / (max(s, 1) + 1.0),
+            ), "hw_fit"
+
+        # the recurrence returns (tags, rn, value); re-attach bucket times by
+        # ordinal position within each series
+        wt = Window.partitionBy(*tags).orderBy("time")
+        times = src.select(*tags, "time").withColumn(
+            "rn", F.row_number().over(wt)
+        )
+        joined = res.join(times, tags + ["rn"] if tags else ["rn"])
+        out = (
+            joined.select("time", *tags, F.col(col).alias(out_name))
+            .filter(F.col(out_name).isNotNull())
+            .orderBy(*(["time"] + list(tags)))
+        )
+        return out.limit(stmt.limit) if stmt.limit else out
 
     def _out_name(self, f: ast.Field, default: str) -> str:
         return f.alias or default
@@ -746,5 +943,7 @@ class Planner:
         raise ValueError(f"InfluxQL: unsupported SHOW {stmt.what}")
 
 
-def plan(spark: SparkSession, sf_dir: str, stmt: ast.Node) -> DataFrame:
-    return Planner(spark, sf_dir).plan(stmt)
+def plan(
+    spark: SparkSession, sf_dir: str, stmt: ast.Node, loader=None
+) -> DataFrame:
+    return Planner(spark, sf_dir, loader=loader).plan(stmt)

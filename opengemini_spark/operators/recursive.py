@@ -61,11 +61,15 @@ def _apply_recurrence(
     # is pure call overhead. Here each task gets whole Arrow batches and
     # loops groups in-process; series stay intact because the repartition
     # hashes on the full series key and the sort makes them contiguous.
-    src = (
-        df.select(*cols)
-        .repartition(*[F.col(c) for c in series_cols])
-        .sortWithinPartitions(*(series_cols + order_cols))
-    )
+    if series_cols:
+        src = (
+            df.select(*cols)
+            .repartition(*[F.col(c) for c in series_cols])
+            .sortWithinPartitions(*(series_cols + order_cols))
+        )
+    else:
+        # a single global series: one partition, time-ordered
+        src = df.select(*cols).repartition(1).sortWithinPartitions(*order_cols)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out = fn(pdf[value_col].reset_index(drop=True))
@@ -75,6 +79,12 @@ def _apply_recurrence(
         return out
 
     def run_partition(batches):
+        if not series_cols:
+            # global series: the single partition IS the group
+            whole = [p for p in batches if len(p)]
+            if whole:
+                yield run_group(pd.concat(whole, ignore_index=True))
+            return
         pending: pd.DataFrame | None = None
         for pdf in batches:
             if pending is not None:

@@ -823,13 +823,14 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus 5 already-verified sentinels, so after two rounds every registered
 # query has a driver verdict.
 PRIORITY: tuple[str, ...] = (
-    # proven sentinels (driver-green in r1) + the two embedding-dedup
-    # entries whose implementation changed this round (blocked / LSH)
-    "scan_filter_project",
-    "agg_basic",
-    "window_fill_null",
+    # entries whose implementation is new or changed this round: the two
+    # embedding-dedup paths (blocked / LSH) and three representative
+    # text-path function entries (recurrence, selector-hash, multi-agg)
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "influxql_func_rate_irate",
+    "influxql_func_ema",
+    "influxql_func_sample",
     # everything past r1's window, in registration order
     "graph_multihop_nodes",
     "graph_multihop_edges",

@@ -353,3 +353,67 @@ def test_raw_limit_per_series(spark, sf_dir):
     for r in rows:
         by_tag.setdefault(r["__tag_event_type"], []).append(r["time"])
     assert all(len(v) == 2 and v == sorted(v) for v in by_tag.values())
+
+
+def test_mode_ties_pick_lowest(spark):
+    """FloatModeReduce: the lowest of equally-frequent values wins."""
+    rows = [(i, float(v)) for i, v in enumerate([3.0, 3.0, 1.0, 1.0, 2.0])]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    got = query(spark, None, "SELECT mode(value) FROM m",
+                loader=lambda m: df).first()
+    assert got["mode"] == 1.0
+
+
+def test_rate_and_irate_two_points(spark):
+    rows = [(0, 10.0), (2_000_000_000, 30.0), (3_000_000_000, 33.0)]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    out = query(spark, None, "SELECT rate(value), irate(value) FROM m",
+                loader=lambda m: df).first()
+    # rate: (33-10)/3s ; irate: (33-30)/1s
+    assert out["rate"] == pytest.approx(23.0 / 3.0)
+    assert out["irate"] == pytest.approx(3.0)
+
+
+def test_integral_trapezoid_and_single_point(spark):
+    rows = [(0, 0.0), (1_000_000_000, 2.0), (2_000_000_000, 2.0)]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    out = query(spark, None, "SELECT integral(value, 1s) FROM m",
+                loader=lambda m: df).first()
+    assert out["integral"] == pytest.approx(1.0 + 2.0)
+    one = spark.createDataFrame([(0, 5.0)], ["time_ns", "value"])
+    out1 = query(spark, None, "SELECT integral(value, 1s) FROM m",
+                 loader=lambda m: one)
+    vals = [r["integral"] for r in out1.collect()]
+    assert vals in ([], [None])
+
+
+def test_elapsed_default_unit_is_ns(spark):
+    rows = [(0, 1.0), (1_500, 2.0)]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    out = query(spark, None, "SELECT elapsed(value) FROM m",
+                loader=lambda m: df).collect()
+    assert [r["elapsed"] for r in out] == [1500]
+
+
+def test_sample_deterministic_and_bounded(spark, sf_dir):
+    a = query(spark, sf_dir,
+              "SELECT sample(value, 2) FROM events GROUP BY event_type")
+    b = query(spark, sf_dir,
+              "SELECT sample(value, 2) FROM events GROUP BY event_type")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    counts = a.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_ema_text_path_alpha(spark):
+    """EMA N=3 → α=0.5: hand-computed fixture."""
+    rows = [(i * 1_000_000_000, float(v)) for i, v in enumerate([4.0, 8.0, 4.0])]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    out = query(
+        spark, None,
+        "SELECT exponential_moving_average(mean(value), 3) FROM m GROUP BY time(1s)",
+        loader=lambda m: df,
+    ).collect()
+    assert [r[1] for r in out] == [4.0, 6.0, 5.0]
