@@ -34,6 +34,7 @@ def handle_query(
     q: str,
     epoch: str | None = "ns",
     chunk_size: int | None = None,
+    max_row_limit: int | None = None,
     ddl=None,
     data_root: str | None = None,
 ) -> dict:
@@ -42,6 +43,12 @@ def handle_query(
     ``ddl``: optional :class:`opengemini_spark.ddl.DDLExecutor` — when
     given, DDL statements (CREATE DATABASE, …) are dispatched to it first,
     mirroring the statement_executor.go dispatch table.
+
+    ``chunk_size`` / ``max_row_limit`` drive the streaming emit loop
+    (statement_executor.go:1144-1193): results are pulled through
+    ``toLocalIterator`` in per-series chunks, never fully collected, and
+    truncated (with ``"partial": true``) at ``max_row_limit`` rows like
+    the reference's MaxRowLimit.
     """
     results = []
     for i, stmt_text in enumerate(_split_statements(q)):
@@ -139,30 +146,15 @@ def handle_query(
                 tag_cols=tag_cols,
                 epoch=epoch,
                 order_desc=bool(getattr(stmt, "order_desc", False)),
+                chunk_size=chunk_size,
+                max_rows=max_row_limit,
             )
             block = body["results"][0]
             block["statement_id"] = i
-            if chunk_size:
-                block["series"] = _chunk_series(block["series"], chunk_size)
             results.append(block)
         except (SyntaxError, ValueError, KeyError, AssertionError) as e:
             results.append({"statement_id": i, "error": str(e)})
     return {"results": results}
-
-
-def _chunk_series(series: list[dict], n: int) -> list[dict]:
-    out = []
-    for blk in series:
-        vals = blk["values"]
-        if len(vals) <= n:
-            out.append(blk)
-            continue
-        for off in range(0, len(vals), n):
-            part = dict(blk)
-            part["values"] = vals[off : off + n]
-            part["partial"] = off + n < len(vals)
-            out.append(part)
-    return out
 
 
 def handle_write(

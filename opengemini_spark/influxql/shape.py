@@ -39,31 +39,63 @@ def _fmt_time(ns: int, epoch: str | None) -> Any:
     return ns // div
 
 
-def to_influx_json(
+def iter_influx_blocks(
     df: DataFrame,
     measurement: str,
     tag_cols: list[str] | None = None,
     time_col: str = "time",
     epoch: str | None = "ns",
     order_desc: bool = False,
-) -> dict:
-    """Collect a (small, final) result into the InfluxDB response shape."""
+    chunk_size: int | None = None,
+    max_rows: int | None = None,
+):
+    """Stream series blocks without materializing the result on the driver.
+
+    The emit loop of ``statement_executor.go:1144-1193``: rows arrive
+    already ordered (tags → time → values, Spark-side sort), the driver
+    cuts a block when the tag-set changes or ``chunk_size`` fills, and
+    stops — marking the open block ``partial`` — once ``max_rows`` total
+    rows have been emitted (the reference's MaxRowLimit truncation).
+    ``toLocalIterator`` holds one Spark partition at a time, so a raw
+    ``SELECT *`` over a large measurement no longer OOMs the driver.
+    """
+    from pyspark.sql import functions as F
+
     tag_cols = tag_cols or []
-    value_cols = [
-        c for c in df.columns if c not in tag_cols and c != time_col
-    ]
-    columns = ([time_col] if time_col in df.columns else []) + value_cols
+    value_cols = [c for c in df.columns if c not in tag_cols and c != time_col]
+    has_time = time_col in df.columns
+    columns = ([time_col] if has_time else []) + value_cols
 
     def _tag_name(t: str) -> str:
         return t.removeprefix("__tag_")
 
-    rows = df.collect()
-    series: dict[tuple, dict] = {}
-    for r in rows:
-        key = tuple(r[t] for t in tag_cols)
-        blk = series.setdefault(
-            key,
-            {
+    # block order: tags compare as strings (matches InfluxDB's sorted tag
+    # sets); row order: time per ORDER BY, value columns as tie-break
+    sort_exprs = [F.col(t).cast("string").asc() for t in tag_cols]
+    row_dir = (
+        (lambda c: c.desc_nulls_first()) if order_desc
+        else (lambda c: c.asc_nulls_last())
+    )
+    if has_time:
+        sort_exprs.append(row_dir(F.col(time_col)))
+    sort_exprs += [row_dir(F.col(c)) for c in value_cols]
+    src = df.orderBy(*sort_exprs) if sort_exprs else df
+
+    blk: dict | None = None
+    blk_key: tuple | None = None
+    emitted = 0
+    for r in src.toLocalIterator():
+        key = tuple(str(r[t]) for t in tag_cols)
+        if blk is not None and (
+            key != blk_key or (chunk_size and len(blk["values"]) >= chunk_size)
+        ):
+            if key == blk_key:
+                blk["partial"] = True
+            yield blk
+            blk = None
+        if blk is None:
+            blk_key = key
+            blk = {
                 "name": measurement,
                 **(
                     {"tags": {_tag_name(t): r[t] for t in tag_cols}}
@@ -71,26 +103,36 @@ def to_influx_json(
                 ),
                 "columns": columns,
                 "values": [],
-            },
-        )
-        vals = []
-        if time_col in df.columns:
-            vals.append(r[time_col])    # raw ns; formatted after sorting
+            }
+        vals = [_fmt_time(r[time_col], epoch)] if has_time else []
         vals += [r[c] for c in value_cols]
         blk["values"].append(vals)
+        emitted += 1
+        if max_rows is not None and emitted >= max_rows:
+            blk["partial"] = True
+            yield blk
+            return
+    if blk is not None:
+        yield blk
 
-    def _row_key(v: list) -> tuple:
-        return tuple((x is None, str(type(x)), x) for x in v)
 
-    ordered = [series[k] for k in sorted(series, key=lambda k: tuple(map(str, k)))]
-    for blk in ordered:
-        if time_col in df.columns:
-            # sort on the raw int time (RFC3339 strings with mixed
-            # sub-second precision are not chronologically ordered), then
-            # format; ORDER BY time DESC emits rows in the requested order
-            blk["values"].sort(key=_row_key, reverse=order_desc)
-            for v in blk["values"]:
-                v[0] = _fmt_time(v[0], epoch)
+def to_influx_json(
+    df: DataFrame,
+    measurement: str,
+    tag_cols: list[str] | None = None,
+    time_col: str = "time",
+    epoch: str | None = "ns",
+    order_desc: bool = False,
+    chunk_size: int | None = None,
+    max_rows: int | None = None,
+) -> dict:
+    """Assemble the InfluxDB response shape from the streamed blocks."""
+    ordered = list(
+        iter_influx_blocks(
+            df, measurement, tag_cols, time_col, epoch, order_desc,
+            chunk_size=chunk_size, max_rows=max_rows,
+        )
+    )
     if not ordered:
         # InfluxDB omits "series" entirely for empty results
         return {"results": [{"statement_id": 0}]}

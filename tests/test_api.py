@@ -112,3 +112,24 @@ def test_order_by_time_desc_emits_descending_rows(spark, sf_dir):
     vals = out["results"][0]["series"][0]["values"]
     times = [v[0] for v in vals]
     assert times == sorted(times, reverse=True) and len(times) == 20
+
+
+def test_chunked_emission_and_max_row_limit(spark, sf_dir):
+    """Chunked results split a series into partial blocks; max_row_limit
+    truncates with partial=true (statement_executor.go MaxRowLimit)."""
+    q = "SELECT value FROM events WHERE event_type = 'error' LIMIT 50"
+    full = handle_query(spark, sf_dir, q, epoch="ns")
+    total = sum(len(s["values"]) for s in full["results"][0]["series"])
+    assert total == 50
+
+    chunked = handle_query(spark, sf_dir, q, epoch="ns", chunk_size=20)
+    blocks = chunked["results"][0]["series"]
+    assert [len(b["values"]) for b in blocks] == [20, 20, 10]
+    assert [b.get("partial", False) for b in blocks] == [True, True, False]
+    merged = [v for b in blocks for v in b["values"]]
+    assert merged == [v for s in full["results"][0]["series"] for v in s["values"]]
+
+    capped = handle_query(spark, sf_dir, q, epoch="ns", max_row_limit=7)
+    cb = capped["results"][0]["series"]
+    assert sum(len(b["values"]) for b in cb) == 7
+    assert cb[-1]["partial"] is True
