@@ -253,3 +253,113 @@ def histogram_quantile(
     # +Inf bucket → return the upper bound of the last finite bucket
     result = F.when(F.col(le_col) == float("inf"), lo).otherwise(interp)
     return hit.select(*labels, result.alias("quantile"))
+
+
+def _sorted_window_arr(
+    df: DataFrame, labels: list[str], time_col: str, value_col: str,
+    range_us: int, step_us: int,
+) -> DataFrame:
+    """(labels, t, arr) — time-sorted window samples per grid step."""
+    s = normalize_samples(df, labels, time_col, value_col)
+    e = explode_steps(s, labels, time_col, range_us, step_us)
+    return e.groupBy(*labels, "t").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(time_col).alias("st"),
+                         F.col(value_col).cast("double").alias("v"))
+            )
+        ).alias("__arr")
+    )
+
+
+def linreg_over_time(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str,
+    value_col: str,
+    range_us: int,
+    step_us: int,
+    mode: str = "deriv",
+    predict_s: float = 0.0,
+) -> DataFrame:
+    """deriv() / predict_linear(): simple least squares over the window.
+
+    Mirrors Prometheus ``linearRegression`` (promql/functions.go:
+    funcDeriv / funcPredictLinear, ref agg_functions.go:233-455): sums are
+    accumulated SEQUENTIALLY in time order over x relative to the
+    intercept time — deriv anchors at the first sample, predict_linear at
+    the evaluation timestamp — and an all-constant window short-circuits
+    to slope 0 / intercept y. The fold runs JVM-side over the sorted
+    window array, so accumulation order (and therefore every last bit)
+    matches the reference's loop.
+    """
+    g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us)
+    ref = "element_at(__arr, 1).st" if mode == "deriv" else "t"
+    fold = (
+        "aggregate(__arr,"
+        " named_struct('n', 0D, 'sx', 0D, 'sy', 0D, 'sxy', 0D, 'sx2', 0D,"
+        "              'iy', cast(null as double), 'cst', true),"
+        " (s, p) -> named_struct("
+        f"   'n', s.n + 1D,"
+        f"   'sx', s.sx + (p.st - {ref}) / 1e6,"
+        "    'sy', s.sy + p.v,"
+        f"   'sxy', s.sxy + (p.st - {ref}) / 1e6 * p.v,"
+        f"   'sx2', s.sx2 + (p.st - {ref}) / 1e6 * ((p.st - {ref}) / 1e6),"
+        "    'iy', coalesce(s.iy, p.v),"
+        "    'cst', s.cst and p.v = coalesce(s.iy, p.v)),"
+        " s -> s)"
+    )
+    g = g.withColumn("__s", F.expr(fold)).filter(F.size("__arr") >= 2)
+    s = F.col("__s")
+    cov = s["sxy"] - s["sx"] * s["sy"] / s["n"]
+    var = s["sx2"] - s["sx"] * s["sx"] / s["n"]
+    slope = F.when(s["cst"], F.lit(0.0)).otherwise(cov / var)
+    if mode == "deriv":
+        out_col = slope
+    else:
+        intercept = F.when(s["cst"], s["iy"]).otherwise(
+            s["sy"] / s["n"] - slope * s["sx"] / s["n"]
+        )
+        out_col = intercept + slope * F.lit(float(predict_s))
+    return g.select(*labels, "t", out_col.alias("value"))
+
+
+def holt_winters_prom(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str,
+    value_col: str,
+    range_us: int,
+    step_us: int,
+    sf: float,
+    tf: float,
+) -> DataFrame:
+    """holt_winters(v[d], sf, tf): Prometheus double exponential smoothing
+    (promql/functions.go funcHoltWinters; reference reducer
+    engine/prom_function_reducers.go): s1 seeds at the first sample, the
+    trend seeds at the first difference, and the smoothed LAST value of
+    the window is emitted. Same-order JVM fold — bit-compatible with the
+    reference loop."""
+    g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us)
+    # bare decimal literals parse as DECIMAL in Spark SQL — cast to double
+    SF = f"cast({sf!r} as double)"
+    TF = f"cast({tf!r} as double)"
+    fold = (
+        "aggregate(slice(__arr, 3, greatest(size(__arr) - 2, 0)),"
+        " named_struct("
+        "   's0', element_at(__arr, 1).v,"
+        f"  's1', {SF} * element_at(__arr, 2).v"
+        f"        + (1D - {SF}) * (element_at(__arr, 1).v"
+        "           + (element_at(__arr, 2).v - element_at(__arr, 1).v)),"
+        "   'b', element_at(__arr, 2).v - element_at(__arr, 1).v),"
+        " (s, p) -> named_struct("
+        "   's0', s.s1,"
+        f"  's1', {SF} * p.v + (1D - {SF})"
+        f"        * (s.s1 + ({TF} * (s.s1 - s.s0) + (1D - {TF}) * s.b)),"
+        f"  'b', {TF} * (s.s1 - s.s0) + (1D - {TF}) * s.b),"
+        " s -> s.s1)"
+    )
+    return (
+        g.filter(F.size("__arr") >= 2)
+        .select(*labels, "t", F.expr(fold).alias("value"))
+    )

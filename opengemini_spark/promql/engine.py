@@ -239,6 +239,23 @@ class Engine:
                 rv.samples, rv.labels, "tu", "value", rng_us, self.step_us
             )
             out = out.select(*rv.labels, "t", F.col(name).alias("value"))
+        elif name == "deriv":
+            out = prom.linreg_over_time(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                mode="deriv",
+            )
+        elif name == "predict_linear":
+            dur = call.args[1].value
+            out = prom.linreg_over_time(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                mode="predict", predict_s=float(dur),
+            )
+        elif name == "holt_winters":
+            sf, tf = call.args[1].value, call.args[2].value
+            out = prom.holt_winters_prom(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                sf=float(sf), tf=float(tf),
+            )
         else:
             raise ValueError(f"PromQL: unsupported function {name}")
         return _Vector(self._clip(out), rv.labels)

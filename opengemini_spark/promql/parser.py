@@ -110,6 +110,7 @@ FUNCS = {
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "abs", "clamp_min", "clamp_max",
     "histogram_quantile", "round", "floor", "ceil", "scalar",
+    "deriv", "predict_linear", "holt_winters",
 }
 
 # Inf/NaN are number literals in PromQL's lexer (promql/parser/lex.go

@@ -420,3 +420,117 @@ def q_prom_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "t", F.col("value").alias("q90"))
     )
+
+
+# ---------------------------------------------------------------------------
+# linear-regression-over-range family (agg_functions.go:233-455; reducers in
+# engine/prom_function_reducers.go). Oracles replicate the sequential fold
+# with a recursive CTE in the same accumulation order → bit-identical.
+# ---------------------------------------------------------------------------
+
+_LINREG_REC = _EXPLODE_CTE.replace("WITH s AS", "WITH RECURSIVE s AS") + """
+    , o AS (
+      SELECT event_type, t, tu, value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type, t) AS cnt,
+             first_value(tu) OVER w AS t0
+      FROM e WINDOW w AS (PARTITION BY event_type, t ORDER BY tu)
+    ), rec AS (
+      SELECT event_type, t, rn, cnt, t0,
+             CAST(1 AS DOUBLE) AS n,
+             (tu - __REF__) / 1e6 AS sx,
+             value AS sy,
+             (tu - __REF__) / 1e6 * value AS sxy,
+             ((tu - __REF__) / 1e6) * ((tu - __REF__) / 1e6) AS sx2,
+             value AS iy, true AS cst
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.t, o.rn, o.cnt, r.t0,
+             r.n + 1,
+             r.sx + (o.tu - __REF2__) / 1e6,
+             r.sy + o.value,
+             r.sxy + (o.tu - __REF2__) / 1e6 * o.value,
+             r.sx2 + ((o.tu - __REF2__) / 1e6) * ((o.tu - __REF2__) / 1e6),
+             r.iy, r.cst AND o.value = r.iy
+      FROM o JOIN rec r ON o.event_type = r.event_type AND o.t = r.t
+                       AND o.rn = r.rn + 1
+    )
+"""
+
+
+@register(
+    "prom_deriv",
+    _LINREG_REC.replace("__REF__", "t0").replace("__REF2__", "r.t0")
+    + """
+    SELECT event_type, t,
+           CASE WHEN cst THEN 0.0
+                ELSE (sxy - sx * sy / n) / (sx2 - sx * sx / n) END AS value
+    FROM rec WHERE rn = cnt AND cnt >= 2
+    """,
+)
+def q_prom_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    return prom.linreg_over_time(
+        ev, ["event_type"], "tu", "value", RANGE_US, STEP_US, mode="deriv"
+    )
+
+
+@register(
+    "prom_predict_linear",
+    _LINREG_REC.replace("__REF__", "t").replace("__REF2__", "o.t")
+    + """
+    SELECT event_type, t,
+           CASE WHEN cst THEN iy
+                ELSE sy / n - ((sxy - sx * sy / n) / (sx2 - sx * sx / n))
+                       * sx / n END
+             + CASE WHEN cst THEN 0.0
+                    ELSE (sxy - sx * sy / n) / (sx2 - sx * sx / n) END
+               * CAST(3600 AS DOUBLE) AS value
+    FROM rec WHERE rn = cnt AND cnt >= 2
+    """,
+)
+def q_prom_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    return prom.linreg_over_time(
+        ev, ["event_type"], "tu", "value", RANGE_US, STEP_US,
+        mode="predict", predict_s=3600.0,
+    )
+
+
+@register(
+    "prom_holt_winters",
+    _EXPLODE_CTE.replace("WITH s AS", "WITH RECURSIVE s AS") + """
+    , o AS (
+      SELECT event_type, t, tu, value,
+             row_number() OVER (PARTITION BY event_type, t ORDER BY tu) AS rn,
+             count(*) OVER (PARTITION BY event_type, t) AS cnt
+      FROM e
+    ), seed AS (
+      SELECT a.event_type, a.t, CAST(2 AS BIGINT) AS rn, a.cnt,
+             a.value AS s0,
+             CAST(0.5 AS DOUBLE) * b.value
+               + CAST(0.5 AS DOUBLE) * (a.value + (b.value - a.value)) AS s1,
+             b.value - a.value AS b
+      FROM o a JOIN o b ON a.event_type = b.event_type AND a.t = b.t
+                       AND a.rn = 1 AND b.rn = 2
+    ), rec AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT o.event_type, o.t, o.rn, o.cnt,
+             r.s1,
+             CAST(0.5 AS DOUBLE) * o.value + CAST(0.5 AS DOUBLE)
+               * (r.s1 + (CAST(0.5 AS DOUBLE) * (r.s1 - r.s0)
+                          + CAST(0.5 AS DOUBLE) * r.b)),
+             CAST(0.5 AS DOUBLE) * (r.s1 - r.s0)
+               + CAST(0.5 AS DOUBLE) * r.b
+      FROM o JOIN rec r ON o.event_type = r.event_type AND o.t = r.t
+                       AND o.rn = r.rn + 1
+    )
+    SELECT event_type, t, s1 AS value FROM rec WHERE rn = cnt AND cnt >= 2
+    """,
+)
+def q_prom_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    return prom.holt_winters_prom(
+        ev, ["event_type"], "tu", "value", RANGE_US, STEP_US, sf=0.5, tf=0.5
+    )

@@ -281,3 +281,64 @@ def test_scalar_scalar_constant_fold(spark, sf_dir, registry):
     got = {(r["t"], r["value"]) for r in df.collect()}
     want = {(r["t"], r["value"]) for r in base.collect()}
     assert got == want and got
+
+
+def _one_series(spark, pts):
+    US = 1_000_000
+    rows = [(t * US, float(v), "a") for t, v in pts]
+    return spark.createDataFrame(rows, ["tu", "value", "job"])
+
+
+def test_deriv_least_squares(spark):
+    """deriv: per-second least-squares slope; window is (t-range, t]."""
+    from opengemini_spark.operators import prom
+    US = 1_000_000
+    df = _one_series(spark, [(0, 0), (60, 10), (120, 20), (180, 40)])
+    out = prom.linreg_over_time(
+        df, ["job"], "tu", "value", 300 * US, 300 * US, mode="deriv"
+    ).collect()
+    # samples at 60/120/180 (t=0 is outside the left-open window):
+    # x=0,60,120  y=10,20,40 → slope = 1800/7200
+    assert [(r["t"] // US, r["value"]) for r in out] == [(300, 0.25)]
+
+
+def test_predict_linear_anchored_at_eval_time(spark):
+    from opengemini_spark.operators import prom
+    US = 1_000_000
+    df = _one_series(spark, [(0, 0), (60, 10), (120, 20), (180, 40)])
+    out = prom.linreg_over_time(
+        df, ["job"], "tu", "value", 300 * US, 300 * US,
+        mode="predict", predict_s=600.0,
+    ).collect()
+    # x rel eval(300s): -240,-180,-120; intercept 68.33…; +slope·600
+    assert out[0]["value"] == pytest.approx(218.33333333333331)
+
+
+def test_holt_winters_prom_recurrence(spark):
+    from opengemini_spark.operators import prom
+    US = 1_000_000
+    df = _one_series(spark, [(60, 10), (120, 20), (180, 40)])
+    out = prom.holt_winters_prom(
+        df, ["job"], "tu", "value", 300 * US, 300 * US, sf=0.5, tf=0.5
+    ).collect()
+    # Prometheus loop over [10,20,40] with sf=tf=0.5 → 35.0
+    assert out[0]["value"] == 35.0
+
+
+def test_deriv_constant_series_is_zero(spark):
+    from opengemini_spark.operators import prom
+    US = 1_000_000
+    df = _one_series(spark, [(60, 7), (120, 7), (180, 7)])
+    out = prom.linreg_over_time(
+        df, ["job"], "tu", "value", 300 * US, 300 * US, mode="deriv"
+    ).collect()
+    assert [r["value"] for r in out] == [0.0]
+
+
+def test_deriv_via_query_range(spark, sf_dir, registry):
+    df = query_range(
+        spark, sf_dir, registry,
+        'deriv(events_value{event_type="error"}[12h])',
+        START, START + 4 * 86400, STEP,
+    )
+    assert df.count() > 0 and set(df.columns) == {"event_type", "t", "value"}
