@@ -438,6 +438,8 @@ class Planner:
     # the Arrow-batched per-series operators in operators/recursive.py
     _RECURSIVE = (
         "exponential_moving_average", "double_exponential_moving_average",
+        "triple_exponential_moving_average", "triple_exponential_derivative",
+        "relative_strength_index",
         "kaufmans_adaptive_moving_average", "chande_momentum_oscillator",
         "holt_winters", "holt_winters_with_fit",
     )
@@ -635,15 +637,25 @@ class Planner:
             return out.limit(stmt.limit) if stmt.limit else out
 
         if name in ("exponential_moving_average",
-                    "double_exponential_moving_average"):
+                    "double_exponential_moving_average",
+                    "triple_exponential_moving_average",
+                    "triple_exponential_derivative"):
             n = int(outer.args[1].value)
             alpha = 2.0 / (n + 1.0)
-            if name == "exponential_moving_average":
-                res, col = rec.exponential_moving_average(
-                    src, tags, ["time"], "__v", alpha
-                ), "ema"
-            else:
-                res, col = rec.double_ema(src, tags, ["time"], "__v", alpha), "dema"
+            fn, col = {
+                "exponential_moving_average":
+                    (rec.exponential_moving_average, "ema"),
+                "double_exponential_moving_average": (rec.double_ema, "dema"),
+                "triple_exponential_moving_average": (rec.triple_ema, "tema"),
+                "triple_exponential_derivative":
+                    (rec.triple_exponential_derivative, "trix"),
+            }[name]
+            res = fn(src, tags, ["time"], "__v", alpha)
+        elif name == "relative_strength_index":
+            n = int(outer.args[1].value)
+            res, col = rec.relative_strength_index(
+                src, tags, ["time"], "__v", n
+            ), "rsi"
         elif name == "kaufmans_adaptive_moving_average":
             n = int(outer.args[1].value)
             res, col = rec.kaufman_adaptive_ma(src, tags, ["time"], "__v", n), "kama"

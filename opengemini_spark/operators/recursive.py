@@ -305,3 +305,99 @@ def double_ema(
         return pd.DataFrame({"dema": [2.0 * u - w for u, w in zip(e1, e2)]})
 
     return _apply_recurrence(df, series_cols, order_cols, value_col, ["dema"], dema)
+
+
+def triple_ema(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """TEMA (triple_exponential_moving_average, compile.go:810-815):
+    3·EMA(x) − 3·EMA²(x) + EMA³(x) — three chained recurrences in one
+    Arrow pass; the oracle chains three recursive CTEs."""
+    a, b = alpha, 1.0 - alpha
+
+    def _chain(xs: list[float]) -> list[float]:
+        out: list[float] = []
+        prev = None
+        for v in xs:
+            prev = v if prev is None else a * v + b * prev
+            out.append(prev)
+        return out
+
+    def tema(x: pd.Series) -> pd.DataFrame:
+        e1 = _chain(list(x))
+        e2 = _chain(e1)
+        e3 = _chain(e2)
+        return pd.DataFrame(
+            {"tema": [3.0 * u - 3.0 * v + w for u, v, w in zip(e1, e2, e3)]}
+        )
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["tema"], tema)
+
+
+def triple_exponential_derivative(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """TRIX (triple_exponential_derivative): 1-step percent change of the
+    triple-smoothed EMA, emitted from the second point:
+    trix_i = (e3_i / e3_{i−1} − 1)·100."""
+    a, b = alpha, 1.0 - alpha
+
+    def _chain(xs: list[float]) -> list[float]:
+        out: list[float] = []
+        prev = None
+        for v in xs:
+            prev = v if prev is None else a * v + b * prev
+            out.append(prev)
+        return out
+
+    def trix(x: pd.Series) -> pd.DataFrame:
+        e3 = _chain(_chain(_chain(list(x))))
+        vals: list[float | None] = [None]
+        for i in range(1, len(e3)):
+            vals.append((e3[i] / e3[i - 1] - 1.0) * 100.0)
+        return pd.DataFrame({"trix": vals})
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["trix"], trix)
+
+
+def relative_strength_index(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+) -> DataFrame:
+    """RSI (relative_strength_index): Wilder's smoothing. The first
+    average gain/loss is the simple mean of the first n diffs; then
+    avg_i = (avg_{i−1}·(n−1) + cur_i)/n, RSI = 100 − 100/(1 + gain/loss).
+    Emitted from the (n+1)-th point; an all-gain window is RSI 100."""
+
+    def rsi(x: pd.Series) -> pd.DataFrame:
+        vals = list(x)
+        out: list[float | None] = [None] * len(vals)
+        if len(vals) <= n:
+            return pd.DataFrame({"rsi": out})
+        gains = [0.0] * len(vals)
+        losses = [0.0] * len(vals)
+        for i in range(1, len(vals)):
+            d = vals[i] - vals[i - 1]
+            gains[i] = d if d > 0 else 0.0
+            losses[i] = -d if d < 0 else 0.0
+        ag = sum(gains[1 : n + 1]) / n
+        al = sum(losses[1 : n + 1]) / n
+        out[n] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+        for i in range(n + 1, len(vals)):
+            ag = (ag * (n - 1) + gains[i]) / n
+            al = (al * (n - 1) + losses[i]) / n
+            out[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+        return pd.DataFrame({"rsi": out})
+
+    return _apply_recurrence(df, series_cols, order_cols, value_col, ["rsi"], rsi)

@@ -286,3 +286,107 @@ def q_double_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["time_us", "event_id"], "value", EMA_ALPHA
     )
     return out.select("user_id", "rn", "dema")
+
+
+_EMA3_CTES = _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered") + f"""
+    , ema AS (
+      -- single recursion carrying all three smoothing levels: chained
+      -- recursive CTEs re-evaluate per iteration in DuckDB (quadratic+),
+      -- carrying (e1,e2,e3) in one working table is linear. e2/e3 inline
+      -- the same-row e1/e2 expressions -- identical IEEE values.
+      SELECT user_id, rn, value AS e1, value AS e2, value AS e3
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CAST({EMA_ALPHA} AS DOUBLE) * o.value
+               + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e1,
+             CAST({EMA_ALPHA} AS DOUBLE)
+               * (CAST({EMA_ALPHA} AS DOUBLE) * o.value
+                  + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e1)
+               + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e2,
+             CAST({EMA_ALPHA} AS DOUBLE)
+               * (CAST({EMA_ALPHA} AS DOUBLE)
+                  * (CAST({EMA_ALPHA} AS DOUBLE) * o.value
+                     + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e1)
+                  + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e2)
+               + CAST({1.0 - EMA_ALPHA} AS DOUBLE) * e.e3
+      FROM ordered o JOIN ema e ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+"""
+
+
+@register(
+    "transform_triple_ema",
+    # TEMA = 3·e1 − 3·e2 + e3 (compile.go:810-815); α = 0.25 binary-exact
+    _EMA3_CTES + """
+    SELECT user_id, rn, 3.0 * e1 - 3.0 * e2 + e3 AS tema FROM ema
+    """,
+)
+def q_triple_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.triple_ema(
+        ev, ["user_id"], ["time_us", "event_id"], "value", EMA_ALPHA
+    )
+    return out.select("user_id", "rn", "tema")
+
+
+@register(
+    "transform_trix",
+    # TRIX: 1-step % change of the triple EMA, from the 2nd point
+    _EMA3_CTES + """
+    SELECT a.user_id, a.rn,
+           (a.e3 / b.e3 - 1.0) * 100.0 AS trix
+    FROM ema a JOIN ema b ON a.user_id = b.user_id AND a.rn = b.rn + 1
+    """,
+)
+def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.triple_exponential_derivative(
+        ev, ["user_id"], ["time_us", "event_id"], "value", EMA_ALPHA
+    )
+    return out.filter(F.col("trix").isNotNull()).select("user_id", "rn", "trix")
+
+
+RSI_N = 14
+
+
+@register(
+    "transform_rsi",
+    # Wilder RSI: seed = simple mean of the first n diffs, then
+    # avg = (avg·(n−1) + cur)/n; 100 − 100/(1 + g/l)
+    _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered") + f"""
+    , d AS (
+      SELECT user_id, rn,
+             CASE WHEN value - lag(value) OVER w > 0
+                  THEN value - lag(value) OVER w ELSE 0.0 END AS gain,
+             CASE WHEN value - lag(value) OVER w < 0
+                  THEN -(value - lag(value) OVER w) ELSE 0.0 END AS loss
+      FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), seedsum AS (
+      -- sequential seed sums in rn order (matches Python's sum())
+      SELECT user_id, rn, gain AS sg, loss AS sl FROM d WHERE rn = 2
+      UNION ALL
+      SELECT x.user_id, x.rn, s.sg + x.gain, s.sl + x.loss
+      FROM d x JOIN seedsum s ON x.user_id = s.user_id AND x.rn = s.rn + 1
+      WHERE x.rn <= {RSI_N + 1}
+    ), rec AS (
+      SELECT user_id, rn, sg / {RSI_N} AS ag, sl / {RSI_N} AS al
+      FROM seedsum WHERE rn = {RSI_N + 1}
+      UNION ALL
+      SELECT x.user_id, x.rn,
+             (r.ag * {RSI_N - 1} + x.gain) / {RSI_N},
+             (r.al * {RSI_N - 1} + x.loss) / {RSI_N}
+      FROM d x JOIN rec r ON x.user_id = r.user_id AND x.rn = r.rn + 1
+    )
+    SELECT user_id, rn,
+           CASE WHEN al = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+    FROM rec
+    """,
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.relative_strength_index(
+        ev, ["user_id"], ["time_us", "event_id"], "value", RSI_N
+    )
+    return out.filter(F.col("rsi").isNotNull()).select("user_id", "rn", "rsi")

@@ -417,3 +417,41 @@ def test_ema_text_path_alpha(spark):
         loader=lambda m: df,
     ).collect()
     assert [r[1] for r in out] == [4.0, 6.0, 5.0]
+
+
+def test_ema_long_tail_text_path(spark):
+    """TEMA/TRIX/RSI reachable from the query string (compile.go:810-815)."""
+    rows = [(i * 1_000_000_000, float(v)) for i, v in
+            enumerate([1, 2, 3, 4, 5, 6, 4, 2, 1, 3, 5, 7, 9, 8, 6, 4])]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    tema = query(
+        spark, None,
+        "SELECT triple_exponential_moving_average(mean(value), 3) FROM m GROUP BY time(1s)",
+        loader=lambda m: df,
+    ).collect()
+    # first point: all three EMA levels seed at x1 → TEMA = 3x−3x+x = x
+    assert tema[0][1] == 1.0 and len(tema) == 16
+
+    trix = query(
+        spark, None,
+        "SELECT triple_exponential_derivative(mean(value), 3) FROM m GROUP BY time(1s)",
+        loader=lambda m: df,
+    ).collect()
+    assert len(trix) == 15  # first point dropped
+
+    rsi = query(
+        spark, None,
+        "SELECT relative_strength_index(mean(value), 3) FROM m GROUP BY time(1s)",
+        loader=lambda m: df,
+    ).collect()
+    assert len(rsi) == 13   # emitted from the (n+1)-th point
+    assert all(0.0 <= r[1] <= 100.0 for r in rsi)
+
+
+def test_rsi_all_gains_is_100(spark):
+    from opengemini_spark.operators import recursive as rec
+    rows = [(i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["t", "value"])
+    out = rec.relative_strength_index(df, [], ["t"], "value", 3)
+    vals = [r["rsi"] for r in out.collect() if r["rsi"] is not None]
+    assert vals and all(v == 100.0 for v in vals)
