@@ -191,8 +191,11 @@ def test_corpus_eval_instant(spark, sf_dir):
         n_pass += counters[0]
         n_skip += counters[1]
     assert not failures, f"{len(failures)} corpus mismatches; first: {failures[0]}"
-    # the supported subset must cover a meaningful share of the corpus
-    assert n_pass >= 60, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
+    # r2: the full corpus evaluates (80 pass / 0 skip) — NaN/Inf literals
+    # and constant scalar() arithmetic all supported; keep the floor tight
+    # so a regression in any of them fails loudly
+    assert n_pass >= 80, f"only {n_pass} corpus cases passed ({n_skip} skipped)"
+    assert n_skip == 0, f"{n_skip} corpus cases skipped"
 
 
 def _sample_eq(got: float, exp: float) -> bool:
