@@ -13,7 +13,7 @@ without the HTTP server (reference: ``httpd/handler.go:1160 serveQuery``,
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from opengemini_spark import storage
 from opengemini_spark.influxql import parse, to_influx_json
@@ -55,10 +55,13 @@ def handle_query(
         try:
             if ddl is not None:
                 first = stmt_text.split(None, 1)[0].lower()
-                if first in ("create", "drop", "delete") or (
+                if first in (
+                    "create", "drop", "delete", "alter", "kill",
+                    "grant", "revoke",
+                ) or (
                     first == "show"
                     and stmt_text.lower().split()[1]
-                    in ("databases", "retention")
+                    in ("databases", "retention", "users", "queries", "grants")
                 ):
                     out = ddl.execute(stmt_text)
                     out["statement_id"] = i
@@ -140,15 +143,21 @@ def handle_query(
                 [t for t in stmt.group_tags if t in df.columns]
                 if isinstance(stmt, iast.SelectStatement) else []
             )
-            body = to_influx_json(
-                df,
-                measurement,
-                tag_cols=tag_cols,
-                epoch=epoch,
-                order_desc=bool(getattr(stmt, "order_desc", False)),
-                chunk_size=chunk_size,
-                max_rows=max_row_limit,
-            )
+            from opengemini_spark import querytrack
+
+            qid = querytrack.attach(spark, stmt_text)
+            try:
+                body = to_influx_json(
+                    df,
+                    measurement,
+                    tag_cols=tag_cols,
+                    epoch=epoch,
+                    order_desc=bool(getattr(stmt, "order_desc", False)),
+                    chunk_size=chunk_size,
+                    max_rows=max_row_limit,
+                )
+            finally:
+                querytrack.detach(spark, qid)
             block = body["results"][0]
             block["statement_id"] = i
             results.append(block)
@@ -201,3 +210,114 @@ def handle_prom_query_range(
         return to_prom_matrix(df, metric, labels)
     except (SyntaxError, ValueError, KeyError, AssertionError) as e:
         return {"status": "error", "errorType": "bad_data", "error": str(e)}
+
+
+def _prompb_decode(body: bytes) -> list[dict]:
+    """Decode a snappy-compressed prompb.WriteRequest into
+    [{"labels": {...}, "samples": [[ms, value], …]}, …].
+
+    The wire decode needs python-snappy + protobuf stubs, which this
+    container does not ship — the HTTP layer plugs them in here. The
+    Spark-side pipeline below consumes the decoded form directly.
+    """
+    try:
+        import snappy  # noqa: F401
+        import prompb  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "prompb wire decode requires python-snappy + prometheus protobufs"
+        ) from e
+    raise NotImplementedError("prompb wire decode not wired")
+
+
+def handle_prom_write(
+    spark: SparkSession,
+    timeseries: list[dict],
+    data_root: str,
+) -> dict:
+    """``POST /api/v1/prom/write`` (handler.go:333-341, handler_prom.go
+    servePromWrite): each prompb timeseries becomes rows of the
+    measurement named by ``__name__`` — labels as tag columns, sample
+    value as the ``value`` field, ms timestamps widened to ns — then the
+    normal partitioned write path.
+
+    ``timeseries``: decoded WriteRequest entries
+    ``{"labels": {"__name__": m, …}, "samples": [[unix_ms, value], …]}``.
+    """
+    from collections import defaultdict
+
+    by_metric: dict[str, list] = defaultdict(list)
+    label_keys: dict[str, set] = defaultdict(set)
+    for ts in timeseries:
+        labels = dict(ts["labels"])
+        metric = labels.pop("__name__", "prom_untyped")
+        by_metric[metric].append((labels, ts["samples"]))
+        label_keys[metric].update(labels)
+
+    written = {}
+    for metric, series in by_metric.items():
+        keys = sorted(label_keys[metric])
+        rows = [
+            tuple(labels.get(k) for k in keys) + (int(ms) * 1_000_000, float(v))
+            for labels, samples in series
+            for ms, v in samples
+        ]
+        schema = ", ".join(
+            [f"`{k}` string" for k in keys] + ["time_ns long", "value double"]
+        )
+        df = spark.createDataFrame(rows, schema)
+        storage.write_measurement(df, f"{data_root}/{metric}")
+        written[metric] = len(rows)
+    return {"written": written}
+
+
+def handle_prom_read(
+    spark: SparkSession,
+    data_root: str,
+    metric: str,
+    matchers: dict[str, str] | None = None,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> dict:
+    """``POST /api/v1/prom/read`` (handler_prom.go servePromRead): label
+    equality matchers + time range → the stored measurement → a decoded
+    ReadResponse (one timeseries per label-set, samples time-ascending).
+    Matching and grouping run in Spark; only the final per-series emit
+    streams through the driver."""
+    df = storage.read_measurement(spark, f"{data_root}/{metric}").drop(
+        storage.PARTITION_COL
+    )
+    for k, v in (matchers or {}).items():
+        df = df.filter(F.col(k) == v)
+    if start_ms is not None:
+        df = df.filter(F.col("time_ns") >= int(start_ms) * 1_000_000)
+    if end_ms is not None:
+        df = df.filter(F.col("time_ns") <= int(end_ms) * 1_000_000)
+    label_cols = [c for c in df.columns if c not in ("time_ns", "value")]
+
+    out = []
+    key = None
+    for r in (
+        df.orderBy(*[F.col(c).cast("string") for c in label_cols], "time_ns")
+        .toLocalIterator()
+    ):
+        k = tuple(str(r[c]) for c in label_cols)
+        if not out or k != key:
+            key = k
+            out.append(
+                {
+                    "labels": [
+                        {"name": "__name__", "value": metric},
+                        *[
+                            {"name": c, "value": str(r[c])}
+                            for c in label_cols
+                            if r[c] is not None
+                        ],
+                    ],
+                    "samples": [],
+                }
+            )
+        out[-1]["samples"].append(
+            {"value": r["value"], "timestamp": r["time_ns"] // 1_000_000}
+        )
+    return {"results": [{"timeseries": out}]}

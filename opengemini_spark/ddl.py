@@ -45,8 +45,10 @@ class MetaStore:
         self.root.mkdir(parents=True, exist_ok=True)
         self.path = self.root / "_meta.json"
         self.databases: dict[str, Database] = {}
+        self.users: dict[str, dict] = {}
         if self.path.exists():
             raw = json.loads(self.path.read_text())
+            self.users = raw.pop("__users__", {})
             for name, d in raw.items():
                 db = Database(
                     name,
@@ -62,14 +64,18 @@ class MetaStore:
         self.path.write_text(
             json.dumps(
                 {
-                    n: {
-                        "name": d.name,
-                        "retention_policies": {
-                            rn: asdict(rp) for rn, rp in d.retention_policies.items()
-                        },
-                        "measurements": d.measurements,
-                    }
-                    for n, d in self.databases.items()
+                    **{
+                        n: {
+                            "name": d.name,
+                            "retention_policies": {
+                                rn: asdict(rp)
+                                for rn, rp in d.retention_policies.items()
+                            },
+                            "measurements": d.measurements,
+                        }
+                        for n, d in self.databases.items()
+                    },
+                    "__users__": self.users,
                 },
                 indent=1,
             )
@@ -225,6 +231,98 @@ class DDLExecutor:
             ]
         }
 
+    # --- admin surface (statement_executor.go:241-450 dispatch rows) ---
+    def _alter_rp(self, s, m):
+        """ALTER RETENTION POLICY … DURATION … [DEFAULT]."""
+        rp_name, db, dur = m.group(1), m.group(2), m.group(3)
+        d = self.meta.databases[db]
+        if rp_name not in d.retention_policies:
+            raise ValueError(f"retention policy not found: {rp_name}")
+        rp = d.retention_policies[rp_name]
+        rp.duration_ns = _dur_ns(dur)
+        if m.group(4):
+            for other in d.retention_policies.values():
+                other.default = other.name == rp_name
+        self.meta.save()
+        return {"ok": True}
+
+    def _create_measurement(self, s, m):
+        """CREATE MEASUREMENT <name> (columnstore DDL,
+        statement_executor.go CreateMeasurement): pre-registers the
+        measurement in meta so SHOW MEASUREMENTS lists it before first
+        write."""
+        db = next(iter(sorted(self.meta.databases)), None)
+        if db is None:
+            raise ValueError("CREATE MEASUREMENT requires a database")
+        self.register_measurement(db, m.group(1))
+        return {"ok": True}
+
+    def _create_user(self, s, m):
+        name = m.group(1)
+        self.meta.users[name] = {"admin": bool(m.group(2)), "grants": {}}
+        self.meta.save()
+        return {"ok": True}
+
+    def _drop_user(self, s, m):
+        if m.group(1) not in self.meta.users:
+            raise ValueError(f"user not found: {m.group(1)}")
+        del self.meta.users[m.group(1)]
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_users(self, s, m):
+        return {
+            "series": [
+                {
+                    "name": "users",
+                    "columns": ["user", "admin"],
+                    "values": [
+                        [n, u["admin"]] for n, u in sorted(self.meta.users.items())
+                    ],
+                }
+            ]
+        }
+
+    def _grant(self, s, m):
+        priv, db, user = m.group(1), m.group(2), m.group(3)
+        if user not in self.meta.users:
+            raise ValueError(f"user not found: {user}")
+        self.meta.users[user]["grants"][db] = priv
+        self.meta.save()
+        return {"ok": True}
+
+    def _revoke(self, s, m):
+        db, user = m.group(2), m.group(3)
+        if user not in self.meta.users:
+            raise ValueError(f"user not found: {user}")
+        self.meta.users[user]["grants"].pop(db, None)
+        self.meta.save()
+        return {"ok": True}
+
+    def _kill_query(self, s, m):
+        """KILL QUERY <id>: cancel the Spark job group the query runs
+        under — the reference aborts the query's executor DAG the same way
+        (statement_executor.go executeKillQuery)."""
+        qid = int(m.group(1))
+        from opengemini_spark import querytrack
+
+        if not querytrack.kill(self.spark, qid):
+            raise ValueError(f"no such query id: {qid}")
+        return {"ok": True}
+
+    def _show_queries(self, s, m):
+        from opengemini_spark import querytrack
+
+        return {
+            "series": [
+                {
+                    "name": "queries",
+                    "columns": ["qid", "query", "duration_s"],
+                    "values": querytrack.listing(),
+                }
+            ]
+        }
+
     _DISPATCH = [
         (r"create database ([a-z_][a-z0-9_]*)$", _create_db),
         (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
@@ -234,6 +332,11 @@ class DDLExecutor:
             r"duration ([a-z0-9]+)(?: replication \d+)?( default)?$",
             _create_rp,
         ),
+        (
+            r"alter retention policy ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*) "
+            r"duration ([a-z0-9]+)(?: replication \d+)?( default)?$",
+            _alter_rp,
+        ),
         (r"show retention policies on ([a-z_][a-z0-9_]*)$", _show_rps),
         (r"show shards$", _show_shards),
         (r"drop measurement ([a-z_][a-z0-9_]*)$", _drop_measurement),
@@ -241,6 +344,29 @@ class DDLExecutor:
             r"delete from ([a-z_][a-z0-9_]*) where time (<|<=) (\d+)$",
             _delete_where_time,
         ),
+        (
+            r"create measurement ([a-z_][a-z0-9_]*)(?: with .*)?$",
+            _create_measurement,
+        ),
+        (
+            r"create user ([a-z_][a-z0-9_]*) with password '[^']*'"
+            r"( with all privileges)?$",
+            _create_user,
+        ),
+        (r"drop user ([a-z_][a-z0-9_]*)$", _drop_user),
+        (r"show users$", _show_users),
+        (
+            r"grant (read|write|all)(?: privileges)? on ([a-z_][a-z0-9_]*) "
+            r"to ([a-z_][a-z0-9_]*)$",
+            _grant,
+        ),
+        (
+            r"revoke (read|write|all)(?: privileges)? on ([a-z_][a-z0-9_]*) "
+            r"from ([a-z_][a-z0-9_]*)$",
+            _revoke,
+        ),
+        (r"kill query (\d+)$", _kill_query),
+        (r"show queries$", _show_queries),
     ]
 
     def register_measurement(self, db: str, name: str) -> None:

@@ -133,3 +133,45 @@ def test_chunked_emission_and_max_row_limit(spark, sf_dir):
     cb = capped["results"][0]["series"]
     assert sum(len(b["values"]) for b in cb) == 7
     assert cb[-1]["partial"] is True
+
+
+def test_prom_remote_write_read_roundtrip(spark, tmp_path):
+    """prom write → partitioned storage → prom read (handler_prom.go
+    servePromWrite/servePromRead decoded-form semantics)."""
+    from opengemini_spark.api import handle_prom_read, handle_prom_write
+
+    root = str(tmp_path / "promdata")
+    ts = [
+        {"labels": {"__name__": "http_req", "job": "api", "inst": "a"},
+         "samples": [[1000, 1.0], [2000, 2.0]]},
+        {"labels": {"__name__": "http_req", "job": "api", "inst": "b"},
+         "samples": [[1500, 5.0]]},
+        {"labels": {"__name__": "mem_used", "job": "api"},
+         "samples": [[1000, 9.0]]},
+    ]
+    out = handle_prom_write(spark, ts, root)
+    assert out["written"] == {"http_req": 3, "mem_used": 1}
+
+    got = handle_prom_read(spark, root, "http_req",
+                           matchers={"job": "api"})
+    series = got["results"][0]["timeseries"]
+    assert len(series) == 2
+    a = next(s for s in series
+             if {"name": "inst", "value": "a"} in s["labels"])
+    assert [x["value"] for x in a["samples"]] == [1.0, 2.0]
+    assert [x["timestamp"] for x in a["samples"]] == [1000, 2000]
+
+    # time-range + matcher filtering
+    got2 = handle_prom_read(spark, root, "http_req",
+                            matchers={"inst": "b"}, start_ms=0, end_ms=1600)
+    s2 = got2["results"][0]["timeseries"]
+    assert len(s2) == 1 and s2[0]["samples"] == [
+        {"value": 5.0, "timestamp": 1500}
+    ]
+
+
+def test_prompb_wire_decode_is_declared_stub(spark):
+    from opengemini_spark.api import _prompb_decode
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        _prompb_decode(b"\x00")

@@ -74,3 +74,47 @@ def test_show_shards(ddl, spark, sf_dir):
     assert rows and all(r[0] == "shdb" and r[1] == "events" for r in rows)
     days = [r[2] for r in rows]
     assert days == sorted(days) and len(days) > 1
+
+
+def test_admin_surface(ddl, spark):
+    """CREATE/ALTER RP, CREATE MEASUREMENT, users/GRANT/REVOKE, KILL QUERY
+    (statement_executor.go:241-450 dispatch rows)."""
+    ddl.execute("CREATE DATABASE adm")
+    ddl.execute("CREATE RETENTION POLICY rp1 ON adm DURATION 1d")
+    ddl.execute("ALTER RETENTION POLICY rp1 ON adm DURATION 12h DEFAULT")
+    rps = ddl.execute("SHOW RETENTION POLICIES ON adm")["series"][0]["values"]
+    row = next(r for r in rps if r[0] == "rp1")
+    assert row[1] == 12 * 3600 * 10**9 and row[3] is True
+
+    ddl.execute("CREATE MEASUREMENT cpu_pre")
+    assert "cpu_pre" in ddl.meta.databases["adm"].measurements
+
+    ddl.execute("CREATE USER alice WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
+    ddl.execute("CREATE USER bob WITH PASSWORD 'pw'")
+    ddl.execute("GRANT READ ON adm TO bob")
+    users = ddl.execute("SHOW USERS")["series"][0]["values"]
+    assert ["alice", True] in users and ["bob", False] in users
+    assert ddl.meta.users["bob"]["grants"] == {"adm": "read"}
+    ddl.execute("REVOKE READ ON adm FROM bob")
+    assert ddl.meta.users["bob"]["grants"] == {}
+    ddl.execute("DROP USER bob")
+    assert "bob" not in ddl.meta.users
+
+    # users survive a MetaStore reload
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+    re2 = DDLExecutor(ddl.spark, MetaStore(str(ddl.meta.root)))
+    assert "alice" in re2.meta.users
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no such query id"):
+        ddl.execute("KILL QUERY 99999")
+
+
+def test_show_and_kill_query_registry(ddl, spark):
+    from opengemini_spark import querytrack
+    qid = querytrack.attach(spark, "SELECT fake")
+    rows = ddl.execute("SHOW QUERIES")["series"][0]["values"]
+    assert any(r[0] == qid and r[1] == "SELECT fake" for r in rows)
+    assert ddl.execute(f"KILL QUERY {qid}") == {"ok": True}
+    rows2 = ddl.execute("SHOW QUERIES")["series"][0]["values"]
+    assert not any(r[0] == qid for r in rows2)
