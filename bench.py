@@ -40,6 +40,15 @@ HEADLINE = [
     "prom_rate_extrapolated",
     "transform_ema",
     "influxql_window_agg_fill",
+    # r2 additions: blocked exact all-pairs (replaces the r1 crossJoin),
+    # hyperplane-LSH near-dup in its design regime (high threshold, planted
+    # exact dups — the t=0.45 variant degenerates to ~all-pairs candidates
+    # by design and is gated at sf0.01 instead), least-squares range
+    # function, text-path EMA
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_highthr",
+    "prom_deriv",
+    "influxql_func_ema",
 ]
 
 

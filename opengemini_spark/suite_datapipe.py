@@ -573,3 +573,26 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_lsh_highthr",
+    # LSH in its design regime (near-dup threshold): corpus = embeddings ∪
+    # an identical copy shifted by +100000 ids → exactly one planted pair
+    # per vector at cosine 1.0 (x/(√x·√x) rounds to 1.0). With 8 bands ×
+    # 16 bits, planted pairs always collide (identical signatures) and
+    # random pairs almost never do — candidates stay ~n, not n².
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+    FROM embeddings
+    """,
+)
+def q_dedup_embedding_lsh_highthr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copy)
+    return similarity.lsh_near_dups(
+        corpus, threshold=0.99, bands=8, rows_per_band=16
+    )
