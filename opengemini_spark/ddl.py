@@ -270,6 +270,21 @@ class DDLExecutor:
         self.meta.save()
         return {"ok": True}
 
+    def _show_grants(self, s, m):
+        user = m.group(1)
+        if user not in self.meta.users:
+            raise ValueError(f"user not found: {user}")
+        grants = self.meta.users[user]["grants"]
+        return {
+            "series": [
+                {
+                    "name": "grants",
+                    "columns": ["database", "privilege"],
+                    "values": [[db, p] for db, p in sorted(grants.items())],
+                }
+            ]
+        }
+
     def _show_users(self, s, m):
         return {
             "series": [
@@ -355,6 +370,7 @@ class DDLExecutor:
         ),
         (r"drop user ([a-z_][a-z0-9_]*)$", _drop_user),
         (r"show users$", _show_users),
+        (r"show grants for ([a-z_][a-z0-9_]*)$", _show_grants),
         (
             r"grant (read|write|all)(?: privileges)? on ([a-z_][a-z0-9_]*) "
             r"to ([a-z_][a-z0-9_]*)$",

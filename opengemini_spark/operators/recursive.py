@@ -175,9 +175,13 @@ def kaufman_adaptive_ma(
 ) -> DataFrame:
     """KAMA: efficiency-ratio-adaptive EMA (kaufmans_adaptive_moving_average).
 
-    er_i = |x_i − x_{i−n}| / Σ|x_j − x_{j−1}| over the window;
+    er_i = |Δₙx|ᶜ / Σ|Δx|ᶜ over the window — the deltas are quantized to
+    integer cents (ᶜ) before summation, the same reproducibility decision
+    as chande_momentum: int64 sums are exact in ANY order, so the oracle's
+    window aggregates match bit-for-bit while float window sums would
+    depend on each engine's aggregation tree.
     sc_i = (er·(2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²;
-    kama_i = kama_{i−1} + sc_i·(x_i − kama_{i−1}), seeded at x_n.
+    kama_i = kama_{i−1} + sc_i·(x_i − kama_{i−1}), seeded at x_{n−1}.
     Emitted from position n+1 (rn > n).
     """
     fsc, ssc = 2.0 / (fast + 1), 2.0 / (slow + 1)
@@ -192,10 +196,14 @@ def kaufman_adaptive_ma(
                 continue
             if prev is None:
                 prev = vals[i - 1] if i > 0 else v
-            change = abs(v - vals[i - n])
-            vol = sum(abs(vals[j] - vals[j - 1]) for j in range(i - n + 1, i + 1))
+            change = abs(round((v - vals[i - n]) * 100))
+            vol = sum(
+                abs(round((vals[j] - vals[j - 1]) * 100))
+                for j in range(i - n + 1, i + 1)
+            )
             er = change / vol if vol != 0 else 0.0
-            sc = (er * (fsc - ssc) + ssc) ** 2
+            t = er * (fsc - ssc) + ssc
+            sc = t * t
             prev = prev + sc * (v - prev)
             out.append(prev)
         return pd.DataFrame({"kama": out})

@@ -133,15 +133,55 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("transform_kama", None)  # recursion over float window sums: rows-only check
+KAMA_N = 10
+
+
+@register(
+    "transform_kama",
+    # exact since r2: the efficiency ratio runs on integer-cent deltas
+    # (order-free int64 window sums), leaving only the kama recurrence to
+    # the recursive CTE — bit-identical, no rounding needed
+    _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered") + f"""
+    , d AS (
+      SELECT user_id, rn, value,
+             abs(CAST(round((value - lag(value) OVER w) * 100) AS BIGINT))
+               AS dc,
+             lag(value, 1) OVER w AS pv,
+             lag(value, {KAMA_N}) OVER w AS pnv
+      FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), er AS (
+      SELECT user_id, rn, value, pv,
+             abs(CAST(round((value - pnv) * 100) AS BIGINT)) AS change_c,
+             sum(dc) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN {KAMA_N - 1} PRECEDING AND CURRENT ROW)
+               AS vol_c
+      FROM d
+    ), tt AS (
+      -- t*t (not power(t,2)): libm pow need not equal the multiplication
+      SELECT user_id, rn, value, pv,
+             (CASE WHEN vol_c = 0 THEN 0.0
+                   ELSE change_c / CAST(vol_c AS DOUBLE) END)
+               * (CAST(2 AS DOUBLE) / 3 - CAST(2 AS DOUBLE) / 31)
+               + CAST(2 AS DOUBLE) / 31 AS t
+      FROM er WHERE rn > {KAMA_N}
+    ), sc AS (
+      SELECT user_id, rn, value, pv, t * t AS s FROM tt
+    ), rec AS (
+      SELECT user_id, rn, pv + s * (value - pv) AS kama
+      FROM sc WHERE rn = {KAMA_N + 1}
+      UNION ALL
+      SELECT x.user_id, x.rn, r.kama + x.s * (x.value - r.kama)
+      FROM sc x JOIN rec r ON x.user_id = r.user_id AND x.rn = r.rn + 1
+    )
+    SELECT user_id, rn, kama FROM rec
+    """,
+)
 def q_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir)
     out = rec.kaufman_adaptive_ma(
-        ev, ["user_id"], ["time_us", "event_id"], "value", n=10
+        ev, ["user_id"], ["time_us", "event_id"], "value", n=KAMA_N
     )
-    return out.filter(F.col("kama").isNotNull()).select(
-        "user_id", "rn", F.round("kama", 6).alias("kama")
-    )
+    return out.filter(F.col("kama").isNotNull()).select("user_id", "rn", "kama")
 
 
 @register(

@@ -118,3 +118,11 @@ def test_show_and_kill_query_registry(ddl, spark):
     assert ddl.execute(f"KILL QUERY {qid}") == {"ok": True}
     rows2 = ddl.execute("SHOW QUERIES")["series"][0]["values"]
     assert not any(r[0] == qid for r in rows2)
+
+
+def test_show_grants(ddl, spark):
+    ddl.execute("CREATE DATABASE gdb")
+    ddl.execute("CREATE USER carol WITH PASSWORD 'pw'")
+    ddl.execute("GRANT WRITE ON gdb TO carol")
+    out = ddl.execute("SHOW GRANTS FOR carol")["series"][0]
+    assert out["values"] == [["gdb", "write"]]

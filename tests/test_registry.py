@@ -28,4 +28,6 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = suite.queries(), suite.oracle_sql()
     assert set(os_) <= set(qs)
     # weak (no-oracle) entries are the deliberate, documented ones only
-    assert set(qs) - set(os_) == {"transform_kama", "agg_percentile_approx"}
+    # (percentile sketch family is engine-specific by nature; KAMA became
+    # exact in r2 via integer-cent quantization)
+    assert set(qs) - set(os_) == {"agg_percentile_approx"}
