@@ -90,6 +90,52 @@ CASES = [
         "SELECT SPREAD(value) FROM intmany WHERE time >= '2000-01-01' AND time < '2000-01-01T00:02:00Z'",
         '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","spread"],"values":[["2000-01-01T00:00:00Z",7.0]]}]}]}',
     ),
+    # --- r2: text-path function parity (server_test.go:2369-2380 mode;
+    # elapsed semantics per :3627 — emitted at the later point's time) ---
+    (
+        "mode - single - int",
+        "SELECT MODE(value) FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","mode"],"values":[["1970-01-01T00:00:00Z",4.0]]}]}]}',
+    ),
+    (
+        "mode - bounded - int",
+        "SELECT MODE(value) FROM intmany WHERE time < '2000-01-01T00:01:10Z'",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","mode"],"values":[["1970-01-01T00:00:00Z",4.0]]}]}]}',
+    ),
+    (
+        "elapsed in 10s units",
+        "SELECT ELAPSED(value, 10s) FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","elapsed"],"values":['
+        '["2000-01-01T00:00:10Z",1],["2000-01-01T00:00:20Z",1],["2000-01-01T00:00:30Z",1],'
+        '["2000-01-01T00:00:40Z",1],["2000-01-01T00:00:50Z",1],["2000-01-01T00:01:00Z",1],'
+        '["2000-01-01T00:01:10Z",1]]}]}]}',
+    ),
+    (
+        "integral trapezoid in 10s units",
+        # points 2,4,4,4,5,5,7,9 at 10s spacing: trapezoids sum to 34.5
+        "SELECT INTEGRAL(value, 10s) FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","integral"],"values":[["1970-01-01T00:00:00Z",34.5]]}]}]}',
+    ),
+    (
+        "sample of the full set is every point in time order",
+        "SELECT SAMPLE(value, 8) FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","sample"],"values":['
+        '["2000-01-01T00:00:00Z",2.0],["2000-01-01T00:00:10Z",4.0],["2000-01-01T00:00:20Z",4.0],'
+        '["2000-01-01T00:00:30Z",4.0],["2000-01-01T00:00:40Z",5.0],["2000-01-01T00:00:50Z",5.0],'
+        '["2000-01-01T00:01:00Z",7.0],["2000-01-01T00:01:10Z",9.0]]}]}]}',
+    ),
+    (
+        "rate over the full span",
+        # (9-2) / 70s = 0.1 per second
+        "SELECT RATE(value) FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","rate"],"values":[["1970-01-01T00:00:00Z",0.1]]}]}]}',
+    ),
+    (
+        "irate is the last-two-point slope",
+        # (9-7) / 10s = 0.2 per second
+        "SELECT IRATE(value) FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","irate"],"values":[["1970-01-01T00:00:00Z",0.2]]}]}]}',
+    ),
 ]
 
 
