@@ -596,3 +596,89 @@ def q_dedup_embedding_lsh_highthr(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.lsh_near_dups(
         corpus, threshold=0.99, bands=8, rows_per_band=16
     )
+
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Replays the deterministic Lloyd iterations: seeded at vec_id < k,
+    cosine-argmax assignment (cell-asc tie-break), centroid coordinate =
+    round(sum, 9)/count — the round-the-sum-before-divide pattern makes
+    the centroids bit-identical, so every assignment matches."""
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+    , {name} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (({_dot_sql('e.embedding', 'c.centroid')})
+                  / ({_norm_sql('e.embedding')} * {_norm_sql('c.centroid')}))
+                   DESC, c.cell ASC) AS r
+        FROM e CROSS JOIN {cents} c)
+      WHERE r = 1
+    )"""
+
+    def recompute_cte(pos_name: str, cent_name: str, assign_name: str) -> str:
+        return f"""
+    , {pos_name} AS (
+      SELECT cell, i,
+             round(sum(embedding[i]::DOUBLE), 9) / count(*) AS m
+      FROM {assign_name} CROSS JOIN idx GROUP BY cell, i
+    ), {cent_name} AS (
+      SELECT cell, list(m ORDER BY i) AS centroid FROM {pos_name} GROUP BY cell
+    )"""
+
+    body = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS i),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell, embedding AS centroid
+      FROM e WHERE vec_id < {KM_K}
+    )"""
+    cents = "c0"
+    for it in range(1, KM_ITERS + 1):
+        body += assign_cte(f"a{it}", cents)
+        body += recompute_cte(f"p{it}", f"c{it}", f"a{it}")
+        cents = f"c{it}"
+    body += assign_cte("af", cents)
+    return body + f"""
+    , q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM e
+      WHERE vec_id < {TOPK_QUERIES}
+    ), routed AS (
+      SELECT q.query_id, q.qe, c.cell,
+             (({_dot_sql('q.qe', 'c.centroid')})
+              / ({_norm_sql('q.qe')} * {_norm_sql('c.centroid')})) AS cent_cos
+      FROM q CROSS JOIN {cents} c
+    ), probes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cent_cos DESC, cell ASC) AS r
+        FROM routed)
+      WHERE r <= {IVF_NPROBE}
+    ), scored AS (
+      SELECT p.query_id, m.vec_id,
+             round(({_dot_sql('p.qe', 'm.embedding')})
+                   / ({_norm_sql('p.qe')} * {_norm_sql('m.embedding')}), 4)
+               AS cosine
+      FROM probes p JOIN af m ON m.cell = p.cell
+      WHERE m.vec_id != p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {TOPK_K}
+    """
+
+
+@register("similarity_ivf_kmeans_topk", _ivf_kmeans_oracle())
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_kmeans(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
+        nlist=KM_K, nprobe=IVF_NPROBE, n_iter=KM_ITERS,
+    )

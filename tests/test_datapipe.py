@@ -187,3 +187,37 @@ def test_blocked_near_dups_block_count_invariance(spark, sf_dir):
     a = {tuple(r) for r in similarity.blocked_near_dups(emb, 0.35, n_blocks=3).collect()}
     b = {tuple(r) for r in similarity.blocked_near_dups(emb, 0.35, n_blocks=11).collect()}
     assert a == b and a
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """Computed-centroid IVF: deterministic across runs, and recall@5 vs
+    exact brute force is reasonable for nprobe=2 of 8 cells."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    ivf1 = similarity.ivf_topk_kmeans(emb, qs, 5, nlist=8, nprobe=2)
+    ivf2 = similarity.ivf_topk_kmeans(emb, qs, 5, nlist=8, nprobe=2)
+    s1 = {tuple(r) for r in ivf1.collect()}
+    assert s1 == {tuple(r) for r in ivf2.collect()} and len(s1) == 40
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qs, 5).collect()
+    }
+    got = {(r[0], r[1]) for r in s1}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, recall  # random embeddings, 2/8 cells probed
+
+
+def test_kmeans_cells_partition_everything(spark, sf_dir):
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = similarity.kmeans_cells(emb, k=8, n_iter=2)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    assert cents.count() <= 8
