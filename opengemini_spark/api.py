@@ -329,3 +329,78 @@ def handle_prom_read(
             {"value": r["value"], "timestamp": r["time_ns"] // 1_000_000}
         )
     return {"results": [{"timeseries": out}]}
+
+
+def handle_otlp_metrics_write(
+    spark: SparkSession,
+    resource_metrics: list[dict],
+    data_root: str,
+) -> dict:
+    """``POST /api/v1/otlp/metrics`` (handler_otlp.go:109 → writeMetrics):
+    decoded OTLP resource-metrics → measurements, following the
+    otel2influx schema the reference applies: measurement = metric name,
+    resource + datapoint attributes = tags, gauge/sum value = ``value``
+    field; histogram datapoints land as ``count``/``sum`` fields plus
+    cumulative ``bucket`` rows tagged with ``le`` (the prom-compatible
+    shape histogram_quantile consumes).
+
+    ``resource_metrics``: decoded form —
+    ``{"resource": {attrs}, "metrics": [{"name", "type":
+    "gauge"|"sum"|"histogram", "points": [{"time_ns", "attrs", "value" |
+    ("count","sum","bounds","bucket_counts")}]}]}``. The protobuf wire
+    decode plugs in at the HTTP layer (same stance as prompb).
+    """
+    from collections import defaultdict
+
+    rows_by_m: dict[str, list] = defaultdict(list)
+    keys_by_m: dict[str, set] = defaultdict(set)
+    for rm in resource_metrics:
+        res_attrs = dict(rm.get("resource", {}))
+        for metric in rm["metrics"]:
+            name, mtype = metric["name"], metric.get("type", "gauge")
+            for p in metric["points"]:
+                tags = {**res_attrs, **p.get("attrs", {})}
+                if mtype in ("gauge", "sum"):
+                    rows_by_m[name].append(
+                        (tags, int(p["time_ns"]), {"value": float(p["value"])})
+                    )
+                    keys_by_m[name].update(tags)
+                elif mtype == "histogram":
+                    rows_by_m[name].append(
+                        (tags, int(p["time_ns"]),
+                         {"count": float(p["count"]), "sum": float(p["sum"])})
+                    )
+                    keys_by_m[name].update(tags)
+                    cum = 0.0
+                    bname = f"{name}_bucket"
+                    for le, bc in zip(
+                        [*p["bounds"], float("inf")], p["bucket_counts"]
+                    ):
+                        cum += bc
+                        btags = {**tags, "le": str(le)}
+                        rows_by_m[bname].append(
+                            (btags, int(p["time_ns"]), {"value": cum})
+                        )
+                        keys_by_m[bname].update(btags)
+                else:
+                    raise ValueError(f"OTLP: unsupported metric type {mtype!r}")
+
+    written = {}
+    for m, rows in rows_by_m.items():
+        tag_keys = sorted(keys_by_m[m])
+        field_keys = sorted({f for _, _, fields in rows for f in fields})
+        data = [
+            tuple(tags.get(k) for k in tag_keys)
+            + (t,)
+            + tuple(fields.get(f) for f in field_keys)
+            for tags, t, fields in rows
+        ]
+        schema = ", ".join(
+            [f"`{k}` string" for k in tag_keys]
+            + ["time_ns long"]
+            + [f"`{f}` double" for f in field_keys]
+        )
+        df = spark.createDataFrame(data, schema)
+        storage.write_measurement(df, f"{data_root}/{m}")
+        written[m] = len(data)
+    return {"written": written}

@@ -130,7 +130,13 @@ class Parser:
         return None
 
     def select_statement(self, sub: bool = False) -> ast.SelectStatement:
-        fields = [self.field()]
+        # `SELECT DISTINCT field` — alternate syntax for distinct(field)
+        # (influxql/parser.go parseFields DISTINCT token path)
+        if self.kw("distinct"):
+            arg = self.field()
+            fields = [ast.Field(ast.Call("distinct", [arg.expr]), arg.alias)]
+        else:
+            fields = [self.field()]
         while self.accept("OP", ","):
             fields.append(self.field())
         into = None

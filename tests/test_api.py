@@ -175,3 +175,37 @@ def test_prompb_wire_decode_is_declared_stub(spark):
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         _prompb_decode(b"\x00")
+
+
+def test_otlp_metrics_write_gauge_and_histogram(spark, tmp_path):
+    """Decoded OTLP → measurements per the otel2influx schema; histogram
+    buckets become cumulative le-tagged rows (handler_otlp.go:109)."""
+    from opengemini_spark.api import handle_otlp_metrics_write
+
+    root = str(tmp_path / "otlp")
+    rms = [{
+        "resource": {"service": "checkout"},
+        "metrics": [
+            {"name": "cpu_load", "type": "gauge", "points": [
+                {"time_ns": 10**18, "attrs": {"core": "0"}, "value": 0.7},
+                {"time_ns": 10**18 + 1, "attrs": {"core": "1"}, "value": 0.4},
+            ]},
+            {"name": "req_latency", "type": "histogram", "points": [
+                {"time_ns": 10**18, "attrs": {},
+                 "count": 6, "sum": 1.23,
+                 "bounds": [0.1, 0.5], "bucket_counts": [1, 3, 2]},
+            ]},
+        ],
+    }]
+    out = handle_otlp_metrics_write(spark, rms, root)
+    assert out["written"] == {
+        "cpu_load": 2, "req_latency": 1, "req_latency_bucket": 3
+    }
+    from opengemini_spark import storage
+    g = storage.read_measurement(spark, f"{root}/cpu_load")
+    rows = {r["core"]: r["value"] for r in g.collect()}
+    assert rows == {"0": 0.7, "1": 0.4}
+    assert g.collect()[0]["service"] == "checkout"
+    b = storage.read_measurement(spark, f"{root}/req_latency_bucket")
+    by_le = {r["le"]: r["value"] for r in b.collect()}
+    assert by_le == {"0.1": 1.0, "0.5": 4.0, "inf": 6.0}

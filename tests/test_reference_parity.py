@@ -125,6 +125,11 @@ CASES = [
         '["2000-01-01T00:01:00Z",7.0],["2000-01-01T00:01:10Z",9.0]]}]}]}',
     ),
     (
+        "distinct alt syntax - int",
+        "SELECT DISTINCT value FROM intmany",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","distinct"],"values":[["1970-01-01T00:00:00Z",2.0],["1970-01-01T00:00:00Z",4.0],["1970-01-01T00:00:00Z",5.0],["1970-01-01T00:00:00Z",7.0],["1970-01-01T00:00:00Z",9.0]]}]}]}',
+    ),
+    (
         "rate over the full span",
         # (9-2) / 70s = 0.1 per second
         "SELECT RATE(value) FROM intmany",
