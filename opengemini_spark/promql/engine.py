@@ -87,6 +87,11 @@ class Engine:
             F.col(m.time_col).alias("tu"),
             F.col(m.value_col).alias("value"),
         )
+        if getattr(sel, "offset_s", 0):
+            # `m offset o`: the value at t is m's value at t−o — shifting
+            # every sample forward by o gives exactly that under the
+            # unchanged window logic (promql offset modifier)
+            d = d.withColumn("tu", F.col("tu") + F.lit(sel.offset_s * US))
         for mt in sel.matchers:
             c = F.col(mt.label)
             if mt.op == "=":

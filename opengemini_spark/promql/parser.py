@@ -71,6 +71,7 @@ class VectorSelector:
     metric: str
     matchers: list[Matcher] = field(default_factory=list)
     range_s: int | None = None       # set for range selectors m[5m]
+    offset_s: int = 0                # `offset 5m` modifier
 
 
 @dataclass
@@ -315,7 +316,12 @@ class Parser:
         if self.accept("OP", "["):
             rng = self.expect("DURATION").value
             self.expect("OP", "]")
-        return VectorSelector(metric, matchers, rng)
+        off = 0
+        t = self.peek()
+        if t.kind == "IDENT" and t.text == "offset":
+            self.next()
+            off = self.expect("DURATION").value
+        return VectorSelector(metric, matchers, rng, off)
 
 
 def parse_promql(src: str):

@@ -342,3 +342,30 @@ def test_deriv_via_query_range(spark, sf_dir, registry):
         START, START + 4 * 86400, STEP,
     )
     assert df.count() > 0 and set(df.columns) == {"event_type", "t", "value"}
+
+
+def test_offset_modifier(spark, sf_dir, registry):
+    """`m offset 6h` at t equals plain m at t−6h (both instant and range)."""
+    base = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_value[12h])", START, END, STEP,
+    )
+    off = query_range(
+        spark, sf_dir, registry,
+        "sum_over_time(events_value[12h] offset 6h)",
+        START, END, STEP,
+    )
+    b = {(r["event_type"], r["t"]): r["value"] for r in base.collect()}
+    o = {(r["event_type"], r["t"]): r["value"] for r in off.collect()}
+    shifted = {
+        (et, t + STEP * 10**6): v
+        for (et, t), v in b.items()
+        if t + STEP * 10**6 <= END * 10**6
+    }
+    common = set(o) & set(shifted)
+    # approx: the shifted plan sums the same samples in a different order,
+    # so the float sums agree only to the ulp
+    assert common and all(
+        o[k] == pytest.approx(shifted[k]) for k in common
+    )
+    assert set(o) <= set(shifted) | {k for k in o if k[1] < START * 10**6}
