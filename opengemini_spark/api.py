@@ -404,3 +404,62 @@ def handle_otlp_metrics_write(
         storage.write_measurement(df, f"{data_root}/{m}")
         written[m] = len(data)
     return {"written": written}
+
+
+def handle_prom_labels(spark: SparkSession, sf_dir: str, registry) -> dict:
+    """``GET /api/v1/labels`` (handler.go:361): the sorted union of label
+    names across registered metrics, plus ``__name__`` — metadata only, no
+    data scan."""
+    names: set[str] = {"__name__"}
+    for m in registry.names():
+        names.update(registry.get(m).labels)
+    return {"status": "success", "data": sorted(names)}
+
+
+def handle_prom_label_values(
+    spark: SparkSession, sf_dir: str, registry, label: str
+) -> dict:
+    """``GET /api/v1/label/<name>/values`` (handler.go:369): distinct
+    values of one label across every metric carrying it; ``__name__``
+    yields the metric names. One Spark distinct per carrying metric."""
+    if label == "__name__":
+        return {"status": "success", "data": registry.names()}
+    values: set[str] = set()
+    for m in registry.names():
+        metric = registry.get(m)
+        if label not in metric.labels:
+            continue
+        df = metric.loader(spark, sf_dir)
+        values.update(
+            str(r[label])
+            for r in df.select(label).distinct().collect()
+            if r[label] is not None
+        )
+    return {"status": "success", "data": sorted(values)}
+
+
+def handle_prom_series(
+    spark: SparkSession,
+    sf_dir: str,
+    registry,
+    metric: str,
+    matchers: dict[str, str] | None = None,
+) -> dict:
+    """``GET /api/v1/series`` (handler.go:377): the distinct label-sets of
+    a metric, optionally filtered by equality matchers."""
+    m = registry.get(metric)
+    df = m.loader(spark, sf_dir)
+    for k, v in (matchers or {}).items():
+        df = df.filter(F.col(k) == v)
+    rows = (
+        df.select(*m.labels).distinct()
+        .orderBy(*[F.col(c).cast("string") for c in m.labels])
+        .collect()
+    )
+    return {
+        "status": "success",
+        "data": [
+            {"__name__": metric, **{c: str(r[c]) for c in m.labels}}
+            for r in rows
+        ],
+    }

@@ -43,6 +43,9 @@ class MetricRegistry:
             raise KeyError(f"PromQL: unknown metric {name!r}")
         return self._metrics[name]
 
+    def names(self) -> list[str]:
+        return sorted(self._metrics)
+
 
 @dataclass
 class _Vector:

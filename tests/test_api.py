@@ -209,3 +209,41 @@ def test_otlp_metrics_write_gauge_and_histogram(spark, tmp_path):
     b = storage.read_measurement(spark, f"{root}/req_latency_bucket")
     by_le = {r["le"]: r["value"] for r in b.collect()}
     assert by_le == {"0.1": 1.0, "0.5": 4.0, "inf": 6.0}
+
+
+def test_prom_metadata_endpoints(spark, sf_dir):
+    from opengemini_spark.api import (
+        handle_prom_labels,
+        handle_prom_label_values,
+        handle_prom_series,
+    )
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.promql import MetricRegistry
+    from opengemini_spark.promql.engine import Metric
+    from pyspark.sql import functions as F
+
+    def loader(s, d):
+        return load_table(s, d, "events").withColumn(
+            "tu", F.expr("time_ns div 1000")
+        )
+
+    reg = MetricRegistry()
+    reg.register("events_value", Metric(loader, labels=["event_type"]))
+
+    labels = handle_prom_labels(spark, sf_dir, reg)
+    assert labels == {"status": "success", "data": ["__name__", "event_type"]}
+
+    vals = handle_prom_label_values(spark, sf_dir, reg, "event_type")
+    assert vals["status"] == "success" and "error" in vals["data"]
+    assert vals["data"] == sorted(vals["data"])
+    assert handle_prom_label_values(spark, sf_dir, reg, "__name__")["data"] == [
+        "events_value"
+    ]
+    assert handle_prom_label_values(spark, sf_dir, reg, "nope")["data"] == []
+
+    series = handle_prom_series(
+        spark, sf_dir, reg, "events_value", matchers={"event_type": "error"}
+    )
+    assert series["data"] == [
+        {"__name__": "events_value", "event_type": "error"}
+    ]
