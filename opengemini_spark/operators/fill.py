@@ -57,14 +57,16 @@ def fill_time_spine(
         start_ns = start_ns if start_ns is not None else bounds["lo"]
         end_ns = end_ns if end_ns is not None else bounds["hi"]
 
-    spine = df.sparkSession.range(1).select(
-        F.explode(
-            F.sequence(F.lit(start_ns), F.lit(end_ns), F.lit(interval_ns))
-        ).alias(bucket_col)
-    )
+    buckets = F.explode(
+        F.sequence(F.lit(start_ns), F.lit(end_ns), F.lit(interval_ns))
+    ).alias(bucket_col)
     if dims:
-        series = df.select(*dims).distinct()
-        spine = spine.crossJoin(series)
+        # explode the bucket sequence PER SERIES instead of crossJoining a
+        # spine: same grid, but the plan stays series-partitioned (no
+        # nested-loop node) and scales with the series count
+        spine = df.select(*dims).distinct().select(*dims, buckets)
+    else:
+        spine = df.sparkSession.range(1).select(buckets)
 
     filled = spine.join(df, on=[bucket_col, *dims], how="left")
 

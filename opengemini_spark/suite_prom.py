@@ -256,9 +256,9 @@ _LES_SQL = ", ".join(f"({le})" for le in HQ_LES) + ", ('infinity'::DOUBLE)"
 def q_prom_hq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     les = [*HQ_LES, float("inf")]
-    les_df = F.explode(F.array(*[F.lit(v) for v in les])).alias("le")
+    # literal array + explode on the fact side (no 1-row crossJoin node)
     buckets = (
-        ev.crossJoin(ev.sparkSession.range(1).select(les_df))
+        ev.withColumn("le", F.explode(F.array(*[F.lit(v) for v in les])))
         .groupBy("event_type", "le")
         .agg(
             F.count(F.when(F.col("value") <= F.col("le"), 1)).alias("bucket_count")

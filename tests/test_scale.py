@@ -56,3 +56,33 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 def test_session_scale_configs(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_plan_audit_previously_flagged_queries_stay_clean(spark):
+    """fill spine + histogram bucketing must stay free of nested-loop
+    nodes (tools/plan_audit.py found and we removed them in r2)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit
+    from opengemini_spark import suite
+
+    qs = suite.queries()
+    for name in (
+        "window_fill_null", "window_fill_linear",
+        "influxql_window_agg_fill", "prom_histogram_quantile",
+    ):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert audit(name, df) == [], name
+
+
+def test_plan_audit_allowlist_covers_broadcast_cross(spark):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import CROSS_ALLOWED, audit
+    from opengemini_spark import suite
+
+    qs = suite.queries()
+    # a deliberate broadcast-cross query is allowlisted, so audit is clean
+    name = "similarity_cosine_topk"
+    assert name in CROSS_ALLOWED
+    assert audit(name, qs[name](spark, "/root/testdata/sf0.001")) == []
