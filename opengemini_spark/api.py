@@ -86,6 +86,19 @@ def handle_query(
 
             from opengemini_spark.influxql.planner import Planner
 
+            if isinstance(stmt, iast.SelectStatement) and isinstance(
+                stmt.source, iast.RegexSource
+            ):
+                # FROM /regex/: one independent plan + series block per
+                # matching measurement (server_test.go:2158 semantics)
+                results.append(
+                    _regex_source_result(
+                        spark, sf_dir, stmt_text, stmt, loader, data_root,
+                        epoch, i,
+                    )
+                )
+                continue
+
             df = Planner(spark, sf_dir, loader=loader).plan(stmt)
             if (
                 isinstance(stmt, iast.SelectStatement)
@@ -164,6 +177,46 @@ def handle_query(
         except (SyntaxError, ValueError, KeyError, AssertionError) as e:
             results.append({"statement_id": i, "error": str(e)})
     return {"results": results}
+
+
+def _regex_source_result(
+    spark, sf_dir, stmt_text, stmt, loader, data_root, epoch, statement_id
+) -> dict:
+    import copy
+    import os as _os
+    import re as _re
+
+    from opengemini_spark.catalog import TABLES
+    from opengemini_spark.influxql.planner import Planner
+
+    pat = _re.compile(stmt.source.pattern)
+    candidates = list(TABLES)
+    if data_root is not None and _os.path.isdir(data_root):
+        candidates += sorted(
+            d for d in _os.listdir(data_root)
+            if _os.path.isdir(f"{data_root}/{d}") and d not in candidates
+        )
+    series: list[dict] = []
+    for name in candidates:
+        if not pat.search(name):
+            continue
+        # fresh copy per measurement: the planner mutates wildcard fields
+        # and group_tags in place
+        st = copy.deepcopy(stmt)
+        st.source = name
+        df = Planner(spark, sf_dir, loader=loader).plan(st)
+        prefixed = [c for c in df.columns if c.startswith("__tag_")]
+        tag_cols = prefixed or [t for t in st.group_tags if t in df.columns]
+        body = to_influx_json(
+            df, name, tag_cols=tag_cols, epoch=epoch,
+            order_desc=bool(st.order_desc),
+        )
+        blk = body["results"][0]
+        series.extend(blk.get("series", []))
+    out: dict = {"statement_id": statement_id}
+    if series:
+        out["series"] = series
+    return out
 
 
 def handle_write(

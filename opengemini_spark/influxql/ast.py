@@ -64,9 +64,16 @@ class TimeDimension(Node):
 
 
 @dataclass
+class RegexSource(Node):
+    """FROM /pattern/ — matches measurement names (influxql regex source,
+    e.g. server_test.go:2158 `SELECT * FROM /cpu[13]/`)."""
+    pattern: str
+
+
+@dataclass
 class SelectStatement(Node):
     fields: list[Field]
-    source: object                      # measurement name | SelectStatement
+    source: object                      # measurement | RegexSource | SelectStatement
     into: str | None = None             # SELECT … INTO target
     where: Node | None = None
     group_time: TimeDimension | None = None

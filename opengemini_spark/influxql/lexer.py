@@ -49,6 +49,22 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _regex_allowed(toks: list[Tok]) -> bool:
+    """A ``/`` starts a regex literal only where influxql's scanner allows
+    one: after ``=~``/``!~``, after FROM (regex measurement source), or
+    after a comma continuing a FROM list — everywhere else it's division
+    (``value / 2 + cost / 4`` must not lex the middle as a regex)."""
+    for t in reversed(toks):
+        if t.kind == "OP" and t.text in ("=~", "!~"):
+            return True
+        if t.kind == "KEYWORD" and t.text == "from":
+            return True
+        if t.kind == "OP" and t.text == ",":
+            continue  # look through FROM-list commas
+        return False
+    return False
+
+
 def lex(src: str) -> list[Tok]:
     toks: list[Tok] = []
     pos = 0
@@ -57,6 +73,10 @@ def lex(src: str) -> list[Tok]:
         m = _TOKEN_RE.match(src, pos)
         if not m:
             raise SyntaxError(f"InfluxQL: bad character {src[pos]!r} at {pos}")
+        if m.lastgroup == "regex" and not _regex_allowed(toks):
+            toks.append(Tok("OP", "/", "/"))
+            pos += 1
+            continue
         pos = m.end()
         kind = m.lastgroup
         text = m.group()

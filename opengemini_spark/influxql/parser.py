@@ -147,6 +147,8 @@ class Parser:
             self.expect("KEYWORD", "select")
             source: object = self.select_statement(sub=True)
             self.expect("OP", ")")
+        elif self.peek().kind == "REGEX":
+            source = ast.RegexSource(self.next().value)
         else:
             source = self.expect("IDENT").value
 

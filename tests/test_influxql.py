@@ -455,3 +455,48 @@ def test_rsi_all_gains_is_100(spark):
     out = rec.relative_strength_index(df, [], ["t"], "value", 3)
     vals = [r["rsi"] for r in out.collect() if r["rsi"] is not None]
     assert vals and all(v == 100.0 for v in vals)
+
+
+def test_division_does_not_lex_as_regex():
+    toks = lex("SELECT value / 2 + value / 4 FROM events")
+    assert not any(t.kind == "REGEX" for t in toks)
+    assert sum(1 for t in toks if t.kind == "OP" and t.text == "/") == 2
+    toks2 = lex("SELECT value FROM /cpu[13]/ WHERE host =~ /ser.*/")
+    assert sum(1 for t in toks2 if t.kind == "REGEX") == 2
+
+
+def test_regex_measurement_source(spark, sf_dir, tmp_path):
+    """FROM /cpu[13]/ → one series block per matching measurement
+    (server_test.go:2158)."""
+    import json
+
+    from opengemini_spark.api import handle_query, handle_write
+
+    root = str(tmp_path / "rx")
+    handle_write(
+        spark,
+        [
+            "cpu1,host=server01 value=10 1425085416703820946",
+            "cpu2,host=server01 value=20 1425085416703820946",
+            "cpu3,host=server01 value=30 1425085416703820946",
+        ],
+        root,
+    )
+    got = handle_query(
+        spark, sf_dir, "SELECT value FROM /cpu[13]/", epoch=None,
+        data_root=root,
+    )
+    exp = json.loads(
+        '{"results":[{"statement_id":0,"series":['
+        '{"name":"cpu1","columns":["time","value"],"values":[["2015-02-28T01:03:36.703820946Z",10.0]]},'
+        '{"name":"cpu3","columns":["time","value"],"values":[["2015-02-28T01:03:36.703820946Z",30.0]]}]}]}'
+    )
+    assert got == exp
+
+    agg = handle_query(
+        spark, sf_dir, "SELECT count(value) FROM /cpu./ ", epoch=None,
+        data_root=root,
+    )
+    blocks = agg["results"][0]["series"]
+    assert [b["name"] for b in blocks] == ["cpu1", "cpu2", "cpu3"]
+    assert all(b["values"][0][1] == 1 for b in blocks)
