@@ -105,6 +105,15 @@ class Parser:
 
     def show_statement(self) -> ast.ShowStatement:
         if self.kw("measurements"):
+            # SHOW MEASUREMENTS [WITH MEASUREMENT =~ /regex/]
+            if self.kw("with"):
+                t = self.next()   # `measurement` is an IDENT, not a keyword
+                if t.text.lower() != "measurement":
+                    raise SyntaxError("InfluxQL: expected MEASUREMENT")
+                self.expect("OP", "=~")
+                return ast.ShowStatement(
+                    "measurements", key=self.expect("REGEX").value
+                )
             return ast.ShowStatement("measurements")
         if self.peek().kind == "IDENT" and self.peek().text.lower() == "series":
             self.next()

@@ -11,6 +11,8 @@ string columns = tags, numeric columns = fields, ``time_ns`` = time.
 
 from __future__ import annotations
 
+import re
+
 from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -920,9 +922,13 @@ class Planner:
         from opengemini_spark.catalog import TABLES
 
         if stmt.what == "measurements":
+            names = list(TABLES)
+            if stmt.key:          # WITH MEASUREMENT =~ /regex/
+                pat = re.compile(stmt.key)
+                names = [t for t in names if pat.search(t)]
             return self.spark.createDataFrame(
-                [(t,) for t in TABLES], ["name"]
-            )
+                [(t,) for t in names], ["name"],
+            ) if names else self.spark.createDataFrame([], "name string")
         df = self._load(stmt.source or "events")
         if stmt.what == "tag_keys":
             return self.spark.createDataFrame(

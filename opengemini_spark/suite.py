@@ -822,6 +822,14 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has not yet seen (InfluxQL / PromQL / scalar / graph / EMA / advanced)
 # plus 5 already-verified sentinels, so after two rounds every registered
 # query has a driver verdict.
+#
+# ROUND-3 ROTATION: entries added later in r2 sit past the window
+# (influxql_func_* except the three below, prom_deriv/predict/holt,
+# transform_triple_ema/trix/rsi/kama-oracle, dedup_embedding_lsh_highthr,
+# similarity_ivf_kmeans_topk) — rotate them into PRIORITY next round,
+# swapping out r2-verified rows; the local gate result
+# (tools/oracle_check.py) is identical to the driver's, so rotation only
+# changes which verdicts are driver-recorded.
 PRIORITY: tuple[str, ...] = (
     # entries whose implementation is new or changed this round: the two
     # embedding-dedup paths (blocked / LSH) and three representative

@@ -500,3 +500,10 @@ def test_regex_measurement_source(spark, sf_dir, tmp_path):
     blocks = agg["results"][0]["series"]
     assert [b["name"] for b in blocks] == ["cpu1", "cpu2", "cpu3"]
     assert all(b["values"][0][1] == 1 for b in blocks)
+
+
+def test_show_measurements_with_regex(spark, sf_dir):
+    out = query(spark, sf_dir, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^na/")
+    assert [r["name"] for r in out.collect()] == ["nation"]
+    empty = query(spark, sf_dir, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /zzz/")
+    assert empty.count() == 0
