@@ -117,7 +117,34 @@ class Parser:
             return ast.ShowStatement("measurements")
         if self.peek().kind == "IDENT" and self.peek().text.lower() == "series":
             self.next()
+            if (
+                self.peek().kind == "IDENT"
+                and self.peek().text.lower() == "cardinality"
+            ):
+                self.next()
+                return ast.ShowStatement(
+                    "series_cardinality", source=self._opt_from()
+                )
             return ast.ShowStatement("series", source=self._opt_from())
+        if (
+            self.peek().kind == "IDENT"
+            and self.peek().text.lower() == "measurement"
+        ):
+            # SHOW MEASUREMENT CARDINALITY [FROM m | FROM /regex/]
+            self.next()
+            t = self.next()
+            if t.text.lower() != "cardinality":
+                raise SyntaxError("InfluxQL: expected CARDINALITY")
+            pat = None
+            src = None
+            if self.kw("from"):
+                if self.peek().kind == "REGEX":
+                    pat = self.next().value
+                else:
+                    src = self.expect("IDENT").value
+            return ast.ShowStatement(
+                "measurement_cardinality", source=src, key=pat
+            )
         if self.kw("tag"):
             if self.kw("keys"):
                 return ast.ShowStatement("tag_keys", source=self._opt_from())

@@ -929,7 +929,23 @@ class Planner:
             return self.spark.createDataFrame(
                 [(t,) for t in names], ["name"],
             ) if names else self.spark.createDataFrame([], "name string")
+        if stmt.what == "measurement_cardinality":
+            # SHOW MEASUREMENT CARDINALITY [FROM m | /regex/] — count of
+            # matching measurements (statement_executor.go cardinality rows)
+            names = list(TABLES)
+            if stmt.source:
+                names = [t for t in names if t == stmt.source]
+            elif stmt.key:
+                pat = re.compile(stmt.key)
+                names = [t for t in names if pat.search(t)]
+            return self.spark.createDataFrame(
+                [(len(names),)], "count long"
+            )
         df = self._load(stmt.source or "events")
+        if stmt.what == "series_cardinality":
+            tags = self.tag_columns(df)
+            n = df.select(*tags).distinct().count() if tags else 1
+            return self.spark.createDataFrame([(n,)], "count long")
         if stmt.what == "tag_keys":
             return self.spark.createDataFrame(
                 [(t,) for t in self.tag_columns(df)], ["tagKey"]

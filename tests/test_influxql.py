@@ -507,3 +507,16 @@ def test_show_measurements_with_regex(spark, sf_dir):
     assert [r["name"] for r in out.collect()] == ["nation"]
     empty = query(spark, sf_dir, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /zzz/")
     assert empty.count() == 0
+
+
+def test_show_cardinality_statements(spark, sf_dir):
+    m = query(spark, sf_dir, "SHOW MEASUREMENT CARDINALITY").first()
+    assert m["count"] == 10
+    mr = query(spark, sf_dir, "SHOW MEASUREMENT CARDINALITY FROM /^na/").first()
+    assert mr["count"] == 1
+    m1 = query(spark, sf_dir, "SHOW MEASUREMENT CARDINALITY FROM nation").first()
+    assert m1["count"] == 1
+    s = query(spark, sf_dir, "SHOW SERIES CARDINALITY FROM events").first()
+    ev = load_table(spark, sf_dir, "events")
+    tags = [c for c, t in ev.dtypes if t == "string"]
+    assert s["count"] == ev.select(*tags).distinct().count()
