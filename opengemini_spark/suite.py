@@ -817,74 +817,72 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries only.
-# Round 1 verified registration slots 0-49 (core + datapipe, all green in
-# CORRECTNESS_r01.json); this round the window carries every entry the driver
-# has not yet seen (InfluxQL / PromQL / scalar / graph / EMA / advanced)
-# plus 5 already-verified sentinels, so after two rounds every registered
-# query has a driver verdict.
+# Round 1 verified slots 0-49 (core + datapipe); round 2's window covered the
+# InfluxQL / PromQL / scalar / graph / EMA / advanced block (all green in
+# CORRECTNESS_r02.json).
 #
-# ROUND-3 ROTATION: entries added later in r2 sit past the window
-# (influxql_func_* except the three below, prom_deriv/predict/holt,
-# transform_triple_ema/trix/rsi/kama-oracle, dedup_embedding_lsh_highthr,
-# similarity_ivf_kmeans_topk) — rotate them into PRIORITY next round,
-# swapping out r2-verified rows; the local gate result
-# (tools/oracle_check.py) is identical to the driver's, so rotation only
-# changes which verdicts are driver-recorded.
+# ROUND-3 ROTATION (this is it): slots 0-13 are the 14 entries that so far
+# have only a local-gate verdict — the two r1 FAILs fixed in b6ae24d
+# (transform_derivative / transform_rate, judge-confirmed local-pass) and the
+# 12 entries added after r2's window was committed. Behind them sit
+# already-driver-verified sentinels plus any query added or changed in round
+# 3, keeping the total at 50. The local gate (tools/oracle_check.py) runs the
+# identical comparison, so rotation only changes which verdicts get a driver
+# row.
 PRIORITY: tuple[str, ...] = (
-    # entries whose implementation is new or changed this round: the two
-    # embedding-dedup paths (blocked / LSH) and three representative
-    # text-path function entries (recurrence, selector-hash, multi-agg)
+    # -- the 14 local-pass-only entries (VERDICT r2 "What's wrong" #1) --
+    "transform_derivative",
+    "transform_rate",
+    "transform_triple_ema",
+    "transform_trix",
+    "transform_rsi",
+    "influxql_func_mode_percentile",
+    "influxql_func_integral",
+    "influxql_func_elapsed",
+    "influxql_func_holt_winters",
+    "prom_deriv",
+    "prom_predict_linear",
+    "prom_holt_winters",
+    "dedup_embedding_lsh_highthr",
+    "similarity_ivf_kmeans_topk",
+    # -- round-3 additions go here (inserted as built, sentinels dropped) --
+    # -- driver-verified sentinels (r1/r2 green) --
+    "scan_filter_project",
+    "agg_basic",
+    "agg_histogram",
+    "selector_first_last",
+    "window_tumbling_agg",
+    "window_fill_previous",
+    "transform_difference",
+    "transform_cumulative_sum",
+    "transform_moving_average",
+    "join_inner",
+    "join_full_outer",
+    "union_all_by_name",
+    "sort_limit_global",
+    "limit_per_series",
+    "slimit_series",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "influxql_func_rate_irate",
-    "influxql_func_ema",
-    "influxql_func_sample",
-    # everything past r1's window, in registration order
-    "graph_multihop_nodes",
-    "graph_multihop_edges",
-    "transform_ema",
-    "transform_holt_winters",
-    "castor_mad_anomaly",
-    "transform_kama",
-    "transform_cmo",
-    "window_sliding_count",
-    "agg_sample_hash",
-    "agg_percentile_approx",
-    "transform_double_ema",
+    "similarity_cosine_topk",
+    "text_token_stats",
+    "text_lang_id",
     "influxql_window_agg_fill",
-    "influxql_selector_companion",
-    "influxql_raw_filter",
-    "influxql_show_tag_values",
-    "influxql_regex_where",
-    "influxql_subquery_inherit",
+    "influxql_func_ema",
     "sink_select_into",
     "show_cardinality",
     "agg_regr_slope",
     "compare_timeshift",
     "sketch_countmin_topn",
     "table_function_rca",
-    "filter_fulltext_match",
-    "sort_multi_column",
     "prom_over_time",
     "prom_rate_extrapolated",
-    "prom_increase_extrapolated",
-    "prom_delta_gauge",
-    "prom_irate_idelta",
     "prom_histogram_quantile",
-    "prom_absent_over_time",
-    "prom_binop_ratio",
-    "prom_binop_unless",
-    "prom_label_replace_join",
-    "prom_quantile_over_time",
-    "promql_rate_e2e",
-    "promql_count_over_time_matcher",
     "promql_binop_cmp_filter",
     "scalar_math",
-    "scalar_string",
-    "scalar_json",
-    "scalar_time_prom",
-    "scalar_url",
-    "scalar_network_ip",
 )
 
 
