@@ -193,22 +193,34 @@ class Planner:
             q = call.args[1].value / 100.0
             return F.percentile_approx(c, F.lit(q), F.lit(10000)).alias(out)
         if name == "mode":
-            # most frequent value; LOWEST wins ties (FloatModeReduce,
-            # functions.go) — single fold over the sorted multiset, so ties
-            # resolve to the first (smallest) run
+            # most frequent value; frequency ties resolve to the run with the
+            # EARLIEST first-occurrence timestamp, and a full (freq, time) tie
+            # to the later value in sort order (NewModeReduce,
+            # engine/executor/agg_func.go:175-204: skip unless
+            # modeFreq > currFreq or equal-freq with an older standing run).
+            # Fold over (value, time) structs sorted by value then time —
+            # stable-sort-by-value over time-ordered input, as the reference
+            # iterators produce.
             fld = arg.name
+            curn = "if(s.cur is not null and x.v = s.cur, s.curn + 1, 1)"
+            curft = "if(s.cur is not null and x.v = s.cur, s.curft, x.t)"
+            repl = (
+                f"({curn} > s.bestn or ({curn} = s.bestn"
+                f" and (s.bestft is null or {curft} <= s.bestft)))"
+            )
             return F.expr(
                 "aggregate("
-                f"  array_sort(collect_list(cast({fld} as double))),"
+                f"  array_sort(collect_list(named_struct("
+                f"    'v', cast({fld} as double), 't', {TIME_COL}))),"
                 "  named_struct('best', cast(null as double), 'bestn', 0,"
-                "               'cur', cast(null as double), 'curn', 0),"
-                "  (s, x) -> if(s.cur is not null and x = s.cur,"
-                "    named_struct('best', if(s.curn + 1 > s.bestn, s.cur, s.best),"
-                "                 'bestn', greatest(s.curn + 1, s.bestn),"
-                "                 'cur', s.cur, 'curn', s.curn + 1),"
-                "    named_struct('best', if(1 > s.bestn, x, s.best),"
-                "                 'bestn', greatest(1, s.bestn),"
-                "                 'cur', x, 'curn', 1)),"
+                "               'bestft', cast(null as bigint),"
+                "               'cur', cast(null as double), 'curn', 0,"
+                "               'curft', cast(null as bigint)),"
+                "  (s, x) -> named_struct("
+                f"    'best', if({repl}, x.v, s.best),"
+                f"    'bestn', if({repl}, {curn}, s.bestn),"
+                f"    'bestft', if({repl}, {curft}, s.bestft),"
+                f"    'cur', x.v, 'curn', {curn}, 'curft', {curft}),"
                 "  s -> s.best)"
             ).alias(out)
         if name == "rate":
@@ -444,6 +456,12 @@ class Planner:
         "relative_strength_index",
         "kaufmans_adaptive_moving_average", "chande_momentum_oscillator",
         "holt_winters", "holt_winters_with_fit",
+        # engine extension (NOT an InfluxQL function): plain fitted Holt
+        # smoothing with fixed α=2/(N+1), β=2/(S+1) — the r2 stand-in for
+        # holt_winters, kept under an explicit name because its output is
+        # exactly SQL-oracle-checkable while the real holt_winters forecast
+        # (Nelder-Mead-optimized) is not
+        "holt_smoothing",
     )
 
     def _plan_transform(
@@ -603,10 +621,11 @@ class Planner:
         series via the Arrow-batched operators in operators/recursive.py.
 
         InfluxDB parameterizes the EMA family by period N with
-        α = 2/(N+1); holt_winters[_with_fit](call, N, S) here yields the
-        FITTED Holt smoothing (α=2/(N+1), β=2/(S+1)) — the forecast
-        extension emits future buckets, which the sink layer does not
-        model yet."""
+        α = 2/(N+1); holt_winters[_with_fit](call, N, S) runs the real
+        forecast (operators/holt_winters.py — Nelder-Mead-fitted damped
+        multiplicative model, holt_winters_transform.go) and emits N
+        FUTURE buckets (with_fit: fitted series + N future buckets)."""
+        from opengemini_spark.operators import holt_winters as hw
         from opengemini_spark.operators import recursive as rec
 
         outer = f.expr
@@ -661,13 +680,26 @@ class Planner:
         elif name == "kaufmans_adaptive_moving_average":
             n = int(outer.args[1].value)
             res, col = rec.kaufman_adaptive_ma(src, tags, ["time"], "__v", n), "kama"
-        else:  # holt_winters[_with_fit]
+        elif name == "holt_smoothing":
             n = int(outer.args[1].value)
             s = int(outer.args[2].value) if len(outer.args) > 2 else n
             res, col = rec.holt_winters_fit(
                 src, tags, ["time"], "__v",
                 alpha=2.0 / (n + 1.0), beta=2.0 / (max(s, 1) + 1.0),
             ), "hw_fit"
+        else:  # holt_winters[_with_fit]: forecast, emits future bucket times
+            n = int(outer.args[1].value)
+            s = int(outer.args[2].value) if len(outer.args) > 2 else 0
+            assert stmt.group_time is not None, f"{name} requires GROUP BY time"
+            out = hw.holt_winters_forecast(
+                src, list(tags), "time", "__v",
+                h=n, m=s, interval_ns=int(stmt.group_time.interval_ns),
+                include_fit=(name == "holt_winters_with_fit"),
+            )
+            out = out.select(
+                "time", *tags, F.col("hw").alias(out_name)
+            ).orderBy(*(["time"] + list(tags)))
+            return out.limit(stmt.limit) if stmt.limit else out
 
         # the recurrence returns (tags, rn, value); re-attach bucket times by
         # ordinal position within each series

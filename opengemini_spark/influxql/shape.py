@@ -84,7 +84,8 @@ def iter_influx_blocks(
     blk: dict | None = None
     blk_key: tuple | None = None
     emitted = 0
-    for r in src.toLocalIterator():
+    it = src.toLocalIterator()
+    for r in it:
         key = tuple(str(r[t]) for t in tag_cols)
         if blk is not None and (
             key != blk_key or (chunk_size and len(blk["values"]) >= chunk_size)
@@ -109,7 +110,11 @@ def iter_influx_blocks(
         blk["values"].append(vals)
         emitted += 1
         if max_rows is not None and emitted >= max_rows:
-            blk["partial"] = True
+            # partial only when truncation actually happened: peek one row
+            # ahead, so an exact-limit result is not flagged (a result of
+            # exactly max_rows rows is complete)
+            if next(it, None) is not None:
+                blk["partial"] = True
             yield blk
             return
     if blk is not None:

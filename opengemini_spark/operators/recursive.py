@@ -175,11 +175,13 @@ def kaufman_adaptive_ma(
 ) -> DataFrame:
     """KAMA: efficiency-ratio-adaptive EMA (kaufmans_adaptive_moving_average).
 
-    er_i = |Δₙx|ᶜ / Σ|Δx|ᶜ over the window — the deltas are quantized to
-    integer cents (ᶜ) before summation, the same reproducibility decision
-    as chande_momentum: int64 sums are exact in ANY order, so the oracle's
-    window aggregates match bit-for-bit while float window sums would
-    depend on each engine's aggregation tree.
+    er_i = |Δₙx| / Σ|Δx| over the window, on RAW float deltas — matching the
+    reference's float efficiency ratio (no quantization; was integer cents
+    in r2, which distorted sub-cent series, per ADVICE r2). Reproducibility
+    comes from summation ORDER instead: the volatility sum is accumulated
+    oldest→newest, and the SQL oracle mirrors that exact order with a
+    left-associative lag-chain (not an engine-ordered window SUM), so IEEE
+    arithmetic agrees bit-for-bit.
     sc_i = (er·(2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²;
     kama_i = kama_{i−1} + sc_i·(x_i − kama_{i−1}), seeded at x_{n−1}.
     Emitted from position n+1 (rn > n).
@@ -196,12 +198,11 @@ def kaufman_adaptive_ma(
                 continue
             if prev is None:
                 prev = vals[i - 1] if i > 0 else v
-            change = abs(round((v - vals[i - n]) * 100))
-            vol = sum(
-                abs(round((vals[j] - vals[j - 1]) * 100))
-                for j in range(i - n + 1, i + 1)
-            )
-            er = change / vol if vol != 0 else 0.0
+            change = abs(v - vals[i - n])
+            vol = 0.0
+            for j in range(i - n + 1, i + 1):  # oldest→newest, fixed order
+                vol += abs(vals[j] - vals[j - 1])
+            er = change / vol if vol != 0.0 else 0.0
             t = er * (fsc - ssc) + ssc
             sc = t * t
             prev = prev + sc * (v - prev)

@@ -75,17 +75,30 @@ def top_bottom(
     return out
 
 
-def mode_agg(df: DataFrame, value_col: str, dims: Sequence[str]) -> DataFrame:
-    """mode() — most frequent value; ties → smallest value.
+def mode_agg(
+    df: DataFrame,
+    value_col: str,
+    dims: Sequence[str],
+    time_col: str | None = None,
+) -> DataFrame:
+    """mode() — most frequent value (NewModeReduce, agg_func.go:175-204).
 
-    The reference's mode (agg_functions.go:185) returns the lowest value on
-    frequency ties (ordered per-series scan). Built as count-groupBy +
-    top-1, which is two map-side-combinable aggregations — no full sort.
+    Reference tie-breaks: on equal frequency the value whose FIRST occurrence
+    is earliest wins; on a full (freq, first-time) tie the later value in
+    sort order wins. Pass ``time_col`` to reproduce that; without a time
+    column (time-less relations) ties fall back to smallest value, which is
+    the only deterministic order available. Built as count-groupBy + top-1 —
+    two map-side-combinable aggregations, no full sort.
     """
-    counted = df.groupBy(*dims, value_col).agg(F.count(F.lit(1)).alias("__freq"))
-    w = Window.partitionBy(*[F.col(d) for d in dims]).orderBy(
-        F.col("__freq").desc(), F.col(value_col).asc()
-    )
+    if time_col is not None:
+        counted = df.groupBy(*dims, value_col).agg(
+            F.count(F.lit(1)).alias("__freq"), F.min(time_col).alias("__ft")
+        )
+        order = [F.col("__freq").desc(), F.col("__ft").asc(), F.col(value_col).desc()]
+    else:
+        counted = df.groupBy(*dims, value_col).agg(F.count(F.lit(1)).alias("__freq"))
+        order = [F.col("__freq").desc(), F.col(value_col).asc()]
+    w = Window.partitionBy(*[F.col(d) for d in dims]).orderBy(*order)
     return (
         counted.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

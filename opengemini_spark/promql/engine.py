@@ -389,16 +389,27 @@ class Engine:
         if isinstance(lhs, P.NumberLit) and isinstance(rhs, P.NumberLit):
             x, y = lhs.value, rhs.value
             try:
+                # math.fmod / math.pow mirror Go's math.Mod / math.Pow
+                # (Prometheus): domain errors surface as ValueError and fold
+                # to NaN (`1 % 0`, `(-2) ^ 0.5`), never a query error or a
+                # Python complex.
                 val = {
                     "+": lambda: x + y, "-": lambda: x - y,
                     "*": lambda: x * y, "/": lambda: x / y,
-                    "%": lambda: math.fmod(x, y), "^": lambda: x ** y,
+                    "%": lambda: math.fmod(x, y), "^": lambda: math.pow(x, y),
                     "==": lambda: float(x == y), "!=": lambda: float(x != y),
                     ">": lambda: float(x > y), "<": lambda: float(x < y),
                     ">=": lambda: float(x >= y), "<=": lambda: float(x <= y),
                 }[b.op]()
             except ZeroDivisionError:
                 val = math.nan if x == 0 else math.copysign(math.inf, x)
+            except ValueError:
+                val = math.nan
+            except OverflowError:
+                # Go's math.Pow saturates to ±Inf; negative base with an odd
+                # integer exponent overflows negative
+                neg = x < 0 and y == int(y) and int(y) % 2 == 1
+                val = -math.inf if neg else math.inf
             return P.NumberLit(val)
         # scalar side
         if isinstance(rhs, P.NumberLit) or isinstance(lhs, P.NumberLit):

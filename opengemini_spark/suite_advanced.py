@@ -138,29 +138,30 @@ KAMA_N = 10
 
 @register(
     "transform_kama",
-    # exact since r2: the efficiency ratio runs on integer-cent deltas
-    # (order-free int64 window sums), leaving only the kama recurrence to
-    # the recursive CTE — bit-identical, no rounding needed
+    # exact on RAW float deltas since r3 (ADVICE r2: cent quantization
+    # distorted sub-cent series): reproducibility now comes from summation
+    # ORDER — the volatility sum is an explicit left-associative lag-chain
+    # (oldest→newest), the same sequence of IEEE adds the Spark side
+    # performs, instead of an engine-ordered window SUM. The kama recurrence
+    # stays in the recursive CTE — bit-identical, no rounding needed.
     _ORDERED_CTE.replace("WITH ordered", "WITH RECURSIVE ordered") + f"""
     , d AS (
       SELECT user_id, rn, value,
-             abs(CAST(round((value - lag(value) OVER w) * 100) AS BIGINT))
-               AS dc,
+             abs(value - lag(value) OVER w) AS ad,
              lag(value, 1) OVER w AS pv,
              lag(value, {KAMA_N}) OVER w AS pnv
       FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY rn)
     ), er AS (
       SELECT user_id, rn, value, pv,
-             abs(CAST(round((value - pnv) * 100) AS BIGINT)) AS change_c,
-             sum(dc) OVER (PARTITION BY user_id ORDER BY rn
-                           ROWS BETWEEN {KAMA_N - 1} PRECEDING AND CURRENT ROW)
-               AS vol_c
-      FROM d
+             abs(value - pnv) AS change_f,
+             ({" + ".join(f"lag(ad, {k}) OVER w2" for k in range(KAMA_N - 1, -1, -1))})
+               AS vol_f
+      FROM d WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
     ), tt AS (
       -- t*t (not power(t,2)): libm pow need not equal the multiplication
       SELECT user_id, rn, value, pv,
-             (CASE WHEN vol_c = 0 THEN 0.0
-                   ELSE change_c / CAST(vol_c AS DOUBLE) END)
+             (CASE WHEN vol_f = 0.0 THEN 0.0
+                   ELSE change_f / vol_f END)
                * (CAST(2 AS DOUBLE) / 3 - CAST(2 AS DOUBLE) / 31)
                + CAST(2 AS DOUBLE) / 31 AS t
       FROM er WHERE rn > {KAMA_N}

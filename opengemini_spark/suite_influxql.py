@@ -141,16 +141,17 @@ def q_influxql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "influxql_func_mode_percentile",
-    # mode: most frequent value, lowest on ties (FloatModeReduce);
+    # mode: most frequent value; frequency ties -> earliest first-occurrence
+    # time, full ties -> later value (NewModeReduce, agg_func.go:175-204);
     # percentile: nearest-rank — both selection-only, so exact unrounded
     """
     WITH counted AS (
-      SELECT event_type, value, count(*) AS freq
+      SELECT event_type, value, count(*) AS freq, min(epoch_ns(ts)) AS ft
       FROM events GROUP BY event_type, value
     ), m AS (
       SELECT event_type, value AS mode FROM counted
       QUALIFY row_number() OVER (PARTITION BY event_type
-                                 ORDER BY freq DESC, value ASC) = 1
+                                 ORDER BY freq DESC, ft ASC, value DESC) = 1
     ), ranked AS (
       SELECT event_type, value,
              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
@@ -306,7 +307,12 @@ def q_influxql_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "influxql_func_holt_winters",
-    # fitted Holt smoothing over exact bucket counts (α = β = 0.4)
+    # fitted Holt smoothing over exact bucket counts (α = β = 0.4), via the
+    # explicitly-named holt_smoothing engine extension — the InfluxQL
+    # holt_winters names now run the real Nelder-Mead forecast
+    # (operators/holt_winters.py), which no SQL oracle can express and is
+    # covered by the rows-only influxql_func_holt_winters_forecast entry +
+    # tests/test_holt_winters.py
     """
     WITH RECURSIVE agg AS (
       SELECT epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS time,
@@ -335,6 +341,25 @@ def q_influxql_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query(
         spark, sf_dir,
-        "SELECT holt_winters_with_fit(count(value), 4, 4) AS hw "
+        "SELECT holt_smoothing(count(value), 4, 4) AS hw "
         "FROM events GROUP BY time(6h), event_type",
+    )
+
+
+@register(
+    "influxql_func_holt_winters_forecast",
+    # real holt_winters(call, N, S): Nelder-Mead-fitted damped
+    # multiplicative forecast (holt_winters_transform.go) — emits N FUTURE
+    # buckets per series. The optimizer is not SQL-expressible, so this is
+    # a rows-only driver check; value-level behavior is pinned by
+    # tests/test_holt_winters.py.
+    None,
+)
+def q_influxql_holt_winters_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return query(
+        spark, sf_dir,
+        "SELECT holt_winters(count(value), 4, 0) AS hw "
+        "FROM events GROUP BY time(12h), event_type",
     )

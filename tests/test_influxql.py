@@ -355,13 +355,23 @@ def test_raw_limit_per_series(spark, sf_dir):
     assert all(len(v) == 2 and v == sorted(v) for v in by_tag.values())
 
 
-def test_mode_ties_pick_lowest(spark):
-    """FloatModeReduce: the lowest of equally-frequent values wins."""
+def test_mode_ties_pick_earliest_first_occurrence(spark):
+    """NewModeReduce (agg_func.go:175-204): frequency ties resolve to the
+    value whose first occurrence is EARLIEST — 3.0 (first seen at t=0)
+    beats 1.0 (first seen at t=2) despite 1.0 sorting lower."""
     rows = [(i, float(v)) for i, v in enumerate([3.0, 3.0, 1.0, 1.0, 2.0])]
     df = spark.createDataFrame(rows, ["time_ns", "value"])
     got = query(spark, None, "SELECT mode(value) FROM m",
                 loader=lambda m: df).first()
-    assert got["mode"] == 1.0
+    assert got["mode"] == 3.0
+
+
+def test_mode_unique_max_frequency(spark):
+    rows = [(i, float(v)) for i, v in enumerate([5.0, 2.0, 2.0, 2.0, 9.0])]
+    df = spark.createDataFrame(rows, ["time_ns", "value"])
+    got = query(spark, None, "SELECT mode(value) FROM m",
+                loader=lambda m: df).first()
+    assert got["mode"] == 2.0
 
 
 def test_rate_and_irate_two_points(spark):
