@@ -187,7 +187,11 @@ def minhash_lsh_dedup(
     # shuffle is 1 row/doc × 16 columns — the full shingle set never moves.
     raw = doc_shingles_raw(df, SHINGLE_K, text_col, id_col)
     sig = minhash_signatures(raw, id_col)
-    cand = candidate_pairs(lsh_band_keys(sig, id_col), id_col)
+    # persist: the candidate set feeds BOTH the verify join and the
+    # candidate-doc semi-join below — without it the whole
+    # scan→shingle→signature→band-join chain is recomputed per consumer.
+    # Size is candidates-proportional (tiny at any corpus scale).
+    cand = candidate_pairs(lsh_band_keys(sig, id_col), id_col).persist()
     # exact verification only touches candidate docs: semi-join the explode
     # down to them before the distinct — at any scale the distinct shuffle
     # is proportional to candidates, not the corpus.
@@ -197,11 +201,12 @@ def minhash_lsh_dedup(
         .distinct()
     )
     # re-shingle just the candidate documents (tiny) rather than re-running
-    # or caching the corpus-wide explode
+    # or caching the corpus-wide explode; persisted because jaccard_verify
+    # consumes it three times (sizes + both pair sides)
     sh_cand = doc_shingles(
         df.join(F.broadcast(cand_docs), id_col, "left_semi"),
         SHINGLE_K, text_col, id_col,
-    )
+    ).persist()
     return jaccard_verify(cand, sh_cand, threshold, id_col)
 
 
