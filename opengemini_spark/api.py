@@ -273,6 +273,42 @@ def handle_prom_query_range(
         return {"status": "error", "errorType": "bad_data", "error": str(e)}
 
 
+def handle_prom_query(
+    spark: SparkSession,
+    sf_dir: str,
+    registry,
+    promql: str,
+    time_s: int,
+) -> dict:
+    """``GET /api/v1/query`` (handler.go:345-351 servePromQuery,
+    handler_prom.go): instant evaluation at ``time_s``. The most-hit
+    Prometheus endpoint — a thin shim over the engine's single-timestamp
+    evaluation (`promql/engine.py::query_instant`) + the vector/scalar/
+    matrix response shapes; errors in the Prometheus envelope."""
+    from opengemini_spark.promql.engine import query_instant
+    from opengemini_spark.promql.parser import parse_promql
+    from opengemini_spark.promql.shape import (
+        to_prom_matrix,
+        to_prom_scalar,
+        to_prom_vector,
+    )
+
+    try:
+        node = parse_promql(promql)
+        kind, payload = query_instant(
+            spark, sf_dir, registry, promql, time_s
+        )
+        if kind == "scalar":
+            return to_prom_scalar(payload, time_s)
+        labels = [c for c in payload.columns if c not in ("t", "value")]
+        metric = getattr(node, "metric", "")
+        if kind == "matrix":
+            return to_prom_matrix(payload, metric, labels)
+        return to_prom_vector(payload, metric, labels)
+    except (SyntaxError, ValueError, KeyError, AssertionError) as e:
+        return {"status": "error", "errorType": "bad_data", "error": str(e)}
+
+
 def _prompb_decode(body: bytes) -> list[dict]:
     """Decode a snappy-compressed prompb.WriteRequest into
     [{"labels": {...}, "samples": [[ms, value], …]}, …].

@@ -515,3 +515,38 @@ def query_range(
     node = P.parse_promql(promql)
     eng = Engine(spark, sf_dir, registry, start_s, end_s, step_s, lookback_s)
     return eng.eval(node).df
+
+
+def query_instant(
+    spark: SparkSession,
+    sf_dir: str,
+    registry: MetricRegistry,
+    promql: str,
+    time_s: int,
+    lookback_s: int = DEFAULT_LOOKBACK_S,
+) -> tuple[str, float | DataFrame]:
+    """Single-timestamp evaluation — ``GET /api/v1/query``
+    (handler.go:345-351 servePromQuery; handler_prom.go).
+
+    Returns a (resultType, payload) pair mirroring the Prometheus API:
+    ``("scalar", float)`` for literal / ``scalar()`` expressions,
+    ``("matrix", df)`` for a bare range selector (the raw samples in the
+    (t−range, t] window, per-series), and ``("vector", df)`` otherwise —
+    the df shaped (labels…, t µs, value) exactly as :func:`query_range`.
+    """
+    eng = Engine(
+        spark, sf_dir, registry, time_s, time_s, max(time_s, 1), lookback_s
+    )
+    res = eng._eval(P.parse_promql(promql))
+    if isinstance(res, P.NumberLit):
+        return "scalar", float(res.value)
+    if isinstance(res, _RangeVector):
+        hi = time_s * US
+        lo = hi - res.range_s * US
+        df = res.samples.filter(
+            (F.col("tu") > lo) & (F.col("tu") <= hi)
+        ).select(*res.labels, F.col("tu").alias("t"), "value")
+        return "matrix", df
+    if isinstance(res, _Vector):
+        return "vector", res.df
+    raise ValueError(f"PromQL: cannot evaluate {promql!r} at an instant")

@@ -8,12 +8,18 @@ a vector of single samples.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 
 
 def _fmt_value(v: float) -> str:
     # Prometheus serializes samples as strings; Go's strconv drops the
-    # trailing ".0" on integral floats
+    # trailing ".0" on integral floats and spells specials NaN/+Inf/-Inf
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
@@ -85,3 +91,11 @@ def to_prom_vector(
             }
         )
     return {"status": "success", "data": {"resultType": "vector", "result": out}}
+
+
+def to_prom_scalar(value: float, time_s: float) -> dict:
+    """Instant-query scalar result (`1 + 2`, `scalar(v)`)."""
+    return {
+        "status": "success",
+        "data": {"resultType": "scalar", "result": [time_s, _fmt_value(value)]},
+    }

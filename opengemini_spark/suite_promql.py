@@ -79,3 +79,30 @@ def q_promql_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_promql_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, "max_over_time(events_value[12h]) > 249")
+
+
+# instant evaluation at a single timestamp (GET /api/v1/query, r3) — the
+# engine's query_instant vector path; window is (AT-12h, AT]
+INSTANT_AT = START + 10 * 86400
+
+
+@register(
+    "promql_instant_e2e",
+    f"""
+    SELECT event_type, CAST({INSTANT_AT} AS BIGINT) * 1000000 AS t,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events
+    WHERE epoch_us(ts) >  CAST({INSTANT_AT - 43200} AS BIGINT) * 1000000
+      AND epoch_us(ts) <= CAST({INSTANT_AT} AS BIGINT) * 1000000
+    GROUP BY event_type
+    """,
+)
+def q_promql_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.promql.engine import query_instant
+
+    kind, df = query_instant(
+        spark, sf_dir, _registry(),
+        "count_over_time(events_value[12h])", INSTANT_AT,
+    )
+    assert kind == "vector"
+    return df

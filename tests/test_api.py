@@ -211,6 +211,92 @@ def test_otlp_metrics_write_gauge_and_histogram(spark, tmp_path):
     assert by_le == {"0.1": 1.0, "0.5": 4.0, "inf": 6.0}
 
 
+def _events_registry():
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.promql import MetricRegistry
+    from opengemini_spark.promql.engine import Metric
+    from pyspark.sql import functions as F
+
+    def loader(s, d):
+        return load_table(s, d, "events").withColumn(
+            "tu", F.expr("time_ns div 1000")
+        )
+
+    reg = MetricRegistry()
+    reg.register("events_value", Metric(loader, labels=["event_type"]))
+    return reg
+
+
+def test_prom_instant_query_vector(spark, sf_dir):
+    """GET /api/v1/query: aggregated instant vector at one timestamp."""
+    from opengemini_spark.api import handle_prom_query
+
+    at = 1704067200 + 10 * 86400
+    out = handle_prom_query(
+        spark, sf_dir, _events_registry(),
+        "sum(count_over_time(events_value[12h]))", at,
+    )
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "vector"
+    res = out["data"]["result"]
+    assert len(res) == 1
+    ts, val = res[0]["value"]
+    assert ts == at
+    assert float(val) > 0
+
+
+def test_prom_instant_query_scalar(spark, sf_dir):
+    from opengemini_spark.api import handle_prom_query
+
+    out = handle_prom_query(spark, sf_dir, _events_registry(), "1 + 2", 100)
+    assert out == {
+        "status": "success",
+        "data": {"resultType": "scalar", "result": [100, "3"]},
+    }
+    # domain errors fold to NaN, not a query error (ADVICE r2)
+    nan_out = handle_prom_query(spark, sf_dir, _events_registry(), "1 % 0", 7)
+    assert nan_out["status"] == "success"
+    assert nan_out["data"]["result"][1] == "NaN"
+
+
+def test_prom_instant_query_matrix_raw_selector(spark, sf_dir):
+    """A bare range selector returns the raw samples in (t-range, t]."""
+    from opengemini_spark.api import handle_prom_query
+
+    at = 1704067200 + 10 * 86400
+    out = handle_prom_query(
+        spark, sf_dir, _events_registry(), "events_value[6h]", at,
+    )
+    assert out["data"]["resultType"] == "matrix"
+    lo, hi = (at - 21600), at
+    for series in out["data"]["result"]:
+        for ts, _v in series["values"]:
+            assert lo < ts <= hi
+
+
+def test_prom_instant_query_error_envelope(spark, sf_dir):
+    from opengemini_spark.api import handle_prom_query
+
+    out = handle_prom_query(
+        spark, sf_dir, _events_registry(), "rate(events_value)", 100,
+    )
+    assert out["status"] == "error" and out["errorType"] == "bad_data"
+
+
+def test_prom_instant_query_matches_range_at_point(spark, sf_dir):
+    """The instant endpoint agrees with query_range evaluated at start==end
+    — the corpus-validated path."""
+    from opengemini_spark.api import handle_prom_query, handle_prom_query_range
+
+    at = 1704067200 + 10 * 86400
+    q = "max_over_time(events_value[12h])"
+    inst = handle_prom_query(spark, sf_dir, _events_registry(), q, at)
+    rng = handle_prom_query_range(
+        spark, sf_dir, _events_registry(), q, at, at, at
+    )
+    assert inst["data"] == rng["data"]
+
+
 def test_prom_metadata_endpoints(spark, sf_dir):
     from opengemini_spark.api import (
         handle_prom_labels,
