@@ -170,11 +170,114 @@ def test_prom_remote_write_read_roundtrip(spark, tmp_path):
     ]
 
 
-def test_prompb_wire_decode_is_declared_stub(spark):
-    from opengemini_spark.api import _prompb_decode
-    import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        _prompb_decode(b"\x00")
+def test_prompb_varint_roundtrip():
+    from opengemini_spark.sources.prompb import decode_varint, encode_varint
+
+    for n in (0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -1609459200):
+        enc = encode_varint(n)
+        dec, pos = decode_varint(enc, 0)
+        if n < 0:
+            dec -= 1 << 64
+        assert dec == n and pos == len(enc)
+
+
+def test_snappy_block_roundtrip_and_copies():
+    from opengemini_spark.sources.prompb import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    for payload in (b"", b"x", b"hello world" * 1000, bytes(range(256)) * 300):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+    # copy elements from a real encoder: literal "abcd" then a copy-1
+    # (offset 4, length 8 — overlapping run) must expand to "abcdabcdabcd"
+    blk = bytes([12, 3 << 2]) + b"abcd" + bytes([(4 << 2) | 1, 4])
+    assert snappy_decompress(blk) == b"abcdabcdabcd"
+
+
+def test_prom_remote_write_wire_end_to_end(spark, tmp_path):
+    """Feed ACTUAL encoded bytes (snappy-block prompb.WriteRequest) through
+    the wire handler and read the samples back from storage."""
+    from opengemini_spark.api import handle_prom_read, handle_prom_write_wire
+    from opengemini_spark.sources import prompb
+
+    ts = [
+        {
+            "labels": {"__name__": "http_requests", "job": "api", "code": "200"},
+            "samples": [[1700000000000, 10.5], [1700000060000, 12.0]],
+        },
+        {
+            "labels": {"__name__": "http_requests", "job": "api", "code": "500"},
+            "samples": [[1700000000000, 1.0]],
+        },
+    ]
+    body = prompb.snappy_compress(prompb.encode_write_request(ts))
+    root = str(tmp_path / "prom")
+    res = handle_prom_write_wire(spark, body, root)
+    assert res["written"] == {"http_requests": 3}
+
+    back = handle_prom_read(
+        spark, root, "http_requests", matchers={"code": "200"}
+    )
+    series = back["results"][0]["timeseries"]
+    assert len(series) == 1
+    assert [s["timestamp"] for s in series[0]["samples"]] == [
+        1700000000000, 1700000060000,
+    ]
+    assert [s["value"] for s in series[0]["samples"]] == [10.5, 12.0]
+
+
+def test_prom_remote_read_wire_end_to_end(spark, tmp_path):
+    """ReadRequest bytes in, snappy-compressed ReadResponse bytes out."""
+    from opengemini_spark.api import handle_prom_read_wire, handle_prom_write_wire
+    from opengemini_spark.sources import prompb
+
+    ts = [
+        {
+            "labels": {"__name__": "cpu_usage", "host": "h1"},
+            "samples": [[1700000000000, 0.5], [1700000060000, 0.7]],
+        },
+        {
+            "labels": {"__name__": "cpu_usage", "host": "h2"},
+            "samples": [[1700000030000, 0.9]],
+        },
+    ]
+    root = str(tmp_path / "prom")
+    handle_prom_write_wire(
+        spark, prompb.snappy_compress(prompb.encode_write_request(ts)), root
+    )
+
+    req = prompb.encode_read_request(
+        [
+            {
+                "start_ms": 1700000000000,
+                "end_ms": 1700000060000,
+                "matchers": [
+                    {"name": "__name__", "op": "=", "value": "cpu_usage"},
+                    {"name": "host", "op": "=", "value": "h1"},
+                ],
+            }
+        ]
+    )
+    raw = handle_prom_read_wire(spark, prompb.snappy_compress(req), root)
+    decoded = prompb.snappy_decompress(raw)
+    # walk the ReadResponse: results=1 → timeseries=1 with both samples
+    from opengemini_spark.sources.prompb import iter_fields
+
+    results = [v for f, _w, v in iter_fields(decoded) if f == 1]
+    assert len(results) == 1
+    series = [v for f, _w, v in iter_fields(results[0]) if f == 1]
+    assert len(series) == 1
+    tsd = prompb.decode_write_request(
+        b"".join(
+            prompb.encode_varint(1 << 3 | 2)
+            + prompb.encode_varint(len(s)) + s
+            for s in series
+        )
+    )
+    assert tsd[0]["labels"] == {"__name__": "cpu_usage", "host": "h1"}
+    assert tsd[0]["samples"] == [[1700000000000, 0.5], [1700000060000, 0.7]]
 
 
 def test_otlp_metrics_write_gauge_and_histogram(spark, tmp_path):
