@@ -61,7 +61,8 @@ def handle_query(
                 ) or (
                     first == "show"
                     and stmt_text.lower().split()[1]
-                    in ("databases", "retention", "users", "queries", "grants")
+                    in ("databases", "retention", "users", "queries",
+                        "grants", "streams", "continuous")
                 ):
                     out = ddl.execute(stmt_text)
                     out["statement_id"] = i

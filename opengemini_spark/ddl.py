@@ -46,9 +46,13 @@ class MetaStore:
         self.path = self.root / "_meta.json"
         self.databases: dict[str, Database] = {}
         self.users: dict[str, dict] = {}
+        self.streams: dict[str, dict] = {}
+        self.cqs: dict[str, dict] = {}
         if self.path.exists():
             raw = json.loads(self.path.read_text())
             self.users = raw.pop("__users__", {})
+            self.streams = raw.pop("__streams__", {})
+            self.cqs = raw.pop("__cqs__", {})
             for name, d in raw.items():
                 db = Database(
                     name,
@@ -76,6 +80,8 @@ class MetaStore:
                         for n, d in self.databases.items()
                     },
                     "__users__": self.users,
+                    "__streams__": self.streams,
+                    "__cqs__": self.cqs,
                 },
                 indent=1,
             )
@@ -338,6 +344,178 @@ class DDLExecutor:
             ]
         }
 
+    # --- streams / continuous queries (statement surface, r3) ---
+    # CREATE STREAM name INTO dst ON SELECT … [DELAY d]
+    # (grammar sql.y:3896 CREATE_STREAM_STATEMENT; dispatch
+    # statement_executor.go:433). The SELECT goes through the real InfluxQL
+    # parser; semantics bind to streaming/stream_job.py.
+
+    def _parse_stream_select(self, select_text: str, require_into: bool):
+        from opengemini_spark.influxql import ast as iast
+        from opengemini_spark.influxql.parser import parse
+        from opengemini_spark.streaming.stream_job import STREAM_CALLS
+
+        stmt = parse(select_text)
+        if not isinstance(stmt, iast.SelectStatement):
+            raise ValueError("stream/CQ body must be a SELECT statement")
+        if require_into and not stmt.into:
+            raise ValueError("continuous query SELECT needs an INTO target")
+        if stmt.group_time is None:
+            # the reference also supports filter-only streams (ast.go:11535
+            # Check); this engine scope is windowed-agg streams only
+            raise ValueError("stream/CQ SELECT needs GROUP BY time(...)")
+        calls: dict[str, tuple[str, str]] = {}
+        for f in stmt.fields:
+            e = f.expr
+            if not (isinstance(e, iast.Call) and e.args
+                    and isinstance(e.args[0], iast.VarRef)):
+                raise ValueError("stream fields must be call(field)")
+            if e.name not in STREAM_CALLS:
+                raise ValueError(
+                    f"stream call {e.name!r} not supported "
+                    f"(reference restriction lib/stream/stream.go:71: "
+                    f"{STREAM_CALLS})"
+                )
+            out = f.alias or f"{e.name}_{e.args[0].name}"
+            calls[out] = (e.name, e.args[0].name)
+        if not isinstance(stmt.source, str):
+            raise ValueError("stream source must be a single measurement")
+        return stmt, calls
+
+    def _stream_def(self, entry: dict):
+        from opengemini_spark.streaming.stream_job import StreamDef
+
+        def dur(ns: int) -> str:
+            return f"{ns // 1_000_000_000} seconds"
+
+        return StreamDef(
+            name=entry["name"],
+            interval=dur(entry["interval_ns"]),
+            delay=dur(entry["delay_ns"]) if entry["delay_ns"] else "0 seconds",
+            dims=list(entry["dims"]),
+            calls={k: tuple(v) for k, v in entry["calls"].items()},
+        )
+
+    def _create_stream(self, s, m):
+        name, dest, select_text, delay = m.group(1), m.group(2), m.group(3), m.group(4)
+        stmt, calls = self._parse_stream_select(select_text, require_into=False)
+        self.meta.streams[name] = {
+            "name": name,
+            "dest": dest,
+            "source": stmt.source,
+            "interval_ns": stmt.group_time.interval_ns,
+            "delay_ns": _dur_ns(delay) if delay else 0,
+            "dims": list(stmt.group_tags),
+            "calls": calls,
+            "query": s,
+        }
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_streams(self, s, m):
+        return {
+            "series": [
+                {
+                    "name": "streams",
+                    "columns": ["name", "dest", "source", "interval_ns",
+                                "delay_ns", "query"],
+                    "values": [
+                        [e["name"], e["dest"], e["source"], e["interval_ns"],
+                         e["delay_ns"], e["query"]]
+                        for e in self.meta.streams.values()
+                    ],
+                }
+            ]
+        }
+
+    def _drop_stream(self, s, m):
+        if m.group(1) not in self.meta.streams:
+            raise ValueError(f"no such stream: {m.group(1)}")
+        del self.meta.streams[m.group(1)]
+        self.meta.save()
+        return {"ok": True}
+
+    def _create_cq(self, s, m):
+        name, db, every, for_, select_text = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+        )
+        stmt, calls = self._parse_stream_select(select_text, require_into=True)
+        self.meta.cqs[name] = {
+            "name": name,
+            "db": db,
+            "dest": stmt.into,
+            "source": stmt.source,
+            "interval_ns": stmt.group_time.interval_ns,
+            "delay_ns": 0,
+            "resample_every_ns": _dur_ns(every) if every else None,
+            "resample_for_ns": _dur_ns(for_) if for_ else None,
+            "dims": list(stmt.group_tags),
+            "calls": calls,
+            "query": s,
+        }
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_cqs(self, s, m):
+        # grouped per database like the reference's SHOW CONTINUOUS QUERIES
+        by_db: dict[str, list] = {}
+        for e in self.meta.cqs.values():
+            by_db.setdefault(e["db"], []).append([e["name"], e["query"]])
+        return {
+            "series": [
+                {"name": db, "columns": ["name", "query"], "values": vals}
+                for db, vals in sorted(by_db.items())
+            ]
+        }
+
+    def _drop_cq(self, s, m):
+        name, db = m.group(1), m.group(2)
+        e = self.meta.cqs.get(name)
+        if e is None or e["db"] != db:
+            raise ValueError(f"no such continuous query: {name} on {db}")
+        del self.meta.cqs[name]
+        self.meta.save()
+        return {"ok": True}
+
+    # statement → execution binding
+    def run_stream_once(self, name: str, src, dest_path: str,
+                        ts_col: str = "ts") -> None:
+        """One batch cycle of a registered stream (the unified batch/stream
+        aggregation; for a live run use ``start_registered_stream``)."""
+        from opengemini_spark.streaming.stream_job import continuous_query_once
+
+        entry = self.meta.streams.get(name)
+        if entry is None:
+            raise ValueError(f"no such stream: {name}")
+        continuous_query_once(src, self._stream_def(entry), dest_path, ts_col)
+
+    def start_registered_stream(self, name: str, src_stream, dest_path: str,
+                                checkpoint: str, ts_col: str = "ts",
+                                available_now: bool = True):
+        from opengemini_spark.streaming.stream_job import start_stream
+
+        entry = self.meta.streams.get(name)
+        if entry is None:
+            raise ValueError(f"no such stream: {name}")
+        return start_stream(
+            src_stream, self._stream_def(entry), dest_path, checkpoint,
+            ts_col, trigger_available_now=available_now,
+        )
+
+    def run_cq_once(self, name: str, src, dest_path: str | None = None,
+                    ts_col: str = "ts") -> str:
+        """One resample tick of a registered continuous query; returns the
+        destination path written (services/continuousquery/service.go:178
+        runs the bound SELECT … INTO per tick)."""
+        from opengemini_spark.streaming.stream_job import continuous_query_once
+
+        entry = self.meta.cqs.get(name)
+        if entry is None:
+            raise ValueError(f"no such continuous query: {name}")
+        dest = dest_path or str(self.meta.db_dir(entry["db"]) / entry["dest"])
+        continuous_query_once(src, self._stream_def(entry), dest, ts_col)
+        return dest
+
     _DISPATCH = [
         (r"create database ([a-z_][a-z0-9_]*)$", _create_db),
         (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
@@ -383,6 +561,24 @@ class DDLExecutor:
         ),
         (r"kill query (\d+)$", _kill_query),
         (r"show queries$", _show_queries),
+        (
+            r"create stream ([a-z_][a-z0-9_]*) into ([a-z_][a-z0-9_.]*) "
+            r"on (select .+?)(?: delay ([0-9]+(?:ns|u|ms|s|m|h|d|w)))?$",
+            _create_stream,
+        ),
+        (r"show streams(?: on [a-z_][a-z0-9_]*)?$", _show_streams),
+        (r"drop stream ([a-z_][a-z0-9_]*)$", _drop_stream),
+        (
+            r"create continuous query ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*)"
+            r"(?: resample(?: every ([0-9]+[a-z]+))?(?: for ([0-9]+[a-z]+))?)?"
+            r" begin (select .+) end$",
+            _create_cq,
+        ),
+        (r"show continuous queries$", _show_cqs),
+        (
+            r"drop continuous query ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*)$",
+            _drop_cq,
+        ),
     ]
 
     def register_measurement(self, db: str, name: str) -> None:

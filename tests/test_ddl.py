@@ -126,3 +126,111 @@ def test_show_grants(ddl, spark):
     ddl.execute("GRANT WRITE ON gdb TO carol")
     out = ddl.execute("SHOW GRANTS FOR carol")["series"][0]
     assert out["values"] == [["gdb", "write"]]
+
+
+def _mk_src(spark, n=200):
+    """Batch source with a ts column, 2 hosts, 10-minute span."""
+    rows = [
+        (f"h{i % 2}", 1_700_000_000_000_000 + i * 3_000_000, float(i))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "host string, tu long, value double")
+    return df.withColumn("ts", (F.col("tu") / 1_000_000).cast("timestamp"))
+
+
+def test_create_stream_statement_lifecycle(ddl, spark, tmp_path):
+    """CREATE STREAM … INTO … ON SELECT … DELAY (sql.y:3896) parses, lists,
+    runs one windowed-agg cycle, and drops."""
+    ddl.execute(
+        "CREATE STREAM s1 INTO cpu_10m ON "
+        "SELECT sum(value) AS s, count(value) AS n FROM cpu "
+        "GROUP BY time(5m), host DELAY 30s"
+    )
+    rows = ddl.execute("SHOW STREAMS")["series"][0]["values"]
+    assert len(rows) == 1
+    name, dest, source, ivl, delay, _q = rows[0]
+    assert (name, dest, source) == ("s1", "cpu_10m", "cpu")
+    assert ivl == 300 * 10**9 and delay == 30 * 10**9
+
+    dest_path = str(tmp_path / "cpu_10m")
+    ddl.run_stream_once("s1", _mk_src(spark), dest_path)
+    out = spark.read.parquet(dest_path)
+    assert {"window_start", "window_end", "host", "s", "n"} <= set(out.columns)
+    got = {(r["host"], r["window_start"].minute): r["n"] for r in out.collect()}
+    # unaligned 10-minute span crosses 3 five-minute windows × 2 hosts
+    assert len(got) == 6
+    assert sum(v for v in got.values()) == 200
+
+    ddl.execute("DROP STREAM s1")
+    assert ddl.execute("SHOW STREAMS")["series"][0]["values"] == []
+    with pytest.raises(ValueError, match="no such stream"):
+        ddl.execute("DROP STREAM s1")
+
+
+def test_stream_statement_rejects_disallowed_call(ddl):
+    with pytest.raises(ValueError, match="not supported"):
+        ddl.execute(
+            "CREATE STREAM bad INTO x ON "
+            "SELECT mean(value) FROM cpu GROUP BY time(1m)"
+        )
+
+
+def test_stream_statement_persists_in_metastore(ddl, spark):
+    ddl.execute(
+        "CREATE STREAM s2 INTO m2 ON "
+        "SELECT max(value) AS mx FROM cpu GROUP BY time(1m) DELAY 5s"
+    )
+    reopened = DDLExecutor(spark, MetaStore(str(ddl.meta.root)))
+    rows = reopened.execute("SHOW STREAMS")["series"][0]["values"]
+    assert rows and rows[0][0] == "s2"
+
+
+def test_create_continuous_query_statement(ddl, spark, tmp_path):
+    """CREATE CONTINUOUS QUERY … BEGIN SELECT … INTO … END: one resample
+    tick through the statement path (continuousquery/service.go:178)."""
+    ddl.execute("CREATE DATABASE cqdb")
+    ddl.execute(
+        "CREATE CONTINUOUS QUERY cq1 ON cqdb RESAMPLE EVERY 1m FOR 10m "
+        "BEGIN SELECT sum(value) AS s INTO cpu_rollup FROM cpu "
+        "GROUP BY time(5m), host END"
+    )
+    out = ddl.execute("SHOW CONTINUOUS QUERIES")["series"]
+    assert out[0]["name"] == "cqdb"
+    assert out[0]["values"][0][0] == "cq1"
+
+    dest = ddl.run_cq_once("cq1", _mk_src(spark))
+    back = spark.read.parquet(dest)
+    assert back.count() == 6
+    # idempotent: a second tick over the same range overwrites, not appends
+    ddl.run_cq_once("cq1", _mk_src(spark))
+    assert spark.read.parquet(dest).count() == 6
+
+    ddl.execute("DROP CONTINUOUS QUERY cq1 ON cqdb")
+    assert ddl.execute("SHOW CONTINUOUS QUERIES")["series"] == []
+
+
+def test_cq_requires_into_and_window(ddl):
+    with pytest.raises(ValueError, match="INTO"):
+        ddl.execute(
+            "CREATE CONTINUOUS QUERY c2 ON d BEGIN "
+            "SELECT sum(value) FROM cpu GROUP BY time(1m) END"
+        )
+    with pytest.raises(ValueError, match="GROUP BY time"):
+        ddl.execute(
+            "CREATE STREAM s9 INTO x ON SELECT sum(value) FROM cpu"
+        )
+
+
+def test_stream_ddl_routed_through_query_api(ddl, spark, sf_dir):
+    from opengemini_spark.api import handle_query
+
+    out = handle_query(
+        spark, sf_dir,
+        "CREATE STREAM sq INTO dst ON SELECT count(value) AS n FROM cpu "
+        "GROUP BY time(1m); SHOW STREAMS; SHOW CONTINUOUS QUERIES",
+        ddl=ddl,
+    )
+    r = out["results"]
+    assert r[0]["ok"] is True
+    assert r[1]["series"][0]["values"][0][0] == "sq"
+    assert r[2]["series"] == []
