@@ -241,6 +241,97 @@ def mad_anomaly(
     )
 
 
+def sigma_anomaly(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    std_window: int = 20,
+    sensitivity: float = 3.0,
+    anomaly_type: str = "both",
+) -> DataFrame:
+    """Castor ``sigma_sliding_window`` detector — semantics ported from the
+    reference's shipped UDF (python/ts-udf/server/udf/
+    sudden_increase_STL3.py:146-176 ``sigma_sliding_window`` +
+    :71-86 ``filter_indices_by_score``; dispatched via
+    find_abnormal_udf.py FindAbnormalUDF.detect):
+
+    - rolling window of ``std_window`` points feeds a mean/std estimate,
+      EXCLUDING indices already flagged (so one anomaly doesn't inflate the
+      baseline for its neighbors — sequential, genuinely non-SQL);
+    - std floored at 5% of the window mean;
+    - point t is an upper anomaly when v > mean + sensitivity·std (lower:
+      mirrored), scored (v − mean)/(std + 1);
+    - final filter keeps scores ≥ max_score · min(sensitivity/15, 0.9).
+
+    Output per input row: ``anomaly`` 0/1, ``updown`` +1 upper / −1 lower /
+    0, ``score`` (0 when not an anomaly). Series shorter than
+    ``std_window + 1`` emit all-zero flags (the reference returns empty).
+    Rows-only driver check; value behavior pinned in tests/test_castor.py.
+    """
+    import numpy as np
+
+    pct = min(sensitivity / 15.0, 0.9)
+
+    def detect(x: pd.Series) -> pd.DataFrame:
+        vals = x.to_numpy(dtype=float)
+        n = len(vals)
+        up_idx: list[int] = []
+        up_score: list[float] = []
+        dn_idx: list[int] = []
+        dn_score: list[float] = []
+        if n > std_window:
+            mean = float(np.mean(vals[:std_window]))
+            std = float(np.std(vals[:std_window]))
+            for i in range(n - std_window):
+                flagged = set(up_idx) | set(dn_idx)
+                window = [
+                    vals[j] for j in range(i, i + std_window)
+                    if j not in flagged
+                ]
+                if window:
+                    mean = float(np.mean(window))
+                    std = float(np.std(window))
+                    if std < mean * 0.05:
+                        std = mean * 0.05
+                t = i + std_window
+                if anomaly_type in ("both", "upper") and (
+                    vals[t] > mean + sensitivity * std
+                ):
+                    up_idx.append(t)
+                    up_score.append((vals[t] - mean) / (std + 1))
+                if anomaly_type in ("both", "lower") and (
+                    vals[t] < mean - sensitivity * std
+                ):
+                    dn_idx.append(t)
+                    dn_score.append((mean - vals[t]) / (std + 1))
+        overall = max(
+            max(up_score, default=float("-inf")),
+            max(dn_score, default=float("-inf")),
+        )
+        thr = overall * pct
+        keep_up = {i for i, s in zip(up_idx, up_score) if s >= thr}
+        keep_dn = {i for i, s in zip(dn_idx, dn_score) if s >= thr}
+        score_of = dict(zip(up_idx, up_score)) | dict(zip(dn_idx, dn_score))
+        anomaly = [1.0 if i in keep_up or i in keep_dn else 0.0 for i in range(n)]
+        updown = [
+            1.0 if i in keep_up else (-1.0 if i in keep_dn else 0.0)
+            for i in range(n)
+        ]
+        score = [
+            score_of[i] if (i in keep_up or i in keep_dn) else 0.0
+            for i in range(n)
+        ]
+        return pd.DataFrame(
+            {"anomaly": anomaly, "updown": updown, "score": score}
+        )
+
+    return _apply_recurrence(
+        df, series_cols, order_cols, value_col,
+        ["anomaly", "updown", "score"], detect,
+    )
+
+
 def chande_momentum(
     df: DataFrame,
     series_cols: list[str],

@@ -848,6 +848,7 @@ PRIORITY: tuple[str, ...] = (
     # -- round-3 additions go here (inserted as built, sentinels dropped) --
     "influxql_func_holt_winters_forecast",  # rows-only (Nelder-Mead forecast)
     "promql_instant_e2e",  # GET /api/v1/query instant path (r3)
+    "castor_sigma_anomaly",  # rows-only (sequential baseline exclusion)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
@@ -882,7 +883,6 @@ PRIORITY: tuple[str, ...] = (
     "table_function_rca",
     "prom_over_time",
     "prom_rate_extrapolated",
-    "prom_histogram_quantile",
 )
 
 

@@ -133,6 +133,25 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "castor_sigma_anomaly",
+    # the reference's shipped sigma_sliding_window detector
+    # (python/ts-udf/server/udf/sudden_increase_STL3.py:146) — the rolling
+    # baseline EXCLUDES previously-flagged points, a sequential dependence
+    # no SQL can express → rows-only driver check; value behavior is pinned
+    # by tests/test_castor.py.
+    None,
+)
+def q_sigma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.sigma_anomaly(
+        ev, ["user_id"], ["time_us", "event_id"], "value",
+        std_window=20, sensitivity=3.0,
+    )
+    return out.select("user_id", "rn", "anomaly", "updown",
+                      F.round("score", 6).alias("score"))
+
+
 KAMA_N = 10
 
 

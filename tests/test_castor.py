@@ -1,0 +1,89 @@
+"""Castor sigma_sliding_window detector — value pins for the ported
+reference UDF semantics (python/ts-udf/server/udf/sudden_increase_STL3.py
+sigma_sliding_window + filter_indices_by_score).
+
+The rolling baseline excludes already-flagged indices, making the
+algorithm sequential; these tests carry the value-level burden the SQL
+oracle gate can't.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opengemini_spark.operators.recursive import sigma_anomaly
+
+W = 5  # small std_window for hand-checkable scenarios
+
+
+def _run(spark, values, **kw):
+    rows = [("s", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "series string, t long, v double")
+    out = sigma_anomaly(df, ["series"], ["t"], "v", std_window=W, **kw)
+    got = {r["rn"]: (r["anomaly"], r["updown"], r["score"])
+           for r in out.collect()}
+    return [got[i + 1] for i in range(len(values))]
+
+
+def test_constant_series_no_anomalies(spark):
+    res = _run(spark, [10.0] * 15)
+    assert all(a == 0.0 and u == 0.0 and s == 0.0 for a, u, s in res)
+
+
+def test_single_upper_spike_flagged(spark):
+    vals = [10.0] * 10 + [100.0] + [10.0] * 4
+    res = _run(spark, vals)
+    assert res[10] == (1.0, 1.0, pytest.approx((100.0 - 10.0) / (0.5 + 1)))
+    for i, r in enumerate(res):
+        if i != 10:
+            assert r[0] == 0.0
+
+
+def test_lower_spike_and_anomaly_type_filter(spark):
+    vals = [10.0] * 10 + [0.5] + [10.0] * 4
+    both = _run(spark, vals)
+    assert both[10][0] == 1.0 and both[10][1] == -1.0
+    upper_only = _run(spark, vals, anomaly_type="upper")
+    assert all(a == 0.0 for a, _u, _s in upper_only)
+
+
+def test_flagged_point_excluded_from_baseline(spark):
+    """After the spike at index 10 is flagged, it must NOT inflate the
+    baseline for the following points — a later mild spike is still caught
+    (the defining property of the reference's exclusion logic)."""
+    vals = [10.0] * 10 + [20.0] + [10.0] * 3 + [14.0] + [10.0] * 3
+    res = _run(spark, vals)
+    # with the flagged 20 excluded, the window at index 14 is all 10s →
+    # std floor 0.5 → threshold 11.5 → 14.0 flagged (without exclusion the
+    # window's mean 12/std 4 would give threshold 24 and miss it); its
+    # score 2.67 also clears the 20%-of-max filter (max score 6.67)
+    assert res[10][0] == 1.0
+    assert res[14][0] == 1.0 and res[14][1] == 1.0
+
+
+def test_score_filter_drops_weak_anomalies(spark):
+    """filter_indices_by_score: a weak anomaly (score < 20% of the max
+    score) is dropped from the final set."""
+    vals = [10.0] * 10 + [1000.0] + [10.0] * 5 + [12.0] + [10.0] * 3
+    res = _run(spark, vals)
+    assert res[10][0] == 1.0
+    # 12.0 clears the 3-sigma floor threshold (11.5) but its score
+    # (≈1.33) is far below 20% of the 1000-spike's score (≈660) → dropped
+    assert res[16][0] == 0.0
+
+
+def test_short_series_emits_no_flags(spark):
+    res = _run(spark, [1.0, 2.0, 3.0])
+    assert all(a == 0.0 for a, _u, _s in res)
+
+
+def test_per_series_independence(spark):
+    rows = []
+    for s, base in (("a", 10.0), ("b", 50.0)):
+        seq = [base] * 10 + [base * 10] + [base] * 4
+        rows += [(s, i, float(v)) for i, v in enumerate(seq)]
+    df = spark.createDataFrame(rows, "series string, t long, v double")
+    out = sigma_anomaly(df, ["series"], ["t"], "v", std_window=W)
+    flagged = {(r["series"], r["rn"]) for r in out.collect()
+               if r["anomaly"] == 1.0}
+    assert flagged == {("a", 11), ("b", 11)}
