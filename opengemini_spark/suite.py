@@ -856,8 +856,8 @@ PRIORITY: tuple[str, ...] = (
     "selector_first_last",
     "window_tumbling_agg",
     "window_fill_previous",
-    "transform_difference",
-    "transform_cumulative_sum",
+    "transform_ema",
+    "transform_holt_winters",
     "transform_moving_average",
     "join_inner",
     "join_full_outer",
@@ -881,8 +881,8 @@ PRIORITY: tuple[str, ...] = (
     "compare_timeshift",
     "sketch_countmin_topn",
     "table_function_rca",
-    "prom_over_time",
-    "prom_rate_extrapolated",
+    "scalar_math",
+    "graph_multihop_nodes",
 )
 
 

@@ -338,7 +338,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # miss probability < 1e-11 at this threshold, so it reproduces the
     # brute-force oracle exactly on the gate data
     return similarity.lsh_near_dups(
-        load_table(spark, sf_dir, "embeddings"), threshold=COS_NEAR_DUP_T
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=COS_NEAR_DUP_T,
+        dim=EMB_DIM,
     )
 
 
@@ -594,7 +596,7 @@ def q_dedup_embedding_lsh_highthr(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     corpus = emb.unionByName(copy)
     return similarity.lsh_near_dups(
-        corpus, threshold=0.99, bands=8, rows_per_band=16
+        corpus, threshold=0.99, bands=8, rows_per_band=16, dim=EMB_DIM
     )
 
 

@@ -27,7 +27,13 @@ def test_priority_window_samples_every_layer():
 def test_oracle_keys_subset_of_queries():
     qs, os_ = suite.queries(), suite.oracle_sql()
     assert set(os_) <= set(qs)
-    # weak (no-oracle) entries are the deliberate, documented ones only
-    # (percentile sketch family is engine-specific by nature; KAMA became
-    # exact in r2 via integer-cent quantization)
-    assert set(qs) - set(os_) == {"agg_percentile_approx"}
+    # weak (no-oracle) entries are the deliberate, documented ones only:
+    # the percentile sketch is engine-specific by nature; the holt_winters
+    # forecast emits Nelder-Mead-optimized future points and the castor
+    # sigma detector excludes prior anomalies from its rolling baseline —
+    # both sequential-stateful shapes SQL cannot replay (rows-only gate).
+    assert set(qs) - set(os_) == {
+        "agg_percentile_approx",
+        "influxql_func_holt_winters_forecast",
+        "castor_sigma_anomaly",
+    }
