@@ -3,24 +3,34 @@
 Images/audio/video live as ``binary`` columns with a metadata struct; the
 decode / feature-extract step is a ``mapInPandas`` stage (Arrow-batched —
 the payload bytes never round-trip through Python row objects one at a
-time). The actual codec calls are STUBBED (no image/audio libs in this
-container): ``decode_stub_features`` computes deterministic byte-level
-features so the Spark-side plumbing — schema, batching, partition shape —
-is fully real and oracle-checked, while ``decode_real`` raises
-NotImplementedError to mark where PIL/ffmpeg would plug in.
+time).
+
+Since round 3 the decode is REAL for PNG and WAV: ``datapipe.codecs``
+implements both with the standard library (zlib inflate + all five PNG
+scanline unfilters; RIFF chunk walk + PCM-16), and ``media_features``
+runs it as an Arrow-batched stage. Formats that require external codec
+libraries (JPEG/MP4/Opus) raise NotImplementedError from ``decode_real``
+— the remaining declared boundary (SURVEY §7.3).
+``decode_stub_features`` (byte-level stats over arbitrary payloads)
+stays as the codec-agnostic path.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
+
+from opengemini_spark.datapipe import codecs
 
 FEATURE_SCHEMA = StructType(
     [
@@ -52,10 +62,112 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Where a real decoder (PIL.Image.open / soundfile / pyav) plugs in."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "use decode_stub_features for the deterministic test path"
+    """Real media decode: PNG and WAV via the pure-Python codecs
+    (full pixel/sample reconstruction — ``datapipe/codecs.py``); any other
+    format needs external codec libraries and raises NotImplementedError."""
+    try:
+        return codecs.decode_media(payload)
+    except ValueError as e:
+        raise NotImplementedError(
+            f"{e}; JPEG/MP4/Opus decode requires external codec libraries "
+            "(declared boundary, SURVEY §7.3)"
+        ) from e
+
+
+#: Unified feature row for decoded media (images fill width/height,
+#: audio fills sample_rate/n_frames; content_sum is the pixel-sum or
+#: sum-of-|sample| — a full-reconstruction checksum, not a header stat).
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("content_sum", LongType()),
+    ]
+)
+
+_FEATURE_COLS = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+
+
+def media_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched real decode over binary payloads (PNG / WAV PCM).
+
+    One Python call per file inside ``mapInPandas``; payload bytes stay on
+    the executor. The same stage shape carries a PIL/ffmpeg decoder when
+    those libs exist — only the `codecs.decode_media` call changes.
+    """
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": doc_id, **codecs.decode_media(bytes(payload))}
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_FEATURE_COLS)
+
+    return src.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+# Deterministic media synthesis from ids — the ingest-fixture path that
+# lets the driver oracle the decoded features against closed-form SQL
+# (suite_datapipe: multimodal_{png,wav}_real_decode). Parameters are
+# closed-form functions of doc_id so DuckDB can replay them.
+WAV_BASE_FRAMES, WAV_FRAME_SPAN = 200, 100
+WAV_BASE_RATE, WAV_RATE_STEP = 8000, 4000
+WAV_MUL, WAV_STEP = 2654435761, 40503
+PNG_BASE_W, PNG_SPAN_W = 8, 9
+PNG_BASE_H, PNG_SPAN_H = 5, 7
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id → real WAV bytes: n = 200 + id%100 frames of
+    s_k = (id·2654435761 + k·40503) mod 2¹⁶ − 2¹⁵ at 8/12/16 kHz."""
+
+    @F.pandas_udf(BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            d = int(doc_id)
+            n = WAV_BASE_FRAMES + d % WAV_FRAME_SPAN
+            rate = WAV_BASE_RATE + (d % 3) * WAV_RATE_STEP
+            k = np.arange(n, dtype=np.int64)
+            s = ((d * WAV_MUL + k * WAV_STEP) % 65536 - 32768).astype(np.int16)
+            out.append(codecs.encode_wav(s, rate))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), make(F.col(id_col)).alias("payload")
+    )
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id → real PNG bytes: (8+id%9)×(5+id%7) gray-8 image with pixel
+    p(x,y) = (id·7 + y·31 + x·17) mod 256, scanline filter = y mod 5 so a
+    decode exercises every unfilter path."""
+
+    @F.pandas_udf(BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            d = int(doc_id)
+            w = PNG_BASE_W + d % PNG_SPAN_W
+            h = PNG_BASE_H + d % PNG_SPAN_H
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((d * 7 + y * 31 + x * 17) % 256).astype(np.uint8)
+            out.append(codecs.encode_png(img))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), make(F.col(id_col)).alias("payload")
     )
 
 

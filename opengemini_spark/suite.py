@@ -849,6 +849,8 @@ PRIORITY: tuple[str, ...] = (
     "influxql_func_holt_winters_forecast",  # rows-only (Nelder-Mead forecast)
     "promql_instant_e2e",  # GET /api/v1/query instant path (r3)
     "castor_sigma_anomaly",  # rows-only (sequential baseline exclusion)
+    "multimodal_png_real_decode",  # real PNG decode vs closed-form oracle (r3)
+    "multimodal_wav_real_decode",  # real WAV decode vs closed-form oracle (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
@@ -867,12 +869,10 @@ PRIORITY: tuple[str, ...] = (
     "slimit_series",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "similarity_cosine_topk",
     "text_token_stats",
-    "text_lang_id",
     "influxql_window_agg_fill",
     "influxql_func_ema",
     "sink_select_into",

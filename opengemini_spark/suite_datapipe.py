@@ -439,6 +439,77 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_real_decode",
+    # end-to-end REAL codec gate: the Spark side encodes a (8+id%9)×(5+id%7)
+    # gray PNG per doc (scanline filter = y%5 → every unfilter path), then
+    # fully decodes it (zlib inflate + scanline reconstruction) in an Arrow
+    # mapInPandas stage; the oracle computes the pixel sum in closed form.
+    # Any wrong filter reconstruction ⇒ content_sum mismatch.
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {multimodal.PNG_BASE_W} + doc_id % {multimodal.PNG_SPAN_W} AS w,
+             {multimodal.PNG_BASE_H} + doc_id % {multimodal.PNG_SPAN_H} AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(SUM((doc_id * 7 + (i // w) * 31 + (i % w) * 17) % 256)
+                AS BIGINT) AS content_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    feats = multimodal.media_features(multimodal.synth_png(docs))
+    return feats.select("doc_id", "width", "height", "channels", "content_sum")
+
+
+@register(
+    "multimodal_wav_real_decode",
+    # real RIFF/PCM decode gate: synthesize n = 200+id%100 int16 frames of a
+    # closed-form signal, encode as WAV, decode through the chunk walk, and
+    # compare sum(|sample|) + format fields against the SQL replay.
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {multimodal.WAV_BASE_FRAMES} + doc_id % {multimodal.WAV_FRAME_SPAN} AS n,
+             {multimodal.WAV_BASE_RATE} + (doc_id % 3) * {multimodal.WAV_RATE_STEP} AS rate
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    s AS (
+      SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS k
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(SUM(ABS(((doc_id * {multimodal.WAV_MUL} + k * {multimodal.WAV_STEP})
+                         % 65536) - 32768)) AS BIGINT) AS content_sum
+    FROM s GROUP BY doc_id, n, rate
+    """,
+)
+def q_multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    feats = multimodal.media_features(multimodal.synth_wav(docs))
+    return feats.select("doc_id", "sample_rate", "n_frames", "content_sum")
+
+
+@register(
     "dedup_connected_components",
     # transitive closure of minhash near-dup pairs → duplicate groups with a
     # canonical (min-id) representative; oracle = recursive reachability

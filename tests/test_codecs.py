@@ -1,0 +1,91 @@
+"""Pure-Python PNG/WAV codec tests: round-trips over every PNG filter
+type and color layout, chunk-walk robustness, and the dispatch boundary.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from opengemini_spark.datapipe import codecs
+
+
+@pytest.mark.parametrize(
+    "shape", [(5, 8), (7, 9, 3), (6, 4, 4), (1, 1), (3, 5, 2), (11, 3)]
+)
+def test_png_roundtrip_all_filters(shape):
+    rng = np.random.RandomState(hash(shape) % 2**31)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    payload = codecs.encode_png(img)  # filter type cycles y % 5
+    meta, out = codecs.decode_png(payload)
+    want = img if img.ndim == 3 else img[:, :, None]
+    assert out.shape == want.shape
+    assert np.array_equal(out, want)
+    assert meta["width"] == want.shape[1] and meta["height"] == want.shape[0]
+
+
+def test_png_filter_zero_only():
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    _, out = codecs.decode_png(codecs.encode_png(img, filters_per_row=False))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_png_bad_crc_rejected():
+    payload = bytearray(codecs.encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    payload[-5] ^= 0xFF  # flip a CRC byte of IEND
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(payload))
+
+
+def test_png_unsupported_depth_rejected():
+    # hand-build an IHDR claiming 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_png(codecs.PNG_MAGIC + chunk)
+
+
+@pytest.mark.parametrize("n,ch,rate", [(100, 1, 8000), (333, 2, 44100), (1, 1, 16000)])
+def test_wav_roundtrip(n, ch, rate):
+    rng = np.random.RandomState(n * ch)
+    s = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    meta, out = codecs.decode_wav(codecs.encode_wav(s, rate, ch))
+    assert np.array_equal(out, s)
+    assert meta == {"channels": ch, "sample_rate": rate, "bits": 16, "n_frames": n}
+
+
+def test_wav_odd_data_chunk_padded():
+    # 1 frame mono = 2 bytes (even); force odd via an extra LIST chunk of
+    # odd length before data to exercise the word-alignment walk
+    s = np.array([123], dtype=np.int16)
+    base = codecs.encode_wav(s, 8000)
+    # splice an odd-length junk chunk right after "WAVE"
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    payload = base[:12] + junk + base[12:]
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    meta, out = codecs.decode_wav(payload)
+    assert out[0, 0] == 123 and meta["n_frames"] == 1
+
+
+def test_decode_media_dispatch_and_boundary():
+    img = np.full((3, 4), 7, dtype=np.uint8)
+    f = codecs.decode_media(codecs.encode_png(img))
+    assert f["kind"] == "png" and f["content_sum"] == 7 * 12
+    s = np.array([-5, 10], dtype=np.int16)
+    f = codecs.decode_media(codecs.encode_wav(s, 8000))
+    assert f["kind"] == "wav" and f["content_sum"] == 15
+    with pytest.raises(ValueError, match="unsupported media"):
+        codecs.decode_media(b"\xff\xd8\xff\xe0JFIF....")  # JPEG magic
+
+
+def test_decode_real_delegates_and_declares_boundary():
+    from opengemini_spark.datapipe import multimodal
+
+    img = np.zeros((2, 2), dtype=np.uint8)
+    assert multimodal.decode_real(codecs.encode_png(img))["kind"] == "png"
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_real(b"\xff\xd8\xff\xe0JFIF....")
