@@ -1,0 +1,87 @@
+"""Synthesize a larger scale factor from driver testdata for scale runs.
+
+Replicates each sf0.1 table R times with disjoint key spaces so joins and
+group-bys keep their selectivity while row counts grow R×:
+
+- dimension tables (region, nation) are copied as-is;
+- fact keys (custkey/orderkey/partkey/suppkey/event_id/user_id/doc_id/
+  vec_id) get a per-replica offset, preserving join fan-out;
+- document text gets a one-token replica suffix so the near-dup structure
+  is preserved *within* each replica without planting R-way cross-replica
+  duplicate storms that would change the dedup workload's shape;
+- embeddings are cyclically rolled by the replica index (norm-preserving,
+  decorrelates cross-replica cosines) for the same reason.
+
+Bench-only data: correctness gates always run on the driver's own parquet.
+
+Usage: python tools/make_scale.py /root/testdata/sf0.1 /tmp/sf1synth 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+KEY_OFF = 100_000_000  # per-replica key offset (beyond any base key)
+
+DIM_TABLES = {"region", "nation"}
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def scale_table(name: str, src: str, dst: str, factor: int) -> int:
+    table = pq.read_table(src)
+    if name in DIM_TABLES:
+        pq.write_table(table, dst)
+        return table.num_rows
+
+    replicas = []
+    for r in range(factor):
+        cols = {}
+        for field in table.schema:
+            col = table[field.name]
+            if field.name in KEY_COLS.get(name, []):
+                col = pa.compute.add(col, r * KEY_OFF)
+            elif name == "documents" and field.name == "text" and r > 0:
+                col = pa.compute.binary_join_element_wise(
+                    col.cast(pa.string()), f"rep{r}", " "
+                )
+            elif name == "embeddings" and field.name == "embedding" and r > 0:
+                mat = np.array(col.to_pylist(), dtype=np.float32)
+                mat = np.roll(mat, r, axis=1)
+                col = pa.array(list(mat), type=field.type)
+            cols[field.name] = col
+        replicas.append(pa.table(cols, schema=table.schema))
+    out = pa.concat_tables(replicas)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
+def main() -> None:
+    src_dir, dst_dir = sys.argv[1], sys.argv[2]
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst_dir, exist_ok=True)
+    for fn in sorted(os.listdir(src_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        name = fn[: -len(".parquet")]
+        n = scale_table(
+            name, os.path.join(src_dir, fn), os.path.join(dst_dir, fn), factor
+        )
+        print(f"{name}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
