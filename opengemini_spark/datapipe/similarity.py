@@ -127,10 +127,15 @@ def _seq_norms(A: np.ndarray) -> np.ndarray:
     return np.sqrt(out)
 
 
+#: target rows per block when ``blocked_near_dups`` auto-sizes: a
+#: 4096×4096 float64 sub-matrix is ~128 MB of score memory per task.
+BLOCK_TARGET_ROWS = 4096
+
+
 def blocked_near_dups(
     df: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -146,7 +151,14 @@ def blocked_near_dups(
     is not required, ``lsh_near_dups`` is the cheaper path.
 
     Replaces the r1 crossJoin (VERDICT r1 "what's wrong" #2).
+
+    ``n_blocks=None`` auto-sizes from a corpus count so each sub-matrix
+    stays ~``BLOCK_TARGET_ROWS``² — one cheap count job against n² of
+    scoring work; the block layout never changes the result set.
     """
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(8, -(-n // BLOCK_TARGET_ROWS))
     tagged = df.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
     ).withColumn("__blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)))
