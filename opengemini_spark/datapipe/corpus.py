@@ -1,0 +1,227 @@
+"""Corpus-curation extensions for training-data pipelines:
+benchmark decontamination, sequence packing, stratified sampling, and
+PII redaction.
+
+All four are JVM-expression operators (no Python in the hot path), and
+all are deterministic so the DuckDB oracle replays them exactly:
+
+- **decontamination** — the standard k-gram-overlap check training
+  pipelines run against evaluation benchmarks (13-gram overlap in the
+  GPT-3/PaLM data cards): shingle both corpora with the shared ``h60``
+  hash, inner-join on the shingle hash, and report per (doc, bench-doc)
+  overlap counts + the fraction of the benchmark doc covered. The join
+  is hash-partitioned on a 60-bit key — uniform, never n².
+- **sequence packing** — distributable contiguous packing: docs hash
+  into ``n_buckets`` independent streams, each stream is packed in
+  doc-id order by cumulative token count. The per-bucket window is the
+  only state; buckets are the parallelism unit, so there is no global
+  sort (a single global ordering would serialize at 100 TB).
+- **stratified sampling** — per-stratum hash-deterministic Bernoulli
+  keep: rates are a broadcast dim, the keep decision is
+  ``h60(seed|id) % 10000 < rate_bp`` — reproducible across retries and
+  re-runs (no ``rand()``), which matters for training-data lineage.
+- **PII redaction** — regexp_replace of e-mail / IPv4 / phone-shaped
+  spans with typed placeholders + per-doc match counts. Patterns avoid
+  lookaround so Java regex (Spark) and RE2 (DuckDB) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from opengemini_spark.datapipe.hashing import (
+    h60,
+    h60_seeded,
+    shingles_expr,
+    tokens_expr,
+)
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(
+    df: DataFrame, k: int, id_alias: str, text_col: str, id_col: str
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias), tokens_expr(text_col).alias("__toks")
+        )
+        .select(
+            id_alias,
+            F.explode(F.expr(shingles_expr("__toks", k))).alias("__s"),
+        )
+        .select(id_alias, h60(F.col("__s")).alias("sh"))
+        .distinct()
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 13,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """k-gram-overlap decontamination of ``docs`` against ``bench``.
+
+    Returns ``(doc_id, bench_id, n_common, bench_frac_bp)`` for every pair
+    sharing ≥ ``min_overlap`` distinct k-gram hashes; ``bench_frac_bp`` is
+    the basis-point fraction of the benchmark doc's k-grams found in the
+    training doc (integer-exact). Filter high fractions to drop docs.
+    """
+    d = _shingle_hashes(docs, k, "doc_id", text_col, id_col)
+    b = _shingle_hashes(bench, k, "bench_id", text_col, bench_id_col)
+    bench_sizes = b.groupBy("bench_id").agg(F.count("*").alias("__bn"))
+    overlap = (
+        d.join(b, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+    return (
+        overlap.join(F.broadcast(bench_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            # integer floor division — bit-identical to the SQL oracle's `//`
+            F.expr("CAST((n_common * 10000) DIV __bn AS LONG)")
+            .alias("bench_frac_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences.
+
+    Contiguous packing per hash bucket: within bucket (``h60(id) %
+    n_buckets``), docs are laid out in id order and a doc starts the next
+    sequence when its starting offset crosses the budget. Output:
+    ``(doc_id, bucket, seq_id, seq_offset, n_subwords)`` where ``seq_id``
+    is globally unique (bucket-prefixed).
+
+    Scale shape: one window per bucket (running sum), buckets are
+    independent — parallelism = n_buckets, no global sort. Raise
+    ``n_buckets`` with corpus size; packing quality is unchanged because
+    buckets are statistically identical under the hash split.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_expr(text_col).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(__toks, 0L, "
+                "(acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
+            ).alias("n_subwords"),
+        )
+        .withColumn(
+            "bucket", F.pmod(h60(F.col("doc_id").cast("string")), n_buckets)
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = toks.withColumn(
+        "pre_sum", F.coalesce(F.sum("n_subwords").over(w), F.lit(0))
+    )
+    return pre.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * 1_000_000_000 + F.floor(F.col("pre_sum") / budget))
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("pre_sum") % budget).cast("long").alias("seq_offset"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Hash-deterministic per-stratum Bernoulli sample.
+
+    ``rates_bp`` maps stratum value → keep rate in basis points (10000 =
+    keep all). The keep decision depends only on (seed, id), so the
+    sample is stable under retries, re-partitioning, and incremental
+    re-runs. Rates ride a broadcast join — the fact table never shuffles.
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in sorted(rates_bp.items())],
+        [strata_col, "__rate_bp"],
+    )
+    tagged = df.join(F.broadcast(rates), strata_col, "left").withColumn(
+        "__rate_bp", F.coalesce(F.col("__rate_bp"), F.lit(default_bp))
+    )
+    return (
+        tagged.withColumn(
+            "__u", F.pmod(h60_seeded(F.col(id_col).cast("string"), seed), 10000)
+        )
+        .filter(F.col("__u") < F.col("__rate_bp"))
+        .drop("__rate_bp", "__u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Lookaround-free patterns — identical semantics in Java regex and RE2.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace PII-shaped spans with typed placeholders + count them.
+
+    Order matters (e-mail first so its digits/dots aren't re-matched);
+    counts are taken on the original text. Output: ``(doc_id,
+    redacted_text, n_email, n_ipv4, n_phone)``. Pure regexp expressions —
+    codegen'd, column-pruned, no UDF.
+    """
+    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    counts = [
+        F.regexp_count(F.col("__t"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = F.col("__t")
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.select("doc_id", red.alias("redacted_text"), *counts)

@@ -851,21 +851,21 @@ PRIORITY: tuple[str, ...] = (
     "castor_sigma_anomaly",  # rows-only (sequential baseline exclusion)
     "multimodal_png_real_decode",  # real PNG decode vs closed-form oracle (r3)
     "multimodal_wav_real_decode",  # real WAV decode vs closed-form oracle (r3)
+    "curate_contamination",  # k-gram benchmark decontamination (r3)
+    "curate_pack_sequences",  # bucketed contiguous sequence packing (r3)
+    "curate_stratified_sample",  # per-stratum hash Bernoulli keep (r3)
+    "curate_pii_redaction",  # typed-placeholder regexp redaction (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
     "agg_histogram",
-    "selector_first_last",
     "window_tumbling_agg",
     "window_fill_previous",
     "transform_ema",
     "transform_holt_winters",
-    "transform_moving_average",
     "join_inner",
     "join_full_outer",
-    "union_all_by_name",
     "sort_limit_global",
-    "limit_per_series",
     "slimit_series",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -13,9 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opengemini_spark.catalog import load_table
-from opengemini_spark.datapipe import dedup, multimodal, similarity, text
+from opengemini_spark.datapipe import corpus, dedup, multimodal, similarity, text
 from opengemini_spark.datapipe.hashing import (
     FP_MOD,
+    h60_seeded_sql,
     h60_sql,
     shingles_sql,
     tokens_sql,
@@ -436,6 +437,155 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(docs, SAMPLE_EVERY_N).select(
         "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
     )
+
+
+CONTAM_K = 5          # k-gram size (13 in GPT-3/PaLM cards; docs here are short)
+CONTAM_MIN = 2        # min shared distinct k-grams to report a pair
+PACK_BUDGET = 256     # subword budget per packed sequence
+PACK_BUCKETS = 8      # independent packing streams
+SAMPLE_RATES_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 2500}
+SAMPLE_DEFAULT_BP = 1000
+SAMPLE_SEED = 7
+
+
+@register(
+    "curate_contamination",
+    # k-gram-overlap decontamination: benchmark = every 97th doc; the oracle
+    # re-runs the shingle→h60→join→count pipeline independently in DuckDB
+    f"""
+    WITH docs AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    dsh AS (
+      SELECT DISTINCT doc_id, {h60_sql('s')} AS sh FROM (
+        SELECT doc_id, unnest({shingles_sql('toks', CONTAM_K)}) AS s FROM docs)
+    ),
+    bsh AS (SELECT doc_id AS bench_id, sh FROM dsh WHERE doc_id % 97 = 0),
+    sizes AS (SELECT bench_id, count(*) AS bn FROM bsh GROUP BY bench_id),
+    ov AS (
+      SELECT d.doc_id, b.bench_id, count(*) AS n_common
+      FROM dsh d JOIN bsh b ON d.sh = b.sh
+      GROUP BY d.doc_id, b.bench_id
+      HAVING count(*) >= {CONTAM_MIN}
+    )
+    SELECT o.doc_id, o.bench_id,
+           CAST(o.n_common AS BIGINT) AS n_common,
+           CAST((o.n_common * 10000) // s.bn AS BIGINT) AS bench_frac_bp
+    FROM ov o JOIN sizes s USING (bench_id)
+    """,
+)
+def q_curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus.benchmark_contamination(
+        docs, bench, k=CONTAM_K, min_overlap=CONTAM_MIN
+    )
+
+
+@register(
+    "curate_pack_sequences",
+    # distributable contiguous packing: per-bucket running subword sum, a doc
+    # starts a new sequence when its offset crosses the budget
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(CAST(list_sum(list_transform(
+               {tokens_sql('text')}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+               AS BIGINT), 0) AS n_subwords,
+             {h60_sql('doc_id::VARCHAR')} % {PACK_BUCKETS} AS bucket
+      FROM documents
+    ),
+    p AS (
+      SELECT *,
+             coalesce(SUM(n_subwords) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+      FROM t
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 1000000000 + pre_sum // {PACK_BUDGET} AS BIGINT)
+             AS seq_id,
+           CAST(pre_sum % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+           n_subwords
+    FROM p
+    """,
+)
+def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+    )
+
+
+def _sample_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES_BP.items())
+    )
+    return f"CASE lang {whens} ELSE {SAMPLE_DEFAULT_BP} END"
+
+
+@register(
+    "curate_stratified_sample",
+    # hash-deterministic per-language Bernoulli keep (no rand(): stable under
+    # retries/re-partitioning — training-data lineage requirement)
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {h60_seeded_sql('doc_id::VARCHAR', SAMPLE_SEED)} % 10000
+          < {_sample_rate_case()}
+    """,
+)
+def q_curate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates_bp=SAMPLE_RATES_BP,
+        default_bp=SAMPLE_DEFAULT_BP,
+        seed=SAMPLE_SEED,
+    ).select("doc_id", "lang")
+
+
+_PII_EMAIL = corpus.PII_PATTERNS["email"]
+_PII_IPV4 = corpus.PII_PATTERNS["ipv4"]
+_PII_PHONE = corpus.PII_PATTERNS["phone"]
+# deterministic PII injection so every row exercises all three patterns
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'"
+    " || (doc_id % 256)::VARCHAR || '.7 call '"
+    " || (100 + doc_id % 900)::VARCHAR || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@register(
+    "curate_pii_redaction",
+    f"""
+    WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IPV4>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+    FROM inj
+    """,
+)
+def q_curate_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call "),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return corpus.redact_pii(injected)
 
 
 @register(
