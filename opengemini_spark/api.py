@@ -458,6 +458,21 @@ def handle_prom_read(
     return {"results": [{"timeseries": out}]}
 
 
+def handle_otlp_metrics_wire(
+    spark: SparkSession, body: bytes, data_root: str
+) -> dict:
+    """``POST /api/v1/otlp/metrics`` with the REAL wire body: an
+    ExportMetricsServiceRequest protobuf (handler_otlp.go → collector
+    unmarshal), decoded by the pure-Python codec (sources/otlp_pb.py —
+    same varint machinery as prompb), then the decoded-form write path.
+    Closes the r2 "OTLP wire decode deferred" note for metrics."""
+    from opengemini_spark.sources import otlp_pb
+
+    return handle_otlp_metrics_write(
+        spark, otlp_pb.decode_export_metrics_request(body), data_root
+    )
+
+
 def handle_otlp_metrics_write(
     spark: SparkSession,
     resource_metrics: list[dict],

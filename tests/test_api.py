@@ -314,6 +314,48 @@ def test_otlp_metrics_write_gauge_and_histogram(spark, tmp_path):
     assert by_le == {"0.1": 1.0, "0.5": 4.0, "inf": 6.0}
 
 
+def test_otlp_metrics_wire_roundtrip(spark, tmp_path):
+    """REAL wire bytes end-to-end: encode an ExportMetricsServiceRequest
+    with the pure-Python codec, POST-shape it through the wire handler,
+    and verify the same measurements as the decoded-form path."""
+    from opengemini_spark.api import handle_otlp_metrics_wire
+    from opengemini_spark.sources import otlp_pb
+
+    root = str(tmp_path / "otlp_wire")
+    rms = [{
+        "resource": {"service": "checkout"},
+        "metrics": [
+            {"name": "cpu_load", "type": "gauge", "points": [
+                {"time_ns": 10**18, "attrs": {"core": "0"}, "value": 0.7},
+            ]},
+            {"name": "reqs_total", "type": "sum", "points": [
+                {"time_ns": 10**18, "attrs": {}, "value": 41.0},
+            ]},
+            {"name": "req_latency", "type": "histogram", "points": [
+                {"time_ns": 10**18, "attrs": {},
+                 "count": 6, "sum": 1.23,
+                 "bounds": [0.1, 0.5], "bucket_counts": [1, 3, 2]},
+            ]},
+        ],
+    }]
+    body = otlp_pb.encode_export_metrics_request(rms)
+    assert isinstance(body, bytes) and len(body) > 40
+    # decode is a true inverse of encode for this subset
+    assert otlp_pb.decode_export_metrics_request(body) == rms
+
+    out = handle_otlp_metrics_wire(spark, body, root)
+    assert out["written"] == {
+        "cpu_load": 1, "reqs_total": 1,
+        "req_latency": 1, "req_latency_bucket": 3,
+    }
+    from opengemini_spark import storage
+    b = storage.read_measurement(spark, f"{root}/req_latency_bucket")
+    by_le = {r["le"]: r["value"] for r in b.collect()}
+    assert by_le == {"0.1": 1.0, "0.5": 4.0, "inf": 6.0}
+    g = storage.read_measurement(spark, f"{root}/cpu_load").collect()[0]
+    assert g["service"] == "checkout" and g["core"] == "0"
+
+
 def _events_registry():
     from opengemini_spark.catalog import load_table
     from opengemini_spark.promql import MetricRegistry
