@@ -310,6 +310,53 @@ def handle_prom_query(
         return {"status": "error", "errorType": "bad_data", "error": str(e)}
 
 
+def handle_prom_query_range_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    registry,
+    promql: str,
+    start_s: int,
+    end_s: int,
+    step_s: int,
+    cache,
+    cache_control: str | None = None,
+) -> dict:
+    """``GET /api/v1/query_range`` through the results cache
+    (results_cache.go Do): the request window is partitioned into cached
+    extents + gaps, only the gaps hit the Spark engine, and the merged
+    grid is cached back (minus the freshness window). ``cache`` is a
+    :class:`opengemini_spark.promql.results_cache.ResultsCache`
+    constructed with a µs ``now_ms`` clock (engine time is µs);
+    ``cache_control='no-store'`` bypasses, like the reference."""
+    from opengemini_spark.promql import query_range
+    from opengemini_spark.promql.parser import parse_promql
+    from opengemini_spark.promql.shape import rows_to_prom_matrix
+
+    try:
+        node = parse_promql(promql)
+        metric = getattr(node, "metric", "")
+        us = 1_000_000
+
+        def eval_fn(s_us: int, e_us: int) -> list[dict]:
+            df = query_range(
+                spark, sf_dir, registry, promql,
+                s_us // us, e_us // us, step_s,
+            )
+            return [r.asDict() for r in df.toLocalIterator()]
+
+        key = cache.key(promql, step_s * us, start_s * us)
+        rows = cache.do(
+            key, start_s * us, end_s * us, step_s * us, eval_fn,
+            cache_control,
+        )
+        label_cols = sorted(
+            {k for r in rows for k in r} - {"t", "value"}
+        )
+        return rows_to_prom_matrix(rows, metric, label_cols)
+    except (SyntaxError, ValueError, KeyError, AssertionError) as e:
+        return {"status": "error", "errorType": "bad_data", "error": str(e)}
+
+
 def _prompb_decode(body: bytes) -> list[dict]:
     """Decode a snappy-compressed prompb.WriteRequest into
     [{"labels": {...}, "samples": [[ms, value], …]}, …].

@@ -71,6 +71,45 @@ def to_prom_matrix(
     }
 
 
+def rows_to_prom_matrix(
+    rows: list[dict],
+    metric_name: str,
+    label_cols: list[str],
+    time_col: str = "t",
+    value_col: str = "value",
+) -> dict:
+    """Matrix shape from already-materialized rows (the results-cache
+    path — rows were collected when the extents were first evaluated)."""
+    rows = sorted(
+        rows,
+        key=lambda r: (
+            tuple(str(r[c]) for c in label_cols), r[time_col]
+        ),
+    )
+    ordered: list[dict] = []
+    key: tuple | None = None
+    for r in rows:
+        k = tuple(str(r[c]) for c in label_cols)
+        if not ordered or k != key:
+            key = k
+            ordered.append(
+                {
+                    "metric": {
+                        "__name__": metric_name,
+                        **{c: str(r[c]) for c in label_cols},
+                    },
+                    "values": [],
+                }
+            )
+        ordered[-1]["values"].append(
+            [r[time_col] / 1_000_000, _fmt_value(r[value_col])]
+        )
+    return {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": ordered},
+    }
+
+
 def to_prom_vector(
     df: DataFrame,
     metric_name: str,
