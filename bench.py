@@ -49,6 +49,12 @@ HEADLINE = [
     "dedup_embedding_lsh_highthr",
     "prom_deriv",
     "influxql_func_ema",
+    # r3 additions: k-gram decontamination (shingle-hash join), bucketed
+    # sequence packing (windowed running sum), real PNG decode through the
+    # Arrow mapInPandas stage
+    "curate_contamination",
+    "curate_pack_sequences",
+    "multimodal_png_real_decode",
 ]
 
 
