@@ -160,6 +160,14 @@ def handle_query(
             from opengemini_spark import querytrack
 
             qid = querytrack.attach(spark, stmt_text)
+            # top() ties at the same instant emit largest-first
+            tie_desc = (
+                isinstance(stmt, iast.SelectStatement)
+                and any(
+                    isinstance(fl.expr, iast.Call) and fl.expr.name == "top"
+                    for fl in stmt.fields
+                )
+            )
             try:
                 body = to_influx_json(
                     df,
@@ -169,6 +177,7 @@ def handle_query(
                     order_desc=bool(getattr(stmt, "order_desc", False)),
                     chunk_size=chunk_size,
                     max_rows=max_row_limit,
+                    value_tie_desc=tie_desc,
                 )
             finally:
                 querytrack.detach(spark, qid)

@@ -563,17 +563,68 @@ class Planner:
     def _plan_top_bottom(
         self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
     ) -> DataFrame:
-        """top(field, N) / bottom(field, N) per tag group — rank-window
-        top-k carrying time + tags (top/bottom selector, agg_functions.go:123)."""
+        """top/bottom selector (agg_functions.go:123; full InfluxQL forms
+        per tests/server_test.go TestServer_Query_TopBottomInt):
+
+        - ``top(field, N)`` — N largest rows (value desc; earlier time wins
+          a tie at the cut), emitted at their own timestamps, time-ordered.
+        - ``top(field, tag…, N)`` — the per-distinct-tag-set maxima first,
+          then the top N across them; the tag columns are emitted after the
+          value column.
+        - under ``GROUP BY time(...)`` the selection runs per bucket (rows
+          keep their real timestamps — a bucket may emit fewer than N).
+        - extra VarRef projection fields (``TOP(v, 2), host``) ride along
+          from the selected rows.
+        - N larger than the statement LIMIT is the reference's error.
+        """
         call = f.expr
         fld = call.args[0].name
-        n = int(call.args[1].value)
+        tag_args = [
+            a.name for a in call.args[1:-1] if isinstance(a, ast.VarRef)
+        ]
+        n = int(call.args[-1].value)
         desc = call.name == "top"
-        w = Window.partitionBy(*stmt.group_tags).orderBy(
-            F.col(fld).desc() if desc else F.col(fld).asc(),
-            F.col(TIME_COL).asc(),
-        )
+        if stmt.limit and n > stmt.limit:
+            raise ValueError(
+                f"limit ({n}) in {call.name} function can not be larger "
+                f"than the LIMIT ({stmt.limit}) in the select statement"
+            )
         out_name = self._out_name(f, call.name)
+        companions = [
+            fl.expr.name
+            for fl in stmt.fields
+            if isinstance(fl.expr, ast.VarRef) and fl.expr.name != fld
+        ]
+
+        part = list(stmt.group_tags)
+        if stmt.group_time is not None:
+            from opengemini_spark.operators.window_agg import time_bucket
+
+            df = df.withColumn(
+                "__bucket",
+                time_bucket(
+                    F.col(TIME_COL),
+                    int(stmt.group_time.interval_ns),
+                    int(stmt.group_time.offset_ns),
+                ),
+            )
+            part.append("__bucket")
+
+        value_order = F.col(fld).desc() if desc else F.col(fld).asc()
+        if tag_args:
+            # stage 1: best row per distinct tag-set (earliest on value tie)
+            w1 = Window.partitionBy(*part, *tag_args).orderBy(
+                value_order, F.col(TIME_COL).asc()
+            )
+            df = (
+                df.withColumn("__r1", F.row_number().over(w1))
+                .filter(F.col("__r1") == 1)
+                .drop("__r1")
+            )
+        w = Window.partitionBy(*part).orderBy(
+            value_order, F.col(TIME_COL).asc()
+        )
+        extra = tag_args + [c for c in companions if c not in tag_args]
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
@@ -581,7 +632,10 @@ class Planner:
                 F.col(TIME_COL).alias("time"),
                 *stmt.group_tags,
                 F.col(fld).alias(out_name),
+                *extra,
             )
+            # series order: time asc, then selection order on equal times
+            .orderBy(*stmt.group_tags, F.col("time").asc(), value_order)
         )
 
     def _plan_sample(

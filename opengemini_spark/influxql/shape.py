@@ -48,6 +48,7 @@ def iter_influx_blocks(
     order_desc: bool = False,
     chunk_size: int | None = None,
     max_rows: int | None = None,
+    value_tie_desc: bool = False,
 ):
     """Stream series blocks without materializing the result on the driver.
 
@@ -78,7 +79,13 @@ def iter_influx_blocks(
     )
     if has_time:
         sort_exprs.append(row_dir(F.col(time_col)))
-    sort_exprs += [row_dir(F.col(c)) for c in value_cols]
+    # value tie-break at equal times: ascending by default; the top()
+    # selector emits its ties largest-first (server_test.go TopBottomInt
+    # "top - memory - host tag": 2002 before 1002 at the same instant)
+    tie_dir = (
+        (lambda c: c.desc_nulls_last()) if value_tie_desc else row_dir
+    )
+    sort_exprs += [tie_dir(F.col(c)) for c in value_cols]
     src = df.orderBy(*sort_exprs) if sort_exprs else df
 
     blk: dict | None = None
@@ -130,12 +137,14 @@ def to_influx_json(
     order_desc: bool = False,
     chunk_size: int | None = None,
     max_rows: int | None = None,
+    value_tie_desc: bool = False,
 ) -> dict:
     """Assemble the InfluxDB response shape from the streamed blocks."""
     ordered = list(
         iter_influx_blocks(
             df, measurement, tag_cols, time_col, epoch, order_desc,
             chunk_size=chunk_size, max_rows=max_rows,
+            value_tie_desc=value_tie_desc,
         )
     )
     if not ordered:

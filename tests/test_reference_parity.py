@@ -167,6 +167,143 @@ def test_reference_case(spark, sf_dir, data_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_TopBottomInt (server_test.go:5703) ---
+TB_WRITES = [
+    # cpu: overlapping duplicate values across three hours
+    "cpu,host=server01 value=2.0 946684800000000000",   # 00:00:00
+    "cpu,host=server02 value=3.0 946684810000000000",   # 00:00:10
+    "cpu,host=server03 value=4.0 946684820000000000",   # 00:00:20
+    "cpu,host=server04 value=3.0 946688400000000000",   # 01:00:00
+    "cpu,host=server05 value=7.0 946688410000000000",   # 01:00:10
+    "cpu,host=server06 value=6.0 946688420000000000",   # 01:00:20
+    "cpu,host=server07 value=7.0 946692000000000000",   # 02:00:00
+    "cpu,host=server08 value=9.0 946692010000000000",   # 02:00:10
+    # memory: two tags
+    "memory,host=a,service=redis value=1000i 946684800000000000",
+    "memory,host=b,service=mysql value=2000i 946684800000000000",
+    "memory,host=b,service=redis value=1500i 946684800000000000",
+    "memory,host=a,service=redis value=1001i 946688400000000000",
+    "memory,host=b,service=mysql value=2001i 946688400000000000",
+    "memory,host=b,service=redis value=1501i 946688400000000000",
+    "memory,host=a,service=redis value=1002i 946692000000000000",
+    "memory,host=b,service=mysql value=2002i 946692000000000000",
+    "memory,host=b,service=redis value=1502i 946692000000000000",
+]
+
+TB_CASES = [
+    (
+        "top - cpu",
+        "SELECT TOP(value, 1) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top"],"values":[["2000-01-01T02:00:10Z",9]]}]}]}',
+    ),
+    (
+        "bottom - cpu",
+        "SELECT BOTTOM(value, 1) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","bottom"],"values":[["2000-01-01T00:00:00Z",2]]}]}]}',
+    ),
+    (
+        "top - cpu - 2 values",
+        "SELECT TOP(value, 2) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top"],"values":[["2000-01-01T01:00:10Z",7],["2000-01-01T02:00:10Z",9]]}]}]}',
+    ),
+    (
+        "bottom - cpu - 2 values",
+        "SELECT BOTTOM(value, 2) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","bottom"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:10Z",3]]}]}]}',
+    ),
+    (
+        "top - cpu - 3 values - sorts on tie properly",
+        "SELECT TOP(value, 3) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top"],"values":[["2000-01-01T01:00:10Z",7],["2000-01-01T02:00:00Z",7],["2000-01-01T02:00:10Z",9]]}]}]}',
+    ),
+    (
+        "bottom - cpu - 3 values - sorts on tie properly",
+        "SELECT BOTTOM(value, 3) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","bottom"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:10Z",3],["2000-01-01T01:00:00Z",3]]}]}]}',
+    ),
+    (
+        "top - cpu - with tag",
+        "SELECT TOP(value, host, 2) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top","host"],"values":[["2000-01-01T01:00:10Z",7,"server05"],["2000-01-01T02:00:10Z",9,"server08"]]}]}]}',
+    ),
+    (
+        "bottom - cpu - with tag",
+        "SELECT BOTTOM(value, host, 2) FROM cpu",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","bottom","host"],"values":[["2000-01-01T00:00:00Z",2,"server01"],["2000-01-01T00:00:10Z",3,"server02"]]}]}]}',
+    ),
+    (
+        "top - cpu - 3 values with limit 2 errors",
+        "SELECT TOP(value, 3) FROM cpu limit 2",
+        '{"results":[{"statement_id":0,"error":"limit (3) in top function can not be larger than the LIMIT (2) in the select statement"}]}',
+    ),
+    (
+        "top - cpu - hourly",
+        "SELECT TOP(value, 1) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T02:00:10Z' group by time(1h)",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top"],"values":[["2000-01-01T00:00:20Z",4],["2000-01-01T01:00:10Z",7],["2000-01-01T02:00:10Z",9]]}]}]}',
+    ),
+    (
+        "bottom - cpu - hourly",
+        "SELECT BOTTOM(value, 1) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T02:00:10Z' group by time(1h)",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","bottom"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T01:00:00Z",3],["2000-01-01T02:00:00Z",7]]}]}]}',
+    ),
+    (
+        "top - cpu - 2 values hourly",
+        "SELECT TOP(value, 2) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T02:00:10Z' group by time(1h)",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top"],"values":[["2000-01-01T00:00:10Z",3],["2000-01-01T00:00:20Z",4],["2000-01-01T01:00:10Z",7],["2000-01-01T01:00:20Z",6],["2000-01-01T02:00:00Z",7],["2000-01-01T02:00:10Z",9]]}]}]}',
+    ),
+    (
+        "top - cpu - 3 values hourly - buckets may underfill",
+        "SELECT TOP(value, 3) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T02:00:10Z' group by time(1h)",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","top"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:10Z",3],["2000-01-01T00:00:20Z",4],["2000-01-01T01:00:00Z",3],["2000-01-01T01:00:10Z",7],["2000-01-01T01:00:20Z",6],["2000-01-01T02:00:00Z",7],["2000-01-01T02:00:10Z",9]]}]}]}',
+    ),
+    (
+        "top - memory - 2 values, two tags",
+        "SELECT TOP(value, 2), host, service FROM memory",
+        '{"results":[{"statement_id":0,"series":[{"name":"memory","columns":["time","top","host","service"],"values":[["2000-01-01T01:00:00Z",2001,"b","mysql"],["2000-01-01T02:00:00Z",2002,"b","mysql"]]}]}]}',
+    ),
+    (
+        "bottom - memory - 2 values, two tags",
+        "SELECT BOTTOM(value, 2), host, service FROM memory",
+        '{"results":[{"statement_id":0,"series":[{"name":"memory","columns":["time","bottom","host","service"],"values":[["2000-01-01T00:00:00Z",1000,"a","redis"],["2000-01-01T01:00:00Z",1001,"a","redis"]]}]}]}',
+    ),
+    (
+        "top - memory - host tag with limit 2",
+        "SELECT TOP(value, host, 2) FROM memory",
+        '{"results":[{"statement_id":0,"series":[{"name":"memory","columns":["time","top","host"],"values":[["2000-01-01T02:00:00Z",2002,"b"],["2000-01-01T02:00:00Z",1002,"a"]]}]}]}',
+    ),
+    (
+        "bottom - memory - host tag with limit 2",
+        "SELECT BOTTOM(value, host, 2) FROM memory",
+        '{"results":[{"statement_id":0,"series":[{"name":"memory","columns":["time","bottom","host"],"values":[["2000-01-01T00:00:00Z",1000,"a"],["2000-01-01T00:00:00Z",1500,"b"]]}]}]}',
+    ),
+    (
+        "top - memory - host tag with limit 2, service in select",
+        "SELECT TOP(value, host, 2), service FROM memory",
+        '{"results":[{"statement_id":0,"series":[{"name":"memory","columns":["time","top","host","service"],"values":[["2000-01-01T02:00:00Z",2002,"b","mysql"],["2000-01-01T02:00:00Z",1002,"a","redis"]]}]}]}',
+    ),
+    (
+        "top - memory - service tag with limit 2, host in select",
+        "SELECT TOP(value, service, 2), host FROM memory",
+        '{"results":[{"statement_id":0,"series":[{"name":"memory","columns":["time","top","service","host"],"values":[["2000-01-01T02:00:00Z",2002,"mysql","b"],["2000-01-01T02:00:00Z",1502,"redis","b"]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def tb_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_tb"))
+    handle_write(spark, TB_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", TB_CASES, ids=[c[0] for c in TB_CASES])
+def test_topbottom_case(spark, sf_dir, tb_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=tb_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 GROUPED_CASES = [
     # TestServer_Query_SelectGroupByTime_MultipleAggregates (server_test.go:1987)
     (
