@@ -80,9 +80,11 @@ def handle_query(
                 def loader(name, _root=data_root):  # noqa: E306
                     path = f"{_root}/{name}"
                     if _os.path.isdir(path):
-                        return storage.read_measurement(spark, path).drop(
-                            storage.PARTITION_COL
-                        )
+                        m = storage.read_measurement(spark, path)
+                        out = m.drop(storage.PARTITION_COL)
+                        # .drop returns a new object: re-attach tag metadata
+                        out._og_tag_cols = getattr(m, "_og_tag_cols", None)
+                        return out
                     return None
 
             from opengemini_spark.influxql.planner import Planner

@@ -518,24 +518,46 @@ class Planner:
             out = out.limit(stmt.limit)
         return out
 
-    def _plan_raw_transform(
-        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    def _raw_transform_one(
+        self,
+        df: DataFrame,
+        tags: list[str],
+        outer: ast.Call,
+        fld: str,
+        out_name: str,
     ) -> DataFrame:
-        """Transform over RAW points per series (GROUP BY tags only):
-        ``SELECT derivative(value, 1s) FROM m GROUP BY tag`` — lag windows
-        over the point stream (transform family without inner aggregation)."""
-        outer = f.expr
-        fld = outer.args[0].name
-        tags = stmt.group_tags
+        """One field's raw-point transform: lag windows over that field's
+        NON-NULL sub-series (InfluxDB computes each field over its own
+        existing points — a null doesn't break the lag chain of the
+        neighbors, tests/server_test.go DIFFERENCE(*) expectations).
+
+        ``difference`` supports the mode argument (agg_functions.go:151):
+        'behind' (default, v−prev), 'front' (prev−v), 'absolute' (|Δ|).
+        """
+        name = outer.name
+        src = df.filter(F.col(fld).isNotNull())
         w = Window.partitionBy(*tags).orderBy(TIME_COL)
         v, t = F.col(fld), F.col(TIME_COL)
-        name = outer.name
-        out_name = self._out_name(f, name)
         if name in ("derivative", "non_negative_derivative"):
-            unit_ns = outer.args[1].value if len(outer.args) > 1 else 1_000_000_000
+            unit_ns = (
+                outer.args[1].value
+                if len(outer.args) > 1
+                and not isinstance(outer.args[1].value, str)
+                else 1_000_000_000
+            )
             col = (v - F.lag(v).over(w)) / ((t - F.lag(t).over(w)) / F.lit(unit_ns))
         elif name in ("difference", "non_negative_difference"):
-            col = v - F.lag(v).over(w)
+            mode = "behind"
+            if len(outer.args) > 1 and isinstance(
+                getattr(outer.args[-1], "value", None), str
+            ):
+                mode = outer.args[-1].value
+            delta = v - F.lag(v).over(w)
+            col = {
+                "behind": delta,
+                "front": -delta,
+                "absolute": F.abs(delta),
+            }[mode]
         elif name == "cumulative_sum":
             col = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
         elif name == "elapsed":
@@ -544,16 +566,86 @@ class Planner:
             unit_ns = outer.args[1].value if len(outer.args) > 1 else 1
             col = ((t - F.lag(t).over(w)) / F.lit(unit_ns)).cast("long")
         else:  # moving_average
+            # The reference keeps a RUNNING sum — s = (s − old) + new per
+            # point (FloatMovingAverageItem, agg_iterator.gen.go:3048) —
+            # ulp-different from a per-window re-sum. Replay the same
+            # accumulation: a JVM sequential fold over the op list
+            # [v₁…vₙ, −vₖ₋ₙ, +vₖ, …] (IEEE subtraction == addition of the
+            # negation), ÷ n at emit.
             n = int(outer.args[1].value)
-            cnt = F.count(v).over(w.rowsBetween(-(n - 1), 0))
-            col = F.when(cnt == n, F.avg(v).over(w.rowsBetween(-(n - 1), 0)))
+            src = src.withColumn(
+                "__pfx",
+                F.collect_list(v.cast("double")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            ops = (
+                f"case when size(__pfx) <= {n} then slice(__pfx, 1, {n}) "
+                f"else concat(slice(__pfx, 1, {n}), "
+                f"flatten(transform(sequence({n + 1}, size(__pfx)), "
+                f"j -> array(-element_at(__pfx, j - {n}), "
+                f"element_at(__pfx, j))))) end"
+            )
+            col = F.when(
+                F.size("__pfx") >= n,
+                F.expr(
+                    f"aggregate({ops}, cast(0 as double), (acc, x) -> acc + x)"
+                )
+                / n,
+            )
         out = (
-            df.withColumn(out_name, col)
+            src.withColumn(out_name, col)
+            .drop("__pfx")
             .filter(F.col(out_name).isNotNull())
             .select(F.col(TIME_COL).alias("time"), *tags, out_name)
         )
         if name.startswith("non_negative"):
             out = out.filter(F.col(out_name) >= 0)
+        return out
+
+    #: numeric Spark types eligible for value transforms; elapsed works on
+    #: any field type (it only reads timestamps)
+    _NUMERIC_TYPES = ("double", "float", "bigint", "int", "smallint", "tinyint")
+
+    def _plan_raw_transform(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """Transform over RAW points per series (GROUP BY tags only):
+        ``SELECT derivative(value, 1s) FROM m GROUP BY tag`` — lag windows
+        over the point stream. ``fn(*)`` expands the wildcard to every
+        eligible field, computes each on its own non-null sub-series, and
+        full-outer-joins on (time, tags) — columns ``fn_<field>`` in
+        alphabetical order (server_test.go TestServer_Query_Wildcards)."""
+        outer = f.expr
+        fld = outer.args[0].name
+        tags = stmt.group_tags
+        name = outer.name
+        if fld == "*":
+            tag_cols = set(getattr(df, "_og_tag_cols", ()) or ())
+            exclude = tag_cols | set(tags) | {TIME_COL}
+            fields = sorted(
+                sf.name
+                for sf in df.schema.fields
+                if sf.name not in exclude
+                and (
+                    name == "elapsed"
+                    or sf.dataType.simpleString() in self._NUMERIC_TYPES
+                )
+            )
+            out = None
+            for fname in fields:
+                one = self._raw_transform_one(
+                    df, tags, outer, fname, f"{name}_{fname}"
+                )
+                out = (
+                    one if out is None
+                    else out.join(one, ["time", *tags], "full_outer")
+                )
+            assert out is not None, f"{name}(*): no eligible fields"
+        else:
+            out = self._raw_transform_one(
+                df, tags, outer, fld, self._out_name(f, name)
+            )
         if stmt.order_desc:
             out = out.orderBy(F.col("time").desc())
         if stmt.limit:

@@ -219,8 +219,13 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
 
     field_exprs = [_field_expr(r) for r in sorted(schema_rows, key=lambda r: r["field"])]
     wide = m.groupBy("time_ns", "tags").agg(*field_exprs)
-    return wide.select(
+    out = wide.select(
         "time_ns",
         *[F.col("tags").getItem(k).alias(k) for k in tag_keys],
         *[c for c in wide.columns if c not in ("time_ns", "tags")],
     )
+    # tag/field distinction survives the pivot (the reference's CleanSchema,
+    # meta/measurement.go:244); storage persists it as a sidecar so query
+    # paths can tell a string FIELD from a tag (wildcard expansion needs it)
+    out._og_tag_cols = tag_keys
+    return out

@@ -41,13 +41,21 @@ def with_partition(df: DataFrame, time_col: str = "time_ns") -> DataFrame:
     )
 
 
+SCHEMA_META = "_og_schema.json"
+
+
 def write_measurement(
     df: DataFrame,
     root: str,
     time_col: str = "time_ns",
     mode: str = "append",
 ) -> None:
-    """Append rows into the time-partitioned measurement table."""
+    """Append rows into the time-partitioned measurement table.
+
+    If the DataFrame carries tag metadata (``_og_tag_cols``, attached by
+    the line-protocol pivot), it is persisted as a sidecar — the
+    CleanSchema analog (meta/measurement.go:244) that lets readers tell
+    tags from string fields."""
     (
         with_partition(df, time_col)
         .write.mode(mode)
@@ -55,10 +63,27 @@ def write_measurement(
         .partitionBy(PARTITION_COL)
         .parquet(root)
     )
+    tags = getattr(df, "_og_tag_cols", None)
+    if tags is not None:
+        import json
+
+        existing: list[str] = []
+        meta_path = Path(root) / SCHEMA_META
+        if meta_path.exists():
+            existing = json.loads(meta_path.read_text()).get("tags", [])
+        meta_path.write_text(
+            json.dumps({"tags": sorted(set(existing) | set(tags))})
+        )
 
 
 def read_measurement(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(root)
+    df = spark.read.parquet(root)
+    meta_path = Path(root) / SCHEMA_META
+    if meta_path.exists():
+        import json
+
+        df._og_tag_cols = json.loads(meta_path.read_text()).get("tags", [])
+    return df
 
 
 def retention_drop(root: str, cutoff_day: str) -> list[str]:

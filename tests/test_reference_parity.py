@@ -304,6 +304,88 @@ def test_topbottom_case(spark, sf_dir, tb_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- wildcard transform family over mst (server_test.go:3270-3281 fixture,
+# :3574-3636 expectations) — tags country,name; fields age (float),
+# height (int), address (string), alive (bool); holes in every field ---
+MST_WRITES = [
+    'mst,country=china,name=azhu age=12.3,height=70i,address="shenzhen",alive=TRUE 1629129600000000000',
+    'mst,country=american,name=alan age=20.5,height=80i,address="shanghai",alive=FALSE 1629129601000000000',
+    'mst,country=germany,name=alang age=3.4,height=90i,address="beijin",alive=TRUE 1629129602000000000',
+    'mst,country=japan,name=ahui age=30,height=121i,address="guangzhou",alive=FALSE 1629129603000000000',
+    'mst,country=canada,name=aqiu age=35,height=138i,address="chengdu",alive=TRUE 1629129604000000000',
+    'mst,country=china,name=agang age=48.8,height=149i,address="wuhan" 1629129605000000000',
+    'mst,country=american,name=agan age=52.7,height=153i,alive=TRUE 1629129606000000000',
+    'mst,country=germany,name=alin age=28.3,address="anhui",alive=FALSE 1629129607000000000',
+    'mst,country=japan,name=ali height=179i,address="xian",alive=TRUE 1629129608000000000',
+    'mst,country=canada age=60.8,height=180i,address="hangzhou",alive=FALSE 1629129609000000000',
+    'mst,name=ahuang age=102,height=191i,address="nanjin",alive=TRUE 1629129610000000000',
+    'mst,country=china,name=ayin age=123,height=203i,address="zhengzhou",alive=FALSE 1629129611000000000',
+]
+
+MST_CASES = [
+    (
+        "DIFFERENCE(*)",
+        "SELECT DIFFERENCE(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",-17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",-24.400000000000002,null],["2021-08-16T16:00:08Z",null,26],["2021-08-16T16:00:09Z",32.5,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (
+        "DIFFERENCE(*, front)",
+        "SELECT DIFFERENCE(*, 'front') FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",-8.2,-10],["2021-08-16T16:00:02Z",17.1,-10],["2021-08-16T16:00:03Z",-26.6,-31],["2021-08-16T16:00:04Z",-5,-17],["2021-08-16T16:00:05Z",-13.799999999999997,-11],["2021-08-16T16:00:06Z",-3.9000000000000057,-4],["2021-08-16T16:00:07Z",24.400000000000002,null],["2021-08-16T16:00:08Z",null,-26],["2021-08-16T16:00:09Z",-32.5,-1],["2021-08-16T16:00:10Z",-41.2,-11],["2021-08-16T16:00:11Z",-21,-12]]}]}]}',
+    ),
+    (
+        "DIFFERENCE(*, absolute)",
+        "SELECT DIFFERENCE(*, 'absolute') FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",24.400000000000002,null],["2021-08-16T16:00:08Z",null,26],["2021-08-16T16:00:09Z",32.5,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (
+        "NON_NEGATIVE_DIFFERENCE(*)",
+        "SELECT NON_NEGATIVE_DIFFERENCE(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","non_negative_difference_age","non_negative_difference_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",null,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:08Z",null,26],["2021-08-16T16:00:09Z",32.5,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (
+        "DERIVATIVE(*)",
+        "SELECT DERIVATIVE(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","derivative_age","derivative_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",-17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",-24.400000000000002,null],["2021-08-16T16:00:08Z",null,13],["2021-08-16T16:00:09Z",16.25,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (
+        "NON_NEGATIVE_DERIVATIVE(*)",
+        "SELECT NON_NEGATIVE_DERIVATIVE(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","non_negative_derivative_age","non_negative_derivative_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",null,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:08Z",null,13],["2021-08-16T16:00:09Z",16.25,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (
+        "ELAPSED(*)",
+        "SELECT ELAPSED(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","elapsed_address","elapsed_age","elapsed_alive","elapsed_height"],"values":[["2021-08-16T16:00:01Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:02Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:03Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:04Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:05Z",1000000000,1000000000,null,1000000000],["2021-08-16T16:00:06Z",null,1000000000,2000000000,1000000000],["2021-08-16T16:00:07Z",2000000000,1000000000,1000000000,null],["2021-08-16T16:00:08Z",1000000000,null,1000000000,2000000000],["2021-08-16T16:00:09Z",1000000000,2000000000,1000000000,1000000000],["2021-08-16T16:00:10Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:11Z",1000000000,1000000000,1000000000,1000000000]]}]}]}',
+    ),
+    (
+        "MOVING_AVERAGE(*, 2)",
+        "SELECT MOVING_AVERAGE(* ,2) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","moving_average_age","moving_average_height"],"values":[["2021-08-16T16:00:01Z",16.4,75],["2021-08-16T16:00:02Z",11.949999999999998,85],["2021-08-16T16:00:03Z",16.699999999999996,105.5],["2021-08-16T16:00:04Z",32.5,129.5],["2021-08-16T16:00:05Z",41.9,143.5],["2021-08-16T16:00:06Z",50.75,151],["2021-08-16T16:00:07Z",40.5,null],["2021-08-16T16:00:08Z",null,166],["2021-08-16T16:00:09Z",44.55,179.5],["2021-08-16T16:00:10Z",81.4,185.5],["2021-08-16T16:00:11Z",112.5,197]]}]}]}',
+    ),
+    (
+        "CUMULATIVE_SUM(*)",
+        "SELECT CUMULATIVE_SUM(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","cumulative_sum_age","cumulative_sum_height"],"values":[["2021-08-16T16:00:00Z",12.3,70],["2021-08-16T16:00:01Z",32.8,150],["2021-08-16T16:00:02Z",36.199999999999996,240],["2021-08-16T16:00:03Z",66.19999999999999,361],["2021-08-16T16:00:04Z",101.19999999999999,499],["2021-08-16T16:00:05Z",150,648],["2021-08-16T16:00:06Z",202.7,801],["2021-08-16T16:00:07Z",231,null],["2021-08-16T16:00:08Z",null,980],["2021-08-16T16:00:09Z",291.8,1160],["2021-08-16T16:00:10Z",393.8,1351],["2021-08-16T16:00:11Z",516.8,1554]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def mst_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_mst"))
+    handle_write(spark, MST_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", MST_CASES, ids=[c[0] for c in MST_CASES])
+def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=mst_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 GROUPED_CASES = [
     # TestServer_Query_SelectGroupByTime_MultipleAggregates (server_test.go:1987)
     (
