@@ -149,10 +149,17 @@ def handle_query(
                     }
                 )
                 continue
+            # series name = innermost measurement, through subqueries
+            # (the reference names subquery results after the inner table)
+            src = stmt
+            while isinstance(src, iast.SelectStatement) and isinstance(
+                src.source, iast.SelectStatement
+            ):
+                src = src.source
             measurement = (
-                stmt.source.rsplit(".", 1)[-1]
-                if isinstance(stmt, iast.SelectStatement)
-                and isinstance(stmt.source, str) else "results"
+                src.source.rsplit(".", 1)[-1]
+                if isinstance(src, iast.SelectStatement)
+                and isinstance(src.source, str) else "results"
             )
             prefixed = [c for c in df.columns if c.startswith("__tag_")]
             tag_cols = prefixed or (

@@ -71,12 +71,22 @@ class Planner:
         ]
 
     @staticmethod
-    def field_columns(df: DataFrame) -> list[str]:
+    def field_columns(df: DataFrame, numeric_only: bool = True) -> list[str]:
+        """Field columns of a measurement frame — excludes time and, when
+        the frame carries the CleanSchema sidecar (``_og_tag_cols``), the
+        tag columns; ``numeric_only=False`` admits string/bool fields
+        (selector wildcards like first(*)/last(*) take any type)."""
+        tag_cols = set(getattr(df, "_og_tag_cols", ()) or ())
+        numeric = ("double", "float", "bigint", "int", "smallint", "tinyint")
         return [
             f.name
             for f in df.schema.fields
-            if f.dataType.simpleString() in ("double", "float", "bigint", "int")
-            and f.name != TIME_COL
+            if f.name != TIME_COL
+            and f.name not in tag_cols
+            and (
+                not numeric_only
+                or f.dataType.simpleString() in numeric
+            )
         ]
 
     # --- expression lowering ---
@@ -372,6 +382,22 @@ class Planner:
             df = self.plan(inner)
             if "time" in df.columns:
                 df = df.withColumnRenamed("time", TIME_COL)
+            # tag identity survives SELECT * subqueries: re-attach the
+            # innermost measurement's CleanSchema tags that the inner
+            # projection kept, so fn(*) over the subquery still expands
+            # fields only (server_test.go FIRST(*) FROM (SELECT * ...))
+            src = inner
+            while isinstance(src.source, ast.SelectStatement):
+                src = src.source
+            if isinstance(src.source, str):
+                base = self._load(src.source)
+                inherited = [
+                    c
+                    for c in (getattr(base, "_og_tag_cols", None) or [])
+                    if c in df.columns
+                ]
+                if inherited:
+                    df._og_tag_cols = inherited
         else:
             df = self._load(stmt.source)
         if "*" in stmt.group_tags:
@@ -433,6 +459,10 @@ class Planner:
             and len(stmt.fields) == 1
             and calls[0][1].name in ("first", "last", "max", "min")
             and stmt.group_time is None
+            # fn(*) is NOT a bare selector: the wildcard expansion
+            # aggregates per field and stamps the epoch (server_test.go
+            # FIRST(*) emits 1970-01-01T00:00:00Z)
+            and getattr(calls[0][1].args[0], "name", None) != "*"
         ):
             # bare selector: the row's own time is returned (InfluxDB
             # selector semantics), not the query bound
@@ -909,12 +939,25 @@ class Planner:
                 and isinstance(call.args[0], ast.VarRef)
                 and call.args[0].name == "*"
             ):
-                # wildcard expansion: count(*) → count_<field> per field
-                # (compile.go wildcard rewrite)
-                for fld in self.field_columns(df):
+                # wildcard expansion: fn(*) → fn_<field> per field
+                # (compile.go wildcard rewrite); selector functions take
+                # any field type, numeric aggs only numeric fields; extra
+                # args (percentile(*, 50)) carry through to every field
+                any_type = call.name in (
+                    "first", "last", "count", "distinct", "mode",
+                )
+                for fld in self.field_columns(
+                    df, numeric_only=not any_type
+                ):
                     out = f"{call.name}_{fld}"
                     aggs.append(
-                        self.agg_column(ast.Call(call.name, [ast.VarRef(fld)]), out)
+                        self.agg_column(
+                            ast.Call(
+                                call.name,
+                                [ast.VarRef(fld), *call.args[1:]],
+                            ),
+                            out,
+                        )
                     )
                     value_cols.append(out)
                 continue

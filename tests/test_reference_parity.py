@@ -386,6 +386,43 @@ def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+AGG_WILDCARD_CASES = [
+    # server_test.go:3567 (BUG2021121702512) — selector wildcard over a
+    # subquery; all four field types expand, null-skipping first per field
+    (
+        "FIRST(*) over subquery",
+        "SELECT FIRST(*) FROM (SELECT * FROM mst)",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","first_address","first_age","first_alive","first_height"],"values":[["1970-01-01T00:00:00Z","shenzhen",12.3,true,70]]}]}]}',
+    ),
+    (
+        "FIRST(*) direct",
+        "SELECT FIRST(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","first_address","first_age","first_alive","first_height"],"values":[["1970-01-01T00:00:00Z","shenzhen",12.3,true,70]]}]}]}',
+    ),
+    (
+        "LAST(*) direct",
+        "SELECT LAST(*) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","last_address","last_age","last_alive","last_height"],"values":[["1970-01-01T00:00:00Z","zhengzhou",123,false,203]]}]}]}',
+    ),
+    (
+        "MEAN(*) expands numeric fields only",
+        "SELECT MEAN(*) FROM mst",
+        # age: sum 516.8 over 11 non-null; height: 1554 over 11
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","mean_age","mean_height"],"values":[["1970-01-01T00:00:00Z",46.98181818181818,141.27272727272728]]}]}]}',
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", AGG_WILDCARD_CASES, ids=[c[0] for c in AGG_WILDCARD_CASES]
+)
+def test_agg_wildcard_case(spark, sf_dir, mst_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=mst_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 GROUPED_CASES = [
     # TestServer_Query_SelectGroupByTime_MultipleAggregates (server_test.go:1987)
     (
