@@ -855,10 +855,10 @@ PRIORITY: tuple[str, ...] = (
     "curate_pack_sequences",  # bucketed contiguous sequence packing (r3)
     "curate_stratified_sample",  # per-stratum hash Bernoulli keep (r3)
     "curate_pii_redaction",  # typed-placeholder regexp redaction (r3)
+    "inc_window_agg",  # incremental query: parquet-state partial merge (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
-    "agg_histogram",
     "window_tumbling_agg",
     "window_fill_previous",
     "transform_ema",

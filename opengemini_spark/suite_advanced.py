@@ -450,3 +450,63 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["time_us", "event_id"], "value", RSI_N
     )
     return out.filter(F.col("rsi").isNotNull()).select("user_id", "rn", "rsi")
+
+
+# ---------------------------------------------------------------------------
+# incremental query (inc agg) — inc_agg_transform.go
+# ---------------------------------------------------------------------------
+
+DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "inc_window_agg",
+    # two ingest iterations (even ids, then odd ids) through the parquet
+    # state table must equal the one-shot windowed aggregate over all rows;
+    # sums rounded before division per the suite's float convention
+    f"""
+    SELECT (epoch_us(ts) - epoch_us(ts) % {DAY_NS // 1000}) AS time_us,
+           event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value,
+           round(round(sum(value), 4) / count(value), 6) AS mean_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_inc_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental windowed agg: iteration 0 aggregates the even-id half
+    and caches partial state; iteration 1 merges only the odd-id half into
+    the cached state (inc_agg_transform.go Put/GetIncAggChunk). The final
+    result must be indistinguishable from a one-shot aggregate."""
+    import tempfile
+
+    from opengemini_spark.operators import inc_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    state = tempfile.mkdtemp(prefix="og_incagg_")
+    spec = [
+        ("count", "value"), ("sum", "value"), ("mean", "value"),
+        ("min", "value"), ("max", "value"),
+    ]
+    inc_agg.inc_window_agg(
+        spark, ev.filter(F.col("event_id") % 2 == 0), state, "q", 0,
+        DAY_NS, spec, dims=["event_type"],
+    )
+    final = inc_agg.inc_window_agg(
+        spark, ev.filter(F.col("event_id") % 2 == 1), state, "q", 1,
+        DAY_NS, spec, dims=["event_type"],
+    )
+    return final.select(
+        F.expr("time div 1000").alias("time_us"),
+        "event_type",
+        F.col("count_value").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round(F.round("sum_value", 4) / F.col("count_value"), 6).alias(
+            "mean_value"
+        ),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
