@@ -382,6 +382,12 @@ class Planner:
             df = self.plan(inner)
             if "time" in df.columns:
                 df = df.withColumnRenamed("time", TIME_COL)
+            # the inner query's series tags (emitted as __tag_<name> for
+            # the HTTP shape) become plain columns of the derived table —
+            # the outer statement addresses them by their tag name
+            for c in df.columns:
+                if c.startswith("__tag_") and c.removeprefix("__tag_") not in df.columns:
+                    df = df.withColumnRenamed(c, c.removeprefix("__tag_"))
             # tag identity survives SELECT * subqueries: re-attach the
             # innermost measurement's CleanSchema tags that the inner
             # projection kept, so fn(*) over the subquery still expands
@@ -555,6 +561,7 @@ class Planner:
         outer: ast.Call,
         fld: str,
         out_name: str,
+        desc_eval: bool = False,
     ) -> DataFrame:
         """One field's raw-point transform: lag windows over that field's
         NON-NULL sub-series (InfluxDB computes each field over its own
@@ -566,7 +573,11 @@ class Planner:
         """
         name = outer.name
         src = df.filter(F.col(fld).isNotNull())
-        w = Window.partitionBy(*tags).orderBy(TIME_COL)
+        # ORDER BY time DESC evaluates the transform over the REVERSED
+        # series (server_test.go difference-over-subquery cases: lag is
+        # the later point, emission at the earlier point's time)
+        order = F.col(TIME_COL).desc() if desc_eval else F.col(TIME_COL).asc()
+        w = Window.partitionBy(*tags).orderBy(order)
         v, t = F.col(fld), F.col(TIME_COL)
         if name in ("derivative", "non_negative_derivative"):
             unit_ns = (
@@ -665,7 +676,8 @@ class Planner:
             out = None
             for fname in fields:
                 one = self._raw_transform_one(
-                    df, tags, outer, fname, f"{name}_{fname}"
+                    df, tags, outer, fname, f"{name}_{fname}",
+                    desc_eval=stmt.order_desc,
                 )
                 out = (
                     one if out is None
@@ -674,7 +686,8 @@ class Planner:
             assert out is not None, f"{name}(*): no eligible fields"
         else:
             out = self._raw_transform_one(
-                df, tags, outer, fld, self._out_name(f, name)
+                df, tags, outer, fld, self._out_name(f, name),
+                desc_eval=stmt.order_desc,
             )
         if stmt.order_desc:
             out = out.orderBy(F.col("time").desc())

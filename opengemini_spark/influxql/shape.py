@@ -72,11 +72,13 @@ def iter_influx_blocks(
 
     # block order: tags compare as strings (matches InfluxDB's sorted tag
     # sets); row order: time per ORDER BY, value columns as tie-break
-    sort_exprs = [F.col(t).cast("string").asc() for t in tag_cols]
     row_dir = (
         (lambda c: c.desc_nulls_first()) if order_desc
         else (lambda c: c.asc_nulls_last())
     )
+    # series blocks follow the row direction too: ORDER BY time DESC lists
+    # tag-sets in descending order (server_test.go subquery-difference)
+    sort_exprs = [row_dir(F.col(t).cast("string")) for t in tag_cols]
     if has_time:
         sort_exprs.append(row_dir(F.col(time_col)))
     # value tie-break at equal times: ascending by default; the top()

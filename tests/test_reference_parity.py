@@ -386,6 +386,32 @@ def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# difference modes over a GROUP BY country subquery, ORDER BY time DESC
+# (server_test.go:3594-3604)
+MST_SUBQ_CASES = [
+    (
+        "difference front over subquery",
+        "select difference(age, 'front') from ( select * from mst group by country) group by country order by time desc",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":"germany"},"columns":["time","difference"],"values":[["2021-08-16T16:00:02Z",24.900000000000002]]},{"name":"mst","tags":{"country":"china"},"columns":["time","difference"],"values":[["2021-08-16T16:00:05Z",74.2],["2021-08-16T16:00:00Z",36.5]]},{"name":"mst","tags":{"country":"canada"},"columns":["time","difference"],"values":[["2021-08-16T16:00:04Z",25.799999999999997]]},{"name":"mst","tags":{"country":"american"},"columns":["time","difference"],"values":[["2021-08-16T16:00:01Z",32.2]]}]}]}',
+    ),
+    (
+        "difference behind over subquery",
+        "select difference(age, 'behind') from ( select * from mst group by country) group by country order by time desc",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":"germany"},"columns":["time","difference"],"values":[["2021-08-16T16:00:02Z",-24.900000000000002]]},{"name":"mst","tags":{"country":"china"},"columns":["time","difference"],"values":[["2021-08-16T16:00:05Z",-74.2],["2021-08-16T16:00:00Z",-36.5]]},{"name":"mst","tags":{"country":"canada"},"columns":["time","difference"],"values":[["2021-08-16T16:00:04Z",-25.799999999999997]]},{"name":"mst","tags":{"country":"american"},"columns":["time","difference"],"values":[["2021-08-16T16:00:01Z",-32.2]]}]}]}',
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", MST_SUBQ_CASES, ids=[c[0] for c in MST_SUBQ_CASES]
+)
+def test_subquery_difference_case(spark, sf_dir, mst_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=mst_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 AGG_WILDCARD_CASES = [
     # server_test.go:3567 (BUG2021121702512) — selector wildcard over a
     # subquery; all four field types expand, null-skipping first per field
