@@ -409,6 +409,21 @@ class Planner:
         if "*" in stmt.group_tags:
             # GROUP BY * → every tag column (wildcard dim expansion)
             stmt.group_tags = self.tag_columns(df)
+        if len(stmt.fields) > 1:
+            # `SELECT time, max(value)` — a bare time projection is
+            # implicit (time is always emitted); the reference's rewriter
+            # drops it (server_test.go "max order by time with time
+            # specified" has identical output with and without it)
+            non_time = [
+                f for f in stmt.fields
+                if not (
+                    isinstance(f.expr, ast.VarRef)
+                    and f.expr.name.lower() == "time"
+                    and f.alias is None
+                )
+            ]
+            if non_time:
+                stmt.fields = non_time
         if (
             len(stmt.fields) == 1
             and isinstance(stmt.fields[0].expr, ast.VarRef)

@@ -129,6 +129,42 @@ CASES = [
         "SELECT DISTINCT value FROM intmany",
         '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","distinct"],"values":[["1970-01-01T00:00:00Z",2.0],["1970-01-01T00:00:00Z",4.0],["1970-01-01T00:00:00Z",5.0],["1970-01-01T00:00:00Z",7.0],["1970-01-01T00:00:00Z",9.0]]}]}]}',
     ),
+    # --- TestServer_Query_Aggregates_IntMany_GroupBy (server_test.go:2458) ---
+    (
+        "max group by 10s",
+        "SELECT max(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(10s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","max"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:10Z",4],["2000-01-01T00:00:20Z",4],["2000-01-01T00:00:30Z",4],["2000-01-01T00:00:40Z",5],["2000-01-01T00:00:50Z",5],["2000-01-01T00:01:00Z",7],["2000-01-01T00:01:10Z",9]]}]}]}',
+    ),
+    (
+        "max group by 10s with bare time projection",
+        "SELECT time, max(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(10s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","max"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:10Z",4],["2000-01-01T00:00:20Z",4],["2000-01-01T00:00:30Z",4],["2000-01-01T00:00:40Z",5],["2000-01-01T00:00:50Z",5],["2000-01-01T00:01:00Z",7],["2000-01-01T00:01:10Z",9]]}]}]}',
+    ),
+    (
+        "max group by 30s",
+        "SELECT max(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(30s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","max"],"values":[["2000-01-01T00:00:00Z",4],["2000-01-01T00:00:30Z",5],["2000-01-01T00:01:00Z",9]]}]}]}',
+    ),
+    (
+        "min group by 15s",
+        "SELECT min(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(15s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","min"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:15Z",4],["2000-01-01T00:00:30Z",4],["2000-01-01T00:00:45Z",5],["2000-01-01T00:01:00Z",7]]}]}]}',
+    ),
+    (
+        "min group by 15s with bare time projection",
+        "SELECT time, min(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(15s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","min"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:15Z",4],["2000-01-01T00:00:30Z",4],["2000-01-01T00:00:45Z",5],["2000-01-01T00:01:00Z",7]]}]}]}',
+    ),
+    (
+        "first group by 15s",
+        "SELECT first(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(15s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","first"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:15Z",4],["2000-01-01T00:00:30Z",4],["2000-01-01T00:00:45Z",5],["2000-01-01T00:01:00Z",7]]}]}]}',
+    ),
+    (
+        "last group by 15s",
+        "SELECT last(value) FROM intmany where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:14Z' group by time(15s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"intmany","columns":["time","last"],"values":[["2000-01-01T00:00:00Z",4],["2000-01-01T00:00:15Z",4],["2000-01-01T00:00:30Z",5],["2000-01-01T00:00:45Z",5],["2000-01-01T00:01:00Z",9]]}]}]}',
+    ),
     (
         "rate over the full span",
         # (9-2) / 70s = 0.1 per second
@@ -383,6 +419,69 @@ def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
     import json
 
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=mst_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_Math integer/string extensions (server_test.go:1178,
+# :3114) — complements the existing floatm math block below with integer
+# arithmetic, mixed-type multiplication, and string-field selectors ---
+MATH2_WRITES = [
+    "integer value=42i 946684800000000000",
+    'stringdata value="first" 946684803000000000',
+    'stringdata value="last" 946684804000000000',
+]
+
+MATH2_CASES = [
+    (
+        "multiple of integer value",
+        "SELECT value * 2 from integer",
+        '{"results":[{"statement_id":0,"series":[{"name":"integer","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",84]]}]}]}',
+    ),
+    (
+        "float multiple of integer value",
+        "SELECT value * 2.0 from integer",
+        '{"results":[{"statement_id":0,"series":[{"name":"integer","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",84]]}]}]}',
+    ),
+    (
+        "square and value",
+        "SELECT value * value,value from integer",
+        '{"results":[{"statement_id":0,"series":[{"name":"integer","columns":["time","value_value","value"],"values":[["2000-01-01T00:00:00Z",1764,42]]}]}]}',
+    ),
+    (
+        "square of enclosed value",
+        "SELECT ((value) * (value)) from integer",
+        '{"results":[{"statement_id":0,"series":[{"name":"integer","columns":["time","value_value"],"values":[["2000-01-01T00:00:00Z",1764]]}]}]}',
+    ),
+    (
+        "COUNT on string data",
+        "SELECT COUNT(value) FROM stringdata",
+        '{"results":[{"statement_id":0,"series":[{"name":"stringdata","columns":["time","count"],"values":[["1970-01-01T00:00:00Z",2]]}]}]}',
+    ),
+    (
+        "FIRST on string data",
+        "SELECT FIRST(value) FROM stringdata",
+        '{"results":[{"statement_id":0,"series":[{"name":"stringdata","columns":["time","first"],"values":[["2000-01-01T00:00:03Z","first"]]}]}]}',
+    ),
+    (
+        "LAST on string data",
+        "SELECT LAST(value) FROM stringdata",
+        '{"results":[{"statement_id":0,"series":[{"name":"stringdata","columns":["time","last"],"values":[["2000-01-01T00:00:04Z","last"]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def math2_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_math2"))
+    handle_write(spark, MATH2_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", MATH2_CASES, ids=[c[0] for c in MATH2_CASES])
+def test_math2_case(spark, sf_dir, math2_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=math2_root)
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
