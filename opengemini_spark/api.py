@@ -177,6 +177,17 @@ def handle_query(
                     for fl in stmt.fields
                 )
             )
+            # distinct under GROUP BY time emits values in first-occurrence
+            # order per bucket — the plan's order is the result order
+            presorted = (
+                isinstance(stmt, iast.SelectStatement)
+                and stmt.group_time is not None
+                and any(
+                    isinstance(fl.expr, iast.Call)
+                    and fl.expr.name == "distinct"
+                    for fl in stmt.fields
+                )
+            )
             try:
                 body = to_influx_json(
                     df,
@@ -187,6 +198,7 @@ def handle_query(
                     chunk_size=chunk_size,
                     max_rows=max_row_limit,
                     value_tie_desc=tie_desc,
+                    presorted=presorted,
                 )
             finally:
                 querytrack.detach(spark, qid)

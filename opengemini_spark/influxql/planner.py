@@ -469,10 +469,30 @@ class Planner:
             return self._plan_sample(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
             arg = calls[0][1].args[0]
+            out_name = self._out_name(calls[0][0], "distinct")
+            if stmt.group_time is not None:
+                # per-bucket distinct, values in first-occurrence time
+                # order at the bucket timestamp (AggregateSelectors
+                # "distinct - baseline 30s")
+                from opengemini_spark.operators.window_agg import time_bucket
+
+                return (
+                    df.withColumn(
+                        "__b",
+                        time_bucket(
+                            F.col(TIME_COL),
+                            int(stmt.group_time.interval_ns),
+                            int(stmt.group_time.offset_ns),
+                        ),
+                    )
+                    .groupBy("__b", F.col(arg.name).alias(out_name))
+                    .agg(F.min(TIME_COL).alias("__ft"))
+                    .orderBy("__b", "__ft")
+                    .select(F.col("__b").alias("time"), out_name)
+                )
             bound = self._lower_time_bound(stmt.where)
             return (
-                df.select(F.col(arg.name).alias(
-                    self._out_name(calls[0][0], "distinct"))).distinct()
+                df.select(F.col(arg.name).alias(out_name)).distinct()
                 .select(F.lit(bound).alias("time"), "*")
             )
         if (
@@ -1096,8 +1116,12 @@ class Planner:
         return out
 
     def _plan_selector(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
-        """SELECT max(value), other, … — selector row semantics: companion
-        columns come from the row the selector picked (compile.go:762-770)."""
+        """SELECT [companions,] max(value)[, companions] — selector row
+        semantics: companion columns come from the row the selector picked
+        (compile.go:762-770). Under GROUP BY time(...) the pick runs per
+        bucket and the emitted time is the bucket start; companion columns
+        keep the statement's projection order (server_test.go
+        AggregateSelectors "max - tx": columns [time, tx, max])."""
         sel = next(f for f in stmt.fields if isinstance(f.expr, ast.Call))
         call = sel.expr
         fld = call.args[0].name
@@ -1106,8 +1130,16 @@ class Planner:
             for f in stmt.fields
             if isinstance(f.expr, ast.VarRef)
         ]
+        if call.name not in ("max", "min", "first", "last") and others:
+            # the reference rejects companions beside non-selector aggs
+            raise ValueError(
+                "mixing aggregate and non-aggregate queries is not supported"
+            )
         key = {
-            "max": F.struct(F.col(fld), F.col(TIME_COL)),
+            # value ties break toward the EARLIER row (AggregateSelectors
+            # "max - tx": rx=40@:10 beats rx=40@:20) — negate time so the
+            # lexicographic max_by prefers the smaller timestamp
+            "max": F.struct(F.col(fld), -F.col(TIME_COL)),
             "min": F.struct(F.col(fld), F.col(TIME_COL)),
             "first": F.struct(F.col(TIME_COL)),
             "last": F.struct(F.col(TIME_COL)),
@@ -1115,18 +1147,40 @@ class Planner:
         pick = F.struct(F.col(TIME_COL).alias("__t"), F.col(fld).alias("__v"),
                         *[F.col(src).alias(f"__o{i}") for i, (_, src) in enumerate(others)])
         agg_fn = F.max_by if call.name in ("max", "last") else F.min_by
-        gcols = stmt.group_tags
+        gcols = list(stmt.group_tags)
+        if stmt.group_time is not None:
+            from opengemini_spark.operators.window_agg import time_bucket
+
+            df = df.withColumn(
+                "__bucket",
+                time_bucket(
+                    F.col(TIME_COL),
+                    int(stmt.group_time.interval_ns),
+                    int(stmt.group_time.offset_ns),
+                ),
+            )
+            gcols.append("__bucket")
         g = df.groupBy(*gcols) if gcols else df.groupBy()
         out = g.agg(agg_fn(pick, key).alias("__pick"))
         sel_out = self._out_name(sel, call.name)
-        cols = [F.col("__pick.__t").alias("time")]
-        cols += [F.col(t) for t in gcols]
-        cols.append(F.col("__pick.__v").alias(sel_out))
-        cols += [
-            F.col(f"__pick.__o{i}").alias(out_name)
-            for i, (out_name, _) in enumerate(others)
-        ]
-        return out.select(*cols)
+        time_col = (
+            F.col("__bucket") if stmt.group_time is not None
+            else F.col("__pick.__t")
+        )
+        cols = [time_col.alias("time")]
+        cols += [F.col(t) for t in stmt.group_tags]
+        # value columns in the statement's projection order
+        oi = 0
+        for f in stmt.fields:
+            if f is sel:
+                cols.append(F.col("__pick.__v").alias(sel_out))
+            elif isinstance(f.expr, ast.VarRef):
+                cols.append(F.col(f"__pick.__o{oi}").alias(others[oi][0]))
+                oi += 1
+        result = out.select(*cols)
+        if stmt.group_time is not None:
+            result = result.orderBy(*stmt.group_tags, "time")
+        return result
 
     def _plan_raw(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         cols = [F.col(TIME_COL).alias("time")] if TIME_COL in df.columns else []

@@ -49,6 +49,7 @@ def iter_influx_blocks(
     chunk_size: int | None = None,
     max_rows: int | None = None,
     value_tie_desc: bool = False,
+    presorted: bool = False,
 ):
     """Stream series blocks without materializing the result on the driver.
 
@@ -79,7 +80,12 @@ def iter_influx_blocks(
     # series blocks follow the row direction too: ORDER BY time DESC lists
     # tag-sets in descending order (server_test.go subquery-difference)
     sort_exprs = [row_dir(F.col(t).cast("string")) for t in tag_cols]
-    if has_time:
+    if presorted:
+        # the plan's own emission order IS the result order (e.g. distinct
+        # under GROUP BY time: values in first-occurrence order) — a
+        # re-sort here would impose value order
+        sort_exprs = []
+    if has_time and not presorted:
         sort_exprs.append(row_dir(F.col(time_col)))
     # value tie-break at equal times: ascending by default; the top()
     # selector emits its ties largest-first (server_test.go TopBottomInt
@@ -87,7 +93,8 @@ def iter_influx_blocks(
     tie_dir = (
         (lambda c: c.desc_nulls_last()) if value_tie_desc else row_dir
     )
-    sort_exprs += [tie_dir(F.col(c)) for c in value_cols]
+    if not presorted:
+        sort_exprs += [tie_dir(F.col(c)) for c in value_cols]
     src = df.orderBy(*sort_exprs) if sort_exprs else df
 
     blk: dict | None = None
@@ -140,13 +147,14 @@ def to_influx_json(
     chunk_size: int | None = None,
     max_rows: int | None = None,
     value_tie_desc: bool = False,
+    presorted: bool = False,
 ) -> dict:
     """Assemble the InfluxDB response shape from the streamed blocks."""
     ordered = list(
         iter_influx_blocks(
             df, measurement, tag_cols, time_col, epoch, order_desc,
             chunk_size=chunk_size, max_rows=max_rows,
-            value_tie_desc=value_tie_desc,
+            value_tie_desc=value_tie_desc, presorted=presorted,
         )
     )
     if not ordered:

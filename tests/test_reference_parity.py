@@ -422,6 +422,102 @@ def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_AggregateSelectors (server_test.go:5239) —
+# selector + companion under GROUP BY time, bucketed distinct in
+# first-occurrence order, tag/field distinction in SELECT * ---
+NETWORK_WRITES = [
+    "network,host=server01,region=west,cores=1 rx=10i,tx=20i,core=2i 946684800000000000",
+    "network,host=server02,region=west,cores=2 rx=40i,tx=50i,core=3i 946684810000000000",
+    "network,host=server03,region=east,cores=3 rx=40i,tx=55i,core=4i 946684820000000000",
+    "network,host=server04,region=east,cores=4 rx=40i,tx=60i,core=1i 946684830000000000",
+    "network,host=server05,region=west,cores=1 rx=50i,tx=70i,core=2i 946684840000000000",
+    "network,host=server06,region=east,cores=2 rx=50i,tx=40i,core=3i 946684850000000000",
+    "network,host=server07,region=west,cores=3 rx=70i,tx=30i,core=4i 946684860000000000",
+    "network,host=server08,region=east,cores=4 rx=90i,tx=10i,core=1i 946684870000000000",
+    "network,host=server09,region=east,cores=1 rx=5i,tx=4i,core=2i 946684880000000000",
+]
+
+AGGSEL_RANGE = (
+    "where time >= '2000-01-01T00:00:00Z' AND time <= '2000-01-01T00:01:29Z'"
+    " group by time(30s)"
+)
+
+AGGSEL_CASES = [
+    (
+        "baseline select star distinguishes tags from fields",
+        "SELECT * FROM network",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","core","cores","host","region","rx","tx"],"values":[["2000-01-01T00:00:00Z",2,"1","server01","west",10,20],["2000-01-01T00:00:10Z",3,"2","server02","west",40,50],["2000-01-01T00:00:20Z",4,"3","server03","east",40,55],["2000-01-01T00:00:30Z",1,"4","server04","east",40,60],["2000-01-01T00:00:40Z",2,"1","server05","west",50,70],["2000-01-01T00:00:50Z",3,"2","server06","east",50,40],["2000-01-01T00:01:00Z",4,"3","server07","west",70,30],["2000-01-01T00:01:10Z",1,"4","server08","east",90,10],["2000-01-01T00:01:20Z",2,"1","server09","east",5,4]]}]}]}',
+    ),
+    (
+        "max - baseline 30s",
+        f"SELECT max(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","max"],"values":[["2000-01-01T00:00:00Z",40],["2000-01-01T00:00:30Z",50],["2000-01-01T00:01:00Z",90]]}]}]}',
+    ),
+    (
+        "max - companion tx",
+        f"SELECT tx, max(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","tx","max"],"values":[["2000-01-01T00:00:00Z",50,40],["2000-01-01T00:00:30Z",70,50],["2000-01-01T00:01:00Z",10,90]]}]}]}',
+    ),
+    (
+        "max - time and tx",
+        f"SELECT time, tx, max(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","tx","max"],"values":[["2000-01-01T00:00:00Z",50,40],["2000-01-01T00:00:30Z",70,50],["2000-01-01T00:01:00Z",10,90]]}]}]}',
+    ),
+    (
+        "min - baseline 30s",
+        f"SELECT min(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","min"],"values":[["2000-01-01T00:00:00Z",10],["2000-01-01T00:00:30Z",40],["2000-01-01T00:01:00Z",5]]}]}]}',
+    ),
+    (
+        "first - companion tx",
+        f"SELECT time, tx, first(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","tx","first"],"values":[["2000-01-01T00:00:00Z",20,10],["2000-01-01T00:00:30Z",60,40],["2000-01-01T00:01:00Z",30,70]]}]}]}',
+    ),
+    (
+        "last - companion tx",
+        f"SELECT tx, last(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","tx","last"],"values":[["2000-01-01T00:00:00Z",55,40],["2000-01-01T00:00:30Z",40,50],["2000-01-01T00:01:00Z",4,5]]}]}]}',
+    ),
+    (
+        "max,min - baseline 30s",
+        f"SELECT max(rx), min(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","max","min"],"values":[["2000-01-01T00:00:00Z",40,10],["2000-01-01T00:00:30Z",50,40],["2000-01-01T00:01:00Z",90,5]]}]}]}',
+    ),
+    (
+        "count - baseline 30s",
+        f"SELECT count(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","count"],"values":[["2000-01-01T00:00:00Z",3],["2000-01-01T00:00:30Z",3],["2000-01-01T00:01:00Z",3]]}]}]}',
+    ),
+    (
+        "count with companion is an error",
+        f"SELECT tx, count(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"error":"mixing aggregate and non-aggregate queries is not supported"}]}',
+    ),
+    (
+        "distinct - baseline 30s first-occurrence order",
+        f"SELECT distinct(rx) FROM network {AGGSEL_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","distinct"],"values":[["2000-01-01T00:00:00Z",10],["2000-01-01T00:00:00Z",40],["2000-01-01T00:00:30Z",40],["2000-01-01T00:00:30Z",50],["2000-01-01T00:01:00Z",70],["2000-01-01T00:01:00Z",90],["2000-01-01T00:01:00Z",5]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def network_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_network"))
+    handle_write(spark, NETWORK_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", AGGSEL_CASES, ids=[c[0] for c in AGGSEL_CASES]
+)
+def test_aggregate_selector_case(spark, sf_dir, network_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=network_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_Math integer/string extensions (server_test.go:1178,
 # :3114) — complements the existing floatm math block below with integer
 # arithmetic, mixed-type multiplication, and string-field selectors ---
