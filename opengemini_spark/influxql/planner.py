@@ -1043,9 +1043,19 @@ class Planner:
                     src, TIME_COL, stmt.group_time.interval_ns, aggs,
                     dims=stmt.group_tags, offset_ns=stmt.group_time.offset_ns,
                 ).withColumnRenamed("bucket_ns", "time")
-            if stmt.fill is not None and stmt.fill != "none":
-                mode = stmt.fill if isinstance(stmt.fill, str) else "value"
-                fv = stmt.fill if isinstance(stmt.fill, float) else None
+            # fill(null) is InfluxDB's DEFAULT for GROUP BY time — an
+            # unset fill still generates the full bucket spine with null
+            # rows (fill_transform.go; server_test.go Fill_Bug_List)
+            effective_fill = "null" if stmt.fill is None else stmt.fill
+            if effective_fill != "none":
+                mode = (
+                    effective_fill if isinstance(effective_fill, str)
+                    else "value"
+                )
+                fv = (
+                    effective_fill if isinstance(effective_fill, float)
+                    else None
+                )
                 # InfluxDB generates windows for the FULL query time range,
                 # not just windows that have data (fill_transform.go)
                 ivl, off = stmt.group_time.interval_ns, stmt.group_time.offset_ns

@@ -422,6 +422,51 @@ def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_Fill_Bug_List (server_test.go:3948): fill(null)
+# time spine per tag-set, ascending and ORDER BY time DESC emission ---
+FILLBUG_WRITES = [
+    "fmst,tag1=1 count=0 0",
+    "fmst,tag1=2 count=4 4000000000",
+    "fmst,tag1=3 count=2 2000000000",
+    "fmst,tag1=4 count=0 0",
+    "fmst,tag1=4 count=1 1000000000",
+    "fmst,tag1=5 count=3 3000000000",
+    "fmst,tag1=5 count=4 4000000000",
+    "fmst,tag1=6 count=0 0",
+    "fmst,tag1=6 count=4 4000000000",
+]
+
+FILLBUG_CASES = [
+    (
+        "fill(null) spine per tag-set",
+        "select sum(count) from fmst where time >= 0 and time < 5000000000 group by time(1s),tag1",
+        '{"results":[{"statement_id":0,"series":[{"name":"fmst","tags":{"tag1":"1"},"columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",0],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:04Z",null]]},{"name":"fmst","tags":{"tag1":"2"},"columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:04Z",4]]},{"name":"fmst","tags":{"tag1":"3"},"columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:02Z",2],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:04Z",null]]},{"name":"fmst","tags":{"tag1":"4"},"columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",0],["1970-01-01T00:00:01Z",1],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:04Z",null]]},{"name":"fmst","tags":{"tag1":"5"},"columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:03Z",3],["1970-01-01T00:00:04Z",4]]},{"name":"fmst","tags":{"tag1":"6"},"columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",0],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:04Z",4]]}]}]}',
+    ),
+    (
+        "fill(null) spine order by time desc",
+        "select sum(count) from fmst where time >= 0 and time < 5000000000 group by time(1s),tag1 order by time desc",
+        '{"results":[{"statement_id":0,"series":[{"name":"fmst","tags":{"tag1":"6"},"columns":["time","sum"],"values":[["1970-01-01T00:00:04Z",4],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:00Z",0]]},{"name":"fmst","tags":{"tag1":"5"},"columns":["time","sum"],"values":[["1970-01-01T00:00:04Z",4],["1970-01-01T00:00:03Z",3],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:00Z",null]]},{"name":"fmst","tags":{"tag1":"4"},"columns":["time","sum"],"values":[["1970-01-01T00:00:04Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:01Z",1],["1970-01-01T00:00:00Z",0]]},{"name":"fmst","tags":{"tag1":"3"},"columns":["time","sum"],"values":[["1970-01-01T00:00:04Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:02Z",2],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:00Z",null]]},{"name":"fmst","tags":{"tag1":"2"},"columns":["time","sum"],"values":[["1970-01-01T00:00:04Z",4],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:00Z",null]]},{"name":"fmst","tags":{"tag1":"1"},"columns":["time","sum"],"values":[["1970-01-01T00:00:04Z",null],["1970-01-01T00:00:03Z",null],["1970-01-01T00:00:02Z",null],["1970-01-01T00:00:01Z",null],["1970-01-01T00:00:00Z",0]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def fillbug_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_fillbug"))
+    handle_write(spark, FILLBUG_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", FILLBUG_CASES, ids=[c[0] for c in FILLBUG_CASES]
+)
+def test_fillbug_case(spark, sf_dir, fillbug_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=fillbug_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_AggregateSelectors (server_test.go:5239) —
 # selector + companion under GROUP BY time, bucketed distinct in
 # first-occurrence order, tag/field distinction in SELECT * ---
