@@ -128,9 +128,41 @@ class Engine:
             return _Vector(df, [])
         return out
 
+    #: Prometheus's default evaluation interval (the step used when a
+    #: subquery writes ``[30m:]``)
+    DEFAULT_SUBQUERY_STEP_S = 60
+
+    def _subquery(self, node: "P.Subquery") -> _RangeVector:
+        """``expr[range:step]``: evaluate the inner expression ONCE over
+        the absolutely-aligned sub-step grid spanning the whole outer
+        query window (every outer grid point shares the aligned inner
+        evaluations — promql/engine.go subqueries; the set-oriented
+        formulation avoids per-point re-evaluation), then hand the
+        samples to the outer range function as a range vector."""
+        step_s = node.step_s or self.DEFAULT_SUBQUERY_STEP_S
+        start_s = self.start_us // US
+        end_s = self.end_us // US
+        sub_start = max(0, -(-(start_s - node.range_s) // step_s) * step_s)
+        sub_end = (end_s // step_s) * step_s
+        if sub_end < sub_start:
+            raise ValueError("PromQL: empty subquery window")
+        inner = Engine(
+            self.spark, self.sf_dir, self.registry,
+            sub_start, sub_end, step_s, self.lookback_s,
+        )
+        v = inner.eval(node.inner)
+        samples = v.df.withColumnRenamed("t", "tu")
+        if node.offset_s:
+            samples = samples.withColumn(
+                "tu", F.col("tu") + F.lit(node.offset_s * US)
+            )
+        return _RangeVector(samples, v.labels, node.range_s)
+
     def _eval(self, node):
         if isinstance(node, P.NumberLit):
             return node
+        if isinstance(node, P.Subquery):
+            return self._subquery(node)
         if isinstance(node, P.VectorSelector):
             if node.range_s is not None:
                 s, labels = self._samples(node)

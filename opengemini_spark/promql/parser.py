@@ -75,6 +75,18 @@ class VectorSelector:
 
 
 @dataclass
+class Subquery:
+    """``expr[range:step]`` — the inner expression evaluated on the
+    absolutely-aligned ``step`` grid, consumed as a range vector
+    (Prometheus subqueries; the reference transpiles them in
+    promql2influxql/transpiler.go subqueryTimes)."""
+    inner: object
+    range_s: int
+    step_s: int | None = None        # None → default eval interval (1m)
+    offset_s: int = 0
+
+
+@dataclass
 class FuncCall:
     name: str
     args: list
@@ -253,18 +265,18 @@ class Parser:
             self.next()
             e = self.expr()
             self.expect("OP", ")")
-            return e
+            return self._maybe_subquery(e)
         if t.kind == "IDENT":
             name = self.next().value
             if name in AGG_OPS:
-                return self._aggregate(name)
+                return self._maybe_subquery(self._aggregate(name))
             if name in FUNCS:
                 self.expect("OP", "(")
                 args = [self.expr()]
                 while self.accept("OP", ","):
                     args.append(self.expr())
                 self.expect("OP", ")")
-                return FuncCall(name, args)
+                return self._maybe_subquery(FuncCall(name, args))
             return self._selector(name)
         raise SyntaxError(f"PromQL: unexpected {t.text!r}")
 
@@ -315,6 +327,17 @@ class Parser:
         rng = None
         if self.accept("OP", "["):
             rng = self.expect("DURATION").value
+            sub_step = self._subquery_step()
+            if sub_step is not False:
+                # metric[range:step] — subquery over the instant selector
+                self.expect("OP", "]")
+                return self._with_offset(
+                    Subquery(
+                        VectorSelector(metric, matchers, None, 0),
+                        rng,
+                        sub_step,
+                    )
+                )
             self.expect("OP", "]")
         off = 0
         t = self.peek()
@@ -322,6 +345,48 @@ class Parser:
             self.next()
             off = self.expect("DURATION").value
         return VectorSelector(metric, matchers, rng, off)
+
+    def _subquery_step(self):
+        """After the range duration inside ``[...]``: a ``:``-led token is
+        the subquery step (``:`` lexes as an IDENT because metric names may
+        contain colons). Returns False if not a subquery, None for the
+        default step, else seconds."""
+        t = self.peek()
+        if t.kind != "IDENT" or not t.text.startswith(":"):
+            return False
+        self.next()
+        if t.text == ":":
+            return None
+        m = re.fullmatch(r":(\d+)([smhdw])", t.text)
+        if not m:
+            raise SyntaxError(f"PromQL: bad subquery step {t.text!r}")
+        return int(m.group(1)) * DUR_S[m.group(2)]
+
+    def _with_offset(self, sq: "Subquery") -> "Subquery":
+        t = self.peek()
+        if t.kind == "IDENT" and t.text == "offset":
+            self.next()
+            sq.offset_s = self.expect("DURATION").value
+        return sq
+
+    def _maybe_subquery(self, e):
+        """Postfix ``[range:step]`` on a non-selector expression
+        (``rate(m[5m])[30m:5m]``, ``(a+b)[10m:]``)."""
+        t = self.peek()
+        if t.kind == "OP" and t.text == "[":
+            save = self.i
+            self.next()
+            if self.peek().kind != "DURATION":
+                self.i = save
+                return e
+            rng = self.next().value
+            sub_step = self._subquery_step()
+            if sub_step is False:
+                self.i = save
+                return e
+            self.expect("OP", "]")
+            return self._with_offset(Subquery(e, rng, sub_step))
+        return e
 
 
 def parse_promql(src: str):

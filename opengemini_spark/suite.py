@@ -856,11 +856,11 @@ PRIORITY: tuple[str, ...] = (
     "curate_stratified_sample",  # per-stratum hash Bernoulli keep (r3)
     "curate_pii_redaction",  # typed-placeholder regexp redaction (r3)
     "inc_window_agg",  # incremental query: parquet-state partial merge (r3)
+    "promql_subquery_e2e",  # PromQL subquery expr[range:step] (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
     "window_tumbling_agg",
-    "window_fill_previous",
     "transform_ema",
     "transform_holt_winters",
     "join_inner",

@@ -106,3 +106,39 @@ def q_promql_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert kind == "vector"
     return df
+
+
+# --- PromQL subquery (r3): expr[range:step] ---------------------------------
+# inner count_over_time on the absolutely-aligned 6h grid spanning
+# [START-12h, END]; outer max_over_time over (t-12h, t] of those samples.
+# The oracle replays both layers set-oriented in DuckDB.
+SUB_STEP = 21600
+SUB_RANGE = 43200
+
+
+@register(
+    "promql_subquery_e2e",
+    f"""
+    WITH tg AS (
+      SELECT unnest(generate_series({START - SUB_RANGE}, {END}, {SUB_STEP})) AS tp
+    ),
+    inner_v AS (
+      SELECT e.event_type, tg.tp, CAST(count(*) AS DOUBLE) AS v
+      FROM tg JOIN events e
+        ON epoch_us(e.ts) >  CAST(tg.tp - {SUB_STEP} AS BIGINT) * 1000000
+       AND epoch_us(e.ts) <= CAST(tg.tp AS BIGINT) * 1000000
+      GROUP BY e.event_type, tg.tp
+    ),
+    og AS (SELECT unnest(generate_series({START}, {END}, {STEP})) AS t)
+    SELECT i.event_type, CAST(og.t AS BIGINT) * 1000000 AS t,
+           max(i.v) AS value
+    FROM og JOIN inner_v i
+      ON i.tp > og.t - {SUB_RANGE} AND i.tp <= og.t
+    GROUP BY i.event_type, og.t
+    """,
+)
+def q_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir,
+        "max_over_time(count_over_time(events_value[6h])[12h:6h])",
+    )

@@ -369,3 +369,57 @@ def test_offset_modifier(spark, sf_dir, registry):
         o[k] == pytest.approx(shifted[k]) for k in common
     )
     assert set(o) <= set(shifted) | {k for k in o if k[1] < START * 10**6}
+
+
+def test_subquery_parses_all_forms():
+    from opengemini_spark.promql.parser import Subquery, parse_promql
+
+    sq = parse_promql("events_value[30m:5m]")
+    assert isinstance(sq, Subquery)
+    assert (sq.range_s, sq.step_s, sq.offset_s) == (1800, 300, 0)
+    assert sq.inner.range_s is None  # inner is the INSTANT selector
+    f = parse_promql("max_over_time(rate(m[5m])[30m:5m])")
+    assert isinstance(f.args[0], Subquery) and f.args[0].step_s == 300
+    d = parse_promql("avg_over_time((a + b)[10m:] offset 5m)")
+    assert d.args[0].step_s is None and d.args[0].offset_s == 300
+    # plain range selector still parses as before
+    r = parse_promql("rate(m[5m])")
+    assert r.args[0].range_s == 300
+
+
+def test_subquery_equals_manual_inner_grid(spark, sf_dir, registry):
+    """max_over_time(inner[12h:6h]) at each outer t equals the max of the
+    inner instant evaluations at the aligned 6h grid points in
+    (t-12h, t] — i.e. t-6h and t."""
+    from opengemini_spark.promql import query_range
+
+    out = query_range(
+        spark, sf_dir, registry,
+        "max_over_time(count_over_time(events_value[6h])[12h:6h])",
+        START, END, STEP,
+    )
+    inner = query_range(
+        spark, sf_dir, registry,
+        "count_over_time(events_value[6h])",
+        START - 2 * STEP, END, STEP,
+    )
+    iv = {(r["event_type"], r["t"]): r["value"] for r in inner.collect()}
+    got = {(r["event_type"], r["t"]): r["value"] for r in out.collect()}
+    assert got
+    for (et, t), v in got.items():
+        window = [
+            iv[(et, tp)]
+            for tp in (t - STEP * 10**6, t)
+            if (et, tp) in iv
+        ]
+        assert window and v == max(window), (et, t)
+
+
+def test_subquery_default_step_is_1m(spark, sf_dir, registry):
+    from opengemini_spark.promql.parser import parse_promql
+
+    sq = parse_promql("events_value[30m:]")
+    assert sq.step_s is None  # engine substitutes the 60s default
+    from opengemini_spark.promql.engine import Engine
+
+    assert Engine.DEFAULT_SUBQUERY_STEP_S == 60
