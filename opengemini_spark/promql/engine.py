@@ -107,6 +107,57 @@ class Engine:
                 d = d.filter(~c.rlike(mt.value))
         return d, m.labels
 
+    def _resolve_at(self, at) -> int:
+        """``@`` argument → µs: a unix timestamp, or start()/end()."""
+        if at == "start":
+            return self.start_us
+        if at == "end":
+            return self.end_us
+        return int(round(float(at) * US))
+
+    def _grid(self) -> F.Column:
+        return F.explode(
+            F.sequence(
+                F.lit(self.start_us), F.lit(self.end_us), F.lit(self.step_us)
+            )
+        )
+
+    def _pin_engine(self, at) -> "Engine":
+        """One-point engine whose only grid step is the pinned time
+        (``@`` modifier, promql @ modifier; the reference handles it in
+        transpiler.go:375). The pinned expression is evaluated ONCE there
+        and the result fanned out over the outer grid."""
+        at_s = self._resolve_at(at) // US
+        return Engine(
+            self.spark, self.sf_dir, self.registry,
+            at_s, at_s, max(at_s, 1), self.lookback_s,
+        )
+
+    def _fanout(self, v: _Vector) -> _Vector:
+        """Replicate a single-step result onto every outer grid point."""
+        grid = self.spark.range(1).select(self._grid().alias("t"))
+        return _Vector(v.df.drop("t").crossJoin(F.broadcast(grid)), v.labels)
+
+    def _maybe_pinned_call(self, call: "P.FuncCall"):
+        """A range function whose range-vector argument carries ``@``:
+        evaluate the whole call in the pin engine, fan out the result."""
+        import copy as _copy
+
+        pinned = [
+            a for a in call.args
+            if isinstance(a, (P.VectorSelector, P.Subquery))
+            and getattr(a, "at_s", None) is not None
+            and (isinstance(a, P.Subquery) or a.range_s is not None)
+        ]
+        if not pinned:
+            return None
+        at = pinned[0].at_s
+        call2 = _copy.deepcopy(call)
+        for a in call2.args:
+            if isinstance(a, (P.VectorSelector, P.Subquery)):
+                a.at_s = None
+        return self._fanout(self._pin_engine(at)._func(call2))
+
     def _clip(self, df: DataFrame) -> DataFrame:
         return df.filter(
             (F.col("t") >= self.start_us) & (F.col("t") <= self.end_us)
@@ -167,6 +218,14 @@ class Engine:
             if node.range_s is not None:
                 s, labels = self._samples(node)
                 return _RangeVector(s, labels, node.range_s)
+            if getattr(node, "at_s", None) is not None:
+                import copy as _copy
+
+                bare = _copy.deepcopy(node)
+                bare.at_s = None
+                return self._fanout(
+                    self._pin_engine(node.at_s)._instant(bare)
+                )
             return self._instant(node)
         if isinstance(node, P.FuncCall):
             return self._func(node)
@@ -232,6 +291,9 @@ class Engine:
         return vals.pop()
 
     def _func(self, call: P.FuncCall):
+        pinned = self._maybe_pinned_call(call)
+        if pinned is not None:
+            return pinned
         name = call.name
         if name == "scalar":
             return P.NumberLit(self._scalar_value(call.args[0]))

@@ -19,7 +19,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+\.\d+|\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
-  | (?P<op>=~|!~|!=|==|<=|>=|[-+*/%(){}\[\],=<>])
+  | (?P<op>=~|!~|!=|==|<=|>=|[-+*/%(){}\[\],=<>@])
     """,
     re.VERBOSE,
 )
@@ -72,6 +72,7 @@ class VectorSelector:
     matchers: list[Matcher] = field(default_factory=list)
     range_s: int | None = None       # set for range selectors m[5m]
     offset_s: int = 0                # `offset 5m` modifier
+    at_s: float | str | None = None  # `@ ts` / `@ start()` / `@ end()`
 
 
 @dataclass
@@ -84,6 +85,7 @@ class Subquery:
     range_s: int
     step_s: int | None = None        # None → default eval interval (1m)
     offset_s: int = 0
+    at_s: float | str | None = None
 
 
 @dataclass
@@ -339,12 +341,36 @@ class Parser:
                     )
                 )
             self.expect("OP", "]")
-        off = 0
-        t = self.peek()
-        if t.kind == "IDENT" and t.text == "offset":
-            self.next()
-            off = self.expect("DURATION").value
-        return VectorSelector(metric, matchers, rng, off)
+        off, at = self._modifiers()
+        return VectorSelector(metric, matchers, rng, off, at)
+
+    def _modifiers(self):
+        """``offset <dur>`` and ``@ <ts|start()|end()>`` in either
+        order (promql/parser parses them as repeatable step modifiers)."""
+        off, at = 0, None
+        while True:
+            t = self.peek()
+            if t.kind == "IDENT" and t.text == "offset":
+                self.next()
+                off = self.expect("DURATION").value
+            elif t.kind == "OP" and t.text == "@":
+                self.next()
+                n = self.peek()
+                if n.kind == "NUMBER":
+                    at = float(self.next().value)
+                elif n.kind == "DURATION":
+                    # `@ 60` lexes as DURATION(60s)? no — bare ints lex as
+                    # NUMBER; a unit-suffixed ts is not valid promql
+                    raise SyntaxError("PromQL: @ expects a unix timestamp")
+                elif n.kind == "IDENT" and n.text in ("start", "end"):
+                    self.next()
+                    self.expect("OP", "(")
+                    self.expect("OP", ")")
+                    at = n.text
+                else:
+                    raise SyntaxError(f"PromQL: bad @ argument {n.text!r}")
+            else:
+                return off, at
 
     def _subquery_step(self):
         """After the range duration inside ``[...]``: a ``:``-led token is
@@ -363,10 +389,7 @@ class Parser:
         return int(m.group(1)) * DUR_S[m.group(2)]
 
     def _with_offset(self, sq: "Subquery") -> "Subquery":
-        t = self.peek()
-        if t.kind == "IDENT" and t.text == "offset":
-            self.next()
-            sq.offset_s = self.expect("DURATION").value
+        sq.offset_s, sq.at_s = self._modifiers()
         return sq
 
     def _maybe_subquery(self, e):

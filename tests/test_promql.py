@@ -423,3 +423,46 @@ def test_subquery_default_step_is_1m(spark, sf_dir, registry):
     from opengemini_spark.promql.engine import Engine
 
     assert Engine.DEFAULT_SUBQUERY_STEP_S == 60
+
+
+def test_at_modifier_pins_evaluation(spark, sf_dir, registry):
+    """m @ T / rate(m[12h] @ T): constant across the grid, equal to the
+    un-pinned value at the grid point T."""
+    from opengemini_spark.promql import query_range
+
+    at = START + 10 * 86400
+    base = query_range(
+        spark, sf_dir, registry, "count_over_time(events_value[12h])",
+        START, END, STEP,
+    )
+    b = {(r["event_type"], r["t"]): r["value"] for r in base.collect()}
+    pinned = query_range(
+        spark, sf_dir, registry,
+        f"count_over_time(events_value[12h] @ {at})",
+        START, END, STEP,
+    )
+    rows = pinned.collect()
+    n_steps = (END - START) // STEP + 1
+    by_et = {}
+    for r in rows:
+        by_et.setdefault(r["event_type"], set()).add(r["value"])
+    for et, vals in by_et.items():
+        assert vals == {b[(et, at * 10**6)]}, et  # one constant value
+    assert len(rows) == n_steps * len(by_et)  # present at every step
+
+
+def test_at_start_end_resolve(spark, sf_dir, registry):
+    from opengemini_spark.promql import query_range
+
+    pinned = query_range(
+        spark, sf_dir, registry,
+        "count_over_time(events_value[12h] @ end())",
+        START, END, STEP,
+    )
+    base = query_range(
+        spark, sf_dir, registry, "count_over_time(events_value[12h])",
+        START, END, STEP,
+    )
+    b = {(r["event_type"], r["t"]): r["value"] for r in base.collect()}
+    for r in pinned.collect():
+        assert r["value"] == b[(r["event_type"], END * 10**6)]
