@@ -422,6 +422,118 @@ def test_wildcard_transform_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_Subqueries (server_test.go:6260) ---
+SUBQ_WRITES = [
+    "cpu,host=server01 usage_user=70i,usage_system=30i 946684800000000000",
+    "cpu,host=server01 usage_user=45i,usage_system=55i 946684810000000000",
+    "cpu,host=server01 usage_user=23i,usage_system=77i 946684820000000000",
+    "cpu,host=server02 usage_user=11i,usage_system=89i 946684800000000000",
+    "cpu,host=server02 usage_user=28i,usage_system=72i 946684810000000000",
+    "cpu,host=server02 usage_user=12i,usage_system=53i 946684820000000000",
+]
+
+SUBQ_WHERE = "WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:00:30Z'"
+
+SUBQ_CASES = [
+    (
+        "raw over mean subquery",
+        f"SELECT value FROM (SELECT mean(usage_user) AS value FROM cpu) {SUBQ_WHERE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",31.5]]}]}]}',
+    ),
+    (
+        "mean over arithmetic subquery",
+        f"SELECT mean(usage) FROM (SELECT 100 - usage_user AS usage FROM cpu) {SUBQ_WHERE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",68.5]]}]}]}',
+    ),
+    (
+        "mean over grouped min subquery",
+        f"SELECT mean(min) FROM (SELECT min(usage_user) FROM cpu GROUP BY host) {SUBQ_WHERE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",17]]}]}]}',
+    ),
+    (
+        "max with companion over grouped min subquery",
+        f"SELECT max(min), host FROM (SELECT min(usage_user) FROM cpu GROUP BY host) {SUBQ_WHERE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","max","host"],"values":[["2000-01-01T00:00:20Z",23,"server01"]]}]}]}',
+    ),
+    (
+        "min of top with tag over subquery",
+        f"SELECT min(top), host FROM (SELECT top(usage_user, host, 2) FROM cpu) {SUBQ_WHERE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","min","host"],"values":[["2000-01-01T00:00:10Z",28,"server02"]]}]}]}',
+    ),
+    (
+        "count of tag column over top subquery",
+        f"SELECT count(host) FROM (SELECT top(usage_user, host, 2) FROM cpu) {SUBQ_WHERE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","count"],"values":[["2000-01-01T00:00:00Z",2]]}]}]}',
+    ),
+]
+
+
+# --- TestServer_Query_SubqueryWithGroupBy (server_test.go:6422) ---
+SUBQGB_WRITES = [
+    "gcpu,host=server01,region=uswest value=1i 946684800000000000",
+    "gcpu,host=server01,region=uswest value=2i 946684801000000000",
+    "gcpu,host=server01,region=uswest value=3i 946684802000000000",
+    "gcpu,host=server01,region=uswest value=4i 946684803000000000",
+    "gcpu,host=server02,region=uswest value=5i 946684800000000000",
+    "gcpu,host=server02,region=uswest value=6i 946684801000000000",
+    "gcpu,host=server02,region=uswest value=7i 946684802000000000",
+    "gcpu,host=server02,region=uswest value=8i 946684803000000000",
+    "gcpu,host=server01,region=useast value=9i 946684800000000000",
+    "gcpu,host=server01,region=useast value=10i 946684801000000000",
+    "gcpu,host=server01,region=useast value=11i 946684802000000000",
+    "gcpu,host=server01,region=useast value=12i 946684803000000000",
+    "gcpu,host=server02,region=useast value=13i 946684800000000000",
+    "gcpu,host=server02,region=useast value=14i 946684801000000000",
+    "gcpu,host=server02,region=useast value=15i 946684802000000000",
+    "gcpu,host=server02,region=useast value=16i 946684803000000000",
+]
+
+SUBQGB_WHERE = "WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:00:04Z'"
+
+SUBQGB_CASES = [
+    (
+        "re-agg time(2s) over time(2s),host",
+        f"SELECT mean(mean) FROM (SELECT mean(value) FROM gcpu GROUP BY time(2s), host) {SUBQGB_WHERE} GROUP BY time(2s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"gcpu","columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",7.5],["2000-01-01T00:00:02Z",9.5]]}]}]}',
+    ),
+    (
+        "re-agg time(4s),host over time(2s),host",
+        f"SELECT mean(mean) FROM (SELECT mean(value) FROM gcpu GROUP BY time(2s), host) {SUBQGB_WHERE} GROUP BY time(4s), host",
+        '{"results":[{"statement_id":0,"series":[{"name":"gcpu","tags":{"host":"server01"},"columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",6.5]]},{"name":"gcpu","tags":{"host":"server02"},"columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",10.5]]}]}]}',
+    ),
+    (
+        "re-agg time(2s),host over time(2s),host,region",
+        f"SELECT mean(mean) FROM (SELECT mean(value) FROM gcpu GROUP BY time(2s), host, region) {SUBQGB_WHERE} GROUP BY time(2s), host",
+        '{"results":[{"statement_id":0,"series":[{"name":"gcpu","tags":{"host":"server01"},"columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",5.5],["2000-01-01T00:00:02Z",7.5]]},{"name":"gcpu","tags":{"host":"server02"},"columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",9.5],["2000-01-01T00:00:02Z",11.5]]}]}]}',
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", SUBQGB_CASES, ids=[c[0] for c in SUBQGB_CASES]
+)
+def test_subquery_groupby_case(spark, sf_dir, subq_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=subq_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+@pytest.fixture(scope="module")
+def subq_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_subq"))
+    handle_write(spark, SUBQ_WRITES + SUBQGB_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", SUBQ_CASES, ids=[c[0] for c in SUBQ_CASES])
+def test_subqueries_case(spark, sf_dir, subq_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=subq_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_Fill_Bug_List (server_test.go:3948): fill(null)
 # time spine per tag-set, ascending and ORDER BY time DESC emission ---
 FILLBUG_WRITES = [
