@@ -467,6 +467,42 @@ class Planner:
             return self._plan_recursive(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name == "sample":
             return self._plan_sample(stmt, df, calls[0][0])
+        if (
+            len(calls) == 1
+            and len(stmt.fields) == 1
+            and calls[0][1].name == "percentile"
+            and stmt.group_time is None
+            and isinstance(calls[0][1].args[0], ast.VarRef)
+            and calls[0][1].args[0].name != "*"
+        ):
+            # bare percentile is a SELECTOR: it returns the chosen ROW —
+            # value AND timestamp (PercentileReduce picks the element at
+            # nearest rank; server_test.go SubqueryMath "nth percentile of
+            # derivative" expects the row's own time)
+            f0, call0 = calls[0]
+            fld = call0.args[0].name
+            q = call0.args[1].value / 100.0
+            out_name = self._out_name(f0, "percentile")
+            w = Window.partitionBy(*stmt.group_tags).orderBy(
+                F.col(fld).asc(), F.col(TIME_COL).asc()
+            )
+            cnt = F.count(F.lit(1)).over(
+                Window.partitionBy(*stmt.group_tags)
+            )
+            rank = F.greatest(
+                F.lit(1), F.floor(F.lit(q) * cnt + F.lit(0.5)).cast("long")
+            )
+            return (
+                df.filter(F.col(fld).isNotNull())
+                .withColumn("__rn", F.row_number().over(w))
+                .withColumn("__rank", rank)
+                .filter(F.col("__rn") == F.col("__rank"))
+                .select(
+                    F.col(TIME_COL).alias("time"),
+                    *stmt.group_tags,
+                    F.col(fld).alias(out_name),
+                )
+            )
         if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
             arg = calls[0][1].args[0]
             out_name = self._out_name(calls[0][0], "distinct")
@@ -1045,8 +1081,18 @@ class Planner:
                 ).withColumnRenamed("bucket_ns", "time")
             # fill(null) is InfluxDB's DEFAULT for GROUP BY time — an
             # unset fill still generates the full bucket spine with null
-            # rows (fill_transform.go; server_test.go Fill_Bug_List)
-            effective_fill = "null" if stmt.fill is None else stmt.fill
+            # rows (fill_transform.go; server_test.go Fill_Bug_List) —
+            # but only when the statement bounds the range below (no
+            # explicit window ⇒ nothing to fill toward)
+            has_lower = any(
+                isinstance(c, ast.BinaryExpr)
+                and c.op in (">=", ">")
+                and _is_time_ref(c.lhs)
+                for c in self._time_conds(stmt.where)
+            )
+            effective_fill = stmt.fill
+            if effective_fill is None:
+                effective_fill = "null" if has_lower else "none"
             if effective_fill != "none":
                 mode = (
                     effective_fill if isinstance(effective_fill, str)

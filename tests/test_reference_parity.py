@@ -468,6 +468,40 @@ SUBQ_CASES = [
 ]
 
 
+# --- TestServer_Query_SubqueryMath (server_test.go:7502) ---
+SUBQM_WRITES = [
+    "m0 f2=4,f3=2 946684800000000000",
+    "m0 f1=5,f3=8 946684810000000000",
+    "m0 f1=5,f2=3,f3=6 946684820000000000",
+    "counter value=12 946684800000000000",
+    "counter value=34 946684810000000000",
+    "counter value=78 946684820000000000",
+    "counter value=89 946684830000000000",
+    "counter value=101 946684840000000000",
+]
+
+SUBQM_CASES = [
+    (
+        "sum of three fields with holes",
+        "SELECT sum FROM (SELECT f1 + f2 + f3 AS sum FROM m0)",
+        '{"results":[{"statement_id":0,"series":[{"name":"m0","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",null],["2000-01-01T00:00:10Z",null],["2000-01-01T00:00:20Z",14]]}]}]}',
+    ),
+    (
+        "nth percentile of derivative",
+        "SELECT percentile(derivative, 95) FROM (SELECT derivative(value, 1s) FROM counter) WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:00:50Z'",
+        '{"results":[{"statement_id":0,"series":[{"name":"counter","columns":["time","percentile"],"values":[["2000-01-01T00:00:20Z",4.4]]}]}]}',
+    ),
+]
+
+
+@pytest.mark.parametrize("name,q,exp", SUBQM_CASES, ids=[c[0] for c in SUBQM_CASES])
+def test_subquery_math_case(spark, sf_dir, subq_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=subq_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_SubqueryWithGroupBy (server_test.go:6422) ---
 SUBQGB_WRITES = [
     "gcpu,host=server01,region=uswest value=1i 946684800000000000",
@@ -522,7 +556,7 @@ def test_subquery_groupby_case(spark, sf_dir, subq_root, name, q, exp):
 @pytest.fixture(scope="module")
 def subq_root(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("refdata_subq"))
-    handle_write(spark, SUBQ_WRITES + SUBQGB_WRITES, root)
+    handle_write(spark, SUBQ_WRITES + SUBQGB_WRITES + SUBQM_WRITES, root)
     return root
 
 
