@@ -796,11 +796,25 @@ class Planner:
                 f"than the LIMIT ({stmt.limit}) in the select statement"
             )
         out_name = self._out_name(f, call.name)
-        companions = [
-            fl.expr.name
-            for fl in stmt.fields
-            if isinstance(fl.expr, ast.VarRef) and fl.expr.name != fld
-        ]
+        companions: list[tuple[str, str]] = []   # (source col, out alias)
+        for i2, fl in enumerate(stmt.fields):
+            if fl is f:
+                continue
+            if isinstance(fl.expr, ast.VarRef):
+                if fl.expr.name == fld:
+                    continue
+                companions.append(
+                    (fl.expr.name, self._out_name(fl, fl.expr.name))
+                )
+            else:
+                hid = f"__comp{i2}"
+                df = df.withColumn(hid, self.col_expr(fl.expr))
+                companions.append(
+                    (hid,
+                     self._out_name(
+                         fl, self._default_field_name(fl.expr) or "expr"
+                     ))
+                )
 
         part = list(stmt.group_tags)
         if stmt.group_time is not None:
@@ -830,7 +844,11 @@ class Planner:
         w = Window.partitionBy(*part).orderBy(
             value_order, F.col(TIME_COL).asc()
         )
-        extra = tag_args + [c for c in companions if c not in tag_args]
+        extra = [F.col(t) for t in tag_args] + [
+            F.col(src_c).alias(out_c)
+            for src_c, out_c in companions
+            if src_c not in tag_args
+        ]
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
@@ -1181,16 +1199,32 @@ class Planner:
         sel = next(f for f in stmt.fields if isinstance(f.expr, ast.Call))
         call = sel.expr
         fld = call.args[0].name
-        others = [
-            (self._out_name(f, f.expr.name), f.expr.name)
-            for f in stmt.fields
-            if isinstance(f.expr, ast.VarRef)
-        ]
+        # companions: plain fields AND expressions (``max(age), age-height``)
+        # are all taken from the picked row (Null_Aggregate cases)
+        others: list[tuple[str, F.Column]] = []
+        for fl in stmt.fields:
+            if fl is sel:
+                continue
+            if isinstance(fl.expr, ast.VarRef):
+                others.append(
+                    (self._out_name(fl, fl.expr.name), F.col(fl.expr.name))
+                )
+            else:
+                others.append(
+                    (
+                        self._out_name(
+                            fl, self._default_field_name(fl.expr) or "expr"
+                        ),
+                        self.col_expr(fl.expr),
+                    )
+                )
         if call.name not in ("max", "min", "first", "last") and others:
             # the reference rejects companions beside non-selector aggs
             raise ValueError(
                 "mixing aggregate and non-aggregate queries is not supported"
             )
+        # a selector skips rows where its own field is null
+        df = df.filter(F.col(fld).isNotNull())
         key = {
             # value ties break toward the EARLIER row (AggregateSelectors
             # "max - tx": rx=40@:10 beats rx=40@:20) — negate time so the
@@ -1201,7 +1235,7 @@ class Planner:
             "last": F.struct(F.col(TIME_COL)),
         }[call.name]
         pick = F.struct(F.col(TIME_COL).alias("__t"), F.col(fld).alias("__v"),
-                        *[F.col(src).alias(f"__o{i}") for i, (_, src) in enumerate(others)])
+                        *[c.alias(f"__o{i}") for i, (_, c) in enumerate(others)])
         agg_fn = F.max_by if call.name in ("max", "last") else F.min_by
         gcols = list(stmt.group_tags)
         if stmt.group_time is not None:
@@ -1225,12 +1259,13 @@ class Planner:
         )
         cols = [time_col.alias("time")]
         cols += [F.col(t) for t in stmt.group_tags]
-        # value columns in the statement's projection order
+        # value columns in the statement's projection order (VarRef AND
+        # expression companions both ride in the pick struct)
         oi = 0
         for f in stmt.fields:
             if f is sel:
                 cols.append(F.col("__pick.__v").alias(sel_out))
-            elif isinstance(f.expr, ast.VarRef):
+            else:
                 cols.append(F.col(f"__pick.__o{oi}").alias(others[oi][0]))
                 oi += 1
         result = out.select(*cols)

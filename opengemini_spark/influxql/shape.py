@@ -79,7 +79,12 @@ def iter_influx_blocks(
     )
     # series blocks follow the row direction too: ORDER BY time DESC lists
     # tag-sets in descending order (server_test.go subquery-difference)
-    sort_exprs = [row_dir(F.col(t).cast("string")) for t in tag_cols]
+    # null tags sort as "" (the rendered form), placing the empty tag-set
+    # block first in ascending order
+    sort_exprs = [
+        row_dir(F.coalesce(F.col(t).cast("string"), F.lit("")))
+        for t in tag_cols
+    ]
     if presorted:
         # the plan's own emission order IS the result order (e.g. distinct
         # under GROUP BY time: values in first-occurrence order) — a
@@ -102,7 +107,9 @@ def iter_influx_blocks(
     emitted = 0
     it = src.toLocalIterator()
     for r in it:
-        key = tuple(str(r[t]) for t in tag_cols)
+        # a null tag renders as the empty string (InfluxDB series key
+        # semantics — server_test.go Null_Aggregate: tags {"country": ""})
+        key = tuple("" if r[t] is None else str(r[t]) for t in tag_cols)
         if blk is not None and (
             key != blk_key or (chunk_size and len(blk["values"]) >= chunk_size)
         ):
@@ -115,7 +122,10 @@ def iter_influx_blocks(
             blk = {
                 "name": measurement,
                 **(
-                    {"tags": {_tag_name(t): r[t] for t in tag_cols}}
+                    {"tags": {
+                        _tag_name(t): "" if r[t] is None else r[t]
+                        for t in tag_cols
+                    }}
                     if tag_cols else {}
                 ),
                 "columns": columns,

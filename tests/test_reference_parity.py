@@ -468,6 +468,75 @@ SUBQ_CASES = [
 ]
 
 
+# --- TestServer_Query_Null_Aggregate (server_test.go:3501): selectors
+# with tag / expression companions over data with null tags and fields ---
+NULLAGG_CASES = [
+    (
+        "top with tag companion incl null tag",
+        "SELECT top(age, 2), country FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","top","country"],"values":[["2021-08-16T16:00:10Z",102,null],["2021-08-16T16:00:11Z",123,"china"]]}]}]}',
+    ),
+    (
+        "top with expression companion",
+        "SELECT top(age, 2), age - height AS value FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","top","value"],"values":[["2021-08-16T16:00:10Z",102,-89],["2021-08-16T16:00:11Z",123,-80]]}]}]}',
+    ),
+    (
+        "max with expression companion group by tag incl empty tag",
+        "SELECT max(age), age - height AS value FROM mst GROUP BY country",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":""},"columns":["time","max","value"],"values":[["2021-08-16T16:00:10Z",102,-89]]},{"name":"mst","tags":{"country":"american"},"columns":["time","max","value"],"values":[["2021-08-16T16:00:06Z",52.7,-100.3]]},{"name":"mst","tags":{"country":"canada"},"columns":["time","max","value"],"values":[["2021-08-16T16:00:09Z",60.8,-119.2]]},{"name":"mst","tags":{"country":"china"},"columns":["time","max","value"],"values":[["2021-08-16T16:00:11Z",123,-80]]},{"name":"mst","tags":{"country":"germany"},"columns":["time","max","value"],"values":[["2021-08-16T16:00:07Z",28.3,null]]},{"name":"mst","tags":{"country":"japan"},"columns":["time","max","value"],"values":[["2021-08-16T16:00:03Z",30,-91]]}]}]}',
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", NULLAGG_CASES, ids=[c[0] for c in NULLAGG_CASES]
+)
+def test_null_aggregate_case(spark, sf_dir, mst_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=mst_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_Blank_Row (server_test.go:3895): wildcard
+# non-negative transforms drop rows where every expanded field is null ---
+BLANK_WRITES = [
+    "bmst,t=di f1=1,f2=3i 1579415564528082073",
+    "bmst,t=di1 f1=-2,f2=-1i 1579415565558082073",
+    "bmst,t=di f1=3 1579415566558082073",
+    "bmst,t=di f1=2,f2=4i 1579415567558882073",
+]
+
+BLANK_CASES = [
+    (
+        "non_negative_difference star blank rows",
+        "select non_negative_difference(*) from bmst",
+        '{"results":[{"statement_id":0,"series":[{"name":"bmst","columns":["time","non_negative_difference_f1","non_negative_difference_f2"],"values":[["2020-01-19T06:32:46.558082073Z",5,null],["2020-01-19T06:32:47.558882073Z",null,5]]}]}]}',
+    ),
+    (
+        "non_negative_derivative star blank rows",
+        "select non_negative_derivative(*) from bmst",
+        '{"results":[{"statement_id":0,"series":[{"name":"bmst","columns":["time","non_negative_derivative_f1","non_negative_derivative_f2"],"values":[["2020-01-19T06:32:46.558082073Z",5,null],["2020-01-19T06:32:47.558882073Z",null,2.4990003998400643]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def blank_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_blank"))
+    handle_write(spark, BLANK_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", BLANK_CASES, ids=[c[0] for c in BLANK_CASES])
+def test_blank_row_case(spark, sf_dir, blank_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=blank_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_SubqueryMath (server_test.go:7502) ---
 SUBQM_WRITES = [
     "m0 f2=4,f3=2 946684800000000000",
