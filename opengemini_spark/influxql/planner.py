@@ -830,6 +830,8 @@ class Planner:
             )
             part.append("__bucket")
 
+        # selector semantics: null points of the target field don't exist
+        df = df.filter(F.col(fld).isNotNull())
         value_order = F.col(fld).desc() if desc else F.col(fld).asc()
         if tag_args:
             # stage 1: best row per distinct tag-set (earliest on value tie)

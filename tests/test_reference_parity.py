@@ -489,6 +489,15 @@ NULLAGG_CASES = [
 ]
 
 
+NULLAGG_CASES.append(
+    (
+        "bottom of bottom-with-expression subquery",
+        "SELECT BOTTOM(value, 2) FROM (SELECT BOTTOM(age, 3), age - height AS value FROM mst GROUP BY country) WHERE time >= '2021-08-16T16:00:00Z' AND time < '2021-08-16T16:00:11Z'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","bottom"],"values":[["2021-08-16T16:00:04Z",-103],["2021-08-16T16:00:09Z",-119.2]]}]}]}',
+    )
+)
+
+
 @pytest.mark.parametrize(
     "name,q,exp", NULLAGG_CASES, ids=[c[0] for c in NULLAGG_CASES]
 )
