@@ -406,6 +406,7 @@ class Planner:
                     df._og_tag_cols = inherited
         else:
             df = self._load(stmt.source)
+        _tags_meta = getattr(df, "_og_tag_cols", None)
         if "*" in stmt.group_tags:
             # GROUP BY * → every tag column (wildcard dim expansion)
             stmt.group_tags = self.tag_columns(df)
@@ -449,6 +450,12 @@ class Planner:
         if residual is not None:
             df = df.filter(self.col_expr(residual))
 
+        # DataFrame transformations return new objects — re-attach the
+        # CleanSchema tag metadata so wildcard expansion downstream still
+        # tells tags from string fields
+        if _tags_meta is not None:
+            df._og_tag_cols = _tags_meta
+
         calls = [
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
             and f.expr.name not in self._SCALARS and f.expr.name != "pow"
@@ -461,6 +468,8 @@ class Planner:
             and isinstance(calls[0][1].args[0], (ast.Call, ast.VarRef))
         ):
             return self._plan_transform(stmt, df, calls[0][0])
+        if len(calls) == 1 and calls[0][1].name == "sliding_window":
+            return self._plan_sliding_window(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name in ("top", "bottom"):
             return self._plan_top_bottom(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name in self._RECURSIVE:
@@ -765,6 +774,81 @@ class Planner:
         if stmt.limit:
             out = out.limit(stmt.limit)
         return out
+
+    def _plan_sliding_window(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """``sliding_window(agg(field|*), N)`` under GROUP BY time(i)
+        (sliding_window_transform.go; server_test.go
+        Sliding_Window_Aggregate): the aggregate over the RAW points of N
+        consecutive buckets, emitted at each window's START bucket; only
+        windows fully inside the queried range emit. Set-oriented: each
+        point explodes to the ≤N window starts containing its bucket, one
+        grouped aggregate over (window, tags)."""
+        from opengemini_spark.operators.window_agg import time_bucket
+
+        call = f.expr
+        inner = call.args[0]
+        n = int(call.args[-1].value)
+        assert isinstance(inner, ast.Call), "sliding_window needs agg(field)"
+        assert stmt.group_time is not None, "sliding_window requires GROUP BY time"
+        ivl = int(stmt.group_time.interval_ns)
+        off = int(stmt.group_time.offset_ns)
+        lower = self._lower_time_bound(stmt.where)
+        upper = self._upper_time_bound(stmt.where)
+        assert upper is not None, "sliding_window requires a bounded range"
+
+        def _bucket_of(t: int) -> int:
+            sh = t - off
+            return sh - ((sh % ivl) + ivl) % ivl + off
+
+        lower_b = _bucket_of(lower)
+        upper_b = _bucket_of(upper - 1)
+        src = (
+            df.withColumn("__b", time_bucket(F.col(TIME_COL), ivl, off))
+            .withColumn(
+                "__w",
+                F.explode(
+                    F.expr(f"sequence(__b - {(n - 1) * ivl}, __b, {ivl})")
+                ),
+            )
+            .filter(
+                (F.col("__w") >= lower_b)
+                & (F.col("__w") <= upper_b - (n - 1) * ivl)
+            )
+        )
+        arg0 = inner.args[0]
+        if isinstance(arg0, ast.VarRef) and arg0.name == "*":
+            # wildcard admission per inner function: count takes every
+            # field; max/min also order booleans; numeric-only otherwise
+            if inner.name == "count":
+                flds = self.field_columns(df, numeric_only=False)
+            elif inner.name in ("max", "min"):
+                tag_cols = set(getattr(df, "_og_tag_cols", ()) or ())
+                flds = [
+                    sf.name for sf in df.schema.fields
+                    if sf.name not in tag_cols and sf.name != TIME_COL
+                    and sf.dataType.simpleString() != "string"
+                ]
+            else:
+                flds = self.field_columns(df)
+            outs = [(fld, f"sliding_window_{fld}") for fld in sorted(flds)]
+        else:
+            outs = [(arg0.name, self._out_name(f, "sliding_window"))]
+        aggs = [
+            self.agg_column(ast.Call(inner.name, [ast.VarRef(fld)]), out)
+            for fld, out in outs
+        ]
+        return (
+            src.groupBy("__w", *stmt.group_tags)
+            .agg(*aggs)
+            .select(
+                F.col("__w").alias("time"),
+                *stmt.group_tags,
+                *[out for _, out in outs],
+            )
+            .orderBy(*stmt.group_tags, "time")
+        )
 
     def _plan_top_bottom(
         self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field

@@ -508,6 +508,56 @@ def test_null_aggregate_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_Sliding_Window_Aggregate (server_test.go:3390) ---
+SLIDE_RANGE = (
+    "where time >= '2021-08-16T16:00:00Z' and time < '2021-08-16T16:00:11Z'"
+    " group by time(1s)"
+)
+
+SLIDING_CASES = [
+    (
+        "sliding_window max star",
+        f"select sliding_window(max(*), 5) from mst {SLIDE_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sliding_window_age","sliding_window_alive","sliding_window_height"],"values":[["2021-08-16T16:00:00Z",35,true,138],["2021-08-16T16:00:01Z",48.8,true,149],["2021-08-16T16:00:02Z",52.7,true,153],["2021-08-16T16:00:03Z",52.7,true,153],["2021-08-16T16:00:04Z",52.7,true,179],["2021-08-16T16:00:05Z",60.8,true,180],["2021-08-16T16:00:06Z",102,true,191]]}]}]}',
+    ),
+    (
+        "sliding_window min star",
+        f"select sliding_window(min(*), 5) from mst {SLIDE_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sliding_window_age","sliding_window_alive","sliding_window_height"],"values":[["2021-08-16T16:00:00Z",3.4,false,70],["2021-08-16T16:00:01Z",3.4,false,80],["2021-08-16T16:00:02Z",3.4,false,90],["2021-08-16T16:00:03Z",28.3,false,121],["2021-08-16T16:00:04Z",28.3,false,138],["2021-08-16T16:00:05Z",28.3,false,149],["2021-08-16T16:00:06Z",28.3,false,153]]}]}]}',
+    ),
+    (
+        "sliding_window count star",
+        f"select sliding_window(count(*), 5) from mst {SLIDE_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sliding_window_address","sliding_window_age","sliding_window_alive","sliding_window_height"],"values":[["2021-08-16T16:00:00Z",5,5,5,5],["2021-08-16T16:00:01Z",5,5,4,5],["2021-08-16T16:00:02Z",4,5,4,5],["2021-08-16T16:00:03Z",4,5,4,4],["2021-08-16T16:00:04Z",4,4,4,4],["2021-08-16T16:00:05Z",4,4,4,4],["2021-08-16T16:00:06Z",4,4,5,4]]}]}]}',
+    ),
+    (
+        "sliding_window sum",
+        f"select sliding_window(sum(height), 5) from mst {SLIDE_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sliding_window"],"values":[["2021-08-16T16:00:00Z",499],["2021-08-16T16:00:01Z",578],["2021-08-16T16:00:02Z",651],["2021-08-16T16:00:03Z",561],["2021-08-16T16:00:04Z",619],["2021-08-16T16:00:05Z",661],["2021-08-16T16:00:06Z",703]]}]}]}',
+    ),
+    (
+        "sliding_window mean",
+        f"select sliding_window(mean(height), 5) from mst {SLIDE_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sliding_window"],"values":[["2021-08-16T16:00:00Z",99.8],["2021-08-16T16:00:01Z",115.6],["2021-08-16T16:00:02Z",130.2],["2021-08-16T16:00:03Z",140.25],["2021-08-16T16:00:04Z",154.75],["2021-08-16T16:00:05Z",165.25],["2021-08-16T16:00:06Z",175.75]]}]}]}',
+    ),
+    (
+        "sliding_window spread star",
+        f"select sliding_window(spread(*), 5) from mst {SLIDE_RANGE}",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sliding_window_age","sliding_window_height"],"values":[["2021-08-16T16:00:00Z",31.6,68],["2021-08-16T16:00:01Z",45.4,69],["2021-08-16T16:00:02Z",49.300000000000004,63],["2021-08-16T16:00:03Z",24.400000000000002,32],["2021-08-16T16:00:04Z",24.400000000000002,41],["2021-08-16T16:00:05Z",32.5,31],["2021-08-16T16:00:06Z",73.7,38]]}]}]}',
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", SLIDING_CASES, ids=[c[0] for c in SLIDING_CASES]
+)
+def test_sliding_window_case(spark, sf_dir, mst_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=mst_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_Blank_Row (server_test.go:3895): wildcard
 # non-negative transforms drop rows where every expanded field is null ---
 BLANK_WRITES = [
