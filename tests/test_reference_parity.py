@@ -508,6 +508,62 @@ def test_null_aggregate_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_TimeCluster (server_test.go:4176): int-ns time
+# literals, aliased sums, fill(none), tag-filtered ungrouped sums ---
+TC_WRITES = [
+    'tmst,country=china,name=azhu age=12i,height=70,address="shenzhen",alive=TRUE 1629129600000000000',
+    'tmst,country=american,name=alan age=20i,height=80,address="shanghai",alive=FALSE 1629129601000000000',
+    'tmst,country=germany,name=alang age=3i,height=90,address="beijin",alive=TRUE 1629129602000000000',
+    'tmst,country=japan,name=ahui age=30i,height=121,address="guangzhou",alive=FALSE 1629129603000000000',
+    'tmst,country=canada,name=aqiu age=35i,height=138,address="chengdu",alive=TRUE 1629129604000000000',
+    'tmst,country=china,name=agang age=48i,height=149,address="wuhan",alive=TRUE 1629129605000000000',
+    'tmst,country=american,name=agan age=52i,height=153,address="wuhan",alive=TRUE 1629129606000000000',
+    'tmst,country=germany,name=alin age=28i,height=163,address="anhui",alive=FALSE 1629129607000000000',
+    'tmst,country=japan,name=ali age=32i,height=173,address="xian",alive=TRUE 1629129608000000000',
+    'tmst,country=canada,name=ali age=60i,height=180,address="hangzhou",alive=FALSE 1629129609000000000',
+    'tmst,country=canada,name=ahuang age=102i,height=191,address="nanjin",alive=TRUE 1629129610000000000',
+    'tmst,country=china,name=ayin age=123i,height=203,address="zhengzhou",alive=FALSE 1629129611000000000',
+]
+
+TC_CASES = [
+    (
+        "ns literals inner range fill(none)",
+        "select sum(age) as sum_age, sum(height) as sum_height from tmst where time >= 1629129600000000000 and time <= 1629129604000000000 group by time(1s) fill(none)",
+        '{"results":[{"statement_id":0,"series":[{"name":"tmst","columns":["time","sum_age","sum_height"],"values":[["2021-08-16T16:00:00Z",12,70],["2021-08-16T16:00:01Z",20,80],["2021-08-16T16:00:02Z",3,90],["2021-08-16T16:00:03Z",30,121],["2021-08-16T16:00:04Z",35,138]]}]}]}',
+    ),
+    (
+        "tag filter china ungrouped",
+        "select sum(age) as sum_age, sum(height) as sum_height from tmst where country = 'china'",
+        '{"results":[{"statement_id":0,"series":[{"name":"tmst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",183,422]]}]}]}',
+    ),
+    (
+        "tag filter germany ungrouped",
+        "select sum(age) as sum_age, sum(height) as sum_height from tmst where country = 'germany'",
+        '{"results":[{"statement_id":0,"series":[{"name":"tmst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",31,253]]}]}]}',
+    ),
+    (
+        "tag filter canada ungrouped",
+        "select sum(age) as sum_age, sum(height) as sum_height from tmst where country = 'canada'",
+        '{"results":[{"statement_id":0,"series":[{"name":"tmst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",197,509]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def tc_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_tc"))
+    handle_write(spark, TC_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", TC_CASES, ids=[c[0] for c in TC_CASES])
+def test_timecluster_case(spark, sf_dir, tc_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=tc_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_Sliding_Window_Aggregate (server_test.go:3390) ---
 SLIDE_RANGE = (
     "where time >= '2021-08-16T16:00:00Z' and time < '2021-08-16T16:00:11Z'"
