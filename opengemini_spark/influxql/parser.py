@@ -17,6 +17,8 @@ regex | parens).
 
 from __future__ import annotations
 
+import re
+
 from opengemini_spark.influxql import ast
 from opengemini_spark.influxql.lexer import Tok, lex
 
@@ -187,6 +189,18 @@ class Parser:
             source = ast.RegexSource(self.next().value)
         else:
             source = self.expect("IDENT").value
+            names = [source]
+            while self.accept("OP", ","):
+                # multi-measurement FROM (SELECT … FROM m1, m2): one
+                # independent plan + series block per source — expressed
+                # as an exact-alternation regex source so the established
+                # per-measurement machinery applies unchanged
+                names.append(self.expect("IDENT").value)
+            if len(names) > 1:
+                alts = "|".join(
+                    re.escape(n.rsplit(".", 1)[-1]) for n in names
+                )
+                source = ast.RegexSource(f"^(?:{alts})$")
 
         stmt = ast.SelectStatement(fields=fields, source=source, into=into)
         if self.kw("where"):

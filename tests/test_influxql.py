@@ -530,3 +530,29 @@ def test_show_cardinality_statements(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     tags = [c for c, t in ev.dtypes if t == "string"]
     assert s["count"] == ev.select(*tags).distinct().count()
+
+
+def test_multi_measurement_from(spark, sf_dir, tmp_path):
+    """SELECT … FROM m1, m2 — one independent series block per source
+    (InfluxQL comma-separated measurement list)."""
+    import json
+
+    from opengemini_spark.api import handle_query, handle_write
+
+    root = str(tmp_path / "multi")
+    handle_write(spark, [
+        "cpua,host=s1 value=1.0 946684800000000000",
+        "gpua,host=s2 value=2.0 946684800000000000",
+        "other,host=s3 value=9.0 946684800000000000",
+    ], root)
+    got = handle_query(
+        spark, sf_dir, "SELECT value FROM cpua, gpua",
+        epoch=None, data_root=root,
+    )
+    assert [s["name"] for s in got["results"][0]["series"]] == ["cpua", "gpua"]
+    assert got["results"][0]["series"][0]["values"] == [
+        ["2000-01-01T00:00:00Z", 1.0]
+    ]
+    assert got["results"][0]["series"][1]["values"] == [
+        ["2000-01-01T00:00:00Z", 2.0]
+    ]
