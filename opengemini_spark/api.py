@@ -62,7 +62,8 @@ def handle_query(
                     first == "show"
                     and stmt_text.lower().split()[1]
                     in ("databases", "retention", "users", "queries",
-                        "grants", "streams", "continuous")
+                        "grants", "streams", "continuous",
+                        "subscriptions")
                 ):
                     out = ddl.execute(stmt_text)
                     out["statement_id"] = i

@@ -48,11 +48,13 @@ class MetaStore:
         self.users: dict[str, dict] = {}
         self.streams: dict[str, dict] = {}
         self.cqs: dict[str, dict] = {}
+        self.subscriptions: dict[str, dict] = {}
         if self.path.exists():
             raw = json.loads(self.path.read_text())
             self.users = raw.pop("__users__", {})
             self.streams = raw.pop("__streams__", {})
             self.cqs = raw.pop("__cqs__", {})
+            self.subscriptions = raw.pop("__subscriptions__", {})
             for name, d in raw.items():
                 db = Database(
                     name,
@@ -81,6 +83,7 @@ class MetaStore:
                     },
                     "__users__": self.users,
                     "__streams__": self.streams,
+                    "__subscriptions__": self.subscriptions,
                     "__cqs__": self.cqs,
                 },
                 indent=1,
@@ -412,6 +415,45 @@ class DDLExecutor:
         self.meta.save()
         return {"ok": True}
 
+    # --- subscriptions (executeCreateSubscriptionStatement,
+    # statement_executor.go:862 → MetaClient.CreateSubscription) ---
+    def _create_subscription(self, s, m):
+        name, db, rp, mode = m.group(1), m.group(2), m.group(3), m.group(4)
+        dests = re.findall(r"'([^']*)'", s[m.end(4):])
+        self.meta.subscriptions[name] = {
+            "name": name, "db": db, "rp": rp,
+            "mode": mode.upper(), "destinations": dests,
+        }
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_subscriptions(self, s, m):
+        by_db: dict[str, list] = {}
+        for e in self.meta.subscriptions.values():
+            by_db.setdefault(e["db"], []).append(e)
+        return {
+            "series": [
+                {
+                    "name": db,
+                    "columns": ["retention_policy", "name", "mode",
+                                "destinations"],
+                    "values": [
+                        [e["rp"], e["name"], e["mode"], e["destinations"]]
+                        for e in sorted(entries, key=lambda x: x["name"])
+                    ],
+                }
+                for db, entries in sorted(by_db.items())
+            ]
+        }
+
+    def _drop_subscription(self, s, m):
+        name = m.group(1)
+        if name not in self.meta.subscriptions:
+            raise ValueError(f"subscription not found: {name}")
+        del self.meta.subscriptions[name]
+        self.meta.save()
+        return {"ok": True}
+
     def _show_streams(self, s, m):
         return {
             "series": [
@@ -565,6 +607,18 @@ class DDLExecutor:
             r"create stream ([a-z_][a-z0-9_]*) into ([a-z_][a-z0-9_.]*) "
             r"on (select .+?)(?: delay ([0-9]+(?:ns|u|ms|s|m|h|d|w)))?$",
             _create_stream,
+        ),
+        (
+            r'create subscription "?([a-z_][a-z0-9_]*)"? on '
+            r'"?([a-z_][a-z0-9_]*)"?\."?([a-z_][a-z0-9_]*)"? '
+            r"destinations (all|any) ",
+            _create_subscription,
+        ),
+        (r"show subscriptions$", _show_subscriptions),
+        (
+            r'drop subscription "?([a-z_][a-z0-9_]*)"? on '
+            r'"?([a-z_][a-z0-9_]*)"?\."?([a-z_][a-z0-9_]*)"?$',
+            _drop_subscription,
         ),
         (r"show streams(?: on [a-z_][a-z0-9_]*)?$", _show_streams),
         (r"drop stream ([a-z_][a-z0-9_]*)$", _drop_stream),

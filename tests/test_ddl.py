@@ -234,3 +234,27 @@ def test_stream_ddl_routed_through_query_api(ddl, spark, sf_dir):
     assert r[0]["ok"] is True
     assert r[1]["series"][0]["values"][0][0] == "sq"
     assert r[2]["series"] == []
+
+
+def test_subscription_statements(spark, tmp_path):
+    """CREATE/SHOW/DROP SUBSCRIPTION through the statement surface
+    (statement_executor.go:862 CreateSubscription semantics)."""
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(spark, MetaStore(str(tmp_path / "meta")))
+    ddl.execute("CREATE DATABASE db0")
+    out = ddl.execute(
+        'CREATE SUBSCRIPTION "sub0" ON "db0"."autogen" DESTINATIONS ALL '
+        "'http://h1:9092', 'http://h2:9092'"
+    )
+    assert out == {"ok": True}
+    shown = ddl.execute("SHOW SUBSCRIPTIONS")
+    assert shown["series"][0]["name"] == "db0"
+    assert shown["series"][0]["values"] == [
+        ["autogen", "sub0", "ALL", ["http://h1:9092", "http://h2:9092"]]
+    ]
+    ddl.execute('DROP SUBSCRIPTION "sub0" ON "db0"."autogen"')
+    assert ddl.execute("SHOW SUBSCRIPTIONS")["series"] == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found"):
+        ddl.execute('DROP SUBSCRIPTION "sub0" ON "db0"."autogen"')
