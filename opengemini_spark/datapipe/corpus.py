@@ -225,3 +225,58 @@ def redact_pii(
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return out.select("doc_id", red.alias("redacted_text"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows (the standard
+    pre-training / RAG chunking step). Stride = chunk − overlap; the last
+    chunk may be short; empty docs yield no chunks.
+
+    Output: ``(doc_id, chunk_id, chunk_text, n_tokens)`` with ``chunk_id``
+    the 0-based window index. Pure JVM array ops (split → sequence →
+    slice → join) — one explode, no UDF, parallel over documents.
+    """
+    assert 0 <= overlap_tokens < chunk_tokens
+    stride = chunk_tokens - overlap_tokens
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    return (
+        toks.filter(F.col("__n") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(0, cast(ceil((__n - {chunk_tokens})"
+                    f" / {stride}.0) as int)))"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("chunk_id") * stride + 1,
+                    chunk_tokens,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("__n") - F.col("chunk_id") * stride,
+            ).cast("long").alias("n_tokens"),
+        )
+    )

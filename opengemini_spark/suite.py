@@ -857,6 +857,7 @@ PRIORITY: tuple[str, ...] = (
     "curate_pii_redaction",  # typed-placeholder regexp redaction (r3)
     "inc_window_agg",  # incremental query: parquet-state partial merge (r3)
     "promql_subquery_e2e",  # PromQL subquery expr[range:step] (r3)
+    "curate_chunk_documents",  # sliding token-window chunking (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
@@ -867,7 +868,6 @@ PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "sort_limit_global",
     "slimit_series",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",

@@ -905,3 +905,38 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
         nlist=KM_K, nprobe=IVF_NPROBE, n_iter=KM_ITERS,
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register(
+    "curate_chunk_documents",
+    # sliding token-window chunking (pre-training / RAG prep): stride =
+    # chunk - overlap, last chunk short, empty docs dropped
+    f"""
+    WITH d AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(0,
+               CAST(ceil((n - {CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0) AS INT))))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+             chunk_id * {_CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT)
+             AS n_tokens
+    FROM c
+    """,
+)
+def q_curate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap_tokens=CHUNK_OVERLAP,
+    )

@@ -87,3 +87,26 @@ def test_redact_pii_counts_and_placeholders(spark):
     r2 = out[2]
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
     assert r2["redacted_text"] == "clean text with no identifiers at all"
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in corpus.chunk_documents(
+            docs, chunk_tokens=4, overlap_tokens=1
+        ).collect()
+    }
+    # doc1: 10 tokens, stride 3 → chunks at offsets 0,3,6 ... ceil((10-4)/3)=2
+    # → chunk_ids 0,1,2 with the last chunk length 4 (offsets 6..9)
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert out[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert out[(1, 2)]["n_tokens"] == 4
+    # short doc: one (short) chunk; empty doc: no chunks
+    assert out[(2, 0)]["chunk_text"] == "solo" and out[(2, 0)]["n_tokens"] == 1
+    assert not any(k[0] == 3 for k in out)
