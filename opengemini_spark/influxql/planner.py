@@ -175,6 +175,13 @@ class Planner:
     def agg_column(self, call: ast.Call, out: str) -> Column:
         name = call.name
         arg = call.args[0]
+        if (
+            name == "count"
+            and isinstance(arg, ast.Call)
+            and arg.name == "distinct"
+        ):
+            # COUNT(DISTINCT(field)) (Aggregates_Math "add two selectors")
+            return F.countDistinct(arg.args[0].name).alias(out)
         assert isinstance(arg, ast.VarRef), f"agg over expression: {name}"
         c = F.col(arg.name)
         if name in self._SIMPLE_AGGS:
@@ -553,6 +560,20 @@ class Planner:
             # bare selector: the row's own time is returned (InfluxDB
             # selector semantics), not the query bound
             return self._plan_selector(stmt, df)
+        if (
+            len(stmt.fields) == 1
+            and containing[0] is not None
+            and containing[0].name in ("max", "min", "first", "last")
+            and stmt.fields[0].expr is not containing[0]
+            and stmt.group_time is None
+            and len(self._find_agg_calls(stmt.fields[0].expr)) == 1
+            and isinstance(containing[0].args[0], ast.VarRef)
+            and containing[0].args[0].name != "*"
+        ):
+            # math over a SINGLE bare selector keeps the picked row's time
+            # (Aggregates_Math "math with a single selector": max(rx)*1 is
+            # stamped 00:01:10, not the query lower bound)
+            return self._plan_selector_math(stmt, df, stmt.fields[0], containing[0])
         if stmt.fields and all(c is not None for c in containing):
             return self._plan_agg(stmt, df)
         if calls or any(c is not None for c in containing):
@@ -1274,6 +1295,39 @@ class Planner:
         if stmt.limit:
             out = out.limit(stmt.limit)
         return out
+
+    def _plan_selector_math(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field,
+        call: ast.Call,
+    ) -> DataFrame:
+        """``SELECT max(rx) * 1 FROM m``: pick the selector's row, then
+        evaluate the arithmetic over the picked value — emitted at the
+        row's own timestamp (selector semantics survive the math)."""
+        fld = call.args[0].name
+        src = df.filter(F.col(fld).isNotNull())
+        key = {
+            "max": F.struct(F.col(fld), -F.col(TIME_COL)),
+            "min": F.struct(F.col(fld), F.col(TIME_COL)),
+            "first": F.struct(F.col(TIME_COL)),
+            "last": F.struct(F.col(TIME_COL)),
+        }[call.name]
+        agg_fn = F.max_by if call.name in ("max", "last") else F.min_by
+        pick = F.struct(F.col(TIME_COL).alias("__t"), F.col(fld).alias("__v"))
+        g = src.groupBy(*stmt.group_tags) if stmt.group_tags else src.groupBy()
+        picked = g.agg(agg_fn(pick, key).alias("__pick")).select(
+            F.col("__pick.__t").alias(TIME_COL),
+            *stmt.group_tags,
+            F.col("__pick.__v").alias("__selv"),
+        )
+        self._agg_subst[id(call)] = "__selv"
+        out_name = self._out_name(
+            f, self._default_field_name(f.expr) or call.name
+        )
+        return picked.select(
+            F.col(TIME_COL).alias("time"),
+            *stmt.group_tags,
+            self.col_expr(f.expr).alias(out_name),
+        )
 
     def _plan_selector(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         """SELECT [companions,] max(value)[, companions] — selector row

@@ -883,6 +883,26 @@ def network_root(spark, tmp_path_factory):
     return root
 
 
+AGGSEL_CASES += [
+    # TestServer_Query_Aggregates_Math (server_test.go:3192)
+    (
+        "math over two selectors stamps lower bound",
+        "SELECT max(rx) * 1, min(rx) * 1 FROM network WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:01:30Z'",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","max","min"],"values":[["2000-01-01T00:00:00Z",90,5]]}]}]}',
+    ),
+    (
+        "math over a single selector keeps the row time",
+        "SELECT max(rx) * 1 FROM network WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:01:30Z'",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","max"],"values":[["2000-01-01T00:01:10Z",90]]}]}]}',
+    ),
+    (
+        "count of distinct call",
+        "SELECT COUNT(DISTINCT(rx)) FROM network",
+        '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","count"],"values":[["1970-01-01T00:00:00Z",6]]}]}]}',
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,q,exp", AGGSEL_CASES, ids=[c[0] for c in AGGSEL_CASES]
 )
