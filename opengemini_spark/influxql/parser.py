@@ -368,5 +368,52 @@ class Parser:
         raise SyntaxError(f"InfluxQL: unexpected token {t.text!r}")
 
 
-def parse(src: str) -> ast.Node:
-    return Parser(lex(src)).parse_statement()
+def _fold_now(node, now_ns: int):
+    """Replace ``now()`` with the statement-evaluation timestamp and
+    constant-fold the surrounding ± duration arithmetic (the reference
+    evaluates now() once per statement — condition.go RewriteTimeFields).
+    Mutates the tree in place; returns the (possibly replaced) node."""
+    if isinstance(node, ast.Call):
+        if node.name == "now" and not node.args:
+            return ast.Literal(now_ns)
+        node.args = [_fold_now(a, now_ns) for a in node.args]
+        return node
+    if isinstance(node, ast.BinaryExpr):
+        node.lhs = _fold_now(node.lhs, now_ns)
+        node.rhs = _fold_now(node.rhs, now_ns)
+        if (
+            node.op in ("+", "-")
+            and isinstance(node.lhs, ast.Literal)
+            and isinstance(node.rhs, ast.Literal)
+            and isinstance(node.lhs.value, int)
+            and isinstance(node.rhs.value, int)
+        ):
+            v = (
+                node.lhs.value + node.rhs.value
+                if node.op == "+"
+                else node.lhs.value - node.rhs.value
+            )
+            return ast.Literal(v)
+        return node
+    if isinstance(node, ast.UnaryExpr):
+        node.expr = _fold_now(node.expr, now_ns)
+        return node
+    if isinstance(node, ast.SelectStatement):
+        if node.where is not None:
+            node.where = _fold_now(node.where, now_ns)
+        if isinstance(node.source, ast.SelectStatement):
+            _fold_now(node.source, now_ns)
+        return node
+    return node
+
+
+def parse(src: str, now_ns: int | None = None) -> ast.Node:
+    import time as _time
+
+    stmt = Parser(lex(src)).parse_statement()
+    if isinstance(stmt, ast.SelectStatement):
+        _fold_now(
+            stmt,
+            now_ns if now_ns is not None else int(_time.time() * 1e9),
+        )
+    return stmt

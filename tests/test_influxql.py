@@ -556,3 +556,36 @@ def test_multi_measurement_from(spark, sf_dir, tmp_path):
     assert got["results"][0]["series"][1]["values"] == [
         ["2000-01-01T00:00:00Z", 2.0]
     ]
+
+
+def test_now_relative_time_folds_and_plans(spark, sf_dir, tmp_path):
+    """WHERE time > now() - 1h folds now() at parse time (RewriteTimeFields
+    semantics) and plans as an ordinary time bound."""
+    import json
+
+    from opengemini_spark.influxql import parse
+    from opengemini_spark.influxql import ast as iast
+    from opengemini_spark.api import handle_query, handle_write
+
+    now = 946684800_000000000 + 3_600_000_000_000  # 2000-01-01T01:00Z
+    s = parse("SELECT count(value) FROM m WHERE time > now() - 1h", now_ns=now)
+    assert isinstance(s.where.rhs, iast.Literal)
+    assert s.where.rhs.value == 946684800_000000000
+
+    root = str(tmp_path / "nowdata")
+    handle_write(spark, [
+        "m,host=a value=1.0 946684800000000001",   # just inside the window
+        "m,host=a value=2.0 946681200000000000",   # 1h earlier — outside
+    ], root)
+    import opengemini_spark.influxql.parser as P
+    import time as _time
+    real = _time.time
+    try:
+        _time.time = lambda: now / 1e9
+        got = handle_query(
+            spark, sf_dir, "SELECT count(value) FROM m WHERE time > now() - 1h",
+            epoch=None, data_root=root,
+        )
+    finally:
+        _time.time = real
+    assert got["results"][0]["series"][0]["values"][0][1] == 1, json.dumps(got)
