@@ -69,8 +69,12 @@ def handle_query(
                     out["statement_id"] = i
                     results.append(out)
                     continue
-            explain = False
-            if stmt_text.lower().startswith("explain "):
+            explain = analyze = False
+            low0 = stmt_text.lower()
+            if low0.startswith("explain analyze "):
+                explain = analyze = True
+                stmt_text = stmt_text[len("explain analyze "):]
+            elif low0.startswith("explain "):
                 explain = True
                 stmt_text = stmt_text[len("explain "):]
             stmt = parse(stmt_text)
@@ -132,6 +136,20 @@ def handle_query(
                 )
                 continue
             if explain:
+                # EXPLAIN ANALYZE executes the plan and reports runtime
+                # figures with the final (AQE-resolved) physical plan —
+                # the reference's executed-trace shape (ast.go:4777
+                # ExplainStatement{Analyze}); plain EXPLAIN stays static
+                header = []
+                if analyze:
+                    import time as _time
+
+                    t0 = _time.monotonic()
+                    n_rows = df.count()
+                    header = [
+                        [f"rows: {n_rows}"],
+                        [f"execution time: {_time.monotonic() - t0:.3f}s"],
+                    ]
                 plan_str = df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                         "simple"
@@ -142,9 +160,10 @@ def handle_query(
                         "statement_id": i,
                         "series": [
                             {
-                                "name": "explain",
+                                "name": "explain analyze" if analyze else "explain",
                                 "columns": ["QUERY PLAN"],
-                                "values": [[ln] for ln in plan_str.splitlines()],
+                                "values": header
+                                + [[ln] for ln in plan_str.splitlines()],
                             }
                         ],
                     }

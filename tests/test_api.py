@@ -478,3 +478,17 @@ def test_prom_metadata_endpoints(spark, sf_dir):
     assert series["data"] == [
         {"__name__": "events_value", "event_type": "error"}
     ]
+
+
+def test_explain_analyze_runs_and_reports(spark, sf_dir):
+    """EXPLAIN ANALYZE executes the statement and leads with runtime
+    figures (ExplainStatement{Analyze=true}, ast.go:4777)."""
+    out = handle_query(
+        spark, sf_dir,
+        "EXPLAIN ANALYZE SELECT count(value) FROM events",
+    )
+    blk = out["results"][0]["series"][0]
+    assert blk["name"] == "explain analyze"
+    assert blk["values"][0][0].startswith("rows: ")
+    assert blk["values"][1][0].startswith("execution time: ")
+    assert any("Scan" in v[0] or "Aggregate" in v[0] for v in blk["values"][2:])
