@@ -55,6 +55,11 @@ HEADLINE = [
     "curate_contamination",
     "curate_pack_sequences",
     "multimodal_png_real_decode",
+    # r3 late additions: incremental-query state merge, PromQL subquery
+    # (aligned-grid inner eval), sliding token-window chunking
+    "inc_window_agg",
+    "promql_subquery_e2e",
+    "curate_chunk_documents",
 ]
 
 
