@@ -122,12 +122,22 @@ class DDLExecutor:
 
     # --- databases ---
     def _create_db(self, s, m):
+        """CREATE DATABASE [WITH DURATION d [REPLICATION n]
+        [SHARD DURATION d] [NAME rp]] — the WITH clause configures the
+        initial retention policy instead of the autogen default
+        (statement_executor.go executeCreateDatabaseStatement)."""
         name = m.group(1)
+        dur, shard_dur, rp_name = m.group(2), m.group(3), m.group(4)
         if name not in self.meta.databases:
             self.meta.databases[name] = Database(name)
-            self.meta.databases[name].retention_policies["autogen"] = (
-                RetentionPolicy("autogen", 0, default=True)
+            rp = RetentionPolicy(
+                rp_name or "autogen",
+                _dur_ns(dur) if dur else 0,
+                default=True,
             )
+            if shard_dur:
+                rp.shard_group_duration_ns = _dur_ns(shard_dur)
+            self.meta.databases[name].retention_policies[rp.name] = rp
             self.meta.db_dir(name).mkdir(parents=True, exist_ok=True)
             self.meta.save()
         return {"ok": True}
@@ -559,7 +569,13 @@ class DDLExecutor:
         return dest
 
     _DISPATCH = [
-        (r"create database ([a-z_][a-z0-9_]*)$", _create_db),
+        (
+            r"create database ([a-z_][a-z0-9_]*)"
+            r"(?: with(?: duration ([a-z0-9]+))?(?: replication \d+)?"
+            r"(?: shard duration ([a-z0-9]+))?"
+            r"(?: name ([a-z_][a-z0-9_]*))?)?$",
+            _create_db,
+        ),
         (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
         (r"show databases$", _show_dbs),
         (

@@ -258,3 +258,24 @@ def test_subscription_statements(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not found"):
         ddl.execute('DROP SUBSCRIPTION "sub0" ON "db0"."autogen"')
+
+
+def test_create_database_with_clause(spark, tmp_path):
+    """CREATE DATABASE … WITH DURATION/SHARD DURATION/NAME configures the
+    initial retention policy (executeCreateDatabaseStatement)."""
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(spark, MetaStore(str(tmp_path / "meta")))
+    ddl.execute(
+        "CREATE DATABASE db1 WITH DURATION 3d REPLICATION 1 "
+        "SHARD DURATION 1h NAME rp3d"
+    )
+    db = ddl.meta.databases["db1"]
+    rp = db.retention_policies["rp3d"]
+    assert rp.default is True
+    assert rp.duration_ns == 3 * 86_400_000_000_000
+    assert rp.shard_group_duration_ns == 3_600_000_000_000
+    assert "autogen" not in db.retention_policies
+    # plain form still defaults to autogen
+    ddl.execute("CREATE DATABASE db2")
+    assert "autogen" in ddl.meta.databases["db2"].retention_policies
