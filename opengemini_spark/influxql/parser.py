@@ -248,7 +248,13 @@ class Parser:
                 ivl = self.expect("DURATION").value
                 off = 0
                 if self.accept("OP", ","):
+                    # negative offsets shift windows back (GroupByOffset
+                    # "group by offset - negative"); -5s ≡ +5s mod 10s at
+                    # the bucket layer, matching the reference
+                    neg = self.accept("OP", "-") is not None
                     off = self.expect("DURATION").value
+                    if neg:
+                        off = -off
                 self.expect("OP", ")")
                 stmt.group_time = ast.TimeDimension(ivl, off)
             else:

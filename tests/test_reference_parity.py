@@ -513,6 +513,47 @@ def test_null_aggregate_case(spark, sf_dir, mst_root, name, q, exp):
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
 
 
+# --- TestServer_Query_Aggregates_GroupByOffset (server_test.go:2959) ---
+OFFSET_WRITES = [
+    "offsetm,region=us-east,host=serverA value=20.0 946684800000000000",
+    "offsetm,region=us-east,host=serverB value=30.0 946684810000000000",
+    "offsetm,region=us-west,host=serverC value=100.0 946684800000000000",
+]
+
+OFFSET_CASES = [
+    (
+        "group by offset standard",
+        "SELECT sum(value) FROM offsetm WHERE time >= '1999-12-31T23:59:55Z' AND time < '2000-01-01T00:00:15Z' GROUP BY time(10s, 5s) FILL(0)",
+        '{"results":[{"statement_id":0,"series":[{"name":"offsetm","columns":["time","sum"],"values":[["1999-12-31T23:59:55Z",120],["2000-01-01T00:00:05Z",30]]}]}]}',
+    ),
+    (
+        "group by offset misaligned window",
+        "SELECT sum(value) FROM offsetm WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:00:20Z' GROUP BY time(10s, 5s) FILL(0)",
+        '{"results":[{"statement_id":0,"series":[{"name":"offsetm","columns":["time","sum"],"values":[["1999-12-31T23:59:55Z",120],["2000-01-01T00:00:05Z",30],["2000-01-01T00:00:15Z",0]]}]}]}',
+    ),
+    (
+        "group by offset negative",
+        "SELECT sum(value) FROM offsetm WHERE time >= '1999-12-31T23:59:55Z' AND time < '2000-01-01T00:00:15Z' GROUP BY time(10s, -5s) FILL(0)",
+        '{"results":[{"statement_id":0,"series":[{"name":"offsetm","columns":["time","sum"],"values":[["1999-12-31T23:59:55Z",120],["2000-01-01T00:00:05Z",30]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def offset_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_offset"))
+    handle_write(spark, OFFSET_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", OFFSET_CASES, ids=[c[0] for c in OFFSET_CASES])
+def test_group_by_offset_case(spark, sf_dir, offset_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=offset_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
 # --- TestServer_Query_TimeCluster (server_test.go:4176): int-ns time
 # literals, aliased sums, fill(none), tag-filtered ungrouped sums ---
 TC_WRITES = [
