@@ -183,15 +183,17 @@ class Planner:
             # COUNT(DISTINCT(field)) (Aggregates_Math "add two selectors")
             return F.countDistinct(arg.args[0].name).alias(out)
         assert isinstance(arg, ast.VarRef), f"agg over expression: {name}"
-        c = F.col(arg.name)
+        # COUNT(TIME) counts every point (the time column is never null)
+        col_name = TIME_COL if arg.name.lower() == "time" else arg.name
+        c = F.col(col_name)
         if name in self._SIMPLE_AGGS:
             return self._SIMPLE_AGGS[name](c).alias(out)
         if name == "spread":
             return (F.max(c) - F.min(c)).alias(out)
         if name == "first":
-            return F.min_by(arg.name, TIME_COL).alias(out)
+            return F.min_by(col_name, TIME_COL).alias(out)
         if name == "last":
-            return F.max_by(arg.name, TIME_COL).alias(out)
+            return F.max_by(col_name, TIME_COL).alias(out)
         if name == "distinct":
             return F.collect_set(c).alias(out)
         if name == "percentile":

@@ -496,6 +496,13 @@ NULLAGG_CASES = [
 
 NULLAGG_CASES.append(
     (
+        "count of time counts every point",
+        "SELECT COUNT(TIME) FROM mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","count"],"values":[["1970-01-01T00:00:00Z",12]]}]}]}',
+    )
+)
+NULLAGG_CASES.append(
+    (
         "bottom of bottom-with-expression subquery",
         "SELECT BOTTOM(value, 2) FROM (SELECT BOTTOM(age, 3), age - height AS value FROM mst GROUP BY country) WHERE time >= '2021-08-16T16:00:00Z' AND time < '2021-08-16T16:00:11Z'",
         '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","bottom"],"values":[["2021-08-16T16:00:04Z",-103],["2021-08-16T16:00:09Z",-119.2]]}]}]}',
