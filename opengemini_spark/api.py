@@ -115,8 +115,22 @@ def handle_query(
             ):
                 # SELECT … INTO dst (target_transform.go writeTarget):
                 # append the result to the destination measurement and
-                # report written-row counts like the reference does
+                # report written-row counts like the reference does.
+                # Rows whose field values are ALL null (fill(null) spine
+                # windows) carry no fields and are never written — a point
+                # cannot exist without fields (models.Point validation);
+                # zero-filled count windows ARE real points and persist.
                 dst = f"{data_root}/{stmt.into}"
+                field_cols = [
+                    c for c in df.columns
+                    if c != "time" and c not in (stmt.group_tags or [])
+                ]
+                if field_cols:
+                    keep = None
+                    for c in field_cols:
+                        nn = F.col(c).isNotNull()
+                        keep = nn if keep is None else (keep | nn)
+                    df = df.filter(keep)
                 w = df.withColumnRenamed("time", "time_ns") if "time" in df.columns else df
                 if "time_ns" in w.columns:
                     storage.write_measurement(w, dst)

@@ -361,6 +361,9 @@ class Parser:
             return ast.VarRef("time")
         if t.kind == "KEYWORD" and t.text == "null":
             return ast.Literal(None)
+        if t.kind == "IDENT" and t.value.lower() in ("true", "false"):
+            # boolean literals (influxql scanner TRUE/FALSE tokens)
+            return ast.Literal(t.value.lower() == "true")
         if t.kind == "IDENT":
             if self.accept("OP", "("):
                 args: list[ast.Node] = []

@@ -60,7 +60,15 @@ class Planner:
             df = self.loader(name)
             if df is not None:
                 return df
-        return load_table(self.spark, self.sf_dir, name)
+        try:
+            return load_table(self.spark, self.sf_dir, name)
+        except Exception as e:  # PATH_NOT_FOUND AnalysisException
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                # reference per-statement error (coordinator returns
+                # ErrMeasurementNotFound; server_test.go "missing
+                # measurement with group by")
+                raise ValueError("measurement not found") from None
+            raise
 
     @staticmethod
     def tag_columns(df: DataFrame) -> list[str]:
@@ -1127,6 +1135,10 @@ class Planner:
     def _plan_agg(self, stmt: ast.SelectStatement, df: DataFrame) -> DataFrame:
         aggs = []
         value_cols = []
+        # count() columns: empty fill windows render 0, not null
+        # (NewCountIterator zero value; server_test.go Fill "fill
+        # defaults to 0 for count")
+        zero_cols = []
         post: list[tuple[str, ast.Node, list[tuple[ast.Call, str]]]] = []
         for i, f in enumerate(stmt.fields):
             call = self._find_agg_call(f.expr)
@@ -1139,6 +1151,8 @@ class Planner:
                     hidden = f"__agg{i}_{j}"
                     aggs.append(self.agg_column(c, hidden))
                     value_cols.append(hidden)
+                    if c.name == "count":
+                        zero_cols.append(hidden)
                     pairs.append((c, hidden))
                 post.append(
                     (self._out_name(f, self._default_field_name(f.expr)),
@@ -1171,10 +1185,14 @@ class Planner:
                         )
                     )
                     value_cols.append(out)
+                    if call.name == "count":
+                        zero_cols.append(out)
                 continue
             out = self._out_name(f, call.name)
             aggs.append(self.agg_column(call, out))
             value_cols.append(out)
+            if call.name == "count":
+                zero_cols.append(out)
         if stmt.group_time is not None:
             src = df
             if stmt.tz:
@@ -1208,18 +1226,14 @@ class Planner:
                 ).withColumnRenamed("bucket_ns", "time")
             # fill(null) is InfluxDB's DEFAULT for GROUP BY time — an
             # unset fill still generates the full bucket spine with null
-            # rows (fill_transform.go; server_test.go Fill_Bug_List) —
-            # but only when the statement bounds the range below (no
-            # explicit window ⇒ nothing to fill toward)
-            has_lower = any(
-                isinstance(c, ast.BinaryExpr)
-                and c.op in (">=", ">")
-                and _is_time_ref(c.lhs)
-                for c in self._time_conds(stmt.where)
-            )
+            # rows (fill_transform.go; server_test.go Fill_Bug_List).
+            # With no lower time bound the spine starts at the FIRST DATA
+            # BUCKET rather than epoch ("fill with implicit start time"):
+            # start_ns=None below makes fill_time_spine derive it from the
+            # min present bucket.
             effective_fill = stmt.fill
             if effective_fill is None:
-                effective_fill = "null" if has_lower else "none"
+                effective_fill = "null"
             if effective_fill != "none":
                 mode = (
                     effective_fill if isinstance(effective_fill, str)
@@ -1246,6 +1260,7 @@ class Planner:
                     stmt.group_tags, value_cols, mode=mode, fill_value=fv,
                     start_ns=_bucket(lower) if lower else None,
                     end_ns=_bucket(upper - 1) if upper is not None else None,
+                    zero_cols=zero_cols,
                 )
         elif stmt.group_tags:
             bound = self._lower_time_bound(stmt.where)
@@ -1429,18 +1444,37 @@ class Planner:
                 F.col("time").desc() if stmt.order_desc else F.col("time").asc()
             )
         if stmt.group_tags and (stmt.limit or stmt.offset):
-            # raw query with GROUP BY tags: LIMIT/OFFSET apply PER SERIES
-            # (limit_transform.go per-series limit semantics)
-            order = F.col("time").desc() if stmt.order_desc else F.col("time").asc()
-            w = Window.partitionBy(
-                *[f"__tag_{t}" for t in stmt.group_tags]
-            ).orderBy(order)
+            # raw query with GROUP BY tags: LIMIT/OFFSET apply to the GLOBAL
+            # tag-major stream, NOT per series — QuerySchema.LimitType()
+            # (schema.go:1265) returns SingleRowIgnoreTagLimit for every
+            # non-top/bottom query, whose helper (limit_transform.go:257)
+            # never resets Count on a group change. server_test.go
+            # "limit - group by tennant" expects only the first series'
+            # point. Stream order = (tag-set, time) — series blocks are
+            # tag-sorted, rows time-ordered within each.
+            torder = (
+                F.col("time").desc() if stmt.order_desc else F.col("time").asc()
+            )
+            tag_cols = [F.col(f"__tag_{t}") for t in stmt.group_tags]
             lo = stmt.offset or 0
-            hi = lo + stmt.limit if stmt.limit else None
-            out = out.withColumn("__rn", F.row_number().over(w)).filter(
-                (F.col("__rn") > lo)
-                & ((F.col("__rn") <= hi) if hi is not None else F.lit(True))
-            ).drop("__rn")
+            if stmt.limit:
+                # distributed TakeOrdered of the first offset+limit rows,
+                # then drop the offset prefix on the (tiny) result
+                out = out.orderBy(*tag_cols, torder).limit(lo + stmt.limit)
+                if lo:
+                    w = Window.orderBy(*tag_cols, torder)
+                    out = (
+                        out.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") > lo)
+                        .drop("__rn")
+                    )
+            else:
+                w = Window.orderBy(*tag_cols, torder)
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") > lo)
+                    .drop("__rn")
+                )
             return out
         if stmt.offset:
             w = Window.orderBy(F.col("time").desc() if stmt.order_desc

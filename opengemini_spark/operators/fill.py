@@ -41,12 +41,19 @@ def fill_time_spine(
     fill_value: float | int | None = None,
     start_ns: int | None = None,
     end_ns: int | None = None,
+    zero_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Expand `df` (output of window_agg) to one row per (series, window).
 
     ``start_ns``/``end_ns`` are the query time bounds (inclusive bucket
     range); when omitted they default to the global min/max bucket present,
     matching InfluxQL behavior when no time range is given.
+
+    ``zero_cols`` are count() output columns: InfluxDB's count iterator
+    emits 0 (not null) for empty windows under the default/explicit
+    fill(null) (server_test.go "fill defaults to 0 for count"), while
+    fill(none) still drops those windows and fill(previous) overwrites
+    them — so the zero substitution applies only in null mode.
     """
     if start_ns is None or end_ns is None:
         bounds = df.agg(
@@ -66,12 +73,25 @@ def fill_time_spine(
         # nested-loop node) and scales with the series count
         spine = df.select(*dims).distinct().select(*dims, buckets)
     else:
-        spine = df.sparkSession.range(1).select(buckets)
+        # gate the spine on data presence: a WHERE that matches nothing
+        # yields NO series in the reference ("fill with value, WHERE no
+        # values match condition"), never a fully-filled grid. The 1-row
+        # marker is an aggregate of the already-aggregated output, not a
+        # driver collect.
+        spine = (
+            df.groupBy()
+            .agg(F.count(F.lit(1)).alias("__present"))
+            .filter(F.col("__present") > 0)
+            .select(buckets)
+        )
 
     filled = spine.join(df, on=[bucket_col, *dims], how="left")
 
     if mode == "null" or mode == "none":
         out = filled
+        if mode == "null" and zero_cols:
+            for c in zero_cols:
+                out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
         if mode == "none":
             cond = None
             for c in value_cols:

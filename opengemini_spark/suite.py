@@ -773,7 +773,11 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "limit_per_series",
-    # per-series LIMIT 5 OFFSET 2, ordered by time (limit_transform.go)
+    # per-series LIMIT 5 OFFSET 2, ordered by time. NOTE: the reference's
+    # InfluxQL LIMIT is a GLOBAL stream limit (schema.go:1265 always picks
+    # SingleRowIgnoreTagLimit; the statement path implements that) — this
+    # entry keeps the per-series variant as a standalone pipeline operator
+    # (limit_transform.go:234 SingleRowLimitHelper shape).
     """
     SELECT user_id, event_id, epoch_us(ts) AS time_us FROM events
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -95,10 +95,22 @@ def test_select_into_statement(spark, sf_dir, tmp_path):
     )
     blk = out["results"][0]["series"][0]
     assert blk["columns"] == ["time", "written"]
-    assert blk["values"][0][1] == 3
+    # default fill(null) spine spans buckets 1s-3s per series; count()
+    # zero-fills empty windows, so all 2 series x 3 buckets persist
+    assert blk["values"][0][1] == 6
     back = storage.read_measurement(spark, f"{root}/dst")
-    assert back.count() == 3
+    assert back.count() == 6
     assert {r["host"] for r in back.collect()} == {"a", "b"}
+    assert back.filter("n = 0").count() == 3
+    # null-fill windows carry no fields and are NOT written (a point
+    # cannot exist without fields): mean() spine nulls drop
+    out2 = handle_query(
+        spark, sf_dir,
+        "SELECT mean(v) AS m INTO dst2 FROM src GROUP BY time(1s), host",
+        data_root=root,
+    )
+    assert out2["results"][0]["series"][0]["values"][0][1] == 3
+    assert storage.read_measurement(spark, f"{root}/dst2").count() == 3
 
 
 def test_order_by_time_desc_emits_descending_rows(spark, sf_dir):

@@ -1267,3 +1267,279 @@ def test_reference_epoch_precision(spark, sf_dir, tags_root, epoch, t):
     blk = got["results"][0]["series"][0]
     assert blk["tags"] == {"host": "server01"}
     assert blk["values"][0][0] == t
+
+
+# --- TestServer_Query_Fill (server_test.go:8773): fill spine semantics —
+# empty-match suppression, count zero-fill, implicit start time ---
+FILL_WRITES = [
+    "fills val=3 1257894002000000000",   # 2009-11-10T23:00:02Z
+    "fills val=5 1257894003000000000",   # 23:00:03
+    "fills val=4 1257894006000000000",   # 23:00:06
+    "fills val=10 1257894016000000000",  # 23:00:16
+]
+
+_FR = "where time >= '2009-11-10T23:00:00Z' and time < '2009-11-10T23:00:20Z'"
+
+FILL_CASES = [
+    (
+        "fill with value",
+        f"select mean(val) from fills {_FR} group by time(5s) FILL(1)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","mean"],"values":[["2009-11-10T23:00:00Z",4],["2009-11-10T23:00:05Z",4],["2009-11-10T23:00:10Z",1],["2009-11-10T23:00:15Z",10]]}]}]}',
+    ),
+    (
+        "fill with value, WHERE all values match condition",
+        f"select mean(val) from fills {_FR} and val < 50 group by time(5s) FILL(1)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","mean"],"values":[["2009-11-10T23:00:00Z",4],["2009-11-10T23:00:05Z",4],["2009-11-10T23:00:10Z",1],["2009-11-10T23:00:15Z",10]]}]}]}',
+    ),
+    (
+        "fill with value, WHERE no values match condition",
+        f"select mean(val) from fills {_FR} and val > 50 group by time(5s) FILL(1)",
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "fill with previous",
+        f"select mean(val) from fills {_FR} group by time(5s) FILL(previous)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","mean"],"values":[["2009-11-10T23:00:00Z",4],["2009-11-10T23:00:05Z",4],["2009-11-10T23:00:10Z",4],["2009-11-10T23:00:15Z",10]]}]}]}',
+    ),
+    (
+        "fill with none, i.e. clear out nulls",
+        f"select mean(val) from fills {_FR} group by time(5s) FILL(none)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","mean"],"values":[["2009-11-10T23:00:00Z",4],["2009-11-10T23:00:05Z",4],["2009-11-10T23:00:15Z",10]]}]}]}',
+    ),
+    (
+        "fill defaults to null",
+        f"select mean(val) from fills {_FR} group by time(5s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","mean"],"values":[["2009-11-10T23:00:00Z",4],["2009-11-10T23:00:05Z",4],["2009-11-10T23:00:10Z",null],["2009-11-10T23:00:15Z",10]]}]}]}',
+    ),
+    (
+        "fill defaults to 0 for count",
+        f"select count(val) from fills {_FR} group by time(5s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","count"],"values":[["2009-11-10T23:00:00Z",2],["2009-11-10T23:00:05Z",1],["2009-11-10T23:00:10Z",0],["2009-11-10T23:00:15Z",1]]}]}]}',
+    ),
+    (
+        "fill none drops 0s for count",
+        f"select count(val) from fills {_FR} group by time(5s) fill(none)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","count"],"values":[["2009-11-10T23:00:00Z",2],["2009-11-10T23:00:05Z",1],["2009-11-10T23:00:15Z",1]]}]}]}',
+    ),
+    (
+        "fill previous overwrites 0s for count",
+        f"select count(val) from fills {_FR} group by time(5s) fill(previous)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","count"],"values":[["2009-11-10T23:00:00Z",2],["2009-11-10T23:00:05Z",1],["2009-11-10T23:00:10Z",1],["2009-11-10T23:00:15Z",1]]}]}]}',
+    ),
+    (
+        "fill with implicit start time",
+        "select mean(val) from fills where time < '2009-11-10T23:00:20Z' group by time(5s)",
+        '{"results":[{"statement_id":0,"series":[{"name":"fills","columns":["time","mean"],"values":[["2009-11-10T23:00:00Z",4],["2009-11-10T23:00:05Z",4],["2009-11-10T23:00:10Z",null],["2009-11-10T23:00:15Z",10]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def fill_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_fill"))
+    handle_write(spark, FILL_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", FILL_CASES, ids=[c[0] for c in FILL_CASES])
+def test_fill_case(spark, sf_dir, fill_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=fill_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_LimitAndOffset (server_test.go:8658): raw + GROUP BY
+# time LIMIT/OFFSET; raw GROUP BY tag limit is GLOBAL over the tag-major
+# stream (SingleRowIgnoreTagLimit, schema.go:1265) ---
+LIMITED_WRITES = [
+    "limited,tennant=paul foo=2 1257894002000000000",
+    "limited,tennant=paul foo=3 1257894003000000000",
+    "limited,tennant=paul foo=4 1257894004000000000",
+    "limited,tennant=todd foo=5 1257894005000000000",
+]
+
+_LR = "WHERE time >= '2009-11-10T23:00:02Z' AND time < '2009-11-10T23:00:06Z'"
+
+LIMITED_CASES = [
+    (
+        "limit on points",
+        'select foo from "limited" LIMIT 2',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","foo"],"values":[["2009-11-10T23:00:02Z",2],["2009-11-10T23:00:03Z",3]]}]}]}',
+    ),
+    (
+        "limit higher than the number of data points",
+        'select foo from "limited" LIMIT 20',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","foo"],"values":[["2009-11-10T23:00:02Z",2],["2009-11-10T23:00:03Z",3],["2009-11-10T23:00:04Z",4],["2009-11-10T23:00:05Z",5]]}]}]}',
+    ),
+    (
+        "limit and offset",
+        'select foo from "limited" LIMIT 2 OFFSET 1',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","foo"],"values":[["2009-11-10T23:00:03Z",3],["2009-11-10T23:00:04Z",4]]}]}]}',
+    ),
+    (
+        "limit + offset equal to total number of points",
+        'select foo from "limited" LIMIT 3 OFFSET 3',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","foo"],"values":[["2009-11-10T23:00:05Z",5]]}]}]}',
+    ),
+    (
+        "limit - offset higher than number of points",
+        'select foo from "limited" LIMIT 2 OFFSET 20',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "limit on points with group by time",
+        f'select mean(foo) from "limited" {_LR} GROUP BY TIME(1s) LIMIT 2',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","mean"],"values":[["2009-11-10T23:00:02Z",2],["2009-11-10T23:00:03Z",3]]}]}]}',
+    ),
+    (
+        "limit higher than points with group by time",
+        f'select mean(foo) from "limited" {_LR} GROUP BY TIME(1s) LIMIT 20',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","mean"],"values":[["2009-11-10T23:00:02Z",2],["2009-11-10T23:00:03Z",3],["2009-11-10T23:00:04Z",4],["2009-11-10T23:00:05Z",5]]}]}]}',
+    ),
+    (
+        "limit and offset with group by time",
+        f'select mean(foo) from "limited" {_LR} GROUP BY TIME(1s) LIMIT 2 OFFSET 1',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","mean"],"values":[["2009-11-10T23:00:03Z",3],["2009-11-10T23:00:04Z",4]]}]}]}',
+    ),
+    (
+        "limit + offset equal to points with group by time",
+        f'select mean(foo) from "limited" {_LR} GROUP BY TIME(1s) LIMIT 3 OFFSET 3',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","columns":["time","mean"],"values":[["2009-11-10T23:00:05Z",5]]}]}]}',
+    ),
+    (
+        "limit - offset higher than points with group by time",
+        f'select mean(foo) from "limited" {_LR} GROUP BY TIME(1s) LIMIT 2 OFFSET 20',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "limit - group by tennant",
+        'select foo from "limited" group by tennant limit 1',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","tags":{"tennant":"paul"},"columns":["time","foo"],"values":[["2009-11-10T23:00:02Z",2]]}]}]}',
+    ),
+    (
+        "limit and offset - group by tennant",
+        'select foo from "limited" group by tennant limit 1 offset 1',
+        '{"results":[{"statement_id":0,"series":[{"name":"limited","tags":{"tennant":"paul"},"columns":["time","foo"],"values":[["2009-11-10T23:00:03Z",3]]}]}]}',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def limited_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_limited"))
+    handle_write(spark, LIMITED_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", LIMITED_CASES, ids=[c[0] for c in LIMITED_CASES]
+)
+def test_limit_offset_case(spark, sf_dir, limited_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=limited_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_Where_Fields (server_test.go:8173): typed field
+# predicates (string/float/int/bool), missing-measurement error,
+# boolean literals ---
+WF_WRITES = [
+    'cpu alert_id="alert",tenant_id="tenant",_cust="johnson brothers" 1425085416703820946',
+    'cpu alert_id="alert",tenant_id="tenant",_cust="johnson brothers" 1425085416703820946',
+    "cpu load=100.0,core=4 1257894002000000000",
+    "cpu load=80.0,core=2 1257894062000000000",
+    "clicks local=true 1415660401000000000",
+    "clicks local=false 1415660402000000000",
+]
+
+WF_CASES = [
+    (
+        "missing measurement with group by",
+        "SELECT load from missing group by *",
+        '{"results":[{"statement_id":0,"error":"measurement not found"}]}',
+    ),
+    (
+        "single string field",
+        "SELECT alert_id FROM cpu WHERE alert_id='alert'",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","alert_id"],"values":[["2015-02-28T01:03:36.703820946Z","alert"]]}]}]}',
+    ),
+    (
+        "string AND query, all fields in SELECT",
+        "SELECT alert_id,tenant_id,_cust FROM cpu WHERE alert_id='alert' AND tenant_id='tenant'",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","alert_id","tenant_id","_cust"],"values":[["2015-02-28T01:03:36.703820946Z","alert","tenant","johnson brothers"]]}]}]}',
+    ),
+    (
+        "string AND query, one in parenthesis",
+        "SELECT alert_id,tenant_id FROM cpu WHERE alert_id='alert' AND (tenant_id='tenant')",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","alert_id","tenant_id"],"values":[["2015-02-28T01:03:36.703820946Z","alert","tenant"]]}]}]}',
+    ),
+    (
+        "string underscored field",
+        "SELECT alert_id FROM cpu WHERE _cust='johnson brothers'",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","alert_id"],"values":[["2015-02-28T01:03:36.703820946Z","alert"]]}]}]}',
+    ),
+    (
+        "string no match",
+        "SELECT alert_id FROM cpu WHERE _cust='acme'",
+        '{"results":[{"statement_id":0}]}',
+    ),
+    ("float64 GT no match", "select load from cpu where load > 100",
+     '{"results":[{"statement_id":0}]}'),
+    ("float64 GTE match one", "select load from cpu where load >= 100",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","load"],"values":[["2009-11-10T23:00:02Z",100]]}]}]}'),
+    ("float64 EQ match upper bound", "select load from cpu where load = 100",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","load"],"values":[["2009-11-10T23:00:02Z",100]]}]}]}'),
+    ("float64 LTE match two", "select load from cpu where load <= 100",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","load"],"values":[["2009-11-10T23:00:02Z",100],["2009-11-10T23:01:02Z",80]]}]}]}'),
+    ("float64 GT match one", "select load from cpu where load > 99",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","load"],"values":[["2009-11-10T23:00:02Z",100]]}]}]}'),
+    ("float64 EQ no match", "select load from cpu where load = 99",
+     '{"results":[{"statement_id":0}]}'),
+    ("float64 LT match one", "select load from cpu where load < 99",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","load"],"values":[["2009-11-10T23:01:02Z",80]]}]}]}'),
+    ("float64 LT no match", "select load from cpu where load < 80",
+     '{"results":[{"statement_id":0}]}'),
+    ("float64 NE match one", "select load from cpu where load != 100",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","load"],"values":[["2009-11-10T23:01:02Z",80]]}]}]}'),
+    ("int64 GT no match", "select core from cpu where core > 4",
+     '{"results":[{"statement_id":0}]}'),
+    ("int64 GTE match one", "select core from cpu where core >= 4",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","core"],"values":[["2009-11-10T23:00:02Z",4]]}]}]}'),
+    ("int64 EQ match upper bound", "select core from cpu where core = 4",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","core"],"values":[["2009-11-10T23:00:02Z",4]]}]}]}'),
+    ("int64 LTE match two", "select core from cpu where core <= 4",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","core"],"values":[["2009-11-10T23:00:02Z",4],["2009-11-10T23:01:02Z",2]]}]}]}'),
+    ("int64 GT match one", "select core from cpu where core > 3",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","core"],"values":[["2009-11-10T23:00:02Z",4]]}]}]}'),
+    ("int64 EQ no match", "select core from cpu where core = 3",
+     '{"results":[{"statement_id":0}]}'),
+    ("int64 LT match one", "select core from cpu where core < 3",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","core"],"values":[["2009-11-10T23:01:02Z",2]]}]}]}'),
+    ("int64 LT no match", "select core from cpu where core < 2",
+     '{"results":[{"statement_id":0}]}'),
+    ("int64 NE match one", "select core from cpu where core != 4",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","core"],"values":[["2009-11-10T23:01:02Z",2]]}]}]}'),
+    ("bool EQ match true", "select local from clicks where local = true",
+     '{"results":[{"statement_id":0,"series":[{"name":"clicks","columns":["time","local"],"values":[["2014-11-10T23:00:01Z",true]]}]}]}'),
+    ("bool EQ match false", "select local from clicks where local = false",
+     '{"results":[{"statement_id":0,"series":[{"name":"clicks","columns":["time","local"],"values":[["2014-11-10T23:00:02Z",false]]}]}]}'),
+    ("bool NE match one", "select local from clicks where local != true",
+     '{"results":[{"statement_id":0,"series":[{"name":"clicks","columns":["time","local"],"values":[["2014-11-10T23:00:02Z",false]]}]}]}'),
+]
+
+
+@pytest.fixture(scope="module")
+def wf_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_wf"))
+    handle_write(spark, WF_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", WF_CASES, ids=[c[0] for c in WF_CASES])
+def test_where_fields_case(spark, sf_dir, wf_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=wf_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
