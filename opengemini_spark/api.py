@@ -13,6 +13,8 @@ without the HTTP server (reference: ``httpd/handler.go:1160 serveQuery``,
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import SparkSession, functions as F
 
 from opengemini_spark import storage
@@ -241,7 +243,23 @@ def handle_query(
             results.append(block)
         except (SyntaxError, ValueError, KeyError, AssertionError) as e:
             results.append({"statement_id": i, "error": str(e)})
-    return {"results": results}
+    out = {"results": results}
+    try:
+        json.dumps(out, allow_nan=False)
+    except ValueError:
+        # Go's encoding/json cannot marshal NaN/±Inf: the reference
+        # returns the marshal error as the TOP-LEVEL response error
+        # (httpd/handler.go writes the struct-marshal failure verbatim;
+        # server_test.go TestServer_Query_DivByZero)
+        return {
+            "error": (
+                'struct { Results []*query.Result "json:\\"results,'
+                'omitempty\\""; Err string "json:\\"error,omitempty\\"" '
+                "}.Results: []*query.Result: json: unsupported value: "
+                "NaN or ±Infinite"
+            )
+        }
+    return out
 
 
 def _regex_source_result(

@@ -33,11 +33,24 @@ def _parse_time_literal(v: object) -> int:
         s = v.replace("Z", "+00:00")
         if "T" not in s and " " not in s:
             s += "T00:00:00+00:00"
+        # datetime only carries µs: peel sub-microsecond digits off the
+        # fractional part ourselves (RFC3339Nano literals — server_test.go
+        # ExactTimeRange matches a single nanosecond)
+        sub_us_ns = 0
+        m = re.search(r"\.(\d{7,9})(?=$|[+-])", s)
+        if m:
+            frac = m.group(1).ljust(9, "0")
+            sub_us_ns = int(frac[6:9])
+            s = s[: m.start()] + "." + frac[:6] + s[m.end():]
         dt = datetime.fromisoformat(s)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)  # naive literals are UTC
         dt = dt.astimezone(timezone.utc)
-        return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+        return (
+            int(dt.timestamp()) * 1_000_000_000
+            + dt.microsecond * 1000
+            + sub_us_ns
+        )
     raise ValueError(f"InfluxQL: bad time literal {v!r}")
 
 
@@ -116,6 +129,40 @@ class Planner:
             return self._scalar_call(e)
         raise ValueError(f"InfluxQL: cannot lower {e!r}")
 
+    def _false_unknown_refs(self, node: ast.Node, cols: set) -> ast.Node:
+        """Rewrite comparison subtrees that reference a column absent from
+        the schema to a FALSE literal, preserving the AND/OR skeleton."""
+        if isinstance(node, ast.BinaryExpr):
+            if node.op in ("and", "or"):
+                node.lhs = self._false_unknown_refs(node.lhs, cols)
+                node.rhs = self._false_unknown_refs(node.rhs, cols)
+                return node
+            if self._has_unknown_ref(node, cols):
+                return ast.Literal(False)
+            return node
+        if isinstance(node, ast.UnaryExpr):
+            node.expr = self._false_unknown_refs(node.expr, cols)
+            return node
+        return node
+
+    @classmethod
+    def _has_unknown_ref(cls, node: ast.Node, cols: set) -> bool:
+        if isinstance(node, ast.VarRef):
+            return (
+                node.name.lower() != "time"
+                and node.name != "*"
+                and node.name not in cols
+            )
+        if isinstance(node, ast.BinaryExpr):
+            return cls._has_unknown_ref(node.lhs, cols) or cls._has_unknown_ref(
+                node.rhs, cols
+            )
+        if isinstance(node, ast.UnaryExpr):
+            return cls._has_unknown_ref(node.expr, cols)
+        if isinstance(node, ast.Call):
+            return any(cls._has_unknown_ref(a, cols) for a in node.args)
+        return False
+
     def _binary(self, e: ast.BinaryExpr) -> Column:
         op = e.op
         # time comparison: rhs literal is RFC3339/ns
@@ -148,9 +195,21 @@ class Planner:
         if op == "*":
             return lhs * rhs
         if op == "/":
-            return lhs / rhs
+            # Go float division semantics (influxql eval): x/0 → ±Inf,
+            # 0/0 → NaN — never an ANSI runtime error. CASE WHEN branches
+            # evaluate lazily per row, so the ANSI divide only runs on
+            # non-zero divisors.
+            return (
+                F.when(
+                    rhs == 0,
+                    F.when(lhs > 0, F.lit(float("inf")))
+                    .when(lhs < 0, F.lit(float("-inf")))
+                    .otherwise(F.lit(float("nan"))),
+                )
+                .otherwise(lhs / rhs)
+            )
         if op == "%":
-            return lhs % rhs
+            return F.when(rhs == 0, F.lit(float("nan"))).otherwise(lhs % rhs)
         raise ValueError(f"InfluxQL: op {op!r}")
 
     @staticmethod
@@ -465,6 +524,11 @@ class Planner:
                 "left_anti" if ic.negate else "left_semi",
             )
         if residual is not None:
+            # comparisons naming a nonexistent field/tag evaluate FALSE
+            # (the reference cursor finds no column and drops the subtree;
+            # server_test.go Where_With_Tags "non-existant tag and/or
+            # field") — AND/OR structure stays intact
+            residual = self._false_unknown_refs(residual, set(df.columns))
             df = df.filter(self.col_expr(residual))
 
         # DataFrame transformations return new objects — re-attach the

@@ -1543,3 +1543,261 @@ def test_where_fields_case(spark, sf_dir, wf_root, name, q, exp):
 
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=wf_root)
     assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_Where_With_Tags (server_test.go:8393): tag/field
+# predicate mixes, nonexistent-column comparisons are FALSE, tag-vs-field
+# comparison ---
+WT_WRITES = [
+    'where_events,tennant=paul foo="bar" 1257894002000000000',
+    'where_events,tennant=paul foo="baz" 1257894003000000000',
+    'where_events,tennant=paul foo="bat" 1257894004000000000',
+    'where_events,tennant=todd foo="bar" 1257894005000000000',
+    'where_events,tennant=david foo="bap" 1257894006000000000',
+]
+
+_WT4 = '[["2009-11-10T23:00:02Z","bar"],["2009-11-10T23:00:03Z","baz"],["2009-11-10T23:00:04Z","bat"],["2009-11-10T23:00:05Z","bar"]]'
+_WT3 = '[["2009-11-10T23:00:02Z","bar"],["2009-11-10T23:00:03Z","baz"],["2009-11-10T23:00:05Z","bar"]]'
+
+
+def _wt_series(v):
+    return (
+        '{"results":[{"statement_id":0,"series":[{"name":"where_events",'
+        '"columns":["time","foo"],"values":' + v + "}]}]}"
+    )
+
+
+WT_CASES = [
+    ("tag field and time",
+     "select foo from where_events where (tennant = 'paul' OR tennant = 'david') AND time > 1s AND (foo = 'bar' OR foo = 'baz' OR foo = 'bap')",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"],["2009-11-10T23:00:03Z","baz"],["2009-11-10T23:00:06Z","bap"]]')),
+    ("tag or field", "select foo from where_events where tennant = 'paul' OR foo = 'bar'", _wt_series(_WT4)),
+    ("field or tag", "select foo from where_events where foo = 'bar' OR tennant = 'paul'", _wt_series(_WT4)),
+    ("tag or tag", "select foo from where_events where tennant = 'todd' OR tennant = 'paul'", _wt_series(_WT4)),
+    ("field or field", "select foo from where_events where foo = 'bar' OR foo = 'baz'", _wt_series(_WT3)),
+    ("tag or parent field", "select foo from where_events where foo = 'bar' OR ((foo = 'baz'))", _wt_series(_WT3)),
+    ("parent field or tag", "select foo from where_events where ((foo = 'baz')) OR foo = 'bar'", _wt_series(_WT3)),
+    ("parent field or parent field", "select foo from where_events where ((foo = 'bar')) OR ((foo = 'baz'))", _wt_series(_WT3)),
+    ("tag and field", "select foo from where_events where tennant = 'paul' AND foo = 'bar'",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"]]')),
+    ("field and tag", "select foo from where_events where foo = 'bar' AND tennant = 'paul'",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"]]')),
+    ("field and field", "select foo from where_events where foo = 'bar' AND foo = 'bat'",
+     '{"results":[{"statement_id":0}]}'),
+    ("tag and parent field", "select foo from where_events where tennant = 'paul' AND ((foo = 'bar'))",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"]]')),
+    ("parent field and tag", "select foo from where_events where ((foo = 'bar')) AND tennant = 'paul'",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"]]')),
+    ("parent field and parent field", "select foo from where_events where ((foo = 'bar')) AND ((foo = 'bat'))",
+     '{"results":[{"statement_id":0}]}'),
+    ("non-existant tag and field", "select foo from where_events where tenant != 'paul' AND foo = 'bar'",
+     '{"results":[{"statement_id":0}]}'),
+    ("non-existant tag or field", "select foo from where_events where tenant != 'paul' OR foo = 'bar'",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"],["2009-11-10T23:00:05Z","bar"]]')),
+    ("where comparing tag and field", "select foo from where_events where tennant != foo",
+     _wt_series('[["2009-11-10T23:00:02Z","bar"],["2009-11-10T23:00:03Z","baz"],["2009-11-10T23:00:04Z","bat"],["2009-11-10T23:00:05Z","bar"],["2009-11-10T23:00:06Z","bap"]]')),
+]
+
+
+@pytest.fixture(scope="module")
+def wt_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_wt"))
+    handle_write(spark, WT_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", WT_CASES, ids=[c[0] for c in WT_CASES])
+def test_where_with_tags_case(spark, sf_dir, wt_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=wt_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_Selectors (server_test.go:5623) + DivByZero
+# (server_test.go:1281): bare selectors over ints; Go float division
+# (x/0 → ±Inf/NaN) surfacing as the reference's JSON marshal error ---
+SEL_CASES = [
+    ("max - tx", "SELECT max(tx) FROM network",
+     '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","max"],"values":[["2000-01-01T00:00:40Z",70]]}]}]}'),
+    ("min - tx", "SELECT min(tx) FROM network",
+     '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","min"],"values":[["2000-01-01T00:01:20Z",4]]}]}]}'),
+    ("selector first", "SELECT first(tx) FROM network",
+     '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","first"],"values":[["2000-01-01T00:00:00Z",20]]}]}]}'),
+    ("selector last", "SELECT last(tx) FROM network",
+     '{"results":[{"statement_id":0,"series":[{"name":"network","columns":["time","last"],"values":[["2000-01-01T00:01:20Z",4]]}]}]}'),
+]
+
+_GO_NAN_ERR = (
+    'struct { Results []*query.Result "json:\\"results,omitempty\\""; '
+    'Err string "json:\\"error,omitempty\\"" }.Results: []*query.Result: '
+    "json: unsupported value: NaN or ±Infinite"
+)
+
+
+@pytest.mark.parametrize("name,q,exp", SEL_CASES, ids=[c[0] for c in SEL_CASES])
+def test_selectors_case(spark, sf_dir, network_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=network_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+@pytest.fixture(scope="module")
+def divzero_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_divzero"))
+    handle_write(spark, [
+        "inf value=42 946684800000000000",
+        "negativeInf value=-42 946684800000000000",
+        "nan value=0 946684800000000000",
+    ], root)
+    return root
+
+
+@pytest.mark.parametrize("m", ["inf", "negativeInf", "nan"])
+def test_div_by_zero_marshal_error(spark, sf_dir, divzero_root, m):
+    got = handle_query(
+        spark, sf_dir, f"SELECT value / 0 from {m}", epoch=None,
+        data_root=divzero_root,
+    )
+    assert got == {"error": _GO_NAN_ERR}
+
+
+# --- TestServer_Query_IdenticalTagValues (server_test.go:1040): sparse
+# tag-sets (missing tag renders "") forming distinct series ---
+IDTAG_CASES = [
+    ("identical tag values - SELECT *, GROUP BY *", "SELECT * FROM db0.rp0.cpu GROUP BY *",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","tags":{"t1":"","t2":"val2"},"columns":["time","value"],"values":[["2000-01-01T00:01:00Z",2]]},{"name":"cpu","tags":{"t1":"val1","t2":""},"columns":["time","value"],"values":[["2000-01-01T00:00:00Z",1]]},{"name":"cpu","tags":{"t1":"val2","t2":""},"columns":["time","value"],"values":[["2000-01-01T00:02:00Z",3]]}]}]}'),
+    ("identical tag values - GROUP BY t1,t2", "SELECT value FROM db0.rp0.cpu GROUP BY t1,t2",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","tags":{"t1":"","t2":"val2"},"columns":["time","value"],"values":[["2000-01-01T00:01:00Z",2]]},{"name":"cpu","tags":{"t1":"val1","t2":""},"columns":["time","value"],"values":[["2000-01-01T00:00:00Z",1]]},{"name":"cpu","tags":{"t1":"val2","t2":""},"columns":["time","value"],"values":[["2000-01-01T00:02:00Z",3]]}]}]}'),
+    ("identical tag values - no GROUP BY", "SELECT value FROM db0.rp0.cpu",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",1],["2000-01-01T00:01:00Z",2],["2000-01-01T00:02:00Z",3]]}]}]}'),
+]
+
+
+@pytest.fixture(scope="module")
+def idtag_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_idtag"))
+    handle_write(spark, [
+        "cpu,t1=val1 value=1 946684800000000000",
+        "cpu,t2=val2 value=2 946684860000000000",
+        "cpu,t1=val2 value=3 946684920000000000",
+    ], root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", IDTAG_CASES, ids=[c[0] for c in IDTAG_CASES])
+def test_identical_tag_values_case(spark, sf_dir, idtag_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=idtag_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_GroupByTimeCutoffs (server_test.go:6101): bucket
+# boundaries under tight/inclusive time ranges ---
+CUT_CASES = [
+    ("sum all time", "SELECT SUM(value) FROM cpu",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["1970-01-01T00:00:00Z",21]]}]}]}'),
+    ("sum grouped by time 5s", "SELECT SUM(value) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T00:00:10Z' group by time(5s)",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",3],["2000-01-01T00:00:05Z",12],["2000-01-01T00:00:10Z",6]]}]}]}'),
+    ("missing first point", "SELECT SUM(value) FROM cpu where time >= '2000-01-01T00:00:01Z' and time <= '2000-01-01T00:00:10Z' group by time(5s)",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",2],["2000-01-01T00:00:05Z",12],["2000-01-01T00:00:10Z",6]]}]}]}'),
+    ("null for first bucket", "SELECT SUM(value) FROM cpu where time >= '2000-01-01T00:00:02Z' and time <= '2000-01-01T00:00:10Z' group by time(5s)",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",null],["2000-01-01T00:00:05Z",12],["2000-01-01T00:00:10Z",6]]}]}]}'),
+    ("missing last point", "SELECT SUM(value) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T00:00:09Z' group by time(5s)",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",3],["2000-01-01T00:00:05Z",12]]}]}]}'),
+    ("missing last 2 points", "SELECT SUM(value) FROM cpu where time >= '2000-01-01T00:00:00Z' and time <= '2000-01-01T00:00:08Z' group by time(5s)",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",3],["2000-01-01T00:00:05Z",7]]}]}]}'),
+]
+
+
+@pytest.fixture(scope="module")
+def cutoffs_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_cutoffs"))
+    b = 946684800
+    handle_write(spark, [
+        f"cpu,host=server01 value=1i {b*10**9}",
+        f"cpu,host=server01 value=2i {(b+1)*10**9}",
+        f"cpu,host=server01 value=3i {(b+5)*10**9}",
+        f"cpu,host=server01 value=4i {(b+8)*10**9}",
+        f"cpu,host=server01 value=5i {(b+9)*10**9}",
+        f"cpu,host=server01 value=6i {(b+10)*10**9}",
+    ], root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", CUT_CASES, ids=[c[0] for c in CUT_CASES])
+def test_groupby_time_cutoffs_case(spark, sf_dir, cutoffs_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=cutoffs_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_OrderByTime (server_test.go:10481) + ExactTimeRange
+# (server_test.go:5568): DESC emission incl. same-timestamp sparse series,
+# nanosecond-exact time equality (RFC3339Nano + int literal) ---
+OBT_WRITES = [
+    "cpu,host=server1 value=1 946684801000000000",
+    "cpu,host=server1 value=2 946684802000000000",
+    "cpu,host=server1 value=3 946684803000000000",
+    "power,presence=true value=1 946684801000000000",
+    "power,presence=true value=2 946684802000000000",
+    "power,presence=true value=3 946684803000000000",
+    "power,presence=false value=4 946684804000000000",
+    "mem,host=server1 free=1 946684801000000000",
+    "mem,host=server1 free=2 946684802000000000",
+    "mem,host=server2 used=3 946684801000000000",
+    "mem,host=server2 used=4 946684802000000000",
+]
+
+OBT_CASES = [
+    ("order on points", 'select value from "cpu" ORDER BY time DESC',
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","value"],"values":[["2000-01-01T00:00:03Z",3],["2000-01-01T00:00:02Z",2],["2000-01-01T00:00:01Z",1]]}]}]}'),
+    ("order desc with tags", 'select value from "power" ORDER BY time DESC',
+     '{"results":[{"statement_id":0,"series":[{"name":"power","columns":["time","value"],"values":[["2000-01-01T00:00:04Z",4],["2000-01-01T00:00:03Z",3],["2000-01-01T00:00:02Z",2],["2000-01-01T00:00:01Z",1]]}]}]}'),
+    ("order desc with sparse data", 'select used, free from "mem" ORDER BY time DESC',
+     '{"results":[{"statement_id":0,"series":[{"name":"mem","columns":["time","used","free"],"values":[["2000-01-01T00:00:02Z",null,2],["2000-01-01T00:00:02Z",4,null],["2000-01-01T00:00:01Z",null,1],["2000-01-01T00:00:01Z",3,null]]}]}]}'),
+    ("order desc with an aggregate and sparse data",
+     'select first("used") AS "used", first("free") AS "free" from "mem" WHERE time >= \'2000-01-01T00:00:01Z\' AND time <= \'2000-01-01T00:00:02Z\' GROUP BY host, time(1s) FILL(none) ORDER BY time DESC',
+     '{"results":[{"statement_id":0,"series":[{"name":"mem","tags":{"host":"server2"},"columns":["time","used","free"],"values":[["2000-01-01T00:00:02Z",4,null],["2000-01-01T00:00:01Z",3,null]]},{"name":"mem","tags":{"host":"server1"},"columns":["time","used","free"],"values":[["2000-01-01T00:00:02Z",null,2],["2000-01-01T00:00:01Z",null,1]]}]}]}'),
+]
+
+
+@pytest.fixture(scope="module")
+def obt_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_obt"))
+    handle_write(spark, OBT_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", OBT_CASES, ids=[c[0] for c in OBT_CASES])
+def test_order_by_time_case(spark, sf_dir, obt_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=obt_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+@pytest.fixture(scope="module")
+def exact_time_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_exact"))
+    handle_write(spark, [
+        "cpu value=1 946684800000000000",
+        "cpu value=2 946684800000000001",
+        "cpu value=3 946684800000000002",
+    ], root)
+    return root
+
+
+@pytest.mark.parametrize("q", [
+    "SELECT * FROM cpu WHERE time = '2000-01-01T00:00:00.000000001Z'",
+    "SELECT * FROM cpu WHERE time = 946684800000000001",
+], ids=["rfc3339nano", "ns-literal"])
+def test_exact_time_range_case(spark, sf_dir, exact_time_root, q):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=exact_time_root)
+    exp = '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","value"],"values":[["2000-01-01T00:00:00.000000001Z",2]]}]}]}'
+    assert got == json.loads(exp), json.dumps(got)
