@@ -64,6 +64,7 @@ class Planner:
         self.sf_dir = sf_dir
         self.loader = loader      # optional: measurement name -> DataFrame
         self._agg_subst: dict[int, str] = {}  # agg-call node id -> hidden col
+        self._in_subquery = False  # True while planning a derived table
 
     # --- schema roles ---
     def _load(self, measurement: str) -> DataFrame:
@@ -117,7 +118,10 @@ class Planner:
         if isinstance(e, ast.VarRef):
             if e.name.lower() == "time":
                 return F.col(TIME_COL)
-            return F.col(e.name)
+            # field names may legally contain '.' (line protocol
+            # `foo.bar.baz=1`); backticks stop Spark treating it as a
+            # nested-struct path (server_test.go FieldWithMultiplePeriods)
+            return F.col(f"`{e.name}`") if "." in e.name else F.col(e.name)
         if isinstance(e, ast.Literal):
             return F.lit(e.value)
         if isinstance(e, ast.UnaryExpr):
@@ -128,6 +132,32 @@ class Planner:
         if isinstance(e, ast.Call):
             return self._scalar_call(e)
         raise ValueError(f"InfluxQL: cannot lower {e!r}")
+
+    def _rewrite_varrefs(self, stmt, old: str, new: str) -> None:
+        """Rename every ``VarRef(old)`` in the statement's fields/WHERE to
+        ``new``, preserving the user-visible default output names."""
+        def walk(n: ast.Node) -> None:
+            if isinstance(n, ast.VarRef) and n.name == old:
+                n.name = new
+            elif isinstance(n, ast.Call):
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, ast.BinaryExpr):
+                walk(n.lhs)
+                walk(n.rhs)
+            elif isinstance(n, ast.UnaryExpr):
+                walk(n.expr)
+
+        for f in stmt.fields:
+            if f.alias is None:
+                name = self._default_field_name(f.expr)
+                walk(f.expr)
+                if name and self._default_field_name(f.expr) != name:
+                    f.alias = name
+            else:
+                walk(f.expr)
+        if stmt.where is not None:
+            walk(stmt.where)
 
     def _false_unknown_refs(self, node: ast.Node, cols: set) -> ast.Node:
         """Rewrite comparison subtrees that reference a column absent from
@@ -271,7 +301,11 @@ class Planner:
             rank = F.greatest(
                 F.floor(F.lit(q) * F.size(ranked) + 0.5).cast("int"), F.lit(1)
             )
-            return F.element_at(ranked, rank).alias(out)
+            # an all-null group collects an empty list → null result
+            # (server_test.go Null_Group percentile_v1 for region_2)
+            return F.when(
+                F.size(ranked) > 0, F.element_at(ranked, rank)
+            ).alias(out)
         if name in ("percentile_approx", "percentile_ogsketch"):
             # both map to Spark's t-digest-style sketch; ogsketch is the
             # reference's mergeable sketch (agg_functions.go:94-100) — same
@@ -455,7 +489,19 @@ class Planner:
                     cond if inner.where is None
                     else ast.BinaryExpr("and", inner.where, cond)
                 )
-            df = self.plan(inner)
+            # the OUTER statement's dimensions propagate into the inner
+            # query (subquery rewrite: inner selectors/aggregates run per
+            # outer group — server_test.go SubQuery_Top_Min: top() inside
+            # the derived table selects per country)
+            for t in stmt.group_tags:
+                if t != "*" and t not in inner.group_tags:
+                    inner.group_tags.append(t)
+            prev_in_sub = self._in_subquery
+            self._in_subquery = True
+            try:
+                df = self.plan(inner)
+            finally:
+                self._in_subquery = prev_in_sub
             if "time" in df.columns:
                 df = df.withColumnRenamed("time", TIME_COL)
             # the inner query's series tags (emitted as __tag_<name> for
@@ -484,8 +530,13 @@ class Planner:
             df = self._load(stmt.source)
         _tags_meta = getattr(df, "_og_tag_cols", None)
         if "*" in stmt.group_tags:
-            # GROUP BY * → every tag column (wildcard dim expansion)
-            stmt.group_tags = self.tag_columns(df)
+            # GROUP BY * → every tag column (wildcard dim expansion); the
+            # CleanSchema sidecar distinguishes a string FIELD from a tag
+            # (server_test.go Null_Group: v4 is a field, not a series key)
+            stmt.group_tags = (
+                sorted(_tags_meta) if _tags_meta is not None
+                else self.tag_columns(df)
+            )
         if len(stmt.fields) > 1:
             # `SELECT time, max(value)` — a bare time projection is
             # implicit (time is always emitted); the reference's rewriter
@@ -501,18 +552,53 @@ class Planner:
             ]
             if non_time:
                 stmt.fields = non_time
-        if (
-            len(stmt.fields) == 1
-            and isinstance(stmt.fields[0].expr, ast.VarRef)
-            and stmt.fields[0].expr.name == "*"
+        if stmt.group_tags:
+            # GROUP BY over a FIELD or a nonexistent tag: InfluxDB only
+            # groups by tags — anything else is a missing tag rendering as
+            # the empty series key (server_test.go MergeMany "GROUP by
+            # field": tags {"value":""}; With_EmptyTags "group by missing
+            # tag"). A field name that is also referenced in SELECT keeps
+            # working via an aliased copy column.
+            tag_ok = (
+                set(_tags_meta) if _tags_meta is not None else set(df.columns)
+            )
+            for t in stmt.group_tags:
+                if t in tag_ok:
+                    continue
+                if t in df.columns:
+                    alias = f"__f_{t}"
+                    df = df.withColumn(alias, F.col(t))
+                    self._rewrite_varrefs(stmt, t, alias)
+                df = df.withColumn(t, F.lit(""))
+        if any(
+            isinstance(f.expr, ast.VarRef) and f.expr.name == "*"
+            and f.alias is None
+            for f in stmt.fields
         ):
-            # SELECT * → alphabetical expansion (InfluxDB column order),
-            # minus any GROUP BY tags (they move to the series tag-set)
-            stmt.fields = [
-                ast.Field(ast.VarRef(c))
-                for c in sorted(df.columns)
-                if c not in (TIME_COL, "ts", *stmt.group_tags)
-            ]
+            # SELECT * (possibly mixed with explicit fields) → alphabetical
+            # expansion in place (InfluxDB column order), minus GROUP BY
+            # tags (they move to the series tag-set). Duplicate output
+            # names get _<n> suffixes ("SELECT value, * FROM wildcard" →
+            # value, region, value_1, valx — compile.go rewriteFields).
+            expanded: list[ast.Field] = []
+            for f in stmt.fields:
+                if isinstance(f.expr, ast.VarRef) and f.expr.name == "*" \
+                        and f.alias is None:
+                    expanded.extend(
+                        ast.Field(ast.VarRef(c))
+                        for c in sorted(df.columns)
+                        if c not in (TIME_COL, "ts", *stmt.group_tags)
+                    )
+                else:
+                    expanded.append(f)
+            seen: dict[str, int] = {}
+            for f in expanded:
+                name = f.alias or self._default_field_name(f.expr) or "expr"
+                n = seen.get(name, 0)
+                seen[name] = n + 1
+                if n:
+                    f.alias = f"{name}_{n}"
+            stmt.fields = expanded
         in_conds, residual = self._split_in_conds(stmt.where)
         for ic in in_conds:
             # IN (SELECT …) → semi join; NOT IN → anti (LogicalIn,
@@ -964,6 +1050,8 @@ class Planner:
         """
         call = f.expr
         fld = call.args[0].name
+        # capture before withColumn/filter reassignments drop the sidecar
+        src_tags = list(getattr(df, "_og_tag_cols", None) or [])
         tag_args = [
             a.name for a in call.args[1:-1] if isinstance(a, ast.VarRef)
         ]
@@ -1030,6 +1118,19 @@ class Planner:
             for src_c, out_c in companions
             if src_c not in tag_args
         ]
+        if self._in_subquery:
+            # derived-table results keep the source tags as columns so the
+            # OUTER statement can GROUP BY them (server_test.go
+            # SubQuery_Top_Min: GROUP BY country over top() output)
+            projected = (
+                {TIME_COL, fld, *stmt.group_tags, *tag_args}
+                | {s for s, _ in companions} | {o for _, o in companions}
+            )
+            extra += [
+                F.col(t)
+                for t in src_tags
+                if t in df.columns and t not in projected
+            ]
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)

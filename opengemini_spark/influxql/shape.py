@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame
 RFC3339 = "%Y-%m-%dT%H:%M:%SZ"
 
 
+def _col(name: str):
+    """Column ref that survives '.' in field names (not a struct path)."""
+    from pyspark.sql import functions as F
+
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def _fmt_time(ns: int, epoch: str | None) -> Any:
     if epoch is None or epoch == "rfc3339":
         # InfluxDB default: RFC3339, sub-second digits only when non-zero
@@ -82,7 +89,7 @@ def iter_influx_blocks(
     # null tags sort as "" (the rendered form), placing the empty tag-set
     # block first in ascending order
     sort_exprs = [
-        row_dir(F.coalesce(F.col(t).cast("string"), F.lit("")))
+        row_dir(F.coalesce(_col(t).cast("string"), F.lit("")))
         for t in tag_cols
     ]
     if presorted:
@@ -91,7 +98,7 @@ def iter_influx_blocks(
         # re-sort here would impose value order
         sort_exprs = []
     if has_time and not presorted:
-        sort_exprs.append(row_dir(F.col(time_col)))
+        sort_exprs.append(row_dir(_col(time_col)))
     # value tie-break at equal times: ascending by default; the top()
     # selector emits its ties largest-first (server_test.go TopBottomInt
     # "top - memory - host tag": 2002 before 1002 at the same instant)
@@ -99,7 +106,7 @@ def iter_influx_blocks(
         (lambda c: c.desc_nulls_last()) if value_tie_desc else row_dir
     )
     if not presorted:
-        sort_exprs += [tie_dir(F.col(c)) for c in value_cols]
+        sort_exprs += [tie_dir(_col(c)) for c in value_cols]
     src = df.orderBy(*sort_exprs) if sort_exprs else df
 
     blk: dict | None = None

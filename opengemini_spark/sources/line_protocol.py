@@ -222,7 +222,12 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
     out = wide.select(
         "time_ns",
         *[F.col("tags").getItem(k).alias(k) for k in tag_keys],
-        *[c for c in wide.columns if c not in ("time_ns", "tags")],
+        # backtick: field names may contain '.' (not a struct path)
+        *[
+            F.col(f"`{c}`")
+            for c in wide.columns
+            if c not in ("time_ns", "tags")
+        ],
     )
     # tag/field distinction survives the pivot (the reference's CleanSchema,
     # meta/measurement.go:244); storage persists it as a sidecar so query

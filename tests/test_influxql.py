@@ -341,18 +341,27 @@ def test_percentile_nearest_rank(spark, sf_dir):
     assert a == b
 
 
-def test_raw_limit_per_series(spark, sf_dir):
-    """LIMIT in raw GROUP BY tag queries applies per series (InfluxDB)."""
+def test_raw_limit_global_stream(spark, sf_dir):
+    """LIMIT in raw GROUP BY tag queries is GLOBAL over the tag-major
+    stream — QuerySchema.LimitType() (schema.go:1265) always picks
+    SingleRowIgnoreTagLimit for non-top/bottom queries (server_test.go
+    LimitAndOffset "limit - group by tennant")."""
     got = query(
         spark, sf_dir,
         "SELECT value FROM events GROUP BY event_type LIMIT 2",
     )
     rows = got.collect()
-    assert len(rows) == 10  # 2 per event_type × 5 types
-    by_tag = {}
-    for r in rows:
-        by_tag.setdefault(r["__tag_event_type"], []).append(r["time"])
-    assert all(len(v) == 2 and v == sorted(v) for v in by_tag.values())
+    assert len(rows) == 2
+    tags = {r["__tag_event_type"] for r in rows}
+    # both rows come from the first series in tag order
+    first_tag = min(
+        r["event_type"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().collect()
+    )
+    assert tags == {first_tag}
+    times = [r["time"] for r in rows]
+    assert times == sorted(times)
 
 
 def test_mode_ties_pick_earliest_first_occurrence(spark):

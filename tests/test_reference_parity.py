@@ -1801,3 +1801,230 @@ def test_exact_time_range_case(spark, sf_dir, exact_time_root, q):
     got = handle_query(spark, sf_dir, q, epoch=None, data_root=exact_time_root)
     exp = '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","value"],"values":[["2000-01-01T00:00:00.000000001Z",2]]}]}]}'
     assert got == json.loads(exp), json.dumps(got)
+
+
+# --- TestServer_Query_Wildcards (server_test.go:7756): star expansion,
+# mixed explicit+star with _1 dedup suffix, GROUP BY * dedup ---
+WC_WRITES = [
+    "wildcard,region=us-east value=10 946684800000000000",
+    "wildcard,region=us-east valx=20 946684810000000000",
+    "wildcard,region=us-east value=30,valx=40 946684820000000000",
+    "wgroup,region=us-east value=10.0 946684800000000000",
+    "wgroup,region=us-east value=20.0 946684810000000000",
+    "wgroup,region=us-west value=30.0 946684820000000000",
+]
+
+WC_CASES = [
+    ("wildcard", "SELECT * FROM wildcard",
+     '{"results":[{"statement_id":0,"series":[{"name":"wildcard","columns":["time","region","value","valx"],"values":[["2000-01-01T00:00:00Z","us-east",10,null],["2000-01-01T00:00:10Z","us-east",null,20],["2000-01-01T00:00:20Z","us-east",30,40]]}]}]}'),
+    ("wildcard with group by", "SELECT * FROM wildcard GROUP BY *",
+     '{"results":[{"statement_id":0,"series":[{"name":"wildcard","tags":{"region":"us-east"},"columns":["time","value","valx"],"values":[["2000-01-01T00:00:00Z",10,null],["2000-01-01T00:00:10Z",null,20],["2000-01-01T00:00:20Z",30,40]]}]}]}'),
+    ("GROUP BY queries", "SELECT mean(value) FROM wgroup GROUP BY *",
+     '{"results":[{"statement_id":0,"series":[{"name":"wgroup","tags":{"region":"us-east"},"columns":["time","mean"],"values":[["1970-01-01T00:00:00Z",15]]},{"name":"wgroup","tags":{"region":"us-west"},"columns":["time","mean"],"values":[["1970-01-01T00:00:00Z",30]]}]}]}'),
+    ("GROUP BY queries with time", "SELECT mean(value) FROM wgroup WHERE time >= '2000-01-01T00:00:00Z' AND time < '2000-01-01T00:01:00Z' GROUP BY *,TIME(1m)",
+     '{"results":[{"statement_id":0,"series":[{"name":"wgroup","tags":{"region":"us-east"},"columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",15]]},{"name":"wgroup","tags":{"region":"us-west"},"columns":["time","mean"],"values":[["2000-01-01T00:00:00Z",30]]}]}]}'),
+    ("wildcard and field in select", "SELECT value, * FROM wildcard",
+     '{"results":[{"statement_id":0,"series":[{"name":"wildcard","columns":["time","value","region","value_1","valx"],"values":[["2000-01-01T00:00:00Z",10,"us-east",10,null],["2000-01-01T00:00:10Z",null,"us-east",null,20],["2000-01-01T00:00:20Z",30,"us-east",30,40]]}]}]}'),
+    ("field and wildcard in group by", "SELECT * FROM wildcard GROUP BY region, *",
+     '{"results":[{"statement_id":0,"series":[{"name":"wildcard","tags":{"region":"us-east"},"columns":["time","value","valx"],"values":[["2000-01-01T00:00:00Z",10,null],["2000-01-01T00:00:10Z",null,20],["2000-01-01T00:00:20Z",30,40]]}]}]}'),
+    ("wildcard and field in group by", "SELECT * FROM wildcard GROUP BY *, region",
+     '{"results":[{"statement_id":0,"series":[{"name":"wildcard","tags":{"region":"us-east"},"columns":["time","value","valx"],"values":[["2000-01-01T00:00:00Z",10,null],["2000-01-01T00:00:10Z",null,20],["2000-01-01T00:00:20Z",30,40]]}]}]}'),
+]
+
+
+@pytest.fixture(scope="module")
+def wc_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_wc"))
+    handle_write(spark, WC_WRITES, root)
+    return root
+
+
+@pytest.mark.parametrize("name,q,exp", WC_CASES, ids=[c[0] for c in WC_CASES])
+def test_wildcards_case(spark, sf_dir, wc_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=wc_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_UnderscoreMeasurement (server_test.go:7597) +
+# FieldWithMultiplePeriods (server_test.go:10559): leading-underscore
+# measurement names, dotted field names end to end ---
+@pytest.fixture(scope="module")
+def underscore_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_us"))
+    handle_write(spark, ["_cpu value=1i 946684800000000000"], root)
+    return root
+
+
+def test_underscore_measurement(spark, sf_dir, underscore_root):
+    import json
+
+    got = handle_query(
+        spark, sf_dir, "SELECT * FROM _cpu", epoch=None,
+        data_root=underscore_root,
+    )
+    exp = '{"results":[{"statement_id":0,"series":[{"name":"_cpu","columns":["time","value"],"values":[["2000-01-01T00:00:00Z",1]]}]}]}'
+    assert got == json.loads(exp), json.dumps(got)
+
+
+@pytest.fixture(scope="module")
+def periods_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_periods"))
+    handle_write(spark, ["cpu foo.bar.baz=1 946684800000000000"], root)
+    return root
+
+
+@pytest.mark.parametrize("q", [
+    "select * from cpu",
+    'select "foo.bar.baz" from cpu',
+], ids=["baseline", "quoted-dotted-field"])
+def test_field_with_multiple_periods(spark, sf_dir, periods_root, q):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=periods_root)
+    exp = '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","foo.bar.baz"],"values":[["2000-01-01T00:00:00Z",1]]}]}]}'
+    assert got == json.loads(exp), json.dumps(got)
+
+
+# --- TestServer_Query_MergeMany (server_test.go:2074): many-series merge
+# counts; GROUP BY over a FIELD renders as a missing tag ("") ---
+@pytest.fixture(scope="module")
+def mergemany_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_mm"))
+    writes = []
+    for i in range(1, 11):
+        for j in range(1, 5 + i % 3):
+            writes.append(f"cpu,host=server_{i} value=22 {j*10**9}")
+    handle_write(spark, writes, root)
+    return root
+
+
+MM_CASES = [
+    ("GROUP by time", "SELECT count(value) FROM db0.rp0.cpu WHERE time >= '1970-01-01T00:00:01Z' AND time <= '1970-01-01T00:00:06Z' GROUP BY time(1s)",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","count"],"values":[["1970-01-01T00:00:01Z",10],["1970-01-01T00:00:02Z",10],["1970-01-01T00:00:03Z",10],["1970-01-01T00:00:04Z",10],["1970-01-01T00:00:05Z",7],["1970-01-01T00:00:06Z",3]]}]}]}'),
+    ("GROUP by field", "SELECT count(value) FROM db0.rp0.cpu group by value",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","tags":{"value":""},"columns":["time","count"],"values":[["1970-01-01T00:00:00Z",50]]}]}]}'),
+]
+
+
+@pytest.mark.parametrize("name,q,exp", MM_CASES, ids=[c[0] for c in MM_CASES])
+def test_merge_many_case(spark, sf_dir, mergemany_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=mergemany_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+# --- TestServer_Query_Null_Group (server_test.go:5141): percentile(*) with
+# all-null field groups (empty collect → null, never an error); GROUP BY *
+# uses the CleanSchema tag sidecar (string FIELD v4 is not a series key) ---
+@pytest.fixture(scope="module")
+def nullgroup_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_ng"))
+    writes = []
+    for i in range(6):
+        for j in range(0, 2048, 8):   # 1-in-8 stride keeps the shape, 1536 rows
+            k = i * 2048 + j
+            t = k * 10**9
+            parts = []
+            if i != 2:
+                parts.append(f"v1={k}i")
+            if i != 3:
+                parts.append(f"v2={float(k):f}")
+            if i != 4:
+                parts.append("v3=" + ("true" if k % 2 == 0 else "false"))
+            if i != 5:
+                parts.append(f'v4="abc{k}"')
+            writes.append(
+                f"cpu,region=region_{i},az=az_{i} {','.join(parts)} {t}"
+            )
+    handle_write(spark, writes, root)
+    return root
+
+
+def test_null_group_percentile_star(spark, sf_dir, nullgroup_root):
+    """percentile(*,95) GROUP BY *: numeric wildcard only (v1,v2), null for
+    the all-null group, v4 stays a field (absent from the series key)."""
+    import json
+
+    got = handle_query(
+        spark, sf_dir, "SELECT percentile(*,95) FROM cpu group by *",
+        epoch=None, data_root=nullgroup_root,
+    )
+    series = got["results"][0]["series"]
+    assert len(series) == 6
+    for s in series:
+        assert set(s["tags"]) == {"az", "region"}, json.dumps(s["tags"])
+        assert s["columns"] == ["time", "percentile_v1", "percentile_v2"]
+    by_region = {s["tags"]["region"]: s["values"][0] for s in series}
+    assert by_region["region_2"][1] is None      # v1 all null
+    assert by_region["region_3"][2] is None      # v2 all null
+    assert by_region["region_0"][1] is not None
+
+
+# --- TestServer_SubQuery_Top_Min (server_test.go:4008) +
+# top_bottom_nul_column (server_test.go:4119): outer dimensions propagate
+# into the derived table (top() selects per country); top/bottom over a
+# windowed-aggregate subquery with null windows ---
+@pytest.fixture(scope="module")
+def submst_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_submst"))
+    handle_write(spark, [
+        "mst,country=china,name=azhu age=1,height=11i 1629129600000000000",
+        "mst,country=american,name=alan age=2,height=12i 1629129601000000000",
+        "mst,country=germany,name=alang age=3,height=13i 1629129602000000000",
+        "mst,country=china,name=azhu age=4,height=24i 1629129603000000000",
+        "mst,country=american,name=alan age=5,height=25i 1629129604000000000",
+        "mst,country=germany,name=alang age=6,height=26i 1629129605000000000",
+    ], root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def subnul_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_subnul"))
+    handle_write(spark, [
+        "mst,country=china,name=azhu height=11i 1629129600000000000",
+        "mst,country=american,name=alan age=2,height=12i 1629129601000000000",
+        "mst,country=germany,name=alang height=13i 1629129602000000000",
+        "mst,country=china,name=azhu age=4,height=24i 1629129603000000000",
+        "mst,country=american,name=alan age=5,height=25i 1629129604000000000",
+        "mst,country=germany,name=alang height=26i 1629129605000000000",
+    ], root)
+    return root
+
+
+def test_subquery_top_min(spark, sf_dir, submst_root):
+    import json
+
+    got = handle_query(
+        spark, sf_dir,
+        "SELECT min(value) FROM (SELECT top(age, 2), age - height AS value FROM db0.rp0.mst) GROUP BY country",
+        epoch=None, data_root=submst_root,
+    )
+    exp = '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":"american"},"columns":["time","min"],"values":[["2021-08-16T16:00:04Z",-20]]},{"name":"mst","tags":{"country":"china"},"columns":["time","min"],"values":[["2021-08-16T16:00:03Z",-20]]},{"name":"mst","tags":{"country":"germany"},"columns":["time","min"],"values":[["2021-08-16T16:00:05Z",-20]]}]}]}'
+    assert got == json.loads(exp), json.dumps(got)
+
+
+_SUBNUL = (
+    "(select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst "
+    "where time >= 1629129600000000000 and time <= 1629129605000000000 "
+    "group by time(1s)) "
+    "where time >= 1629129600000000000 and time <= 1629129605000000000"
+)
+
+
+@pytest.mark.parametrize("fn", ["top", "bottom"])
+def test_top_bottom_nul_column(spark, sf_dir, subnul_root, fn):
+    import json
+
+    got = handle_query(
+        spark, sf_dir, f"select {fn}(sum_age, 3) from {_SUBNUL}",
+        epoch=None, data_root=subnul_root,
+    )
+    exp = (
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","' + fn + '"],'
+        '"values":[["2021-08-16T16:00:01Z",2],["2021-08-16T16:00:03Z",4],["2021-08-16T16:00:04Z",5]]}]}]}'
+    )
+    assert got == json.loads(exp), json.dumps(got)
