@@ -529,6 +529,10 @@ class Planner:
         else:
             df = self._load(stmt.source)
         _tags_meta = getattr(df, "_og_tag_cols", None)
+        if stmt.group_tags:
+            # duplicate dimensions collapse (GROUP BY region,region —
+            # server_test.go TagOrder "group by tag2,tag1")
+            stmt.group_tags = list(dict.fromkeys(stmt.group_tags))
         if "*" in stmt.group_tags:
             # GROUP BY * → every tag column (wildcard dim expansion); the
             # CleanSchema sidecar distinguishes a string FIELD from a tag

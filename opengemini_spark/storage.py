@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DAY_NS = 86_400_000_000_000
 PARTITION_COL = "p_day"
+SEQ_COL = "__seq"
 
 
 def with_partition(df: DataFrame, time_col: str = "time_ns") -> DataFrame:
@@ -55,7 +56,18 @@ def write_measurement(
     If the DataFrame carries tag metadata (``_og_tag_cols``, attached by
     the line-protocol pivot), it is persisted as a sidecar — the
     CleanSchema analog (meta/measurement.go:244) that lets readers tell
-    tags from string fields."""
+    tags from string fields.
+
+    Each write batch is stamped with a monotonically increasing ``__seq``:
+    a later write of the same (series, timestamp) REPLACES the whole row
+    at read time — openGemini's out-of-order overwrite (the newest flushed
+    row wins; server_test.go NilColumn drops the first write's address
+    field entirely). The analog of the LSM sequence number."""
+    import time as _time
+
+    tags = getattr(df, "_og_tag_cols", None)  # before withColumn drops it
+    if SEQ_COL not in df.columns:
+        df = df.withColumn(SEQ_COL, F.lit(_time.time_ns()))
     (
         with_partition(df, time_col)
         .write.mode(mode)
@@ -63,7 +75,6 @@ def write_measurement(
         .partitionBy(PARTITION_COL)
         .parquet(root)
     )
-    tags = getattr(df, "_og_tag_cols", None)
     if tags is not None:
         import json
 
@@ -77,12 +88,40 @@ def write_measurement(
 
 
 def read_measurement(spark: SparkSession, root: str) -> DataFrame:
-    df = spark.read.parquet(root)
+    """Read a measurement, resolving duplicate (series, timestamp) rows to
+    the NEWEST write batch (``__seq`` dedup — the merge an LSM iterator
+    does across memtable/TSSP levels). ``mergeSchema`` unions field
+    columns across writes with evolving field sets."""
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    tags: list[str] | None = None
     meta_path = Path(root) / SCHEMA_META
     if meta_path.exists():
         import json
 
-        df._og_tag_cols = json.loads(meta_path.read_text()).get("tags", [])
+        tags = json.loads(meta_path.read_text()).get("tags", [])
+    if SEQ_COL in df.columns:
+        from pyspark.sql import Window
+
+        # series key: the sidecar tags, else the string-column heuristic
+        # (same rule the query layer uses when no CleanSchema exists)
+        key_tags = (
+            [t for t in tags if t in df.columns]
+            if tags is not None
+            else [
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+                and f.name != PARTITION_COL
+            ]
+        )
+        w = Window.partitionBy("time_ns", *key_tags).orderBy(
+            F.col(SEQ_COL).desc_nulls_last()
+        )
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", SEQ_COL)
+        )
+    df._og_tag_cols = tags
     return df
 
 

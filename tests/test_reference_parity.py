@@ -2028,3 +2028,100 @@ def test_top_bottom_nul_column(spark, sf_dir, subnul_root, fn):
         '"values":[["2021-08-16T16:00:01Z",2],["2021-08-16T16:00:03Z",4],["2021-08-16T16:00:04Z",5]]}]}]}'
     )
     assert got == json.loads(exp), json.dumps(got)
+
+
+# --- TestServer_Query_TagOrder (server_test.go:10384) + EvilIdentifiers
+# (server_test.go:10439) + NilColumn (server_test.go:6770) +
+# Aggregates_String (server_test.go:3114) ---
+@pytest.fixture(scope="module")
+def tagorder_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_tagorder"))
+    handle_write(spark, [
+        "cpu,host=server03 field1=100 1257894000000000000",
+        "cpu,host=server01,region=uswest field1=200,field2=300,field3=400 1257894000000000000",
+        "cpu,host=server01,region=useast field1=200,field2=300,field3=400 1257894000000000000",
+        "cpu,host=server02,region=useast field1=200,field2=300,field3=400 1257894000000000000",
+    ], root)
+    return root
+
+
+TAGORDER_CASES = [
+    ("group by tag1,tag2", "select * from cpu group by host,region",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","tags":{"host":"server01","region":"useast"},"columns":["time","field1","field2","field3"],"values":[["2009-11-10T23:00:00Z",200,300,400]]},{"name":"cpu","tags":{"host":"server01","region":"uswest"},"columns":["time","field1","field2","field3"],"values":[["2009-11-10T23:00:00Z",200,300,400]]},{"name":"cpu","tags":{"host":"server02","region":"useast"},"columns":["time","field1","field2","field3"],"values":[["2009-11-10T23:00:00Z",200,300,400]]},{"name":"cpu","tags":{"host":"server03","region":""},"columns":["time","field1","field2","field3"],"values":[["2009-11-10T23:00:00Z",100,null,null]]}]}]}'),
+    ("group by tag2,tag1 duplicate", "select * from cpu group by region,region",
+     '{"results":[{"statement_id":0,"series":[{"name":"cpu","tags":{"region":""},"columns":["time","field1","field2","field3","host"],"values":[["2009-11-10T23:00:00Z",100,null,null,"server03"]]},{"name":"cpu","tags":{"region":"useast"},"columns":["time","field1","field2","field3","host"],"values":[["2009-11-10T23:00:00Z",200,300,400,"server01"],["2009-11-10T23:00:00Z",200,300,400,"server02"]]},{"name":"cpu","tags":{"region":"uswest"},"columns":["time","field1","field2","field3","host"],"values":[["2009-11-10T23:00:00Z",200,300,400,"server01"]]}]}]}'),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", TAGORDER_CASES, ids=[c[0] for c in TAGORDER_CASES]
+)
+def test_tag_order_case(spark, sf_dir, tagorder_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=tagorder_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+def test_evil_identifiers(spark, sf_dir, tmp_path_factory):
+    import json
+
+    root = str(tmp_path_factory.mktemp("refdata_evil"))
+    handle_write(spark, ["cpu select=1,in-bytes=2 946684800000000000"], root)
+    got = handle_query(
+        spark, sf_dir, 'SELECT "select", "in-bytes" FROM cpu', epoch=None,
+        data_root=root,
+    )
+    exp = '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","select","in-bytes"],"values":[["2000-01-01T00:00:00Z",1,2]]}]}]}'
+    assert got == json.loads(exp), json.dumps(got)
+
+
+def test_nil_column_overwrite_across_writes(spark, sf_dir, tmp_path_factory):
+    """A later write of the same (series, timestamp) REPLACES the whole
+    row — the first write's address field is gone (out-of-order overwrite;
+    the reference flushes between the two writes)."""
+    import json
+
+    root = str(tmp_path_factory.mktemp("refdata_nilcol"))
+    handle_write(spark, [
+        'mst,country=china,name=ada age=15,address="chengdu" 1625558240121000000',
+    ], root)
+    handle_write(spark, [
+        "mst,country=china,name=ada age=15 1625558240121000000",
+        'mst,country=china,name=bcb height=10,age=15,address="chongqing" 1625558240122000000',
+    ], root)
+    got = handle_query(
+        spark, sf_dir, "SELECT count(*) FROM mst", epoch=None, data_root=root,
+    )
+    exp = '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","count_address","count_age","count_height"],"values":[["1970-01-01T00:00:00Z",1,2,1]]}]}]}'
+    assert got == json.loads(exp), json.dumps(got)
+
+
+@pytest.fixture(scope="module")
+def stringdata_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("refdata_stringdata"))
+    handle_write(spark, [
+        'stringdata value="first" 946684803000000000',
+        'stringdata value="last" 946684804000000000',
+    ], root)
+    return root
+
+
+STRING_AGG_CASES = [
+    ("COUNT on string data", "SELECT COUNT(value) FROM stringdata",
+     '{"results":[{"statement_id":0,"series":[{"name":"stringdata","columns":["time","count"],"values":[["1970-01-01T00:00:00Z",2]]}]}]}'),
+    ("FIRST on string data", "SELECT FIRST(value) FROM stringdata",
+     '{"results":[{"statement_id":0,"series":[{"name":"stringdata","columns":["time","first"],"values":[["2000-01-01T00:00:03Z","first"]]}]}]}'),
+    ("LAST on string data", "SELECT LAST(value) FROM stringdata",
+     '{"results":[{"statement_id":0,"series":[{"name":"stringdata","columns":["time","last"],"values":[["2000-01-01T00:00:04Z","last"]]}]}]}'),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,exp", STRING_AGG_CASES, ids=[c[0] for c in STRING_AGG_CASES]
+)
+def test_string_aggregates_case(spark, sf_dir, stringdata_root, name, q, exp):
+    import json
+
+    got = handle_query(spark, sf_dir, q, epoch=None, data_root=stringdata_root)
+    assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
