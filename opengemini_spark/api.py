@@ -213,11 +213,10 @@ def handle_query(
                     for fl in stmt.fields
                 )
             )
-            # distinct under GROUP BY time emits values in first-occurrence
-            # order per bucket — the plan's order is the result order
+            # distinct emits values in first-occurrence order (per bucket
+            # under GROUP BY time) — the plan's order is the result order
             presorted = (
                 isinstance(stmt, iast.SelectStatement)
-                and stmt.group_time is not None
                 and any(
                     isinstance(fl.expr, iast.Call)
                     and fl.expr.name == "distinct"

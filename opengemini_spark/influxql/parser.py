@@ -419,6 +419,9 @@ def _fold_now(node, now_ns: int):
 def parse(src: str, now_ns: int | None = None) -> ast.Node:
     import time as _time
 
+    # optimizer hints (`/*+ Exact_Statistic_Query */` etc.) are advisory —
+    # strip them (server_test.go Complex_Aggregate "exact count(time)")
+    src = re.sub(r"/\*.*?\*/", " ", src)
     stmt = Parser(lex(src)).parse_statement()
     if isinstance(stmt, ast.SelectStatement):
         _fold_now(
