@@ -186,17 +186,29 @@ def handle_query(
                 )
                 continue
             # series name = innermost measurement, through subqueries
-            # (the reference names subquery results after the inner table)
+            # (the reference names subquery results after the inner table);
+            # a JOIN names its series "left,right" after the leg aliases
             src = stmt
             while isinstance(src, iast.SelectStatement) and isinstance(
                 src.source, iast.SelectStatement
             ):
                 src = src.source
-            measurement = (
-                src.source.rsplit(".", 1)[-1]
-                if isinstance(src, iast.SelectStatement)
-                and isinstance(src.source, str) else "results"
+            is_join = isinstance(src, iast.SelectStatement) and isinstance(
+                src.source, iast.JoinSource
             )
+            if is_join:
+                from opengemini_spark.influxql.planner import Planner as _P
+
+                legs, _ = _P._join_legs(src.source)
+                measurement = ",".join(
+                    _P._leg_name(s, a) for s, a in legs
+                )
+            else:
+                measurement = (
+                    src.source.rsplit(".", 1)[-1]
+                    if isinstance(src, iast.SelectStatement)
+                    and isinstance(src.source, str) else "results"
+                )
             prefixed = [c for c in df.columns if c.startswith("__tag_")]
             tag_cols = prefixed or (
                 [t for t in stmt.group_tags if t in df.columns]
@@ -215,7 +227,7 @@ def handle_query(
             )
             # distinct emits values in first-occurrence order (per bucket
             # under GROUP BY time) — the plan's order is the result order
-            presorted = (
+            presorted = is_join or (
                 isinstance(stmt, iast.SelectStatement)
                 and any(
                     isinstance(fl.expr, iast.Call)

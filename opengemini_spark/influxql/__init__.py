@@ -15,4 +15,9 @@ from opengemini_spark.influxql.shape import to_influx_json  # noqa: F401
 
 def query(spark, sf_dir: str, q: str, loader=None):
     """Parse + plan an InfluxQL SELECT into a DataFrame."""
-    return plan(spark, sf_dir, parse(q), loader=loader)
+    df = plan(spark, sf_dir, parse(q), loader=loader)
+    if "__skey" in df.columns:
+        # presentation-only series-key order column (shape.py tie-break);
+        # not part of the result schema
+        df = df.drop("__skey")
+    return df

@@ -71,6 +71,22 @@ class RegexSource(Node):
 
 
 @dataclass
+class JoinSource(Node):
+    """FROM a [AS x] <jt> JOIN b [AS y] ON <cond> [<jt> JOIN c ON …]
+    (reference ast.go Join sources; sql.y JOIN grammar,
+    engine/executor/hash_join_transform.go + full_join_transform.go).
+    Cascading joins are left-nested: ``JoinSource(JoinSource(a,b), c)``.
+    ``join_type``: inner | left | right | outer (full-outer, null fill)
+    | full (full-outer, type-zero fill)."""
+    left: object                 # str | SelectStatement | JoinSource
+    right: object                # str | SelectStatement
+    condition: Node              # AND tree of alias.col = alias.col
+    join_type: str = "inner"
+    left_alias: str | None = None
+    right_alias: str | None = None
+
+
+@dataclass
 class SelectStatement(Node):
     fields: list[Field]
     source: object                      # measurement | RegexSource | SelectStatement

@@ -94,7 +94,19 @@ def lex(src: str) -> list[Tok]:
         elif kind == "integer":
             toks.append(Tok("INTEGER", text, int(text)))
         elif kind == "quoted_ident":
-            toks.append(Tok("IDENT", text, text[1:-1]))
+            # `cte1."tag"` — a dotted reference whose segment is quoted:
+            # the preceding IDENT ends with '.', merge into one name
+            # (influxql scanner treats `a."b"` as a single VarRef)
+            if (
+                toks
+                and toks[-1].kind == "IDENT"
+                and toks[-1].value.endswith(".")
+            ):
+                prev = toks.pop()
+                merged = prev.value + text[1:-1]
+                toks.append(Tok("IDENT", prev.text + text, merged))
+            else:
+                toks.append(Tok("IDENT", text, text[1:-1]))
         elif kind == "ident":
             low = text.lower()
             if low in KEYWORDS:

@@ -87,7 +87,10 @@ class Parser:
 
     def with_statement(self) -> ast.SelectStatement:
         """WITH name AS (SELECT …) [, name2 AS (…)] SELECT … FROM name
-        (WithSelectStatement, statement_executor.go:448 / cte_transform.go)."""
+        (WithSelectStatement, statement_executor.go:448 / cte_transform.go).
+        Definitions may reference each other in any order; a direct or
+        indirect self-reference is the reference's 'Unsupported feature:
+        recursive call to itself <name>' error (server_test.go CTE_Query)."""
         ctes: dict[str, ast.SelectStatement] = {}
         while True:
             name = self.expect("IDENT").value
@@ -100,9 +103,7 @@ class Parser:
                 break
         self.expect("KEYWORD", "select")
         stmt = self.select_statement()
-        # resolve CTE references in FROM (single level, like the reference)
-        if isinstance(stmt.source, str) and stmt.source in ctes:
-            stmt.source = ctes[stmt.source]
+        _resolve_ctes(stmt, ctes, frozenset())
         return stmt
 
     def show_statement(self) -> ast.ShowStatement:
@@ -181,14 +182,13 @@ class Parser:
         if self.kw("into"):
             into = self.expect("IDENT").value
         self.expect("KEYWORD", "from")
-        if self.accept("OP", "("):
-            self.expect("KEYWORD", "select")
-            source: object = self.select_statement(sub=True)
-            self.expect("OP", ")")
-        elif self.peek().kind == "REGEX":
-            source = ast.RegexSource(self.next().value)
-        else:
-            source = self.expect("IDENT").value
+        source, alias = self._from_source()
+        if (
+            isinstance(source, str)
+            and alias is None
+            and self.peek().kind == "OP"
+            and self.peek().text == ","
+        ):
             names = [source]
             while self.accept("OP", ","):
                 # multi-measurement FROM (SELECT … FROM m1, m2): one
@@ -196,11 +196,26 @@ class Parser:
                 # as an exact-alternation regex source so the established
                 # per-measurement machinery applies unchanged
                 names.append(self.expect("IDENT").value)
-            if len(names) > 1:
-                alts = "|".join(
-                    re.escape(n.rsplit(".", 1)[-1]) for n in names
-                )
-                source = ast.RegexSource(f"^(?:{alts})$")
+            alts = "|".join(
+                re.escape(n.rsplit(".", 1)[-1]) for n in names
+            )
+            source = ast.RegexSource(f"^(?:{alts})$")
+        # JOIN chain (sql.y join grammar): left-nested JoinSource tree
+        while self._peek_join():
+            jt = self._join_type()
+            rsrc, ralias = self._from_source()
+            self.expect("KEYWORD", "on")
+            cond = self.expr()
+            source = ast.JoinSource(
+                left=source,
+                right=rsrc,
+                condition=cond,
+                join_type=jt,
+                left_alias=None if isinstance(source, ast.JoinSource)
+                else alias,
+                right_alias=ralias,
+            )
+            alias = None
 
         stmt = ast.SelectStatement(fields=fields, source=source, into=into)
         if self.kw("where"):
@@ -238,6 +253,47 @@ class Parser:
         if not sub:
             self.expect("EOF")
         return stmt
+
+    def _from_source(self) -> tuple[object, str | None]:
+        """One FROM item: (SELECT …) | /regex/ | measurement — with an
+        optional AS alias."""
+        if self.accept("OP", "("):
+            self.expect("KEYWORD", "select")
+            src: object = self.select_statement(sub=True)
+            self.expect("OP", ")")
+        elif self.peek().kind == "REGEX":
+            return ast.RegexSource(self.next().value), None
+        else:
+            src = self.expect("IDENT").value
+        alias = None
+        if self.kw("as"):
+            alias = self.expect("IDENT").value
+        return src, alias
+
+    # join words are context-sensitive identifiers, not reserved keywords
+    # (a measurement may legally be named `left`); only a FROM clause
+    # treats them as syntax
+    _JOIN_WORDS = {"inner", "left", "right", "outer", "full", "join"}
+
+    def _peek_join(self) -> bool:
+        t = self.peek()
+        return t.kind == "IDENT" and t.text.lower() in self._JOIN_WORDS
+
+    def _join_type(self) -> str:
+        """INNER JOIN | LEFT [OUTER] JOIN | RIGHT [OUTER] JOIN |
+        OUTER JOIN (full-outer, nulls) | FULL [OUTER] JOIN (full-outer,
+        type-zero fill) | JOIN (inner)."""
+        w = self.next().text.lower()
+        if w == "join":
+            return "inner"
+        if w in ("left", "right", "full"):
+            nxt = self.peek()
+            if nxt.kind == "IDENT" and nxt.text.lower() == "outer":
+                self.next()
+        t = self.next()
+        if not (t.kind == "IDENT" and t.text.lower() == "join"):
+            raise SyntaxError("InfluxQL: expected JOIN")
+        return w
 
     def _group_by(self, stmt: ast.SelectStatement) -> None:
         while True:
@@ -375,6 +431,68 @@ class Parser:
                 return ast.Call(t.value.lower(), args)
             return ast.VarRef(t.value)
         raise SyntaxError(f"InfluxQL: unexpected token {t.text!r}")
+
+
+def _resolve_ctes(stmt, ctes: dict, visiting: frozenset) -> None:
+    """Substitute CTE references throughout a statement in place —
+    FROM sources (plain, subquery, join legs) and IN-subqueries.
+    Each substitution is a deep copy (the planner mutates statements);
+    re-entering a name already being resolved is the reference's
+    'recursive call to itself' error (cte_transform.go)."""
+    import copy
+
+    def resolve_source(src):
+        if isinstance(src, str):
+            name = src.rsplit(".", 1)[-1]
+            if name in ctes:
+                if name in visiting:
+                    raise ValueError(
+                        "Unsupported feature: recursive call to itself "
+                        f"{name}"
+                    )
+                body = copy.deepcopy(ctes[name])
+                _resolve_ctes(body, ctes, visiting | {name})
+                # a CTE joins like a named table: outer GROUP BY dims
+                # compile into it (cte_transform.go), unlike an inline
+                # subquery leg whose projection is taken as-is
+                body._og_from_cte = True
+                return body
+            return src
+        if isinstance(src, ast.SelectStatement):
+            _resolve_ctes(src, ctes, visiting)
+            return src
+        if isinstance(src, ast.JoinSource):
+            # a CTE leg keeps its name as the display alias ("cte1,cte2")
+            if (
+                isinstance(src.left, str)
+                and src.left in ctes
+                and src.left_alias is None
+            ):
+                src.left_alias = src.left
+            if (
+                isinstance(src.right, str)
+                and src.right in ctes
+                and src.right_alias is None
+            ):
+                src.right_alias = src.right
+            src.left = resolve_source(src.left)
+            src.right = resolve_source(src.right)
+            return src
+        return src
+
+    def walk_cond(n):
+        if isinstance(n, ast.InCondition):
+            _resolve_ctes(n.sub, ctes, visiting)
+        elif isinstance(n, ast.BinaryExpr):
+            walk_cond(n.lhs)
+            walk_cond(n.rhs)
+        elif isinstance(n, ast.UnaryExpr):
+            walk_cond(n.expr)
+
+    if isinstance(stmt, ast.SelectStatement):
+        stmt.source = resolve_source(stmt.source)
+        if stmt.where is not None:
+            walk_cond(stmt.where)
 
 
 def _fold_now(node, now_ns: int):

@@ -66,6 +66,7 @@ class Planner:
         self._agg_subst: dict[int, str] = {}  # agg-call node id -> hidden col
         self._in_subquery = False  # True while planning a derived table
         self._agg_interval_ns: int | None = None  # GROUP BY time interval
+        self._cur_tags_meta: list[str] | None = None  # current CleanSchema
 
     # --- schema roles ---
     def _load(self, measurement: str) -> DataFrame:
@@ -112,6 +113,7 @@ class Planner:
             for f in df.schema.fields
             if f.name != TIME_COL
             and f.name not in tag_cols
+            and not f.name.startswith("__")   # hidden plumbing (__skey …)
             and (
                 not numeric_only
                 or f.dataType.simpleString() in numeric
@@ -570,6 +572,8 @@ class Planner:
         if isinstance(stmt, ast.ShowStatement):
             return self.plan_show(stmt)
         assert isinstance(stmt, ast.SelectStatement)
+        if isinstance(stmt.source, ast.JoinSource):
+            return self._plan_join(stmt)
         if isinstance(stmt.source, ast.SelectStatement):
             # subquery: the outer time range is inherited by the inner query
             # BEFORE it windows/aggregates (statement_rewriter.go subquery
@@ -621,6 +625,9 @@ class Planner:
         else:
             df = self._load(stmt.source)
         _tags_meta = getattr(df, "_og_tag_cols", None)
+        # remembered for _plan_raw's series-key emission order (the merge
+        # of per-series streams orders equal-time rows by series key)
+        self._cur_tags_meta = list(_tags_meta) if _tags_meta else None
         if stmt.group_tags:
             # duplicate dimensions collapse (GROUP BY region,region —
             # server_test.go TagOrder "group by tag2,tag1")
@@ -684,6 +691,7 @@ class Planner:
                         ast.Field(ast.VarRef(c))
                         for c in sorted(df.columns)
                         if c not in (TIME_COL, "ts", *stmt.group_tags)
+                        and not c.startswith("__")
                     )
                 else:
                     expanded.append(f)
@@ -700,7 +708,8 @@ class Planner:
             # IN (SELECT …) → semi join; NOT IN → anti (LogicalIn,
             # in_transform.go)
             sub = self.plan(ic.sub)
-            keys = sub.select(F.col(sub.columns[-1]).alias(ic.column)).distinct()
+            key_col = [c for c in sub.columns if not c.startswith("__")][-1]
+            keys = sub.select(F.col(key_col).alias(ic.column)).distinct()
             df = df.join(
                 F.broadcast(keys), ic.column,
                 "left_anti" if ic.negate else "left_semi",
@@ -864,6 +873,394 @@ class Planner:
         # (Nelder-Mead-optimized) is not
         "holt_smoothing",
     )
+
+    # --- JOIN statement surface ---
+    # (reference: sql.y JOIN grammar → LogicalJoin →
+    # engine/executor/hash_join_transform.go (inner/left/right/outer) and
+    # full_join_transform.go (FULL JOIN with type-zero fill); series name
+    # "a,b", columns "alias.col", per-side stream order (time, series key).
+
+    @staticmethod
+    def _join_legs(src: ast.JoinSource) -> tuple[list, list]:
+        """Flatten a left-nested JoinSource into ordered (source, alias)
+        legs and the per-step (join_type, condition) list — join step i
+        combines legs[0..i] with legs[i+1]."""
+        legs: list[tuple[object, str | None]] = []
+        joins: list[tuple[str, ast.Node]] = []
+
+        def flatten(s: ast.JoinSource) -> None:
+            if isinstance(s.left, ast.JoinSource):
+                flatten(s.left)
+            else:
+                legs.append((s.left, s.left_alias))
+            legs.append((s.right, s.right_alias))
+            joins.append((s.join_type, s.condition))
+
+        flatten(src)
+        return legs, joins
+
+    @staticmethod
+    def _leg_name(source: object, alias: str | None) -> str:
+        if alias:
+            return alias
+        if isinstance(source, str):
+            return source.rsplit(".", 1)[-1]
+        return "subquery"
+
+    @staticmethod
+    def _join_equalities(cond: ast.Node) -> list[tuple[str, str]]:
+        """ON clause → list of (ref_a, ref_b) column equalities; only an
+        AND tree of `alias.col = alias.col` is join-key material (the
+        reference's join condition compilation rejects anything else)."""
+        eqs: list[tuple[str, str]] = []
+
+        def walk(n: ast.Node) -> None:
+            if isinstance(n, ast.BinaryExpr):
+                if n.op == "and":
+                    walk(n.lhs)
+                    walk(n.rhs)
+                    return
+                if (
+                    n.op == "="
+                    and isinstance(n.lhs, ast.VarRef)
+                    and isinstance(n.rhs, ast.VarRef)
+                ):
+                    eqs.append((n.lhs.name, n.rhs.name))
+                    return
+            raise ValueError(
+                "InfluxQL: JOIN ON supports AND-ed column equalities"
+            )
+
+        walk(cond)
+        return eqs
+
+    def _derived_leg(self, inner: ast.SelectStatement):
+        """Plan a subquery join leg → (df keyed by TIME_COL, tag names).
+        Mirrors the derived-table postprocessing of plan(): the result's
+        `time` becomes the table's time, emitted __tag_ columns become
+        plain columns, and the innermost measurement's CleanSchema marks
+        which strings are tags."""
+        prev = self._in_subquery
+        self._in_subquery = True
+        try:
+            df = self.plan(inner)
+        finally:
+            self._in_subquery = prev
+        if "time" in df.columns:
+            df = df.withColumnRenamed("time", TIME_COL)
+        dim_tags: list[str] = []   # dims the leg itself grouped by
+        for c in list(df.columns):
+            if c.startswith("__tag_"):
+                base = c.removeprefix("__tag_")
+                if base not in df.columns:
+                    df = df.withColumnRenamed(c, base)
+                    dim_tags.append(base)
+        tags = list(dim_tags)
+        src = inner
+        while isinstance(src.source, ast.SelectStatement):
+            src = src.source
+        if isinstance(src.source, str):
+            base_df = self._load(src.source)
+            for c in getattr(base_df, "_og_tag_cols", None) or []:
+                if c in df.columns and c not in tags:
+                    tags.append(c)
+        return df, sorted(tags), sorted(dim_tags)
+
+    @staticmethod
+    def _zero_of(dt) -> Column:
+        """FULL JOIN fills the absent side with the column type's zero
+        value (full_join_transform.go appendJoinRow zero fill)."""
+        s = dt.simpleString()
+        if s in ("double", "float"):
+            return F.lit(0.0).cast(dt)
+        if s in ("bigint", "int", "smallint", "tinyint"):
+            return F.lit(0).cast(dt)
+        if s == "boolean":
+            return F.lit(False)
+        if s == "string":
+            return F.lit("")
+        return F.lit(None).cast(dt)
+
+    def _plan_join(self, stmt: ast.SelectStatement) -> DataFrame:
+        """SELECT over a JOIN chain. Spark executes the equi-join
+        (broadcast/sort-merge per Catalyst); the InfluxQL presentation
+        contract layered on top:
+
+        - columns are `leg.col`, `*` expands per leg in join order,
+          alphabetical within a leg, minus GROUP BY dimensions;
+        - output time: inner/left → left time, right → right time,
+          outer/full → coalesce (hash_join_transform.go time cursor);
+        - row order: each side streams in (time, series-key) order; inner/
+          left are left-major, right is right-major, outer emits the
+          left-join part then unmatched right rows;
+        - GROUP BY dims come from the left row when present, else right;
+        - FULL JOIN zero-fills the missing side by column type.
+        """
+        assert isinstance(stmt.source, ast.JoinSource)
+        if stmt.group_time is not None:
+            raise ValueError("InfluxQL: GROUP BY time() over JOIN")
+        raw_legs, joins = self._join_legs(stmt.source)
+        names = [self._leg_name(s, a) for s, a in raw_legs]
+        group_tags = [t for t in dict.fromkeys(stmt.group_tags) if t != "*"]
+
+        def split_ref(ref: str) -> tuple[int, str]:
+            for i, disp in enumerate(names):
+                if ref == disp or ref.startswith(disp + "."):
+                    return i, ref[len(disp) + 1:]
+            raise ValueError(f"InfluxQL: unknown join column {ref!r}")
+
+        # ON-referenced tags + outer dims propagate into subquery legs
+        # (subqueries carry their series keys implicitly in the reference)
+        on_cols: list[list[str]] = [[] for _ in raw_legs]
+        for _, cond in joins:
+            for a, b in self._join_equalities(cond):
+                for ref in (a, b):
+                    i, c = split_ref(ref)
+                    if c != "time":
+                        on_cols[i].append(c)
+        for i, (src, _alias) in enumerate(raw_legs):
+            if isinstance(src, ast.SelectStatement):
+                # CTE legs compile with the outer dims (cte_transform.go);
+                # inline subquery legs keep their projection as-is — only
+                # ON keys their projection misses ride along as dims
+                # (server_test.go fullJoin_SubQuery keeps m1.bgpType …
+                # as columns, CTE_Query drops cte1.tag)
+                want = (
+                    list(group_tags)
+                    if getattr(src, "_og_from_cte", False)
+                    else []
+                )
+                has_star = any(
+                    isinstance(f.expr, ast.VarRef) and f.expr.name == "*"
+                    for f in src.fields
+                )
+                for c in on_cols[i]:
+                    projected = (
+                        has_star
+                        or c in src.group_tags
+                        or any(
+                            isinstance(f.expr, ast.VarRef)
+                            and f.expr.name == c
+                            for f in src.fields
+                        )
+                    )
+                    if not projected:
+                        want.append(c)
+                for t in want:
+                    if t not in src.group_tags:
+                        src.group_tags.append(t)
+
+        # prepare each leg: ""-filled tags, series key, prefixed columns
+        legs = []  # dicts: name, frame, data_cols (pre-prefix), dtypes
+        for i, (src, _alias) in enumerate(raw_legs):
+            if isinstance(src, str):
+                df = self._load(src)
+                tags = sorted(
+                    getattr(df, "_og_tag_cols", None)
+                    or self.tag_columns(df)
+                )
+                dim_tags = tags  # measurement tags group like tags
+            else:
+                df, tags, dim_tags = self._derived_leg(src)
+            tags = [t for t in tags if t in df.columns]
+            if tags:
+                df = df.fillna("", subset=tags)
+            skey = (
+                F.concat_ws(
+                    ",",
+                    *[F.concat(F.lit(f"{t}="), F.col(t)) for t in tags],
+                )
+                if tags
+                else F.lit("")
+            )
+            data_cols = sorted(
+                c
+                for c in df.columns
+                if c != TIME_COL and c != "ts" and not c.startswith("__")
+            )
+            name = names[i]
+            sel = [
+                F.col(TIME_COL).alias(f"__t{i}"),
+                skey.alias(f"__k{i}"),
+                *[
+                    (F.col(f"`{c}`") if "." in c else F.col(c)).alias(
+                        f"{name}.{c}"
+                    )
+                    for c in data_cols
+                ],
+            ]
+            legs.append(
+                {
+                    "name": name,
+                    "frame": df.select(*sel),
+                    "data_cols": data_cols,
+                    # dims this leg groups as TAGS — only these leave the
+                    # * expansion; dims a subquery projected as plain
+                    # fields stay columns (fullJoin_SubQuery vs CTE_Query)
+                    "dim_tags": dim_tags,
+                }
+            )
+
+        def leg_col(i: int, col: str) -> str:
+            if col == "time":
+                return f"__t{i}"
+            return f"{legs[i]['name']}.{col}"
+
+        def qcol(name: str) -> Column:
+            return F.col(f"`{name}`") if "." in name else F.col(name)
+
+        how_of = {
+            "inner": "inner",
+            "left": "left_outer",
+            "right": "right_outer",
+            "outer": "full_outer",
+            "full": "full_outer",
+        }
+        cur = legs[0]["frame"]
+        cur_time = "__t0"
+        # (column, nulls_last) sort specs accumulating the emission order
+        order_cols: list[tuple[str, bool]] = [("__t0", False), ("__k0", False)]
+        for j, (jt, cond) in enumerate(joins):
+            new = j + 1
+            right = legs[new]["frame"]
+            eqs = self._join_equalities(cond)
+            lkeys: list[str] = []
+            rkeys: list[str] = []
+            for m, (a, b) in enumerate(eqs):
+                ia, ca = split_ref(a)
+                ib, cb = split_ref(b)
+                if ia == new:
+                    ia, ca, ib, cb = ib, cb, ia, ca
+                if ib != new or ia >= new:
+                    raise ValueError(
+                        "InfluxQL: JOIN ON must relate an earlier source "
+                        "to the joined one"
+                    )
+                lname, rname = f"__jl{j}_{m}", f"__jr{j}_{m}"
+                cur = cur.withColumn(lname, qcol(leg_col(ia, ca)))
+                right = right.withColumn(rname, qcol(leg_col(new, cb)))
+                lkeys.append(lname)
+                rkeys.append(rname)
+            joined = cur.join(
+                right,
+                on=[
+                    F.col(lk) == F.col(rk)
+                    for lk, rk in zip(lkeys, rkeys)
+                ],
+                how=how_of[jt],
+            ).drop(*lkeys, *rkeys)
+            tnew, knew = f"__t{new}", f"__k{new}"
+            if jt in ("inner", "left"):
+                next_time = F.col(cur_time)
+                order_cols = order_cols + [(tnew, False), (knew, False)]
+            elif jt == "right":
+                # displayed time comes from the right side, but rows keep
+                # left-time-major order (unmatched right rows last), then
+                # right stream order, then the remaining left keys
+                # (hash_join_transform.go right-join cursor)
+                next_time = F.col(tnew)
+                order_cols = (
+                    [(cur_time, True), (tnew, False), (knew, False)]
+                    + order_cols
+                )
+            else:  # outer | full: left-join part first, then right-only
+                next_time = F.coalesce(F.col(cur_time), F.col(tnew))
+                pcol = f"__p{j}"
+                joined = joined.withColumn(
+                    pcol,
+                    F.when(F.col(cur_time).isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+                order_cols = (
+                    [(pcol, False)] + order_cols + [(tnew, False), (knew, False)]
+                )
+            if jt == "full":
+                # zero-fill the absent side by column type
+                left_absent = F.col(cur_time).isNull()
+                right_absent = F.col(tnew).isNull()
+                dtypes = {f.name: f.dataType for f in joined.schema.fields}
+                for li in range(new):
+                    for c in legs[li]["data_cols"]:
+                        n = leg_col(li, c)
+                        joined = joined.withColumn(
+                            n,
+                            F.when(
+                                left_absent, self._zero_of(dtypes[n])
+                            ).otherwise(qcol(n)),
+                        )
+                for c in legs[new]["data_cols"]:
+                    n = leg_col(new, c)
+                    joined = joined.withColumn(
+                        n,
+                        F.when(
+                            right_absent, self._zero_of(dtypes[n])
+                        ).otherwise(qcol(n)),
+                    )
+            ct = f"__ct{j}"
+            joined = joined.withColumn(ct, next_time)
+            cur_time = ct
+            cur = joined
+
+        # GROUP BY dims: left row's tag when present, else the right's —
+        # guarded by leg presence (__t{i}) so FULL JOIN's zero-fill ""
+        # never masquerades as the absent side's tag value
+        for g in group_tags:
+            cands = [
+                F.when(
+                    F.col(f"__t{i}").isNotNull(), qcol(leg_col(i, g))
+                )
+                for i in range(len(legs))
+                if g in legs[i]["data_cols"]
+            ]
+            cur = cur.withColumn(
+                f"__tag_{g}",
+                F.coalesce(*cands, F.lit("")) if cands else F.lit(""),
+            )
+
+        # SELECT projection
+        out_cols: list[tuple[str, Column]] = []
+        if any(
+            isinstance(f.expr, ast.VarRef) and f.expr.name == "*"
+            for f in stmt.fields
+        ):
+            for i, leg in enumerate(legs):
+                for c in leg["data_cols"]:
+                    if c in group_tags and c in leg["dim_tags"]:
+                        continue
+                    n = leg_col(i, c)
+                    out_cols.append((n, qcol(n)))
+        else:
+            for f in stmt.fields:
+                if not isinstance(f.expr, ast.VarRef):
+                    raise ValueError(
+                        "InfluxQL: JOIN SELECT supports column references"
+                    )
+                i, c = split_ref(f.expr.name)
+                n = leg_col(i, c)
+                out_cols.append((f.alias or f.expr.name, qcol(n)))
+
+        if stmt.where is not None:
+            cur = cur.filter(self.col_expr(stmt.where))
+
+        cur = cur.orderBy(
+            *[F.col(f"__tag_{g}").asc() for g in group_tags],
+            *[
+                F.col(o).asc_nulls_last() if nl
+                else F.col(o).asc_nulls_first()
+                for o, nl in order_cols
+            ],
+        )
+        final = cur.select(
+            F.col(cur_time).alias("time"),
+            *[F.col(f"__tag_{g}") for g in group_tags],
+            *[c.alias(n) for n, c in out_cols],
+        )
+        if stmt.offset:
+            final = final.offset(stmt.offset)
+        if stmt.limit:
+            final = final.limit(stmt.limit)
+        return final
 
     def _plan_transform(
         self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
@@ -1826,6 +2223,28 @@ class Planner:
         for f in stmt.fields:
             default = self._default_field_name(f.expr) or "expr"
             cols.append(self.col_expr(f.expr).alias(self._out_name(f, default)))
+        # hidden series-key order column: the per-series stream merge
+        # emits equal-time rows in series-key order (tsm iterator merge);
+        # a derived table threads its inner __skey through
+        if "__skey" in df.columns:
+            cols.append(F.col("__skey"))
+        else:
+            skey_tags = sorted(
+                t for t in (self._cur_tags_meta or []) if t in df.columns
+            )
+            if skey_tags:
+                cols.append(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.concat(
+                                F.lit(f"{t}="),
+                                F.coalesce(F.col(t), F.lit("")),
+                            )
+                            for t in skey_tags
+                        ],
+                    ).alias("__skey")
+                )
         out = df.select(*cols)
         if "time" in out.columns:
             out = out.orderBy(

@@ -71,7 +71,11 @@ def iter_influx_blocks(
     from pyspark.sql import functions as F
 
     tag_cols = tag_cols or []
-    value_cols = [c for c in df.columns if c not in tag_cols and c != time_col]
+    has_skey = "__skey" in df.columns
+    value_cols = [
+        c for c in df.columns
+        if c not in tag_cols and c != time_col and c != "__skey"
+    ]
     has_time = time_col in df.columns
     columns = ([time_col] if has_time else []) + value_cols
 
@@ -99,6 +103,11 @@ def iter_influx_blocks(
         sort_exprs = []
     if has_time and not presorted:
         sort_exprs.append(row_dir(_col(time_col)))
+    if has_skey and not presorted:
+        # equal-time rows follow series-key order (per-series stream
+        # merge); the merge heap compares keys ASCENDING in both time
+        # directions (OrderByTime "order desc with sparse data")
+        sort_exprs.append(_col("__skey").asc())
     # value tie-break at equal times: ascending by default; the top()
     # selector emits its ties largest-first (server_test.go TopBottomInt
     # "top - memory - host tag": 2002 before 1002 at the same instant)

@@ -42,6 +42,10 @@ LP_SCHEMA = StructType(
         StructField("f_str", StringType()),
         StructField("f_bool", BooleanType()),
         StructField("time_ns", LongType()),
+        # ordinal of the source line within the write batch: duplicate
+        # (series, time, field) values resolve to the LAST line, matching
+        # the reference's point-merge (the newest point wins)
+        StructField("line_no", LongType()),
     ]
 )
 
@@ -156,13 +160,20 @@ def parse_line_protocol_df(lines: DataFrame, line_col: str = "value") -> DataFra
     Works on ``spark.read.text`` / ``readStream`` sources — the streaming
     ingest path is this plus a ``writeStream`` sink.
     """
-    src = lines.select(F.col(line_col).cast("string").alias("line"))
+    src = lines.select(
+        F.col(line_col).cast("string").alias("line"),
+        # batch-order ordinal (partition-major): later lines carry larger
+        # ids, so the pivot's last-wins merge is deterministic
+        F.monotonically_increasing_id().alias("__line"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            for line in pdf["line"]:
-                out.extend(parse_line(line))
+            for line, no in zip(pdf["line"], pdf["__line"]):
+                for row in parse_line(line):
+                    row["line_no"] = int(no)
+                    out.append(row)
             yield pd.DataFrame(
                 out, columns=[f.name for f in LP_SCHEMA.fields]
             )
@@ -213,8 +224,13 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
             src = F.coalesce(F.col("f_float"), F.col("f_int").cast("double"))
         else:
             src = F.col("f_int")
-        return F.first(
-            F.when(F.col("field") == r["field"], src), ignorenulls=True
+        # LAST matching line wins (point merge: the newest duplicate
+        # within a batch replaces earlier ones — server_test.go Join_Table
+        # writes table2,tk=c twice at one instant and reads the second)
+        cond = F.col("field") == r["field"]
+        return F.max_by(
+            F.when(cond, src),
+            F.when(cond & src.isNotNull(), F.col("line_no")),
         ).alias(r["field"])
 
     field_exprs = [_field_expr(r) for r in sorted(schema_rows, key=lambda r: r["field"])]
