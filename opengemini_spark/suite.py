@@ -862,6 +862,8 @@ PRIORITY: tuple[str, ...] = (
     "inc_window_agg",  # incremental query: parquet-state partial merge (r3)
     "promql_subquery_e2e",  # PromQL subquery expr[range:step] (r3)
     "curate_chunk_documents",  # sliding token-window chunking (r3)
+    "influxql_join_stmt",  # JOIN statement surface, inner join (r3)
+    "influxql_join_full_stmt",  # FULL JOIN type-zero fill (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
@@ -885,8 +887,6 @@ PRIORITY: tuple[str, ...] = (
     "compare_timeshift",
     "sketch_countmin_topn",
     "table_function_rca",
-    "scalar_math",
-    "graph_multihop_nodes",
 )
 
 

@@ -363,3 +363,60 @@ def q_influxql_holt_winters_forecast(
         "SELECT holt_winters(count(value), 4, 0) AS hw "
         "FROM events GROUP BY time(12h), event_type",
     )
+
+
+@register(
+    "influxql_join_stmt",
+    # JOIN statement surface end-to-end: inline subquery legs, ON tag key
+    # pushed into each leg as a dimension, aliased leg-prefixed columns
+    # (planner._plan_join; reference sql.y JOIN grammar →
+    # engine/executor/hash_join_transform.go)
+    """
+    WITH a AS (SELECT event_type, count(value) AS n1 FROM events GROUP BY 1),
+         b AS (SELECT event_type, min(value) AS mn FROM events
+               WHERE value > 20 GROUP BY 1)
+    SELECT a.event_type AS event_type, a.n1 AS n1, b.mn AS mn
+    FROM a JOIN b USING (event_type)
+    """,
+)
+def q_influxql_join_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = query(
+        spark, sf_dir,
+        "select t1.n1, t2.mn from "
+        "(select count(value) as n1 from events) as t1 inner join "
+        "(select min(value) as mn from events where value > 20) as t2 "
+        "on t1.event_type = t2.event_type group by event_type",
+    )
+    return df.select(
+        F.col("__tag_event_type").alias("event_type"),
+        F.col("`t1.n1`").alias("n1"),
+        F.col("`t2.mn`").alias("mn"),
+    )
+
+
+@register(
+    "influxql_join_full_stmt",
+    # FULL JOIN with the reference's type-zero fill on the absent side
+    # (engine/executor/full_join_transform.go) and left-else-right dims
+    """
+    WITH a AS (SELECT event_type, count(value) AS n1 FROM events GROUP BY 1),
+         b AS (SELECT event_type, count(value) AS n2 FROM events
+               WHERE event_type <> 'error' GROUP BY 1)
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           COALESCE(a.n1, 0) AS n1, COALESCE(b.n2, 0) AS n2
+    FROM a FULL JOIN b ON a.event_type = b.event_type
+    """,
+)
+def q_influxql_join_full_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = query(
+        spark, sf_dir,
+        "select t1.n1, t2.n2 from "
+        "(select count(value) as n1 from events) as t1 full join "
+        "(select count(value) as n2 from events where event_type != 'error') "
+        "as t2 on t1.event_type = t2.event_type group by event_type",
+    )
+    return df.select(
+        F.col("__tag_event_type").alias("event_type"),
+        F.col("`t1.n1`").alias("n1"),
+        F.col("`t2.n2`").alias("n2"),
+    )
