@@ -203,6 +203,20 @@ def handle_query(
                 measurement = ",".join(
                     _P._leg_name(s, a) for s, a in legs
                 )
+            elif isinstance(src, iast.SelectStatement) and isinstance(
+                src.source, iast.MultiSource
+            ):
+                names = []
+                for leg, _alias in src.source.legs:
+                    inner = leg
+                    while isinstance(inner.source, iast.SelectStatement):
+                        inner = inner.source
+                    names.append(
+                        inner.source.rsplit(".", 1)[-1]
+                        if isinstance(inner.source, str)
+                        else "subquery"
+                    )
+                measurement = ",".join(names)
             else:
                 measurement = (
                     src.source.rsplit(".", 1)[-1]

@@ -74,3 +74,30 @@ def ip_in_range(ip_col, cidr: str) -> Column:
     """IPINRANGE(ip, 'a.b.c.d/len') predicate (influxql token IPINRANGE)."""
     net, plen = cidr.split("/")
     return is_subnet_of(ip_col, net, int(plen))
+
+
+def ip_mask_dual(col, v4bits: int, v6bits: int) -> Column:
+    """ip_mask(ip, v4bits[, v6bits]) (reference string function ip_mask,
+    server_test.go IP_For_String_Functions): mask an IPv4 address to
+    v4bits and an IPv6 address to v6bits, rendering the network address;
+    unparseable addresses yield null. Arrow-batched (ipaddress handles
+    the v6 compression rules the JVM integer path can't)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _mask(s):
+        import ipaddress
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                ip = ipaddress.ip_address(v)
+            except ValueError:
+                return None
+            bits = v4bits if ip.version == 4 else v6bits
+            net = ipaddress.ip_network(f"{v}/{bits}", strict=False)
+            return str(net.network_address)
+
+        return s.map(one)
+
+    return pandas_udf(_mask, "string")(_c(col))

@@ -71,6 +71,15 @@ class RegexSource(Node):
 
 
 @dataclass
+class MultiSource(Node):
+    """FROM (SELECT …), (SELECT …), … — independent derived tables whose
+    rows merge into one stream ordered (time, leg, series key); the series
+    is named after the inner measurements joined with ','
+    (server_test.go Constant_Column 'multi mst query normal with alias')."""
+    legs: list                   # of (SelectStatement, alias | None)
+
+
+@dataclass
 class JoinSource(Node):
     """FROM a [AS x] <jt> JOIN b [AS y] ON <cond> [<jt> JOIN c ON …]
     (reference ast.go Join sources; sql.y JOIN grammar,

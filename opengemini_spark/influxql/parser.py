@@ -200,6 +200,17 @@ class Parser:
                 re.escape(n.rsplit(".", 1)[-1]) for n in names
             )
             source = ast.RegexSource(f"^(?:{alts})$")
+        elif (
+            isinstance(source, ast.SelectStatement)
+            and self.peek().kind == "OP"
+            and self.peek().text == ","
+        ):
+            # FROM (SELECT …), (SELECT …): merged derived-table stream
+            legs = [(source, alias)]
+            while self.accept("OP", ","):
+                legs.append(self._from_source())
+            source = ast.MultiSource(legs)
+            alias = None
         # JOIN chain (sql.y join grammar): left-nested JoinSource tree
         while self._peek_join():
             jt = self._join_type()
@@ -324,7 +335,12 @@ class Parser:
         e = self.expr()
         alias = None
         if self.kw("as"):
-            alias = self.expect("IDENT").value
+            # alias may be quoted with single quotes (`as 'name'` —
+            # server_test.go Constant_Column) or double quotes
+            t = self.next()
+            if t.kind not in ("IDENT", "STRING"):
+                raise SyntaxError(f"InfluxQL: bad alias {t.text!r}")
+            alias = t.value
         return ast.Field(e, alias)
 
     # --- expressions ---

@@ -67,6 +67,7 @@ class Planner:
         self._in_subquery = False  # True while planning a derived table
         self._agg_interval_ns: int | None = None  # GROUP BY time interval
         self._cur_tags_meta: list[str] | None = None  # current CleanSchema
+        self._cur_df: DataFrame | None = None  # schema context for scalars
 
     # --- schema roles ---
     def _load(self, measurement: str) -> DataFrame:
@@ -265,9 +266,103 @@ class Planner:
         "strlen": F.length, "lower": F.lower, "upper": F.upper,
     }
 
+    @staticmethod
+    def _expr_has_variable(e: ast.Node) -> bool:
+        if isinstance(e, (ast.VarRef, ast.Call)):
+            return True
+        if isinstance(e, ast.BinaryExpr):
+            return Planner._expr_has_variable(e.lhs) or Planner._expr_has_variable(e.rhs)
+        if isinstance(e, ast.UnaryExpr):
+            return Planner._expr_has_variable(e.expr)
+        return False
+
+    @staticmethod
+    def _render_arg(a: ast.Node) -> str:
+        """Argument rendering for reference-parity error messages: numbers
+        bare, strings single-quoted (influxql expression String())."""
+        if isinstance(a, ast.Literal):
+            if isinstance(a.value, str):
+                return f"'{a.value}'"
+            if isinstance(a.value, float) and a.value == int(a.value):
+                return str(int(a.value))
+            return str(a.value)
+        if isinstance(a, ast.VarRef):
+            return a.name
+        return str(a)
+
+    def _cast_call(self, e: ast.Call) -> Column:
+        """cast_int64/cast_float64/cast_bool/cast_string (reference query
+        cast functions, server_test.go Cast_For_String_Functions): Go
+        strconv semantics — unparseable strings yield null, non-empty
+        non-'0'/'false' strings are truthy, float-to-string drops a
+        trailing .0 like strconv.FormatFloat."""
+        x = self.col_expr(e.args[0])
+        dt = None
+        if isinstance(e.args[0], ast.VarRef) and self._cur_df is not None:
+            dt = dict(self._cur_df.dtypes).get(e.args[0].name)
+        if e.name == "cast_int64":
+            return x.try_cast("long")
+        if e.name == "cast_float64":
+            return x.try_cast("double")
+        if e.name == "cast_bool":
+            if dt == "string":
+                return F.coalesce(
+                    x.try_cast("boolean"),
+                    F.when(x.isNotNull(), F.lit(True)),
+                )
+            return x.try_cast("boolean")
+        # cast_string
+        if dt == "double":
+            as_long = x.try_cast("long")
+            return F.when(
+                x.isNotNull() & (x == as_long.cast("double")),
+                as_long.cast("string"),
+            ).otherwise(x.cast("string"))
+        return x.cast("string")
+
+    def _ip_mask_call(self, e: ast.Call) -> Column:
+        """ip_mask(ip, v4bits[, v6bits]) — argument validation mirrors the
+        reference's exact messages; masking via ipaddress in an Arrow
+        batch (functions/network.py)."""
+        n = len(e.args)
+        if n not in (2, 3):
+            raise ValueError(
+                f"invalid number of arguments for ip_mask, expected 2-3, "
+                f"got {n}"
+            )
+        if not isinstance(e.args[0], ast.VarRef):
+            raise ValueError(
+                "invalid argument type for the first argument in "
+                f"ip_mask(): {self._render_arg(e.args[0])}"
+            )
+        ordinal = {1: "2nd", 2: "3rd"}
+        for i in (1, 2)[: n - 1]:
+            a = e.args[i]
+            if not (
+                isinstance(a, ast.Literal)
+                and isinstance(a.value, (int, float))
+                and not isinstance(a.value, bool)
+                and float(a.value) == int(a.value)
+            ):
+                raise ValueError(
+                    f"invalid argument type for the {ordinal[i]} argument "
+                    f"in ip_mask(): {self._render_arg(a)}"
+                )
+        from opengemini_spark.functions.network import ip_mask_dual
+
+        v4 = int(e.args[1].value)
+        v6 = int(e.args[2].value) if n == 3 else v4
+        return ip_mask_dual(self.col_expr(e.args[0]), v4, v6)
+
+    _CASTS = ("cast_int64", "cast_float64", "cast_bool", "cast_string")
+
     def _scalar_call(self, e: ast.Call) -> Column:
         if e.name == "pow":
             return F.pow(self.col_expr(e.args[0]), self.col_expr(e.args[1]))
+        if e.name in self._CASTS:
+            return self._cast_call(e)
+        if e.name == "ip_mask":
+            return self._ip_mask_call(e)
         if e.name in self._SCALARS:
             return self._SCALARS[e.name](self.col_expr(e.args[0]))
         raise ValueError(f"InfluxQL: unknown scalar function {e.name!r}")
@@ -536,7 +631,12 @@ class Planner:
     def _find_agg_calls(e: ast.Node) -> list[ast.Call]:
         """Every aggregate call inside an expression tree (document order)."""
         if isinstance(e, ast.Call):
-            if e.name not in Planner._SCALARS and e.name != "pow":
+            if (
+                e.name not in Planner._SCALARS
+                and e.name != "pow"
+                and e.name != "ip_mask"
+                and e.name not in Planner._CASTS
+            ):
                 return [e]
             out = []
             for a in e.args:
@@ -572,9 +672,21 @@ class Planner:
         if isinstance(stmt, ast.ShowStatement):
             return self.plan_show(stmt)
         assert isinstance(stmt, ast.SelectStatement)
+        if any(
+            isinstance(f.expr, ast.Call) and f.expr.name == "compare"
+            for f in stmt.fields
+        ):
+            return self._plan_compare(stmt)
         if isinstance(stmt.source, ast.JoinSource):
             return self._plan_join(stmt)
-        if isinstance(stmt.source, ast.SelectStatement):
+        # a field that is a bare literal must be aliased; a SELECT of only
+        # constants yields no rows (Constant_Column semantics)
+        for f in stmt.fields:
+            if isinstance(f.expr, ast.Literal) and f.alias is None:
+                raise ValueError("field must contain at least one variable")
+        if isinstance(stmt.source, ast.MultiSource):
+            df = self._plan_multisource(stmt.source)
+        elif isinstance(stmt.source, ast.SelectStatement):
             # subquery: the outer time range is inherited by the inner query
             # BEFORE it windows/aggregates (statement_rewriter.go subquery
             # handling — SURVEY §7.4.7); the result's bucket column becomes
@@ -628,6 +740,7 @@ class Planner:
         # remembered for _plan_raw's series-key emission order (the merge
         # of per-series streams orders equal-time rows by series key)
         self._cur_tags_meta = list(_tags_meta) if _tags_meta else None
+        self._cur_df = df  # schema context for type-directed scalars (cast_*)
         if stmt.group_tags:
             # duplicate dimensions collapse (GROUP BY region,region —
             # server_test.go TagOrder "group by tag2,tag1")
@@ -728,9 +841,17 @@ class Planner:
         if _tags_meta is not None:
             df._og_tag_cols = _tags_meta
 
+        if stmt.fields and not any(
+            self._expr_has_variable(f.expr) for f in stmt.fields
+        ):
+            # aliased constants only: valid, but no rows are produced
+            # (Constant_Column "no result is returned with alias")
+            return self._plan_raw(stmt, df).limit(0)
+
         calls = [
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
             and f.expr.name not in self._SCALARS and f.expr.name != "pow"
+            and f.expr.name != "ip_mask" and f.expr.name not in self._CASTS
         ]
         containing = [self._find_agg_call(f.expr) for f in stmt.fields]
         if (
@@ -873,6 +994,183 @@ class Planner:
         # (Nelder-Mead-optimized) is not
         "holt_smoothing",
     )
+
+    def _plan_multisource(self, src: ast.MultiSource) -> DataFrame:
+        """FROM (SELECT …), (SELECT …): each derived table plans
+        independently; rows merge by name with missing columns null and a
+        leg-indexed series key so the stream orders (time, leg, series)
+        — Constant_Column 'multi mst query normal with alias'."""
+        from functools import reduce
+
+        dfs = []
+        for i, (leg, _alias) in enumerate(src.legs):
+            df, _tags, _dims = self._derived_leg(leg)
+            skey = (
+                F.col("__skey") if "__skey" in df.columns else F.lit("")
+            )
+            df = df.withColumn(
+                "__skey", F.concat(F.lit(f"{i:04d},"), skey)
+            )
+            dfs.append(df)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
+
+    def _plan_compare(self, stmt: ast.SelectStatement) -> DataFrame:
+        """compare(x, off…) — RewriteCompare (influxql/ast.go:3935):
+        the source re-plans once per offset with its time range shifted
+        back off seconds (GROUP BY time windows re-aligned to the shifted
+        range start), results shift forward and FULL-join on (time, dims)
+        as columns x1..xN, with x1/xi ratio fields appended. A raw source
+        collapses to its first value per series (OmitTime)."""
+        import copy as _copy
+
+        call = next(
+            f.expr
+            for f in stmt.fields
+            if isinstance(f.expr, ast.Call) and f.expr.name == "compare"
+        )
+        if len(call.args) <= 1:
+            raise ValueError(
+                "invalid number of arguments for compare, expected more "
+                f"than one arguments, got {len(call.args)}"
+            )
+        assert isinstance(call.args[0], ast.VarRef)
+        name = call.args[0].name
+        for a in call.args[1:]:
+            if not isinstance(a, ast.Literal) or isinstance(a.value, str):
+                raise ValueError(
+                    "invalid argument type for argument in compare(): "
+                    f"{self._render_arg(a)}"
+                )
+        offsets = [0] + [int(a.value) for a in call.args[1:]]
+        lo = self._lower_time_bound(stmt.where)
+        hi_excl = self._upper_time_bound(stmt.where)
+        g = stmt.group_time.interval_ns if stmt.group_time else 0
+        tags = [t for t in dict.fromkeys(stmt.group_tags) if t != "*"]
+
+        if isinstance(stmt.source, ast.SelectStatement):
+            inner = stmt.source
+        else:
+            inner = ast.SelectStatement(
+                fields=[ast.Field(ast.VarRef(name), name)],
+                source=stmt.source,
+            )
+        is_raw = not any(
+            self._find_agg_call(f.expr) for f in inner.fields
+        )
+
+        def strip_time(e: ast.Node | None) -> ast.Node | None:
+            if e is None:
+                return None
+            if isinstance(e, ast.BinaryExpr):
+                if e.op == "and":
+                    l = strip_time(e.lhs)
+                    r = strip_time(e.rhs)
+                    if l is None:
+                        return r
+                    if r is None:
+                        return l
+                    return ast.BinaryExpr("and", l, r)
+                if _is_time_ref(e.lhs) or _is_time_ref(e.rhs):
+                    return None
+            return e
+
+        frames = []
+        out_names = []
+        for i, off_s in enumerate(offsets):
+            off = off_s * 1_000_000_000
+            sq = _copy.deepcopy(inner)
+            out_name = f"{name}{i + 1}"
+            out_names.append(out_name)
+            renamed = False
+            for f in sq.fields:
+                o = f.alias or self._default_field_name(f.expr)
+                if o == name:
+                    f.alias = out_name
+                    renamed = True
+            if not renamed:
+                raise ValueError(f"compare func values not found")
+            sq.group_tags = list(tags)
+            if g:
+                sq.group_time = ast.TimeDimension(g, (lo - off) % g)
+            sq.fill = "none"
+            conds: ast.Node = ast.BinaryExpr(
+                ">=",
+                ast.VarRef("time"),
+                ast.Literal(lo - off),
+            )
+            if hi_excl is not None:
+                conds = ast.BinaryExpr(
+                    "and",
+                    conds,
+                    ast.BinaryExpr(
+                        "<",
+                        ast.VarRef("time"),
+                        ast.Literal(hi_excl - off),
+                    ),
+                )
+            resid = strip_time(sq.where)
+            sq.where = (
+                conds if resid is None
+                else ast.BinaryExpr("and", resid, conds)
+            )
+            prev = self._in_subquery
+            self._in_subquery = True
+            try:
+                df = self.plan(sq)
+            finally:
+                self._in_subquery = prev
+            if not is_raw:
+                # a series whose field has no values in the range emits
+                # nothing (the store cursor is empty — japan's PV1 is
+                # null, not 0, in Compare_Functions "group by country")
+                vcol = (
+                    F.col(f"`{out_name}`") if "." in out_name
+                    else F.col(out_name)
+                )
+                df = df.filter(vcol.isNotNull())
+                if any(
+                    (c := self._find_agg_call(f.expr)) and c.name == "count"
+                    for f in sq.fields
+                ):
+                    df = df.filter(vcol != 0)
+            # aggregate plans emit dims as plain columns, raw plans as
+            # __tag_ — normalize to __tag_ for the cross-offset join
+            for t in tags:
+                if f"__tag_{t}" not in df.columns and t in df.columns:
+                    df = df.withColumnRenamed(t, f"__tag_{t}")
+            gcols = [f"__tag_{t}" for t in tags if f"__tag_{t}" in df.columns]
+            if gcols:
+                df = df.fillna("", subset=gcols)
+            df = df.withColumn(
+                "time", (F.col("time") + F.lit(off)).cast("long")
+            )
+            if is_raw:
+                # OmitTime: a raw source contributes its first value per
+                # series, stamped with the (unshifted) range start
+                vcol = F.col(f"`{out_name}`") if "." in out_name else F.col(out_name)
+                df = (
+                    df.groupBy(*gcols)
+                    .agg(F.min_by(vcol, F.col("time")).alias(out_name))
+                    .withColumn("time", F.lit(lo))
+                )
+            df = df.select("time", *gcols, out_name)
+            if "__skey" in df.columns:
+                df = df.drop("__skey")
+            frames.append(df)
+
+        gcols = [f"__tag_{t}" for t in tags]
+        joined = frames[0]
+        for f in frames[1:]:
+            on = ["time"] + [c for c in gcols if c in joined.columns and c in f.columns]
+            joined = joined.join(f, on=on, how="full_outer")
+        for i in range(1, len(out_names)):
+            joined = joined.withColumn(
+                f"{out_names[0]}/{out_names[i]}",
+                F.col(out_names[0]) / F.col(out_names[i]),
+            )
+        return joined
 
     # --- JOIN statement surface ---
     # (reference: sql.y JOIN grammar → LogicalJoin →
@@ -1065,14 +1363,17 @@ class Planner:
             tags = [t for t in tags if t in df.columns]
             if tags:
                 df = df.fillna("", subset=tags)
-            skey = (
-                F.concat_ws(
+            if "__skey" in df.columns:
+                # the leg carries its own emission-order key (a nested
+                # join or raw derived table) — preserve it as-is
+                skey = F.col("__skey")
+            elif tags:
+                skey = F.concat_ws(
                     ",",
                     *[F.concat(F.lit(f"{t}="), F.col(t)) for t in tags],
                 )
-                if tags
-                else F.lit("")
-            )
+            else:
+                skey = F.lit("")
             data_cols = sorted(
                 c
                 for c in df.columns
@@ -1251,10 +1552,27 @@ class Planner:
                 for o, nl in order_cols
             ],
         )
+        # order-encoding series key: when this join is itself a derived
+        # table (Multi_Table_Join nests joins as legs), the outer planner
+        # reads __skey to keep the inner join's row order as a tie-break.
+        # Numeric components zero-pad so lexicographic == numeric order;
+        # nulls encode to sort where the live sort puts them.
+        skey_parts: list[Column] = []
+        for o, nl in order_cols:
+            c = F.col(o)
+            if o.startswith("__k"):
+                enc = F.coalesce(c, F.lit("~" * 4 if nl else ""))
+            else:
+                enc = F.coalesce(
+                    F.lpad(c.cast("string"), 20, "0"),
+                    F.lit("~" * 20 if nl else ""),
+                )
+            skey_parts.append(enc)
         final = cur.select(
             F.col(cur_time).alias("time"),
             *[F.col(f"__tag_{g}") for g in group_tags],
             *[c.alias(n) for n, c in out_cols],
+            F.concat_ws("\x01", *skey_parts).alias("__skey"),
         )
         if stmt.offset:
             final = final.offset(stmt.offset)
@@ -1704,11 +2022,27 @@ class Planner:
         w = Window.partitionBy(*tags).orderBy(
             F.md5(F.concat_ws(",", F.col(TIME_COL), F.col(fld))), F.col(TIME_COL)
         )
+        # companion columns ride along from the sampled rows
+        # (`SELECT sample(float, 3), int` — Sample_LimitOffset)
+        companions = [
+            (
+                self._out_name(f2, self._default_field_name(f2.expr) or "expr"),
+                f2.expr.name,
+            )
+            for f2 in stmt.fields
+            if f2 is not f
+            and isinstance(f2.expr, ast.VarRef)
+            and f2.expr.name.lower() != "time"
+            and f2.expr.name != "*"
+        ]
         out = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
             .select(
-                F.col(TIME_COL).alias("time"), *tags, F.col(fld).alias(out_name)
+                F.col(TIME_COL).alias("time"),
+                *tags,
+                F.col(fld).alias(out_name),
+                *[F.col(src).alias(o) for o, src in companions],
             )
             .orderBy(*(tags + ["time"]))
         )

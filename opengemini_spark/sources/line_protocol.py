@@ -132,7 +132,9 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
         k, v = _UNESCAPED_SPLIT["="].split(t, 1)
         tags[_unescape(k)] = _unescape(v)
 
-    rows = []
+    # duplicate field keys within one line: the LAST occurrence wins
+    # (`f1=0,f1=2` reads back 2 — server_test.go DuplicateField)
+    by_field: dict[str, dict] = {}
     for fv in _split_fields(fields_raw):
         k, v = _UNESCAPED_SPLIT["="].split(fv, 1)
         row = {
@@ -150,8 +152,8 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
             row["f_int"] = int(v[:-1])
         else:
             row["f_float"] = float(v)
-        rows.append(row)
-    return rows
+        by_field[row["field"]] = row
+    return list(by_field.values())
 
 
 def parse_line_protocol_df(lines: DataFrame, line_col: str = "value") -> DataFrame:

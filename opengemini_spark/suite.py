@@ -885,8 +885,8 @@ PRIORITY: tuple[str, ...] = (
     "show_cardinality",
     "agg_regr_slope",
     "compare_timeshift",
-    "sketch_countmin_topn",
-    "table_function_rca",
+    "scalar_math",
+    "graph_multihop_nodes",
 )
 
 
