@@ -196,7 +196,19 @@ def handle_query(
             is_join = isinstance(src, iast.SelectStatement) and isinstance(
                 src.source, iast.JoinSource
             )
-            if is_join:
+            if isinstance(stmt, iast.UnionStatement):
+                def _union_names(n):
+                    if isinstance(n, iast.UnionStatement):
+                        return _union_names(n.left) + _union_names(n.right)
+                    inner = n
+                    while isinstance(inner.source, iast.SelectStatement):
+                        inner = inner.source
+                    if isinstance(inner.source, str):
+                        return [inner.source.rsplit(".", 1)[-1]]
+                    return []
+
+                measurement = ",".join(sorted(set(_union_names(stmt))))
+            elif is_join:
                 from opengemini_spark.influxql.planner import Planner as _P
 
                 legs, _ = _P._join_legs(src.source)

@@ -112,6 +112,20 @@ class SelectStatement(Node):
 
 
 @dataclass
+class UnionStatement(Node):
+    """SELECT … UNION [ALL] [BY NAME] SELECT … (reference sql.y UNION
+    grammar, engine/executor union transforms; server_test.go
+    Union_Distinct_Push_Down_Rule). Plain UNION maps columns positionally
+    (left side's names win) and de-duplicates; BY NAME matches columns by
+    name with missing ones null; a parenthesized union may itself be an
+    operand."""
+    left: object                 # SelectStatement | UnionStatement
+    right: object
+    all: bool = False
+    by_name: bool = False
+
+
+@dataclass
 class ShowStatement(Node):
     what: str                           # measurements | tag_keys | tag_values | field_keys
     source: str | None = None

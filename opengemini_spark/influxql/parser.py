@@ -60,7 +60,10 @@ class Parser:
         if self.kw("with"):
             return self.with_statement()
         if self.kw("select"):
-            return self.select_statement()
+            stmt: ast.Node = self.select_statement(sub=True)
+            stmt = self._maybe_union(stmt)
+            self.expect("EOF")
+            return stmt
         if self.kw("show"):
             return self.show_statement()
         if self.kw("graph"):
@@ -264,6 +267,32 @@ class Parser:
         if not sub:
             self.expect("EOF")
         return stmt
+
+    def _maybe_union(self, left: ast.Node) -> ast.Node:
+        """`… UNION [ALL] [BY NAME] <select | ( union-expr )>` chains
+        (left-nested). `union` is context-sensitive like the join words."""
+        while self.peek().kind == "IDENT" and self.peek().text.lower() == "union":
+            self.next()
+            all_ = False
+            if self.peek().kind == "IDENT" and self.peek().text.lower() == "all":
+                self.next()
+                all_ = True
+            by_name = False
+            if self.kw("by"):
+                t = self.next()
+                if t.text.lower() != "name":
+                    raise SyntaxError("InfluxQL: expected NAME after BY")
+                by_name = True
+            if self.accept("OP", "("):
+                self.expect("KEYWORD", "select")
+                inner: ast.Node = self.select_statement(sub=True)
+                inner = self._maybe_union(inner)
+                self.expect("OP", ")")
+            else:
+                self.expect("KEYWORD", "select")
+                inner = self.select_statement(sub=True)
+            left = ast.UnionStatement(left, inner, all_, by_name)
+        return left
 
     def _from_source(self) -> tuple[object, str | None]:
         """One FROM item: (SELECT …) | /regex/ | measurement — with an

@@ -671,6 +671,8 @@ class Planner:
     def plan(self, stmt: ast.Node) -> DataFrame:
         if isinstance(stmt, ast.ShowStatement):
             return self.plan_show(stmt)
+        if isinstance(stmt, ast.UnionStatement):
+            return self._plan_union(stmt)
         assert isinstance(stmt, ast.SelectStatement)
         if any(
             isinstance(f.expr, ast.Call) and f.expr.name == "compare"
@@ -994,6 +996,56 @@ class Planner:
         # (Nelder-Mead-optimized) is not
         "holt_smoothing",
     )
+
+    def _plan_union(self, node: ast.UnionStatement) -> DataFrame:
+        """UNION [ALL] [BY NAME] (union transforms; server_test.go
+        Union_Distinct_Push_Down_Rule). Each leg plans independently with
+        its GROUP BY dims flattened back into columns (after the value
+        columns, in dim order); plain UNION maps columns positionally onto
+        the left side's names and de-duplicates, BY NAME matches by name
+        (missing → null) and emits columns name-sorted. Emission order is
+        the shape layer's (time, columns asc nulls last)."""
+
+        def qc(name: str) -> Column:
+            return F.col(f"`{name}`") if "." in name else F.col(name)
+
+        def leg(s) -> DataFrame:
+            if isinstance(s, ast.UnionStatement):
+                return self._plan_union(s)
+            df = self.plan(s)
+            tags = [c for c in df.columns if c.startswith("__tag_")]
+            vals = [
+                c
+                for c in df.columns
+                if c != "time" and not c.startswith("__")
+            ]
+            sel = []
+            if "time" in df.columns:
+                sel.append(F.col("time"))
+            sel += [qc(v) for v in vals]
+            sel += [
+                F.col(t).alias(t.removeprefix("__tag_")) for t in tags
+            ]
+            return df.select(*sel)
+
+        left = leg(node.left)
+        right = leg(node.right)
+        if node.by_name:
+            out = left.unionByName(right, allowMissingColumns=True)
+            cols = sorted(c for c in out.columns if c != "time")
+            out = out.select(
+                *(["time"] if "time" in out.columns else []),
+                *[qc(c) for c in cols],
+            )
+        else:
+            if len(left.columns) != len(right.columns):
+                raise ValueError(
+                    "union: the column count of two tables is different"
+                )
+            out = left.union(right.toDF(*left.columns))
+        if not node.all:
+            out = out.distinct()
+        return out
 
     def _plan_multisource(self, src: ast.MultiSource) -> DataFrame:
         """FROM (SELECT …), (SELECT …): each derived table plans

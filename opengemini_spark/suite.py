@@ -864,6 +864,7 @@ PRIORITY: tuple[str, ...] = (
     "curate_chunk_documents",  # sliding token-window chunking (r3)
     "influxql_join_stmt",  # JOIN statement surface, inner join (r3)
     "influxql_join_full_stmt",  # FULL JOIN type-zero fill (r3)
+    "influxql_union_stmt",  # UNION BY NAME statement surface (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
@@ -876,7 +877,6 @@ PRIORITY: tuple[str, ...] = (
     "slimit_series",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
     "similarity_cosine_topk",
     "text_token_stats",
     "influxql_window_agg_fill",

@@ -420,3 +420,26 @@ def q_influxql_join_full_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`t1.n1`").alias("n1"),
         F.col("`t2.n2`").alias("n2"),
     )
+
+
+@register(
+    "influxql_union_stmt",
+    # UNION BY NAME end-to-end: per-leg aggregate, name-matched columns
+    # with missing-side nulls (planner._plan_union; reference sql.y UNION
+    # grammar, server_test.go Union_Distinct_Push_Down_Rule)
+    """
+    SELECT min(value) AS mn, CAST(NULL AS DOUBLE) AS mx FROM events
+    WHERE event_type = 'click'
+    UNION ALL
+    SELECT CAST(NULL AS DOUBLE), max(value) FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def q_influxql_union_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = query(
+        spark, sf_dir,
+        "select min(value) as mn from events where event_type = 'click' "
+        "union by name "
+        "select max(value) as mx from events where event_type = 'error'",
+    )
+    return df.select("mn", "mx")
