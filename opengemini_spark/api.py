@@ -68,6 +68,7 @@ def handle_query(
                         "subscriptions")
                 ):
                     out = ddl.execute(stmt_text)
+                    out.pop("ok", None)  # wire shape carries no ok flag
                     out["statement_id"] = i
                     results.append(out)
                     continue
@@ -109,7 +110,19 @@ def handle_query(
                 )
                 continue
 
-            df = Planner(spark, sf_dir, loader=loader).plan(stmt)
+            catalog_names = None
+            if data_root is not None:
+                import os as _os
+
+                if _os.path.isdir(data_root):
+                    catalog_names = sorted(
+                        d
+                        for d in _os.listdir(data_root)
+                        if _os.path.isdir(f"{data_root}/{d}")
+                    )
+            df = Planner(
+                spark, sf_dir, loader=loader, catalog_names=catalog_names
+            ).plan(stmt)
             if (
                 isinstance(stmt, iast.SelectStatement)
                 and stmt.into is not None
@@ -277,6 +290,14 @@ def handle_query(
                 querytrack.detach(spark, qid)
             block = body["results"][0]
             block["statement_id"] = i
+            if (
+                isinstance(stmt, iast.ShowStatement)
+                and stmt.what == "series"
+            ):
+                # SHOW SERIES blocks carry no measurement name
+                # (httpd emission of the index dump)
+                for s in block.get("series", []):
+                    s.pop("name", None)
             results.append(block)
         except (SyntaxError, ValueError, KeyError, AssertionError) as e:
             results.append({"statement_id": i, "error": str(e)})

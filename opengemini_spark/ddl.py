@@ -573,6 +573,7 @@ class DDLExecutor:
             r"create database ([a-z_][a-z0-9_]*)"
             r"(?: with(?: duration ([a-z0-9]+))?(?: replication \d+)?"
             r"(?: shard duration ([a-z0-9]+))?"
+            r"(?: index duration [a-z0-9]+)?"
             r"(?: name ([a-z_][a-z0-9_]*))?)?$",
             _create_db,
         ),

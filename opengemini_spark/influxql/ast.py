@@ -12,6 +12,9 @@ class Node:
 @dataclass
 class VarRef(Node):
     name: str
+    # `ref::tag` / `ref::field` / `*::tag` type qualifier (influxql
+    # VarRef.Type; server_test.go HintQuery `select f1,*::tag`)
+    hint: str | None = None
 
 
 @dataclass

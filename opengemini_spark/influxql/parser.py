@@ -338,6 +338,7 @@ class Parser:
     def _group_by(self, stmt: ast.SelectStatement) -> None:
         while True:
             if self.accept("OP", "*"):
+                self._type_hint()   # GROUP BY *::tag ≡ GROUP BY *
                 stmt.group_tags.append("*")
             elif self.kw("time"):
                 self.expect("OP", "(")
@@ -441,10 +442,19 @@ class Parser:
             return ast.UnaryExpr("not", self._unary())
         return self._primary()
 
+    def _type_hint(self) -> str | None:
+        """Optional `::tag | ::field | ::<type>` qualifier after a ref."""
+        if self.accept("OP", "::"):
+            t = self.next()
+            if t.kind not in ("IDENT", "KEYWORD"):
+                raise SyntaxError(f"InfluxQL: bad type qualifier {t.text!r}")
+            return t.text.lower()
+        return None
+
     def _primary(self) -> ast.Node:
         t = self.next()
         if t.kind == "OP" and t.text == "*":
-            return ast.VarRef("*")      # wildcard argument: count(*)
+            return ast.VarRef("*", hint=self._type_hint())
         if t.kind == "OP" and t.text == "(":
             e = self.expr()
             self.expect("OP", ")")
@@ -474,7 +484,7 @@ class Parser:
                         args.append(self.expr())
                     self.expect("OP", ")")
                 return ast.Call(t.value.lower(), args)
-            return ast.VarRef(t.value)
+            return ast.VarRef(t.value, hint=self._type_hint())
         raise SyntaxError(f"InfluxQL: unexpected token {t.text!r}")
 
 
@@ -582,10 +592,20 @@ def _fold_now(node, now_ns: int):
 def parse(src: str, now_ns: int | None = None) -> ast.Node:
     import time as _time
 
-    # optimizer hints (`/*+ Exact_Statistic_Query */` etc.) are advisory —
-    # strip them (server_test.go Complex_Aggregate "exact count(time)")
+    # optimizer hints (`/*+ full_series */` etc.): captured for the
+    # planner (full_series / specific_series / filter_null_column change
+    # match-and-emit behavior — server_test.go FullSeries, HintQuery_*),
+    # then stripped from the token stream
+    hints = {
+        h.strip().lower()
+        for m in re.findall(r"/\*\+(.*?)\*/", src)
+        for h in m.split(",")
+        if h.strip()
+    }
     src = re.sub(r"/\*.*?\*/", " ", src)
     stmt = Parser(lex(src)).parse_statement()
+    if isinstance(stmt, ast.SelectStatement):
+        stmt._og_hints = hints
     if isinstance(stmt, ast.SelectStatement):
         _fold_now(
             stmt,

@@ -59,10 +59,17 @@ def _is_time_ref(e: ast.Node) -> bool:
 
 
 class Planner:
-    def __init__(self, spark: SparkSession, sf_dir: str, loader=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        loader=None,
+        catalog_names: list[str] | None = None,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.loader = loader      # optional: measurement name -> DataFrame
+        self.catalog_names = catalog_names  # measurements for SHOW scans
         self._agg_subst: dict[int, str] = {}  # agg-call node id -> hidden col
         self._in_subquery = False  # True while planning a derived table
         self._agg_interval_ns: int | None = None  # GROUP BY time interval
@@ -221,6 +228,20 @@ class Planner:
             assert isinstance(e.rhs, ast.RegexLit), "regex match needs /regex/"
             m = c.rlike(e.rhs.pattern)
             return m if op == "=~" else ~m
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            # a STRING column (tag or string field) compared to a numeric
+            # literal is a type mismatch: no rows match (the reference's
+            # condition compiler drops the cursor — TagFilter "tag1=1")
+            for ref, lit in ((e.lhs, e.rhs), (e.rhs, e.lhs)):
+                if (
+                    isinstance(ref, ast.VarRef)
+                    and isinstance(lit, ast.Literal)
+                    and isinstance(lit.value, (int, float))
+                    and not isinstance(lit.value, bool)
+                    and self._cur_df is not None
+                    and dict(self._cur_df.dtypes).get(ref.name) == "string"
+                ):
+                    return F.lit(False)
         lhs, rhs = self.col_expr(e.lhs), self.col_expr(e.rhs)
         if op == "and":
             return lhs & rhs
@@ -265,6 +286,22 @@ class Planner:
         "floor": F.floor, "ceil": F.ceil, "round": F.round, "sgn": F.signum,
         "strlen": F.length, "lower": F.lower, "upper": F.upper,
     }
+
+    @staticmethod
+    def _field_refs(e: ast.Node) -> list[str]:
+        """Column names an expression reads (document order, no '*')."""
+        if isinstance(e, ast.VarRef):
+            return [] if e.name == "*" else [e.name]
+        if isinstance(e, ast.Call):
+            out: list[str] = []
+            for a in e.args:
+                out += Planner._field_refs(a)
+            return out
+        if isinstance(e, ast.BinaryExpr):
+            return Planner._field_refs(e.lhs) + Planner._field_refs(e.rhs)
+        if isinstance(e, ast.UnaryExpr):
+            return Planner._field_refs(e.expr)
+        return []
 
     @staticmethod
     def _expr_has_variable(e: ast.Node) -> bool:
@@ -446,12 +483,21 @@ class Planner:
                 .otherwise(slope)
                 .alias(out)
             )
+        if name == "ad_rmse_ext":
+            return self._ad_rmse_col(call, c, out)
         if name == "spread":
             return (F.max(c) - F.min(c)).alias(out)
         if name == "first":
-            return F.min_by(col_name, TIME_COL).alias(out)
+            # first non-null value per column — columns advance
+            # independently (HintQuery "exact first query": first_f2 comes
+            # from a later row than first_f1)
+            return F.min_by(
+                col_name, F.when(c.isNotNull(), F.col(TIME_COL))
+            ).alias(out)
         if name == "last":
-            return F.max_by(col_name, TIME_COL).alias(out)
+            return F.max_by(
+                col_name, F.when(c.isNotNull(), F.col(TIME_COL))
+            ).alias(out)
         if name == "distinct":
             return F.collect_set(c).alias(out)
         if name == "percentile":
@@ -743,6 +789,30 @@ class Planner:
         # of per-series streams orders equal-time rows by series key)
         self._cur_tags_meta = list(_tags_meta) if _tags_meta else None
         self._cur_df = df  # schema context for type-directed scalars (cast_*)
+        hints = getattr(stmt, "_og_hints", None) or set()
+        if "specific_series" in hints:
+            # specific-series scan emits in value order (the reference
+            # streams series in creation order — FullSeries test)
+            self._cur_tags_meta = None
+        if "full_series" in hints and _tags_meta:
+            # full-series match: the WHERE tag set IS the whole series key
+            # — any tag not named in the condition must be absent
+            referenced: set[str] = set()
+
+            def _refs(n: ast.Node) -> None:
+                if isinstance(n, ast.VarRef):
+                    referenced.add(n.name)
+                elif isinstance(n, ast.BinaryExpr):
+                    _refs(n.lhs)
+                    _refs(n.rhs)
+                elif isinstance(n, ast.UnaryExpr):
+                    _refs(n.expr)
+
+            if stmt.where is not None:
+                _refs(stmt.where)
+            for t in _tags_meta:
+                if t not in referenced and t in df.columns:
+                    df = df.filter(F.col(t).isNull())
         if stmt.group_tags:
             # duplicate dimensions collapse (GROUP BY region,region —
             # server_test.go TagOrder "group by tag2,tag1")
@@ -802,11 +872,21 @@ class Planner:
             for f in stmt.fields:
                 if isinstance(f.expr, ast.VarRef) and f.expr.name == "*" \
                         and f.alias is None:
+                    hint = f.expr.hint
+                    tagset = (
+                        set(_tags_meta) if _tags_meta is not None
+                        else set(self.tag_columns(df))
+                    )
                     expanded.extend(
                         ast.Field(ast.VarRef(c))
                         for c in sorted(df.columns)
                         if c not in (TIME_COL, "ts", *stmt.group_tags)
                         and not c.startswith("__")
+                        and (
+                            hint is None
+                            or (hint == "tag" and c in tagset)
+                            or (hint == "field" and c not in tagset)
+                        )
                     )
                 else:
                     expanded.append(f)
@@ -863,6 +943,36 @@ class Planner:
             and isinstance(calls[0][1].args[0], (ast.Call, ast.VarRef))
         ):
             return self._plan_transform(stmt, df, calls[0][0])
+        if (
+            len(calls) > 1
+            and len(calls) == len(stmt.fields)
+            and all(
+                c.args
+                and isinstance(c.args[0], ast.VarRef)
+                and (
+                    c.name in self._TRANSFORMS
+                    # a call over a nonexistent field contributes an
+                    # all-null column whatever the function is
+                    or c.args[0].name not in df.columns
+                )
+                for _, c in calls
+            )
+        ):
+            return self._plan_multi_transform(stmt, df, calls)
+        if any(
+            c.args
+            and isinstance(c.args[0], ast.VarRef)
+            and c.args[0].name not in ("*",)
+            and c.args[0].name.lower() != "time"
+            and c.args[0].name not in df.columns
+            for _, c in calls
+        ):
+            # an aggregate over a field the measurement doesn't carry:
+            # the cursor is empty, nothing is emitted (Detect_Aggregate
+            # "ad_rmse_ext null")
+            return self.spark.createDataFrame([], "time long").select(
+                F.col("time").alias("time")
+            )
         if len(calls) == 1 and calls[0][1].name == "sliding_window":
             return self._plan_sliding_window(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name in ("top", "bottom"):
@@ -871,6 +981,13 @@ class Planner:
             return self._plan_recursive(stmt, df, calls[0][0])
         if len(calls) == 1 and calls[0][1].name == "sample":
             return self._plan_sample(stmt, df, calls[0][0])
+        if (
+            len(calls) == 1
+            and len(stmt.fields) == 1
+            and calls[0][1].name == "ad_rmse_ext"
+            and stmt.group_time is None
+        ):
+            return self._plan_ad_rmse(stmt, df, calls[0][0])
         if (
             len(calls) == 1
             and len(stmt.fields) == 1
@@ -1585,13 +1702,18 @@ class Planner:
                     out_cols.append((n, qcol(n)))
         else:
             for f in stmt.fields:
-                if not isinstance(f.expr, ast.VarRef):
-                    raise ValueError(
-                        "InfluxQL: JOIN SELECT supports column references"
+                if isinstance(f.expr, ast.VarRef):
+                    i, c = split_ref(f.expr.name)
+                    n = leg_col(i, c)
+                    out_cols.append((f.alias or f.expr.name, qcol(n)))
+                else:
+                    # expressions over qualified refs (`2 * t1.cu_as +
+                    # t2.ce_as` — Multi_Metric_Detection): the prefixed
+                    # column names resolve directly in the joined frame
+                    name = f.alias or (
+                        self._default_field_name(f.expr) or "expr"
                     )
-                i, c = split_ref(f.expr.name)
-                n = leg_col(i, c)
-                out_cols.append((f.alias or f.expr.name, qcol(n)))
+                    out_cols.append((name, self.col_expr(f.expr)))
 
         if stmt.where is not None:
             cur = cur.filter(self.col_expr(stmt.where))
@@ -1631,6 +1753,128 @@ class Planner:
         if stmt.limit:
             final = final.limit(stmt.limit)
         return final
+
+    def _ad_rmse_struct(self, call: ast.Call, c: Column) -> Column:
+        """ad_rmse_ext(x) fold → struct(t, v): RMSE of the series' second
+        half against its first (time order), normalized by
+        max(1, min(half means)), stamped at the group's first time
+        (ADRMseExtReduce, engine/executor/agg_func.go:88)."""
+        if (
+            isinstance(call.args[0], ast.VarRef)
+            and self._cur_df is not None
+            and dict(self._cur_df.dtypes).get(call.args[0].name) == "string"
+        ):
+            raise ValueError(
+                "unsupported (ad_rmse_ext) iterator type: (string)"
+            )
+        arr = F.array_sort(
+            F.collect_list(
+                F.when(
+                    c.isNotNull(),
+                    F.struct(
+                        F.col(TIME_COL).alias("t"),
+                        c.cast("double").alias("v"),
+                    ),
+                )
+            )
+        )
+        vals = F.transform(arr, lambda s: s["v"])
+        n = F.size(vals)
+        mid = F.floor(n / F.lit(2)).cast("int")
+        pred = F.slice(vals, F.lit(1), mid)
+        act = F.slice(vals, mid + (n % F.lit(2)) + F.lit(1), mid)
+        sq = F.zip_with(pred, act, lambda p, a: (a - p) * (a - p))
+        rmse = F.sqrt(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / mid
+        )
+        pm = F.aggregate(pred, F.lit(0.0), lambda a, x: a + x) / mid
+        am = F.aggregate(act, F.lit(0.0), lambda a, x: a + x) / mid
+        sub = F.greatest(F.lit(1.0), F.least(pm, am))
+        val = (
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(n == 1, F.lit(0.0))
+            .otherwise(rmse / sub)
+        )
+        t0 = F.when(n > 0, F.element_at(arr, 1)["t"])
+        return F.struct(t0.alias("t"), val.alias("v"))
+
+    def _ad_rmse_col(self, call: ast.Call, c: Column, out: str) -> Column:
+        return self._ad_rmse_struct(call, c)["v"].alias(out)
+
+    def _plan_ad_rmse(
+        self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
+    ) -> DataFrame:
+        """Single-call ad_rmse_ext keeps the group's first row time
+        (Detect_Aggregate); in a multi-aggregate projection the usual
+        lower-bound time applies instead (Multi_Metric_Detection)."""
+        call = f.expr
+        fld = call.args[0].name
+        out = self._out_name(f, "ad_rmse_ext")
+        src = df.filter(F.col(fld).isNotNull())
+        g = (
+            src.groupBy(*stmt.group_tags)
+            if stmt.group_tags
+            else src.groupBy()
+        )
+        res = g.agg(self._ad_rmse_struct(call, F.col(fld)).alias("__r"))
+        res = res.filter(F.col("__r.t").isNotNull())
+        return res.select(
+            F.col("__r.t").alias("time"),
+            *stmt.group_tags,
+            F.col("__r.v").alias(out),
+        )
+
+    def _plan_multi_transform(
+        self, stmt: ast.SelectStatement, df: DataFrame, calls
+    ) -> DataFrame:
+        """Several transform calls in one SELECT (For_BugList
+        "multi-agg"): each runs independently over the source, results
+        align by (time, dims) full-outer in projection order; a transform
+        over a nonexistent field contributes an all-null column."""
+        from functools import reduce
+
+        gcols = [f"__tag_{t}" for t in stmt.group_tags]
+        frames: list[DataFrame] = []
+        null_cols: list[str] = []
+        names: list[str] = []
+        for f, call in calls:
+            out_name = self._out_name(
+                f, self._default_field_name(f.expr) or call.name
+            )
+            names.append(out_name)
+            if call.args[0].name not in df.columns:
+                null_cols.append(out_name)
+                continue
+            sub = ast.SelectStatement(
+                fields=[f],
+                source=stmt.source,
+                group_time=stmt.group_time,
+                group_tags=list(stmt.group_tags),
+            )
+            res = self._plan_transform(sub, df, f)
+            qn = F.col(f"`{out_name}`") if "." in out_name else F.col(out_name)
+            frames.append(res.select("time", *gcols, qn.alias(out_name)))
+        if not frames:
+            raise ValueError("InfluxQL: no transformable fields")
+        out = reduce(
+            lambda a, b: a.join(b, on=["time", *gcols], how="full_outer"),
+            frames,
+        )
+        for c in null_cols:
+            out = out.withColumn(c, F.lit(None).cast("double"))
+        out = out.select(
+            "time",
+            *gcols,
+            *[
+                (F.col(f"`{n}`") if "." in n else F.col(n))
+                for n in names
+            ],
+        ).orderBy(*gcols, "time")
+        if stmt.offset:
+            out = out.offset(stmt.offset)
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        return out
 
     def _plan_transform(
         self, stmt: ast.SelectStatement, df: DataFrame, f: ast.Field
@@ -2549,6 +2793,10 @@ class Planner:
             agg_fn = F.max_by if call.name in ("max", "last") else F.min_by
             g = df.groupBy(*gcols) if gcols else df.groupBy()
             out = g.agg(agg_fn(pick, key).alias("__pick"))
+            # a global aggregate over ZERO rows yields one all-null row in
+            # Spark; the reference's empty cursor emits nothing
+            # (PreAgg_WithEmptyData "max float" → empty result)
+            out = out.filter(F.col("__pick").isNotNull())
         sel_out = self._out_name(sel, call.name)
         time_col = (
             F.col("__bucket") if stmt.group_time is not None
@@ -2606,9 +2854,38 @@ class Planner:
         # raw GROUP BY tags: tag columns ride along (prefixed) for series
         # shaping — the block tag-set, distinct from selected value columns
         cols += [F.col(t).alias(f"__tag_{t}") for t in stmt.group_tags]
+        # a row is emitted only when at least one selected FIELD is
+        # non-null (the reference's column iterators never surface rows
+        # for fields the series doesn't carry — AcrossShardsAndFields);
+        # a SELECT naming a nonexistent field projects nulls, not errors
+        tagset = set(self._cur_tags_meta or ())
+        # the row-emission test runs against the SOURCE fields an output
+        # draws from (a null expression over a present field still emits —
+        # ip_mask of a malformed address), so collect source columns
+        field_srcs: list[Column] = []
+        any_unknown_only = False
         for f in stmt.fields:
             default = self._default_field_name(f.expr) or "expr"
-            cols.append(self.col_expr(f.expr).alias(self._out_name(f, default)))
+            out_name = self._out_name(f, default)
+            if (
+                isinstance(f.expr, ast.VarRef)
+                and f.expr.name.lower() != "time"
+                and f.expr.name not in df.columns
+            ):
+                cols.append(F.lit(None).alias(out_name))
+                any_unknown_only = True
+                continue
+            cols.append(self.col_expr(f.expr).alias(out_name))
+            if isinstance(f.expr, ast.Literal):
+                continue
+            refs = self._field_refs(f.expr)
+            for r in refs:
+                if (
+                    r.lower() != "time"
+                    and r not in tagset
+                    and r in df.columns
+                ):
+                    field_srcs.append(F.col(f"`{r}`") if "." in r else F.col(r))
         # hidden series-key order column: the per-series stream merge
         # emits equal-time rows in series-key order (tsm iterator merge);
         # a derived table threads its inner __skey through
@@ -2631,7 +2908,40 @@ class Planner:
                         ],
                     ).alias("__skey")
                 )
+        # only a real measurement scan skips field-less rows — a derived
+        # table's nulls are materialized values the outer query re-emits
+        # (SubqueryMath "sum of three fields with holes" vs
+        # AcrossShardsAndFields "one result for core")
+        from_store = isinstance(stmt.source, (str, ast.RegexSource))
+        if from_store and field_srcs:
+            keep = None
+            for sc in field_srcs:
+                nn = sc.isNotNull()
+                keep = nn if keep is None else (keep | nn)
+            df = df.filter(keep)
+        elif from_store and any_unknown_only:
+            # only nonexistent fields selected: nothing can be emitted
+            df = df.limit(0)
         out = df.select(*cols)
+        if "filter_null_column" in (getattr(stmt, "_og_hints", None) or ()):
+            # Filter_Null_Column hint: value columns that are entirely
+            # null in the (row-filtered) result are dropped from the
+            # block (HintQuery_FilterNullColumn)
+            prune = [
+                c for c in out.columns
+                if c != "time" and not c.startswith("__")
+            ]
+            if prune:
+                cnt = out.select(
+                    *[
+                        F.count(F.col(f"`{c}`") if "." in c else F.col(c))
+                        .alias(f"c{i}")
+                        for i, c in enumerate(prune)
+                    ]
+                ).first()
+                empty = [c for i, c in enumerate(prune) if cnt[f"c{i}"] == 0]
+                if empty:
+                    out = out.drop(*empty)
         if "time" in out.columns:
             out = out.orderBy(
                 F.col("time").desc() if stmt.order_desc else F.col("time").asc()
@@ -2704,6 +3014,37 @@ class Planner:
             return self.spark.createDataFrame(
                 [(len(names),)], "count long"
             )
+        if stmt.what == "series":
+            # series key = measurement,tag1=v1,tag2=v2 (inverted-index
+            # dump); without FROM, every measurement contributes
+            # (HintQuery "show series")
+            names = (
+                [stmt.source]
+                if stmt.source
+                else sorted(self.catalog_names or list(TABLES))
+            )
+            frames = []
+            for nm in names:
+                try:
+                    d = self._load(nm)
+                except ValueError:
+                    continue
+                tags = sorted(
+                    getattr(d, "_og_tag_cols", None) or self.tag_columns(d)
+                )
+                key = F.concat_ws(
+                    ",",
+                    F.lit(nm),
+                    *[
+                        F.concat(F.lit(f"{t}="), F.col(t).cast("string"))
+                        for t in tags
+                    ],
+                )
+                frames.append(d.select(key.alias("key")).distinct())
+            from functools import reduce
+
+            out = reduce(lambda a, b: a.unionAll(b), frames)
+            return out.distinct().orderBy("key")
         df = self._load(stmt.source or "events")
         if stmt.what == "series_cardinality":
             tags = self.tag_columns(df)
@@ -2722,20 +3063,6 @@ class Planner:
                 df.select(F.col(stmt.key).alias("value"))
                 .distinct()
                 .orderBy("value")
-            )
-        if stmt.what == "series":
-            # series key = measurement,tag1=v1,tag2=v2 (inverted-index dump)
-            tags = self.tag_columns(df)
-            key = F.concat_ws(
-                ",",
-                F.lit(stmt.source or "events"),
-                *[
-                    F.concat(F.lit(f"{t}="), F.col(t).cast("string"))
-                    for t in tags
-                ],
-            )
-            return (
-                df.select(key.alias("key")).distinct().orderBy("key")
             )
         raise ValueError(f"InfluxQL: unsupported SHOW {stmt.what}")
 

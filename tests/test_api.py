@@ -74,7 +74,8 @@ def test_ddl_routed_through_query(spark, sf_dir, tmp_path):
         ddl=ddl,
     )
     r = out["results"]
-    assert r[0]["ok"] is True
+    # wire shape: a successful DDL is a bare {"statement_id": n}
+    assert r[0] == {"statement_id": 0}
     assert r[1]["series"][0]["values"] == [["tsdb"]]
     assert r[2]["series"][0]["columns"] == ["time", "n"]
 

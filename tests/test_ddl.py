@@ -231,7 +231,7 @@ def test_stream_ddl_routed_through_query_api(ddl, spark, sf_dir):
         ddl=ddl,
     )
     r = out["results"]
-    assert r[0]["ok"] is True
+    assert r[0] == {"statement_id": 0}
     assert r[1]["series"][0]["values"][0][0] == "sq"
     assert r[2]["series"] == []
 
