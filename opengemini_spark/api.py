@@ -244,7 +244,7 @@ def handle_query(
                 measurement = ",".join(names)
             else:
                 measurement = (
-                    src.source.rsplit(".", 1)[-1]
+                    _resolve_measurement_name(src.source, catalog_names)
                     if isinstance(src, iast.SelectStatement)
                     and isinstance(src.source, str) else "results"
                 )
@@ -318,6 +318,23 @@ def handle_query(
             )
         }
     return out
+
+
+def _resolve_measurement_name(
+    source: str, catalog_names: list[str] | None
+) -> str:
+    """db[.rp].measurement → measurement, honoring measurement names that
+    themselves contain dots (planner._load candidate order)."""
+    parts = source.split(".")
+    candidates = [
+        source,
+        *(".".join(parts[k:]) for k in (1, 2) if len(parts) > k),
+    ]
+    known = set(catalog_names or ())
+    for c in candidates:
+        if c in known:
+            return c
+    return parts[-1]
 
 
 def _regex_source_result(

@@ -78,21 +78,42 @@ class Planner:
 
     # --- schema roles ---
     def _load(self, measurement: str) -> DataFrame:
-        # db.rp.measurement → measurement (db/rp resolution is metadata-only)
-        name = measurement.rsplit(".", 1)[-1]
-        if self.loader is not None:
-            df = self.loader(name)
-            if df is not None:
-                return df
-        try:
-            return load_table(self.spark, self.sf_dir, name)
-        except Exception as e:  # PATH_NOT_FOUND AnalysisException
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                # reference per-statement error (coordinator returns
-                # ErrMeasurementNotFound; server_test.go "missing
-                # measurement with group by")
-                raise ValueError("measurement not found") from None
-            raise
+        # db.rp.measurement → measurement (db/rp resolution is
+        # metadata-only). Measurement names may themselves contain dots
+        # (`db0.rp0."SmartServer.serverkits_mem_monitor"`), so candidates
+        # are: the full name, then with 1 or 2 leading dot-segments (rp /
+        # db.rp) stripped, then the last segment.
+        parts = measurement.split(".")
+        candidates = list(
+            dict.fromkeys(
+                [
+                    measurement,
+                    *(
+                        ".".join(parts[k:])
+                        for k in (1, 2)
+                        if len(parts) > k
+                    ),
+                    parts[-1],
+                ]
+            )
+        )
+        for i, name in enumerate(candidates):
+            last = i == len(candidates) - 1
+            if self.loader is not None:
+                df = self.loader(name)
+                if df is not None:
+                    return df
+            try:
+                return load_table(self.spark, self.sf_dir, name)
+            except Exception as e:  # PATH_NOT_FOUND AnalysisException
+                if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                    if last:
+                        # reference per-statement error (coordinator
+                        # returns ErrMeasurementNotFound)
+                        raise ValueError("measurement not found") from None
+                    continue
+                raise
+        raise ValueError("measurement not found")
 
     @staticmethod
     def tag_columns(df: DataFrame) -> list[str]:
@@ -422,7 +443,9 @@ class Planner:
             return F.countDistinct(arg.args[0].name).alias(out)
         assert isinstance(arg, ast.VarRef), f"agg over expression: {name}"
         # COUNT(TIME) counts every point (the time column is never null)
-        col_name = TIME_COL if arg.name.lower() == "time" else arg.name
+        raw_name = TIME_COL if arg.name.lower() == "time" else arg.name
+        # dotted field names are plain columns, not struct paths
+        col_name = f"`{raw_name}`" if "." in raw_name else raw_name
         c = F.col(col_name)
         if name in self._SIMPLE_AGGS:
             return self._SIMPLE_AGGS[name](c).alias(out)
