@@ -39,8 +39,22 @@ def handle_query(
     max_row_limit: int | None = None,
     ddl=None,
     data_root: str | None = None,
+    db: str | None = "db0",
+    databases: dict[str, set[str]] | None = None,
+    now_ns: int | None = None,
 ) -> dict:
     """Execute one or more InfluxQL statements → InfluxDB response JSON.
+
+    ``db``: the request's ``db`` URL parameter (default db0 — the corpus
+    convention). ``None`` means no database was selected: unqualified
+    measurement sources then error ``database name required``
+    (httpd/handler.go query param validation).
+
+    ``databases``: optional db → retention-policy-set registry; when
+    given, qualified sources are checked against it and unknown names
+    error ``database not found: X`` / ``retention policy not found: Y``
+    (coordinator meta checks, server_test.go Query_Common). ``None``
+    (default) skips existence checks.
 
     ``ddl``: optional :class:`opengemini_spark.ddl.DDLExecutor` — when
     given, DDL statements (CREATE DATABASE, …) are dispatched to it first,
@@ -80,7 +94,22 @@ def handle_query(
             elif low0.startswith("explain "):
                 explain = True
                 stmt_text = stmt_text[len("explain "):]
-            stmt = parse(stmt_text)
+            stmt = parse(stmt_text, now_ns=now_ns)
+            for src_db, src_rp in getattr(stmt, "_og_src_meta", None) or []:
+                if src_db is None and db is None:
+                    raise ValueError("database name required")
+                if databases is not None:
+                    if src_db is not None and src_db not in databases:
+                        raise ValueError(f"database not found: {src_db}")
+                    eff_db = src_db if src_db is not None else db
+                    if (
+                        src_rp is not None
+                        and eff_db in databases
+                        and src_rp not in databases[eff_db]
+                    ):
+                        raise ValueError(
+                            f"retention policy not found: {src_rp}"
+                        )
             loader = None
             if data_root is not None:
                 import os as _os
@@ -158,7 +187,14 @@ def handle_query(
                             {
                                 "name": "result",
                                 "columns": ["time", "written"],
-                                "values": [[0, df.count()]],
+                                # the written-count row is stamped t=0,
+                                # formatted like any other time value
+                                # (TopBottomWriteTags expects RFC3339)
+                                "values": [[
+                                    0 if epoch is not None
+                                    else "1970-01-01T00:00:00Z",
+                                    df.count(),
+                                ]],
                             }
                         ],
                     }
@@ -216,6 +252,10 @@ def handle_query(
                     inner = n
                     while isinstance(inner.source, iast.SelectStatement):
                         inner = inner.source
+                    if isinstance(inner.source, iast.UnionStatement):
+                        # SELECT … FROM <union-CTE>: name after the
+                        # union's own leaf measurements
+                        return _union_names(inner.source)
                     if isinstance(inner.source, str):
                         return [inner.source.rsplit(".", 1)[-1]]
                     return []
@@ -266,7 +306,9 @@ def handle_query(
             )
             # distinct emits values in first-occurrence order (per bucket
             # under GROUP BY time) — the plan's order is the result order
-            presorted = is_join or (
+            presorted = is_join or isinstance(
+                stmt, iast.UnionStatement
+            ) or (
                 isinstance(stmt, iast.SelectStatement)
                 and any(
                     isinstance(fl.expr, iast.Call)

@@ -23,10 +23,50 @@ from opengemini_spark.influxql import ast
 from opengemini_spark.influxql.lexer import Tok, lex
 
 
+def _split_db_segments(raw: str) -> list[str]:
+    """Split a raw FROM-clause identifier on dots OUTSIDE double quotes —
+    the influxql scanner's db.rp.measurement structure (a quoted segment
+    may itself contain dots: ``db0.rp0."SmartServer.mem"``)."""
+    segs: list[str] = []
+    cur: list[str] = []
+    inq = False
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == '"':
+            inq = not inq
+        elif c == "\\" and inq and i + 1 < len(raw):
+            cur.append(raw[i + 1])
+            i += 1
+        elif c == "." and not inq:
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    segs.append("".join(cur))
+    return segs
+
+
 class Parser:
     def __init__(self, toks: list[Tok]):
         self.toks = toks
         self.i = 0
+        # (db|None, rp|None) per measurement source encountered anywhere
+        # in the statement (subqueries/joins included) — the coordinator's
+        # db/rp existence checks run over these (server_test.go
+        # Query_Common "database not found" / "retention policy not
+        # found" / "database name required")
+        self.src_meta: list[tuple[str | None, str | None]] = []
+
+    def _record_src(self, tok: Tok) -> None:
+        segs = _split_db_segments(tok.text)
+        if len(segs) >= 3:
+            self.src_meta.append((segs[0], segs[1]))
+        elif len(segs) == 2:
+            self.src_meta.append((None, segs[0]))
+        else:
+            self.src_meta.append((None, None))
 
     # --- token helpers ---
     def peek(self) -> Tok:
@@ -100,12 +140,15 @@ class Parser:
             self.expect("KEYWORD", "as")
             self.expect("OP", "(")
             self.expect("KEYWORD", "select")
-            ctes[name] = self.select_statement(sub=True)
+            # a CTE body may itself be a UNION chain (Union_Table
+            # "union CTE": with u1 as (select … union all select …) …)
+            ctes[name] = self._maybe_union(self.select_statement(sub=True))
             self.expect("OP", ")")
             if not self.accept("OP", ","):
                 break
         self.expect("KEYWORD", "select")
-        stmt = self.select_statement()
+        stmt = self._maybe_union(self.select_statement(sub=True))
+        self.expect("EOF")
         _resolve_ctes(stmt, ctes, frozenset())
         return stmt
 
@@ -198,7 +241,9 @@ class Parser:
                 # independent plan + series block per source — expressed
                 # as an exact-alternation regex source so the established
                 # per-measurement machinery applies unchanged
-                names.append(self.expect("IDENT").value)
+                tok = self.expect("IDENT")
+                self._record_src(tok)
+                names.append(tok.value)
             alts = "|".join(
                 re.escape(n.rsplit(".", 1)[-1]) for n in names
             )
@@ -304,7 +349,9 @@ class Parser:
         elif self.peek().kind == "REGEX":
             return ast.RegexSource(self.next().value), None
         else:
-            src = self.expect("IDENT").value
+            tok = self.expect("IDENT")
+            self._record_src(tok)
+            src = tok.value
         alias = None
         if self.kw("as"):
             alias = self.expect("IDENT").value
@@ -465,10 +512,18 @@ class Parser:
             return ast.RegexLit(t.value)
         if t.kind == "KEYWORD" and t.text in ("time", "distinct"):
             # time as var ref; distinct(x) as call
-            if t.text == "distinct" and self.accept("OP", "("):
-                arg = self.expr()
-                self.expect("OP", ")")
-                return ast.Call("distinct", [arg])
+            if t.text == "distinct":
+                if self.accept("OP", "("):
+                    arg = self.expr()
+                    self.expect("OP", ")")
+                    return ast.Call("distinct", [arg])
+                if self.peek().kind == "IDENT":
+                    # COUNT(DISTINCT x) — keyword form without parens
+                    # (parser.go parseCall DISTINCT token path;
+                    # server_test.go FloatMany "count distinct - float")
+                    return ast.Call(
+                        "distinct", [ast.VarRef(self.next().value)]
+                    )
             return ast.VarRef("time")
         if t.kind == "KEYWORD" and t.text == "null":
             return ast.Literal(None)
@@ -544,6 +599,9 @@ def _resolve_ctes(stmt, ctes: dict, visiting: frozenset) -> None:
         elif isinstance(n, ast.UnaryExpr):
             walk_cond(n.expr)
 
+    if isinstance(stmt, ast.UnionStatement):
+        _resolve_ctes(stmt.left, ctes, visiting)
+        _resolve_ctes(stmt.right, ctes, visiting)
     if isinstance(stmt, ast.SelectStatement):
         stmt.source = resolve_source(stmt.source)
         if stmt.where is not None:
@@ -583,8 +641,14 @@ def _fold_now(node, now_ns: int):
     if isinstance(node, ast.SelectStatement):
         if node.where is not None:
             node.where = _fold_now(node.where, now_ns)
-        if isinstance(node.source, ast.SelectStatement):
+        if isinstance(
+            node.source, (ast.SelectStatement, ast.UnionStatement)
+        ):
             _fold_now(node.source, now_ns)
+        return node
+    if isinstance(node, ast.UnionStatement):
+        _fold_now(node.left, now_ns)
+        _fold_now(node.right, now_ns)
         return node
     return node
 
@@ -603,7 +667,12 @@ def parse(src: str, now_ns: int | None = None) -> ast.Node:
         if h.strip()
     }
     src = re.sub(r"/\*.*?\*/", " ", src)
-    stmt = Parser(lex(src)).parse_statement()
+    p = Parser(lex(src))
+    stmt = p.parse_statement()
+    try:
+        stmt._og_src_meta = p.src_meta
+    except AttributeError:
+        pass
     if isinstance(stmt, ast.SelectStatement):
         stmt._og_hints = hints
     if isinstance(stmt, ast.SelectStatement):

@@ -413,6 +413,139 @@ class Planner:
         return ip_mask_dual(self.col_expr(e.args[0]), v4, v6)
 
     _CASTS = ("cast_int64", "cast_float64", "cast_bool", "cast_string")
+    # materialize-registry string functions (string_functions.go:74-133)
+    _STRING_SCALARS = ("str", "position", "substr", "json_object")
+
+    @staticmethod
+    def _is_scalar_fn(name: str) -> bool:
+        return (
+            name in Planner._SCALARS
+            or name in ("pow", "ip_mask")
+            or name in Planner._CASTS
+            or name in Planner._STRING_SCALARS
+        )
+
+    def _arg_influx_type(self, a: ast.Node) -> str | None:
+        """influxql DataType name of an argument, for reference-parity
+        type-check errors (float/integer/string/boolean)."""
+        if isinstance(a, ast.VarRef) and self._cur_df is not None:
+            dt = dict(self._cur_df.dtypes).get(a.name)
+            return {
+                "double": "float", "float": "float", "bigint": "integer",
+                "int": "integer", "string": "string", "boolean": "boolean",
+            }.get(dt)
+        if isinstance(a, ast.Literal):
+            if isinstance(a.value, bool):
+                return "boolean"
+            if isinstance(a.value, str):
+                return "string"
+            if isinstance(a.value, int):
+                return "integer"
+            if isinstance(a.value, float):
+                return "float"
+        return None
+
+    def _string_fn_call(self, e: ast.Call) -> Column:
+        """str/position/substr/json_object (string_functions.go strFunc,
+        positionFunc, subStrFunc, jsonObjectFunc) — row-scalar text
+        functions with the reference's exact validation messages."""
+        name = e.name
+        if name == "json_object":
+            if len(e.args) == 0 or len(e.args) % 2 != 0:
+                raise ValueError(
+                    "invalid number of arguments for json_object"
+                )
+            pieces: list[Column] = []
+            import json as _json
+
+            for i in range(0, len(e.args), 2):
+                k = e.args[i]
+                if not (
+                    isinstance(k, ast.Literal) and isinstance(k.value, str)
+                ):
+                    raise ValueError(
+                        "json key must be string in json_object(): "
+                        f"{self._render_arg(k).strip(chr(39))}"
+                    )
+                if pieces:
+                    pieces.append(F.lit(","))
+                pieces.append(F.lit(_json.dumps(k.value) + ":"))
+                pieces.append(self._json_marshal(e.args[i + 1]))
+            return F.concat(F.lit("{"), *pieces, F.lit("}"))
+        if name in ("str", "position"):
+            if len(e.args) != 2:
+                raise ValueError(
+                    f"invalid number of arguments for {name}, "
+                    f"expected 2, got {len(e.args)}"
+                )
+            if not (
+                isinstance(e.args[1], ast.Literal)
+                and isinstance(e.args[1].value, str)
+            ):
+                raise ValueError(
+                    f"invalid argument type for the 2nd argument in "
+                    f"{name}(): {self._render_arg(e.args[1]).strip(chr(39))}"
+                )
+            t0 = self._arg_influx_type(e.args[0])
+            if t0 is not None and t0 != "string":
+                raise ValueError(
+                    "invalid argument type for the first argument in "
+                    f"{name}(): {t0}"
+                )
+            s = self.col_expr(e.args[0])
+            sub = e.args[1].value
+            if name == "str":
+                # strings.Contains (strFunc CallFunc)
+                return s.contains(F.lit(sub))
+            # strings.Index + 1 — 0 when absent (positionFunc CallFunc);
+            # instr is exactly that 1-based convention
+            return F.instr(s, F.lit(sub)).cast("long")
+        # substr(s, start[, len]) — Go slice semantics (SubStrTwoParaFunc /
+        # SubStrThreeParaFunc: byte offsets, clamped tails)
+        if len(e.args) < 2 or len(e.args) > 3:
+            raise ValueError(
+                f"invalid number of arguments for substr, expected 1, "
+                f"got {len(e.args)}"
+            )
+        t0 = self._arg_influx_type(e.args[0])
+        if t0 is not None and t0 != "string":
+            raise ValueError(
+                "invalid argument type for the first argument in "
+                f"substr(): {t0}"
+            )
+        s = self.col_expr(e.args[0])
+        start = int(e.args[1].value)
+        if len(e.args) == 2:
+            return F.when(
+                F.lit(start) > F.length(s), F.lit("")
+            ).otherwise(F.substring(s, start + 1, 2**31 - 1))
+        sublen = int(e.args[2].value)
+        return F.when(
+            F.lit(start) >= F.length(s), F.lit("")
+        ).otherwise(F.substring(s, start + 1, sublen))
+
+    def _json_marshal(self, a: ast.Node) -> Column:
+        """Render one json_object value like Go json.Marshal: strings
+        quoted+escaped, integral floats without the trailing .0, nulls as
+        the literal null (jsonObjectFunc CallFunc)."""
+        col = self.col_expr(a)
+        t = self._arg_influx_type(a)
+        if t == "string":
+            esc = F.regexp_replace(col, r'([\\"])', r"\\$1")
+            return F.coalesce(
+                F.concat(F.lit('"'), esc, F.lit('"')), F.lit("null")
+            )
+        if t == "boolean":
+            return F.coalesce(col.cast("string"), F.lit("null"))
+        if t == "float":
+            as_long = col.try_cast("long")
+            return F.coalesce(
+                F.when(
+                    col == as_long.cast("double"), as_long.cast("string")
+                ).otherwise(col.cast("string")),
+                F.lit("null"),
+            )
+        return F.coalesce(col.cast("string"), F.lit("null"))
 
     def _scalar_call(self, e: ast.Call) -> Column:
         if e.name == "pow":
@@ -421,6 +554,8 @@ class Planner:
             return self._cast_call(e)
         if e.name == "ip_mask":
             return self._ip_mask_call(e)
+        if e.name in self._STRING_SCALARS:
+            return self._string_fn_call(e)
         if e.name in self._SCALARS:
             return self._SCALARS[e.name](self.col_expr(e.args[0]))
         raise ValueError(f"InfluxQL: unknown scalar function {e.name!r}")
@@ -439,7 +574,13 @@ class Planner:
             and isinstance(arg, ast.Call)
             and arg.name == "distinct"
         ):
-            # COUNT(DISTINCT(field)) (Aggregates_Math "add two selectors")
+            # COUNT(DISTINCT(field)) (Aggregates_Math "add two selectors");
+            # a tag argument counts nothing — tags are not fields
+            # (server_test.go FloatMany "count distinct select tag" → 0)
+            if arg.args and isinstance(arg.args[0], ast.VarRef) and (
+                arg.args[0].name in (self._cur_tags_meta or ())
+            ):
+                return F.lit(0).cast("long").alias(out)
             return F.countDistinct(arg.args[0].name).alias(out)
         assert isinstance(arg, ast.VarRef), f"agg over expression: {name}"
         # COUNT(TIME) counts every point (the time column is never null)
@@ -468,8 +609,10 @@ class Planner:
                 * n / (n - F.lit(1.0))
             )
             return (
-                F.when(F.size(vals) == 0, F.lit(None).cast("double"))
-                .when(F.size(vals) == 1, F.lit(0.0))
+                # n<=1 → null: the wire shape drops the value
+                # (server_test.go "stddev with just one point" expects
+                # null; a lone sample has no dispersion)
+                F.when(F.size(vals) <= 1, F.lit(None).cast("double"))
                 .otherwise(F.sqrt(var))
                 .alias(out)
             )
@@ -700,12 +843,7 @@ class Planner:
     def _find_agg_calls(e: ast.Node) -> list[ast.Call]:
         """Every aggregate call inside an expression tree (document order)."""
         if isinstance(e, ast.Call):
-            if (
-                e.name not in Planner._SCALARS
-                and e.name != "pow"
-                and e.name != "ip_mask"
-                and e.name not in Planner._CASTS
-            ):
+            if not Planner._is_scalar_fn(e.name):
                 return [e]
             out = []
             for a in e.args:
@@ -730,10 +868,13 @@ class Planner:
         for cond in Planner._time_conds(e):
             if (
                 isinstance(cond, ast.BinaryExpr)
-                and cond.op in (">=", ">")
+                and cond.op in (">=", ">", "=")
                 and _is_time_ref(cond.lhs)
                 and isinstance(cond.rhs, ast.Literal)
             ):
+                # time = T is both bounds; the lower one stamps the row
+                # (server_test.go FloatOverlap "aggregation with no
+                # interval" — WHERE time = '…' emits that time)
                 best = max(best, _parse_time_literal(cond.rhs.value))
         return best
 
@@ -755,6 +896,18 @@ class Planner:
         for f in stmt.fields:
             if isinstance(f.expr, ast.Literal) and f.alias is None:
                 raise ValueError("field must contain at least one variable")
+        if isinstance(stmt.source, ast.UnionStatement):
+            # SELECT cols FROM <union-CTE> standalone: name projection
+            # over the ordered union result
+            u = self._plan_union(stmt.source)
+            sel = ["time"] if "time" in u.columns else []
+            for fld in stmt.fields:
+                assert isinstance(fld.expr, ast.VarRef), (
+                    "union CTE projection supports plain columns"
+                )
+                c = F.col(fld.expr.name)
+                sel.append(c.alias(fld.alias) if fld.alias else c)
+            return u.select(*sel)
         if isinstance(stmt.source, ast.MultiSource):
             df = self._plan_multisource(stmt.source)
         elif isinstance(stmt.source, ast.SelectStatement):
@@ -955,8 +1108,7 @@ class Planner:
 
         calls = [
             (f, f.expr) for f in stmt.fields if isinstance(f.expr, ast.Call)
-            and f.expr.name not in self._SCALARS and f.expr.name != "pow"
-            and f.expr.name != "ip_mask" and f.expr.name not in self._CASTS
+            and not self._is_scalar_fn(f.expr.name)
         ]
         containing = [self._find_agg_call(f.expr) for f in stmt.fields]
         if (
@@ -1050,6 +1202,14 @@ class Planner:
             )
         if len(calls) == 1 and calls[0][1].name == "distinct" and len(stmt.fields) == 1:
             arg = calls[0][1].args[0]
+            if isinstance(arg, ast.VarRef) and arg.name in (
+                self._cur_tags_meta or ()
+            ):
+                # DISTINCT over a tag selects no field at all
+                # (server_test.go FloatMany "distinct select tag")
+                raise ValueError(
+                    "statement must have at least one field in select clause"
+                )
             out_name = self._out_name(calls[0][0], "distinct")
             tags = list(stmt.group_tags)
             if stmt.group_time is not None:
@@ -1137,54 +1297,176 @@ class Planner:
         "holt_smoothing",
     )
 
+    @staticmethod
+    def _union_type(dt: str) -> str:
+        """influxql type class for union type checks."""
+        return {
+            "double": "float", "float": "float", "bigint": "integer",
+            "int": "integer", "smallint": "integer", "tinyint": "integer",
+            "string": "string", "boolean": "boolean",
+        }.get(dt, dt)
+
     def _plan_union(self, node: ast.UnionStatement) -> DataFrame:
+        out = self._plan_union_rec(node)
+        vis = [
+            F.col(f"`{c}`") if "." in c else F.col(c)
+            for c in out.columns
+            if not c.startswith("__")
+        ]
+        return out.orderBy(
+            F.col("__um").asc(), F.col("__urn").asc()
+        ).select(*vis)
+
+    def _plan_union_rec(self, node: ast.UnionStatement) -> DataFrame:
         """UNION [ALL] [BY NAME] (union transforms; server_test.go
-        Union_Distinct_Push_Down_Rule). Each leg plans independently with
-        its GROUP BY dims flattened back into columns (after the value
-        columns, in dim order); plain UNION maps columns positionally onto
-        the left side's names and de-duplicates, BY NAME matches by name
-        (missing → null) and emits columns name-sorted. Emission order is
-        the shape layer's (time, columns asc nulls last)."""
+        Union_Table / Union_Distinct_Push_Down_Rule). Each leg plans
+        independently with its GROUP BY dims flattened back into columns
+        (inserted before the trailing tag columns); plain UNION maps
+        columns positionally onto the left side's names — same column
+        count and per-index type class required — and de-duplicates;
+        BY NAME matches by name (missing → null, same-name same type)
+        and emits columns name-sorted. Row order is the reference union
+        transform's: legs by leaf measurement name, rows within a leg by
+        (time, the leg's own name-sorted columns); hidden __um/__urn
+        columns carry that order through the merges."""
 
         def qc(name: str) -> Column:
             return F.col(f"`{name}`") if "." in name else F.col(name)
 
+        def leaf_name(s) -> str:
+            inner = s
+            while isinstance(inner, ast.SelectStatement) and isinstance(
+                inner.source, ast.SelectStatement
+            ):
+                inner = inner.source
+            if isinstance(inner, ast.SelectStatement) and isinstance(
+                inner.source, str
+            ):
+                return inner.source.rsplit(".", 1)[-1]
+            return ""
+
         def leg(s) -> DataFrame:
             if isinstance(s, ast.UnionStatement):
-                return self._plan_union(s)
+                return self._plan_union_rec(s)
+            if isinstance(s, ast.SelectStatement) and isinstance(
+                s.source, ast.UnionStatement
+            ):
+                # SELECT cols FROM <union-CTE>: project by name over the
+                # union result, keeping its leg-order columns so the
+                # enclosing union still orders by leaf measurement
+                # (Union_Table "union CTE")
+                inner = self._plan_union_rec(s.source)
+                sel = (
+                    ["time"] if "time" in inner.columns else []
+                )
+                for fld in s.fields:
+                    assert isinstance(fld.expr, ast.VarRef), (
+                        "union CTE projection supports plain columns"
+                    )
+                    c = qc(fld.expr.name)
+                    sel.append(
+                        c.alias(fld.alias) if fld.alias else c
+                    )
+                return inner.select(*sel, "__urn", "__um")
             df = self.plan(s)
-            tags = [c for c in df.columns if c.startswith("__tag_")]
+            tags_meta = set(self._cur_tags_meta or ())
+            dims = [c for c in df.columns if c.startswith("__tag_")]
             vals = [
                 c
                 for c in df.columns
                 if c != "time" and not c.startswith("__")
             ]
+            # GROUP BY dims re-enter the column list before the trailing
+            # run of tag columns (Union_Table "unionall group by":
+            # [time f1 f3 t2 t1] for `select * from table2 group by t2`)
+            n_tail = 0
+            while n_tail < len(vals) and vals[-1 - n_tail] in tags_meta:
+                n_tail += 1
+            head = vals[: len(vals) - n_tail]
+            tail = vals[len(vals) - n_tail:]
             sel = []
             if "time" in df.columns:
                 sel.append(F.col("time"))
-            sel += [qc(v) for v in vals]
+            sel += [qc(v) for v in head]
             sel += [
-                F.col(t).alias(t.removeprefix("__tag_")) for t in tags
+                F.col(t).alias(t.removeprefix("__tag_")) for t in dims
             ]
-            return df.select(*sel)
+            sel += [qc(v) for v in tail]
+            out = df.select(*sel)
+            # per-leg emission order: (time, name-sorted own columns)
+            own_sorted = sorted(c for c in out.columns if c != "time")
+            okeys = (
+                [F.col("time").asc()] if "time" in out.columns else []
+            ) + [qc(c).asc() for c in own_sorted]
+            w = Window.partitionBy(F.lit(0)).orderBy(*okeys)
+            return out.withColumn(
+                "__urn", F.row_number().over(w)
+            ).withColumn("__um", F.lit(leaf_name(s)))
 
         left = leg(node.left)
         right = leg(node.right)
+        lvis = [c for c in left.columns if not c.startswith("__")]
+        rvis = [c for c in right.columns if not c.startswith("__")]
+        ltypes = dict(left.dtypes)
+        rtypes = dict(right.dtypes)
         if node.by_name:
+            for c in set(lvis) & set(rvis):
+                if c != "time" and self._union_type(
+                    ltypes[c]
+                ) != self._union_type(rtypes[c]):
+                    raise ValueError(
+                        "columns with same name must have the same data "
+                        "type when using union by name/union all by name"
+                    )
             out = left.unionByName(right, allowMissingColumns=True)
-            cols = sorted(c for c in out.columns if c != "time")
+            cols = sorted(
+                c for c in out.columns
+                if c != "time" and not c.startswith("__")
+            )
             out = out.select(
                 *(["time"] if "time" in out.columns else []),
                 *[qc(c) for c in cols],
+                "__urn", "__um",
             )
         else:
-            if len(left.columns) != len(right.columns):
+            if len(lvis) != len(rvis):
                 raise ValueError(
-                    "union: the column count of two tables is different"
+                    "union/union all can only apply to expressions with "
+                    "the same number of result columns"
                 )
-            out = left.union(right.toDF(*left.columns))
+            for lc, rc in zip(lvis, rvis):
+                if lc != "time" and self._union_type(
+                    ltypes[lc]
+                ) != self._union_type(rtypes[rc]):
+                    raise ValueError(
+                        "columns in the same index position must have the "
+                        "same data type when using union/union all"
+                    )
+            right = right.select(
+                *[qc(c) for c in rvis], "__urn", "__um"
+            ).toDF(*lvis, "__urn", "__um")
+            out = left.select(
+                *[qc(c) for c in lvis], "__urn", "__um"
+            ).union(right)
+            # positional maps values onto the left names, but the emitted
+            # column order is still name-sorted (Union_Table "union CTE":
+            # left columns (t1, f1) emit as [time, f1, t1])
+            cols = sorted(c for c in lvis if c != "time")
+            out = out.select(
+                *(["time"] if "time" in lvis else []),
+                *[qc(c) for c in cols],
+                "__urn", "__um",
+            )
         if not node.all:
-            out = out.distinct()
+            vis = [c for c in out.columns if not c.startswith("__")]
+            wd = Window.partitionBy(*[qc(c) for c in vis]).orderBy(
+                F.col("__um").asc(), F.col("__urn").asc()
+            )
+            out = (
+                out.withColumn("__dd", F.row_number().over(wd))
+                .filter(F.col("__dd") == 1)
+                .drop("__dd")
+            )
         return out
 
     def _plan_multisource(self, src: ast.MultiSource) -> DataFrame:
@@ -2079,6 +2361,23 @@ class Planner:
         fld = outer.args[0].name
         tags = stmt.group_tags
         name = outer.name
+        if "__ln" in df.columns:
+            _tm = getattr(df, "_og_tag_cols", None)
+            if not tags:
+                # merged stream (no GROUP BY): duplicate timestamps across
+                # different series collapse to the FIRST-written point
+                # before the lag runs (difference_derivative_time_duplicate
+                # — and a dt=0 pair must never reach derivative's divide)
+                wdup = Window.partitionBy(TIME_COL).orderBy(
+                    F.col("__ln").asc_nulls_last()
+                )
+                df = (
+                    df.withColumn("__dup_rn", F.row_number().over(wdup))
+                    .filter(F.col("__dup_rn") == 1)
+                    .drop("__dup_rn")
+                )
+            df = df.drop("__ln")
+            df._og_tag_cols = _tm
         if fld == "*":
             tag_cols = set(getattr(df, "_og_tag_cols", ()) or ())
             exclude = tag_cols | set(tags) | {TIME_COL}
@@ -2086,6 +2385,7 @@ class Planner:
                 sf.name
                 for sf in df.schema.fields
                 if sf.name not in exclude
+                and not sf.name.startswith("__")
                 and (
                     name == "elapsed"
                     or sf.dataType.simpleString() in self._NUMERIC_TYPES
@@ -2164,6 +2464,7 @@ class Planner:
                 flds = [
                     sf.name for sf in df.schema.fields
                     if sf.name not in tag_cols and sf.name != TIME_COL
+                    and not sf.name.startswith("__")
                     and sf.dataType.simpleString() != "string"
                 ]
             else:
@@ -2336,8 +2637,28 @@ class Planner:
         call = f.expr
         fld = call.args[0].name
         n = int(call.args[1].value)
-        out_name = self._out_name(f, "sample")
         tags = stmt.group_tags
+        if fld == "*":
+            # sample(*, N): one hash-deterministic row draw, every field
+            # emitted as sample_<field> in name order (Sample_Wildcard;
+            # the reference samples columns independently — equivalent on
+            # the non-null row set, and deterministic here)
+            flds = sorted(self.field_columns(df, numeric_only=False))
+            w = Window.partitionBy(*tags).orderBy(
+                F.md5(F.concat_ws(",", F.col(TIME_COL))), F.col(TIME_COL)
+            )
+            out = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .select(
+                    F.col(TIME_COL).alias("time"),
+                    *tags,
+                    *[F.col(c).alias(f"sample_{c}") for c in flds],
+                )
+                .orderBy(*(tags + ["time"]))
+            )
+            return self._stream_limit(out, stmt, tags)
+        out_name = self._out_name(f, "sample")
         w = Window.partitionBy(*tags).orderBy(
             F.md5(F.concat_ws(",", F.col(TIME_COL), F.col(fld))), F.col(TIME_COL)
         )

@@ -236,7 +236,14 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
         ).alias(r["field"])
 
     field_exprs = [_field_expr(r) for r in sorted(schema_rows, key=lambda r: r["field"])]
-    wide = m.groupBy("time_ns", "tags").agg(*field_exprs)
+    wide = m.groupBy("time_ns", "tags").agg(
+        *field_exprs,
+        # first-written line per point: merged-stream operators resolve
+        # duplicate TIMESTAMPS across different series to the first write
+        # (server_test.go difference_derivative_time_duplicate); storage
+        # rebases this onto the batch sequence stamp
+        F.min("line_no").alias("__ln"),
+    )
     out = wide.select(
         "time_ns",
         *[F.col("tags").getItem(k).alias(k) for k in tag_keys],
@@ -244,8 +251,9 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
         *[
             F.col(f"`{c}`")
             for c in wide.columns
-            if c not in ("time_ns", "tags")
+            if c not in ("time_ns", "tags", "__ln")
         ],
+        "__ln",
     )
     # tag/field distinction survives the pivot (the reference's CleanSchema,
     # meta/measurement.go:244); storage persists it as a sidecar so query

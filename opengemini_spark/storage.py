@@ -67,7 +67,13 @@ def write_measurement(
 
     tags = getattr(df, "_og_tag_cols", None)  # before withColumn drops it
     if SEQ_COL not in df.columns:
-        df = df.withColumn(SEQ_COL, F.lit(_time.time_ns()))
+        base = _time.time_ns()
+        df = df.withColumn(SEQ_COL, F.lit(base))
+        if "__ln" in df.columns:
+            # rebase the batch-local line ordinal onto the sequence stamp:
+            # (__seq, line) collapses to one global write-order long
+            # (batches are stamped ≥µs apart; ordinals are small ints)
+            df = df.withColumn("__ln", F.lit(base) + F.col("__ln"))
     (
         with_partition(df, time_col)
         .write.mode(mode)
@@ -116,6 +122,12 @@ def read_measurement(spark: SparkSession, root: str) -> DataFrame:
         w = Window.partitionBy("time_ns", *key_tags).orderBy(
             F.col(SEQ_COL).desc_nulls_last()
         )
+        if "__ln" in df.columns:
+            # older batches may predate the write-order column: fall back
+            # to the batch stamp so cross-batch order still holds
+            df = df.withColumn(
+                "__ln", F.coalesce(F.col("__ln"), F.col(SEQ_COL))
+            )
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -47,7 +47,11 @@ def test_parse_df_and_pivot(spark):
     assert rows["h1"]["idle"] == 99.0
     assert rows["h2"]["usage"] == 0.75
     assert rows["h2"]["idle"] is None  # schema-on-write union of fields
-    assert set(cpu.columns) == {"time_ns", "host", "region", "usage", "idle"}
+    # __ln: hidden first-written-line ordinal (merged-stream duplicate-
+    # timestamp resolution, difference_derivative_time_duplicate)
+    assert set(cpu.columns) == {
+        "time_ns", "host", "region", "usage", "idle", "__ln"
+    }
 
 
 def test_arrow_ingest(spark):
