@@ -126,19 +126,6 @@ def handle_query(
 
             from opengemini_spark.influxql.planner import Planner
 
-            if isinstance(stmt, iast.SelectStatement) and isinstance(
-                stmt.source, iast.RegexSource
-            ):
-                # FROM /regex/: one independent plan + series block per
-                # matching measurement (server_test.go:2158 semantics)
-                results.append(
-                    _regex_source_result(
-                        spark, sf_dir, stmt_text, stmt, loader, data_root,
-                        epoch, i,
-                    )
-                )
-                continue
-
             catalog_names = None
             if data_root is not None:
                 import os as _os
@@ -149,9 +136,10 @@ def handle_query(
                         for d in _os.listdir(data_root)
                         if _os.path.isdir(f"{data_root}/{d}")
                     )
-            df = Planner(
+            planner = Planner(
                 spark, sf_dir, loader=loader, catalog_names=catalog_names
-            ).plan(stmt)
+            )
+            df = planner.plan(stmt)
             if (
                 isinstance(stmt, iast.SelectStatement)
                 and stmt.into is not None
@@ -234,6 +222,24 @@ def handle_query(
                     }
                 )
                 continue
+            if isinstance(stmt, iast.ShowStatement) and "__m" in df.columns:
+                # SHOW TAG KEYS/VALUES, FIELD KEYS: one block per
+                # measurement, named after it (ShowTagKeys:9410)
+                cols = [c for c in df.columns if c != "__m"]
+                blocks: list[dict] = []
+                cur = None
+                for r in df.orderBy("__m", *cols).toLocalIterator():
+                    if cur is None or cur["name"] != r["__m"]:
+                        cur = {
+                            "name": r["__m"], "columns": cols, "values": [],
+                        }
+                        blocks.append(cur)
+                    cur["values"].append([r[c] for c in cols])
+                blk: dict = {"statement_id": i}
+                if blocks:
+                    blk["series"] = blocks
+                results.append(blk)
+                continue
             # series name = innermost measurement, through subqueries
             # (the reference names subquery results after the inner table);
             # a JOIN names its series "left,right" after the leg aliases
@@ -281,7 +287,18 @@ def handle_query(
                         if isinstance(inner.source, str)
                         else "subquery"
                     )
-                measurement = ",".join(names)
+                # repeated legs over one measurement name it once
+                # (MultiMeasurements "(… from mst1),(… from mst1)" → mst1)
+                measurement = ",".join(dict.fromkeys(names))
+            elif isinstance(src, iast.SelectStatement) and isinstance(
+                src.source, iast.RegexSource
+            ):
+                # merged multi-measurement stream: name = sorted matched
+                # measurements joined (MultiMeasurements "mst,mst1")
+                measurement = ",".join(
+                    getattr(planner, "matched_measurements", None)
+                    or ["results"]
+                )
             else:
                 measurement = (
                     _resolve_measurement_name(src.source, catalog_names)
@@ -334,7 +351,10 @@ def handle_query(
             block["statement_id"] = i
             if (
                 isinstance(stmt, iast.ShowStatement)
-                and stmt.what == "series"
+                and stmt.what in (
+                    "series", "series_cardinality",
+                    "measurement_cardinality",
+                )
             ):
                 # SHOW SERIES blocks carry no measurement name
                 # (httpd emission of the index dump)
@@ -377,46 +397,6 @@ def _resolve_measurement_name(
         if c in known:
             return c
     return parts[-1]
-
-
-def _regex_source_result(
-    spark, sf_dir, stmt_text, stmt, loader, data_root, epoch, statement_id
-) -> dict:
-    import copy
-    import os as _os
-    import re as _re
-
-    from opengemini_spark.catalog import TABLES
-    from opengemini_spark.influxql.planner import Planner
-
-    pat = _re.compile(stmt.source.pattern)
-    candidates = list(TABLES)
-    if data_root is not None and _os.path.isdir(data_root):
-        candidates += sorted(
-            d for d in _os.listdir(data_root)
-            if _os.path.isdir(f"{data_root}/{d}") and d not in candidates
-        )
-    series: list[dict] = []
-    for name in candidates:
-        if not pat.search(name):
-            continue
-        # fresh copy per measurement: the planner mutates wildcard fields
-        # and group_tags in place
-        st = copy.deepcopy(stmt)
-        st.source = name
-        df = Planner(spark, sf_dir, loader=loader).plan(st)
-        prefixed = [c for c in df.columns if c.startswith("__tag_")]
-        tag_cols = prefixed or [t for t in st.group_tags if t in df.columns]
-        body = to_influx_json(
-            df, name, tag_cols=tag_cols, epoch=epoch,
-            order_desc=bool(st.order_desc),
-        )
-        blk = body["results"][0]
-        series.extend(blk.get("series", []))
-    out: dict = {"statement_id": statement_id}
-    if series:
-        out["series"] = series
-    return out
 
 
 def handle_write(

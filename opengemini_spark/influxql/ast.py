@@ -107,7 +107,10 @@ class SelectStatement(Node):
     group_time: TimeDimension | None = None
     group_tags: list[str] = field(default_factory=list)
     fill: str | float | None = None     # 'null' 'none' 'previous' 'linear' | number
+    source_alias: str | None = None     # FROM (SELECT …) AS <alias>
     order_desc: bool = False
+    order_explicit: bool = False        # ORDER BY written out (direction
+    # mismatch check: subqueries must sort the same way as the outer query)
     limit: int | None = None
     offset: int | None = None
     slimit: int | None = None
@@ -133,6 +136,13 @@ class ShowStatement(Node):
     what: str                           # measurements | tag_keys | tag_values | field_keys
     source: str | None = None
     key: str | None = None              # for TAG VALUES WITH KEY = k
+    source_pattern: str | None = None   # FROM /regex/
+    key_regex: bool = False             # WITH KEY =~ /re/
+    on_db: str | None = None            # SHOW … ON db
+    where: Node | None = None           # tag filters (time conds ignored)
+    limit: int | None = None            # per-measurement row limit
+    offset: int | None = None
+    order_by_value: bool = False        # explicit ORDER BY value given
 
 
 @dataclass

@@ -23,6 +23,10 @@ from opengemini_spark.influxql import ast
 from opengemini_spark.influxql.lexer import Tok, lex
 
 
+def _n_is_time(n) -> bool:
+    return isinstance(n, ast.VarRef) and n.name.lower() == "time"
+
+
 def _split_db_segments(raw: str) -> list[str]:
     """Split a raw FROM-clause identifier on dots OUTSIDE double quotes —
     the influxql scanner's db.rp.measurement structure (a quoted segment
@@ -166,48 +170,147 @@ class Parser:
             return ast.ShowStatement("measurements")
         if self.peek().kind == "IDENT" and self.peek().text.lower() == "series":
             self.next()
-            if (
-                self.peek().kind == "IDENT"
-                and self.peek().text.lower() == "cardinality"
-            ):
-                self.next()
-                return ast.ShowStatement(
-                    "series_cardinality", source=self._opt_from()
+            if self._peek_cardinality():
+                exact = self.peek().text.lower() == "exact"
+                self._expect_cardinality()
+                st = ast.ShowStatement(
+                    "series_exact_cardinality" if exact
+                    else "series_cardinality"
                 )
-            return ast.ShowStatement("series", source=self._opt_from())
+                self._show_tail(st, with_key=False)
+                return st
+            st = ast.ShowStatement("series")
+            self._show_tail(st, with_key=False)
+            return st
         if (
             self.peek().kind == "IDENT"
             and self.peek().text.lower() == "measurement"
         ):
-            # SHOW MEASUREMENT CARDINALITY [FROM m | FROM /regex/]
+            # SHOW MEASUREMENT [EXACT] CARDINALITY [FROM m | /regex/]
+            # [WHERE …]
             self.next()
-            t = self.next()
-            if t.text.lower() != "cardinality":
-                raise SyntaxError("InfluxQL: expected CARDINALITY")
-            pat = None
-            src = None
-            if self.kw("from"):
-                if self.peek().kind == "REGEX":
-                    pat = self.next().value
-                else:
-                    src = self.expect("IDENT").value
-            return ast.ShowStatement(
-                "measurement_cardinality", source=src, key=pat
-            )
+            self._expect_cardinality()
+            st = ast.ShowStatement("measurement_cardinality")
+            self._show_tail(st, with_key=False)
+            # both forms reject time with the NON-exact name
+            # (ShowMeasurementExactCardinality error text)
+            self._reject_time_where(st, "SHOW MEASUREMENT CARDINALITY")
+            st.key = st.source_pattern
+            return st
         if self.kw("tag"):
             if self.kw("keys"):
-                return ast.ShowStatement("tag_keys", source=self._opt_from())
+                st = ast.ShowStatement("tag_keys")
+                self._show_tail(st, with_key=False)
+                return st
+            if self.kw("key"):
+                # SHOW TAG KEY [EXACT] CARDINALITY
+                self._expect_cardinality()
+                st = ast.ShowStatement("tag_key_cardinality")
+                self._show_tail(st, with_key=False)
+                self._reject_time_where(st, "SHOW TAG KEY EXACT CARDINALITY")
+                return st
             self.expect("KEYWORD", "values")
-            src = self._opt_from()
+            if self._peek_cardinality():
+                self._expect_cardinality()
+                st = ast.ShowStatement("tag_values_cardinality")
+                self._show_tail(st, with_key=True)
+                self._reject_time_where(
+                    st, "SHOW TAG VALUES EXACT CARDINALITY"
+                )
+                return st
+            st = ast.ShowStatement("tag_values")
+            self._show_tail(st, with_key=True)
+            return st
+        if self.kw("field"):
+            if self.kw("key"):
+                self._expect_cardinality()
+                st = ast.ShowStatement("field_key_cardinality")
+                self._show_tail(st, with_key=False)
+                self._reject_time_where(
+                    st, "SHOW FIELD KEY EXACT CARDINALITY"
+                )
+                return st
+            self.expect("KEYWORD", "keys")
+            st = ast.ShowStatement("field_keys")
+            self._show_tail(st, with_key=False)
+            return st
+        raise SyntaxError("InfluxQL: unsupported SHOW")
+
+    def _peek_cardinality(self) -> bool:
+        t = self.peek()
+        return t.kind == "IDENT" and t.text.lower() in ("exact", "cardinality")
+
+    def _expect_cardinality(self) -> None:
+        """[EXACT] CARDINALITY — exact and sketched forms answer alike
+        here (the exact path; statement_executor.go cardinality rows)."""
+        t = self.next()
+        if t.kind == "IDENT" and t.text.lower() == "exact":
+            t = self.next()
+        if not (t.kind == "IDENT" and t.text.lower() == "cardinality"):
+            raise SyntaxError("InfluxQL: expected CARDINALITY")
+
+    @staticmethod
+    def _reject_time_where(st: ast.ShowStatement, what: str) -> None:
+        def has_time(n) -> bool:
+            if isinstance(n, ast.BinaryExpr):
+                if _n_is_time(n.lhs) or _n_is_time(n.rhs):
+                    return True
+                return has_time(n.lhs) or has_time(n.rhs)
+            return False
+
+        if st.where is not None and has_time(st.where):
+            raise ValueError(
+                f"{what} doesn't support time in WHERE clause"
+            )
+
+    def _show_tail(self, st: ast.ShowStatement, with_key: bool) -> None:
+        """Common SHOW suffix: [ON db] [FROM m|/re/] [WITH KEY (=|=~) k]
+        [WHERE cond] [ORDER BY …] [LIMIT n] [OFFSET n]
+        (influxql SHOW grammar; server_test.go ShowTagKeys/ShowTagValues)."""
+        if self.kw("on"):
+            st.on_db = self.expect("IDENT").value
+        if self.kw("from"):
+            if self.peek().kind == "REGEX":
+                st.source_pattern = self.next().value
+            else:
+                st.source = self.expect("IDENT").value
+        if with_key:
             self.expect("KEYWORD", "with")
             self.expect("KEYWORD", "key")
-            self.expect("OP", "=")
-            key = self.expect("IDENT").value
-            return ast.ShowStatement("tag_values", source=src, key=key)
-        if self.kw("field"):
-            self.expect("KEYWORD", "keys")
-            return ast.ShowStatement("field_keys", source=self._opt_from())
-        raise SyntaxError("InfluxQL: unsupported SHOW")
+            if self.accept("OP", "=~"):
+                st.key = self.expect("REGEX").value
+                st.key_regex = True
+            elif self.kw("in"):
+                # WITH KEY IN (k1, k2): exact-set match, expressed as an
+                # anchored alternation over the names
+                self.expect("OP", "(")
+                names = [self.expect("IDENT").value]
+                while self.accept("OP", ","):
+                    names.append(self.expect("IDENT").value)
+                self.expect("OP", ")")
+                st.key = "^(?:" + "|".join(re.escape(n) for n in names) + ")$"
+                st.key_regex = True
+            else:
+                self.expect("OP", "=")
+                st.key = self.expect("IDENT").value
+        if self.kw("where"):
+            st.where = self.expr()
+        if self.kw("order"):
+            # ORDER BY value [asc|desc] — an explicit order pins the
+            # ascending slice; without it a time-bounded WHERE slices the
+            # reverse index order (ShowTagValues_Disorder)
+            self.expect("KEYWORD", "by")
+            self.next()
+            st.order_by_value = True
+            t = self.peek()
+            if t.kind in ("KEYWORD", "IDENT") and t.text.lower() in (
+                "asc", "desc",
+            ):
+                self.next()
+        if self.kw("limit"):
+            st.limit = self.expect("INTEGER").value
+        if self.kw("offset"):
+            st.offset = self.expect("INTEGER").value
 
     def _opt_from(self) -> str | None:
         if self.kw("from"):
@@ -277,6 +380,10 @@ class Parser:
             alias = None
 
         stmt = ast.SelectStatement(fields=fields, source=source, into=into)
+        if alias is not None and isinstance(source, ast.SelectStatement):
+            # FROM (SELECT …) AS t2: qualified refs t2.x resolve to x
+            # (Push_Down_Rule_Incondition "count(t2.additional)")
+            stmt.source_alias = alias
         if self.kw("where"):
             stmt.where = self.expr()
         if self.kw("group"):
@@ -295,6 +402,7 @@ class Parser:
         if self.kw("order"):
             self.expect("KEYWORD", "by")
             self.expect("KEYWORD", "time")
+            stmt.order_explicit = True
             if self.kw("desc"):
                 stmt.order_desc = True
             else:

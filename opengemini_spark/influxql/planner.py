@@ -115,6 +115,52 @@ class Planner:
                 raise
         raise ValueError("measurement not found")
 
+    def _load_regex(self, pattern: str) -> DataFrame:
+        """FROM /regex/ and FROM m1,m2 (exact-alternation): ONE merged
+        stream over every matching measurement — unionByName with
+        missing columns null, tag sidecars unioned
+        (server_test.go MultiMeasurements: `SELECT * FROM mst,mst1` is a
+        single 'mst,mst1' series, fields/tags name-sorted, rows
+        time-merged; same for `select * from /mst.*/`). The matched
+        names are recorded for series naming."""
+        import os as _os
+        import re as _re
+        from functools import reduce
+
+        from opengemini_spark.catalog import TABLES
+
+        pat = _re.compile(pattern)
+        candidates = list(self.catalog_names or ())
+        candidates += [t for t in TABLES if t not in candidates]
+        if not (self.catalog_names or ()) and self.sf_dir:
+            try:
+                candidates += sorted(
+                    d for d in _os.listdir(self.sf_dir)
+                    if d not in candidates and "." not in d
+                )
+            except OSError:
+                pass
+        names = sorted(n for n in candidates if pat.search(n))
+        if not names:
+            raise ValueError("measurement not found")
+        dfs = []
+        tags: list[str] = []
+        for n in names:
+            d = self._load(n)
+            for t in getattr(d, "_og_tag_cols", None) or []:
+                if t not in tags:
+                    tags.append(t)
+            dfs.append(d)
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
+        out._og_tag_cols = tags or None
+        seen = list(getattr(self, "matched_measurements", []) or [])
+        self.matched_measurements = sorted(
+            dict.fromkeys(seen + names)
+        )
+        return out
+
     @staticmethod
     def tag_columns(df: DataFrame) -> list[str]:
         return [
@@ -231,6 +277,16 @@ class Planner:
             return any(cls._has_unknown_ref(a, cols) for a in node.args)
         return False
 
+    def _pred_col(self, ref: ast.Node) -> Column:
+        """Predicate operand: a TAG column's null reads as '' (a missing
+        tag is the empty string in the series key — With_EmptyTags)."""
+        c = self.col_expr(ref)
+        if isinstance(ref, ast.VarRef) and ref.name in (
+            self._cur_tags_meta or ()
+        ):
+            return F.coalesce(c, F.lit(""))
+        return c
+
     def _binary(self, e: ast.BinaryExpr) -> Column:
         op = e.op
         # time comparison: rhs literal is RFC3339/ns
@@ -245,7 +301,7 @@ class Planner:
                 lhs, rhs = self.col_expr(e.lhs), self.col_expr(e.rhs)
             return self._cmp(op, lhs, rhs)
         if op in ("=~", "!~"):
-            c = self.col_expr(e.lhs)
+            c = self._pred_col(e.lhs)
             assert isinstance(e.rhs, ast.RegexLit), "regex match needs /regex/"
             m = c.rlike(e.rhs.pattern)
             return m if op == "=~" else ~m
@@ -263,6 +319,11 @@ class Planner:
                     and dict(self._cur_df.dtypes).get(ref.name) == "string"
                 ):
                     return F.lit(False)
+            # a missing tag IS the empty string for predicates
+            # (With_EmptyTags: host = '' / host !~ /.+/ match rows
+            # without the tag — InfluxDB series-key semantics)
+            lhs, rhs = self._pred_col(e.lhs), self._pred_col(e.rhs)
+            return self._cmp(op, lhs, rhs)
         lhs, rhs = self.col_expr(e.lhs), self.col_expr(e.rhs)
         if op == "and":
             return lhs & rhs
@@ -839,6 +900,25 @@ class Planner:
                 best = v if best is None else min(best, v)
         return best
 
+    def _stmt_lower_bound(self, stmt: ast.SelectStatement) -> int:
+        """Stamp bound for ungrouped aggregates: the query's lower time
+        bound, inherited through FLATTENABLE derived tables only — a
+        subquery that is a pure field projection is inlined by the
+        reference's logical optimizer, so its WHERE becomes the outer
+        query's (SubQuery_ShardMapper stamps T); a subquery computing
+        expressions or aggregates is a real barrier and the outer stamps
+        0 (SubqueryForLogicalOptimize "mean usage" / "sum no_height")."""
+        best = self._lower_time_bound(stmt.where)
+        src = stmt.source
+        while isinstance(src, ast.SelectStatement):
+            if not all(
+                isinstance(f.expr, ast.VarRef) for f in src.fields
+            ) or src.group_time is not None:
+                break
+            best = max(best, self._lower_time_bound(src.where))
+            src = src.source
+        return best
+
     @staticmethod
     def _find_agg_calls(e: ast.Node) -> list[ast.Call]:
         """Every aggregate call inside an expression tree (document order)."""
@@ -916,6 +996,36 @@ class Planner:
             # handling — SURVEY §7.4.7); the result's bucket column becomes
             # the inner table's time.
             inner = stmt.source
+            if stmt.source_alias:
+                # FROM (…) AS t2 — strip the alias qualifier off refs
+                pref = stmt.source_alias + "."
+
+                def _strip(n):
+                    if isinstance(n, ast.VarRef) and n.name.startswith(pref):
+                        n.name = n.name[len(pref):]
+                    elif isinstance(n, ast.Call):
+                        for a in n.args:
+                            _strip(a)
+                    elif isinstance(n, ast.BinaryExpr):
+                        _strip(n.lhs)
+                        _strip(n.rhs)
+                    elif isinstance(n, ast.UnaryExpr):
+                        _strip(n.expr)
+
+                for f in stmt.fields:
+                    _strip(f.expr)
+                if stmt.where is not None:
+                    _strip(stmt.where)
+            if (
+                inner.order_explicit
+                and inner.order_desc != stmt.order_desc
+            ):
+                # TSSubQueryHasDifferentAscending: an inner ORDER BY that
+                # contradicts the outer direction is rejected up front
+                raise ValueError(
+                    "subqueries must be ordered in the same direction as "
+                    "the query itself"
+                )
             for cond in self._time_conds(stmt.where):
                 inner.where = (
                     cond if inner.where is None
@@ -939,9 +1049,37 @@ class Planner:
             # the inner query's series tags (emitted as __tag_<name> for
             # the HTTP shape) become plain columns of the derived table —
             # the outer statement addresses them by their tag name
+            inner_dims = []
             for c in df.columns:
                 if c.startswith("__tag_") and c.removeprefix("__tag_") not in df.columns:
                     df = df.withColumnRenamed(c, c.removeprefix("__tag_"))
+                    inner_dims.append(c.removeprefix("__tag_"))
+            # an aggregated inner emits its GROUP BY dims as plain columns
+            inner_dims += [
+                t for t in getattr(inner, "group_tags", None) or []
+                if t != "*" and t in df.columns and t not in inner_dims
+            ]
+            dtypes0 = dict(df.dtypes)
+            for t in inner_dims:
+                # a dim surfacing as a VALUE column renders a missing tag
+                # as "" (SubqueryForLogicalOptimize "outer filter#1")
+                if dtypes0.get(t) == "string":
+                    df = df.withColumn(t, F.coalesce(F.col(t), F.lit("")))
+            if inner_dims and not stmt.group_tags and "__skey0" not in df.columns:
+                # the inner emitted one whole series block per dim set; an
+                # ungrouped outer read replays them series-major
+                # (MultiMeasurements "select a from (… group by country)",
+                # SubqueryForLogicalOptimize "outer filter#1")
+                df = df.withColumn(
+                    "__skey0",
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.coalesce(F.col(t).cast("string"), F.lit(""))
+                            for t in inner_dims
+                        ],
+                    ),
+                )
             # tag identity survives SELECT * subqueries: re-attach the
             # innermost measurement's CleanSchema tags that the inner
             # projection kept, so fn(*) over the subquery still expands
@@ -958,6 +1096,8 @@ class Planner:
                 ]
                 if inherited:
                     df._og_tag_cols = inherited
+        elif isinstance(stmt.source, ast.RegexSource):
+            df = self._load_regex(stmt.source.pattern)
         else:
             df = self._load(stmt.source)
         _tags_meta = getattr(df, "_og_tag_cols", None)
@@ -1236,7 +1376,7 @@ class Planner:
             # bare distinct: values in FIRST-OCCURRENCE time order
             # (Complex_Aggregate "distinct(v3)": true before false), one
             # row set per series when grouped by tags
-            bound = self._lower_time_bound(stmt.where)
+            bound = self._stmt_lower_bound(stmt)
             return (
                 df.groupBy(*tags, F.col(arg.name).alias(out_name))
                 .agg(F.min(TIME_COL).alias("__ft"))
@@ -2824,6 +2964,7 @@ class Planner:
         # defaults to 0 for count")
         zero_cols = []
         post: list[tuple[str, ast.Node, list[tuple[ast.Call, str]]]] = []
+        emit_order: list[str] = []  # output names in FIELD-LIST order
         for i, f in enumerate(stmt.fields):
             call = self._find_agg_call(f.expr)
             if f.expr is not call:
@@ -2842,6 +2983,7 @@ class Planner:
                     (self._out_name(f, self._default_field_name(f.expr)),
                      f.expr, pairs)
                 )
+                emit_order.append(post[-1][0])
                 continue
             if (
                 call.args
@@ -2872,12 +3014,21 @@ class Planner:
                         )
                     )
                     value_cols.append(out)
+                    emit_order.append(out)
                     if call.name == "count":
                         zero_cols.append(out)
                 continue
             out = self._out_name(f, call.name)
+            if out in value_cols:
+                # duplicate output names take _<n> suffixes
+                # (MultiMeasurements "select sum(a),sum(b)" → sum, sum_1)
+                k = 1
+                while f"{out}_{k}" in value_cols:
+                    k += 1
+                out = f"{out}_{k}"
             aggs.append(self.agg_column(call, out, df=df))
             value_cols.append(out)
+            emit_order.append(out)
             if call.name == "count":
                 zero_cols.append(out)
         if stmt.group_time is not None:
@@ -2950,14 +3101,14 @@ class Planner:
                     zero_cols=zero_cols,
                 )
         elif stmt.group_tags:
-            bound = self._lower_time_bound(stmt.where)
+            bound = self._stmt_lower_bound(stmt)
             out = df.groupBy(*stmt.group_tags).agg(*aggs).select(
                 F.lit(bound).alias("time"), "*"
             )
         else:
             # InfluxDB emits NO row for an empty input (vs SQL's count()=0):
             # a sentinel row-count drops the all-empty aggregate row.
-            bound = self._lower_time_bound(stmt.where)
+            bound = self._stmt_lower_bound(stmt)
             out = (
                 df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") > 0)
@@ -2972,6 +3123,18 @@ class Planner:
                 *[h for _, h in pairs]
             )
         self._agg_subst = {}
+        if post:
+            # output columns follow the FIELD-LIST order even when an
+            # expression-over-aggregates sits between plain aggregates
+            # (SubqueryForLogicalOptimize "sum height_binary_alias":
+            # [sum_height, sum_sum, mean])
+            lead = [
+                c for c in out.columns
+                if c == "time" or c in (stmt.group_tags or [])
+            ]
+            mid = [c for c in dict.fromkeys(emit_order) if c in out.columns]
+            rest = [c for c in out.columns if c not in lead and c not in mid]
+            out = out.select(*lead, *mid, *rest)
 
         order_cols = []
         if stmt.group_time is not None:
@@ -3233,6 +3396,8 @@ class Planner:
         # hidden series-key order column: the per-series stream merge
         # emits equal-time rows in series-key order (tsm iterator merge);
         # a derived table threads its inner __skey through
+        if "__skey0" in df.columns:
+            cols.append(F.col("__skey0"))
         if "__skey" in df.columns:
             cols.append(F.col("__skey"))
         else:
@@ -3347,32 +3512,51 @@ class Planner:
                 [(t,) for t in names], ["name"],
             ) if names else self.spark.createDataFrame([], "name string")
         if stmt.what == "measurement_cardinality":
-            # SHOW MEASUREMENT CARDINALITY [FROM m | /regex/] — count of
-            # matching measurements (statement_executor.go cardinality rows)
-            names = list(TABLES)
-            if stmt.source:
-                names = [t for t in names if t == stmt.source]
-            elif stmt.key:
-                pat = re.compile(stmt.key)
-                names = [t for t in names if pat.search(t)]
+            # SHOW MEASUREMENT [EXACT] CARDINALITY [FROM m | /regex/]
+            # [WHERE tag-cond] — count of matching measurements
+            # (statement_executor.go cardinality rows)
+            names = self._show_measurements(stmt)
+            names = self._filter_meas_by_where(stmt, names)
+            if not names:
+                # zero matches answer with no series at all
+                return self.spark.createDataFrame([], "count long")
             return self.spark.createDataFrame(
                 [(len(names),)], "count long"
             )
-        if stmt.what == "series":
+        if stmt.what in ("series", "series_exact_cardinality"):
             # series key = measurement,tag1=v1,tag2=v2 (inverted-index
             # dump); without FROM, every measurement contributes
-            # (HintQuery "show series")
-            names = (
-                [stmt.source]
-                if stmt.source
-                else sorted(self.catalog_names or list(TABLES))
-            )
+            # (HintQuery "show series"); the EXACT CARDINALITY form emits
+            # the per-measurement key count instead (ShowSeries)
+            names = self._show_measurements(stmt)
+            if stmt.what == "series_exact_cardinality":
+                rows = []
+                for nm in names:
+                    try:
+                        d = self._load(nm)
+                    except ValueError:
+                        continue
+                    d = self._series_where(stmt, d)
+                    tags = sorted(
+                        getattr(d, "_og_tag_cols", None)
+                        or self.tag_columns(d)
+                    )
+                    n = (
+                        d.select(*tags).distinct().count() if tags
+                        else min(d.count(), 1)
+                    )
+                    if n:
+                        rows.append((nm, n))
+                return self.spark.createDataFrame(
+                    rows, "__m string, count long"
+                )
             frames = []
             for nm in names:
                 try:
                     d = self._load(nm)
                 except ValueError:
                     continue
+                d = self._series_where(stmt, d)
                 tags = sorted(
                     getattr(d, "_og_tag_cols", None) or self.tag_columns(d)
                 )
@@ -3387,28 +3571,304 @@ class Planner:
                 frames.append(d.select(key.alias("key")).distinct())
             from functools import reduce
 
+            if not frames:
+                return self.spark.createDataFrame([], "key string")
             out = reduce(lambda a, b: a.unionAll(b), frames)
             return out.distinct().orderBy("key")
-        df = self._load(stmt.source or "events")
+        if stmt.what in (
+            "tag_keys", "tag_values", "field_keys",
+            "tag_key_cardinality", "tag_values_cardinality",
+            "field_key_cardinality",
+        ):
+            return self._plan_show_meta(stmt)
         if stmt.what == "series_cardinality":
-            tags = self.tag_columns(df)
-            n = df.select(*tags).distinct().count() if tags else 1
-            return self.spark.createDataFrame([(n,)], "count long")
-        if stmt.what == "tag_keys":
+            # SHOW SERIES CARDINALITY: per SHARD GROUP (1w windows,
+            # Monday-aligned like Go's Truncate from the year-1 zero
+            # time), total distinct series with data in the window
+            # (ShowSeries "show series cardinality")
+            WEEK = 7 * 24 * 3600 * 10**9
+            OFF = 4 * 24 * 3600 * 10**9  # epoch (Thu) → Monday boundary
+            counts: dict[int, int] = {}
+            for nm in self._show_measurements(stmt):
+                try:
+                    d = self._load(nm)
+                except ValueError:
+                    continue
+                d = self._series_where(stmt, d)
+                tags = sorted(
+                    getattr(d, "_og_tag_cols", None) or self.tag_columns(d)
+                )
+                w = (
+                    F.col(TIME_COL)
+                    - ((F.col(TIME_COL) - F.lit(OFF)) % F.lit(WEEK))
+                ).alias("__w")
+                grp = (
+                    d.select(w, *tags).distinct()
+                    .groupBy("__w").count().collect()
+                )
+                for r in grp:
+                    counts[r["__w"]] = counts.get(r["__w"], 0) + r["count"]
+
+            def _fmt(ns: int) -> str:
+                from datetime import datetime, timezone
+
+                return datetime.fromtimestamp(
+                    ns // 10**9, tz=timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+            rows = [
+                (_fmt(wk), _fmt(wk + WEEK), int(n))
+                for wk, n in sorted(counts.items())
+            ]
             return self.spark.createDataFrame(
-                [(t,) for t in self.tag_columns(df)], ["tagKey"]
-            )
-        if stmt.what == "field_keys":
-            return self.spark.createDataFrame(
-                [(c,) for c in self.field_columns(df)], ["fieldKey"]
-            )
-        if stmt.what == "tag_values":
-            return (
-                df.select(F.col(stmt.key).alias("value"))
-                .distinct()
-                .orderBy("value")
+                rows, "startTime string, endTime string, count long"
             )
         raise ValueError(f"InfluxQL: unsupported SHOW {stmt.what}")
+
+    def _series_where(self, stmt: ast.ShowStatement, d: DataFrame) -> DataFrame:
+        """Apply a SHOW statement's non-time WHERE conditions to one
+        measurement frame (rows with no match drop out)."""
+        conds = self._nontime_conds(stmt.where)
+        if not conds:
+            return d
+        tags_meta = getattr(d, "_og_tag_cols", None)
+        self._cur_df = d
+        self._cur_tags_meta = (
+            sorted(tags_meta) if tags_meta else self.tag_columns(d)
+        )
+        expr = None
+        for c in conds:
+            if self._has_unknown_ref(c, set(d.columns)):
+                return d.limit(0)
+            col = self.col_expr(c)
+            expr = col if expr is None else (expr & col)
+        out = d.filter(expr) if expr is not None else d
+        out._og_tag_cols = tags_meta
+        return out
+
+    def _filter_meas_by_where(
+        self, stmt: ast.ShowStatement, names: list[str]
+    ) -> list[str]:
+        """Measurements having at least one series matching the WHERE."""
+        if not self._nontime_conds(stmt.where):
+            return names
+        out = []
+        for nm in names:
+            try:
+                d = self._load(nm)
+            except ValueError:
+                continue
+            if self._series_where(stmt, d).limit(1).count():
+                out.append(nm)
+        return out
+
+    def _show_measurements(self, stmt: ast.ShowStatement) -> list[str]:
+        """Measurements a SHOW TAG/FIELD statement spans: an explicit
+        FROM m, a FROM /re/ filter, else every known measurement — a
+        nonexistent FROM yields an empty answer, not an error
+        (ShowTagKeys 'measurement not found')."""
+        from opengemini_spark.catalog import TABLES
+
+        candidates = sorted(self.catalog_names or list(TABLES))
+        if stmt.source is not None:
+            name = stmt.source.rsplit(".", 1)[-1]
+            return [name] if name in candidates else []
+        if stmt.source_pattern is not None:
+            pat = re.compile(stmt.source_pattern)
+            return [n for n in candidates if pat.search(n)]
+        return candidates
+
+    @staticmethod
+    def _influx_field_type(dt: str) -> str:
+        return {
+            "double": "float", "float": "float", "bigint": "integer",
+            "int": "integer", "string": "string", "boolean": "boolean",
+        }.get(dt, dt)
+
+    def _plan_show_meta(self, stmt: ast.ShowStatement) -> DataFrame:
+        """SHOW TAG KEYS / TAG VALUES / FIELD KEYS: one series block per
+        measurement, name = measurement — emitted via the hidden ``__m``
+        column the API layer blocks on (server_test.go ShowTagKeys:9410,
+        ShowTagValues:9532, ShowFieldKeys:10230).
+
+        WHERE semantics: time conditions are ignored (the index is not
+        time-sliced here); tag conditions restrict the measurement list
+        to those with a matching series; a ``value`` comparison filters
+        TAG VALUES rows (non-string literals match nothing)."""
+        cardinality = stmt.what.endswith("_cardinality")
+        base = (
+            stmt.what.removesuffix("_cardinality").replace(
+                "tag_key", "tag_keys"
+            ).replace("field_key", "field_keys")
+            if cardinality else stmt.what
+        )
+        rows: list[tuple] = []
+        # split WHERE into the tag-restriction part and the value filter
+        tag_conds: list[ast.Node] = []
+        value_conds: list[ast.Node] = []
+        for cond in self._nontime_conds(stmt.where):
+            refs = self._field_refs(cond)
+            if base == "tag_values" and refs == ["value"]:
+                value_conds.append(cond)
+            else:
+                tag_conds.append(cond)
+        for nm in self._show_measurements(stmt):
+            try:
+                d = self._load(nm)
+            except ValueError:
+                continue
+            tags = sorted(
+                getattr(d, "_og_tag_cols", None) or self.tag_columns(d)
+            )
+            if tag_conds:
+                self._cur_df = d
+                # the CARDINALITY path matches tag predicates against the
+                # index without the missing-tag→'' coalesce: a series
+                # lacking the tag never matches (ShowTagKeyCardinality
+                # "partially does not match" drops cpu; the list form
+                # keeps it)
+                self._cur_tags_meta = (
+                    None if cardinality and base == "tag_values" else tags
+                )
+                expr = None
+                skip = False
+                for c in tag_conds:
+                    c = self._bare_ident_literal(c, set(d.columns))
+                    if self._has_unknown_ref(c, set(d.columns)):
+                        skip = True
+                        break
+                    col = self.col_expr(c)
+                    expr = col if expr is None else (expr & col)
+                if skip:
+                    continue
+                if expr is not None:
+                    # the condition restricts the SERIES that contribute —
+                    # keys AND values come from matching rows only
+                    # (ShowTagKeysWithCondition: region=bj4 drops
+                    # 'others'; ShowTagValues "with key and where")
+                    d = d.filter(expr)
+                    if base != "tag_values" and d.limit(1).count() == 0:
+                        continue
+            if base == "tag_keys":
+                present = d.agg(
+                    *[F.count(F.col(t)).alias(t) for t in tags]
+                ).first() if tag_conds else None
+                mrows = [
+                    (nm, t) for t in tags
+                    if present is None or present[t] > 0
+                ]
+                lo = stmt.offset or 0
+                hi = lo + stmt.limit if stmt.limit else None
+                rows += mrows[lo:hi]
+                continue
+            if base == "field_keys":
+                dtypes = dict(d.dtypes)
+                rows += [
+                    (nm, c, self._influx_field_type(dtypes[c]))
+                    for c in sorted(self.field_columns(d, numeric_only=False))
+                    if c not in tags  # tag-heuristic cols aren't fields
+                ]
+                continue
+            # tag_values
+            if stmt.key_regex:
+                kpat = re.compile(stmt.key)
+                keys = [t for t in tags if kpat.search(t)]
+            else:
+                keys = [stmt.key] if stmt.key in tags else []
+            mrows: list[tuple] = []
+            for k in keys:
+                vals = [
+                    r[0]
+                    for r in d.select(k).where(F.col(k).isNotNull())
+                    .distinct().orderBy(k).collect()
+                ]
+                for cnd in value_conds:
+                    assert isinstance(cnd, ast.BinaryExpr)
+                    lit = (
+                        cnd.rhs if isinstance(cnd.rhs, ast.Literal)
+                        else cnd.lhs
+                    )
+                    if not isinstance(lit.value, str):
+                        vals = []
+                        break
+                    ops = {
+                        "=": lambda v, x: v == x,
+                        "!=": lambda v, x: v != x,
+                        "<": lambda v, x: v < x, "<=": lambda v, x: v <= x,
+                        ">": lambda v, x: v > x, ">=": lambda v, x: v >= x,
+                    }
+                    vals = [v for v in vals if ops[cnd.op](v, lit.value)]
+                mrows += [(nm, k, v) for v in vals]
+            # LIMIT/OFFSET slice per measurement. Without an explicit
+            # ORDER BY, a time-bounded WHERE with a positive OFFSET
+            # slices the REVERSE index order (ShowTagValues_Disorder
+            # "limit 1 offset 1" keeps the first value; plain "limit 1"
+            # and "limit 1 offset 0" keep the ascending first — the
+            # store's limit+offset pushdown re-reads the index tail);
+            # the emission itself is always value-sorted.
+            if (
+                not stmt.order_by_value
+                and stmt.offset
+                and self._has_time_cond(stmt.where)
+            ):
+                mrows = mrows[::-1]
+            lo = stmt.offset or 0
+            hi = lo + stmt.limit if stmt.limit else None
+            rows += sorted(mrows[lo:hi])
+        if cardinality:
+            # [EXACT] CARDINALITY forms: the per-measurement row count
+            # (ShowTagKeyCardinality / ShowFieldKeyCardinality /
+            # ShowTagValues…CARDINALITY)
+            counts: dict[str, int] = {}
+            for r in rows:
+                counts[r[0]] = counts.get(r[0], 0) + 1
+            return self.spark.createDataFrame(
+                sorted(counts.items()), "__m string, count long"
+            )
+        if base == "tag_keys":
+            schema = "__m string, tagKey string"
+        elif base == "field_keys":
+            schema = "__m string, fieldKey string, fieldType string"
+        else:
+            schema = "__m string, key string, value string"
+        return self.spark.createDataFrame(rows, schema)
+
+    @staticmethod
+    def _has_time_cond(e: ast.Node | None) -> bool:
+        if isinstance(e, ast.BinaryExpr):
+            if _is_time_ref(e.lhs) or _is_time_ref(e.rhs):
+                return True
+            return Planner._has_time_cond(e.lhs) or Planner._has_time_cond(
+                e.rhs
+            )
+        return False
+
+    @staticmethod
+    def _bare_ident_literal(c: ast.Node, cols: set) -> ast.Node:
+        """``region=bj4``: an unquoted RHS that names no column is the
+        tag VALUE string in SHOW conditions (ShowTagKeysWithCondition)."""
+        if (
+            isinstance(c, ast.BinaryExpr)
+            and c.op in ("=", "!=")
+            and isinstance(c.lhs, ast.VarRef)
+            and isinstance(c.rhs, ast.VarRef)
+            and c.lhs.name in cols
+            and c.rhs.name not in cols
+        ):
+            return ast.BinaryExpr(c.op, c.lhs, ast.Literal(c.rhs.name))
+        return c
+
+    def _nontime_conds(self, e: ast.Node | None) -> list[ast.Node]:
+        """Flatten an AND tree into its non-time comparison leaves."""
+        if e is None:
+            return []
+        if isinstance(e, ast.BinaryExpr) and e.op == "and":
+            return self._nontime_conds(e.lhs) + self._nontime_conds(e.rhs)
+        if isinstance(e, ast.BinaryExpr) and (
+            _is_time_ref(e.lhs) or _is_time_ref(e.rhs)
+        ):
+            return []
+        return [e]
 
 
 def plan(

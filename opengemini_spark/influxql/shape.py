@@ -72,9 +72,15 @@ def iter_influx_blocks(
 
     tag_cols = tag_cols or []
     has_skey = "__skey" in df.columns
+    # __skey0: SERIES-MAJOR stream order — a derived table whose inner
+    # query grouped by tags emits whole series blocks sequentially, so the
+    # outer raw read is (series key, time), not time-major
+    # (MultiMeasurements "select a from (… group by country)")
+    has_skey0 = "__skey0" in df.columns
     value_cols = [
         c for c in df.columns
-        if c not in tag_cols and c != time_col and c != "__skey"
+        if c not in tag_cols and c != time_col
+        and c not in ("__skey", "__skey0")
     ]
     has_time = time_col in df.columns
     columns = ([time_col] if has_time else []) + value_cols
@@ -101,6 +107,8 @@ def iter_influx_blocks(
         # under GROUP BY time: values in first-occurrence order) — a
         # re-sort here would impose value order
         sort_exprs = []
+    if has_skey0 and not presorted:
+        sort_exprs.append(_col("__skey0").asc())
     if has_time and not presorted:
         sort_exprs.append(row_dir(_col(time_col)))
     if has_skey and not presorted:

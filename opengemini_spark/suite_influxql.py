@@ -83,9 +83,12 @@ def q_influxql_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "influxql_show_tag_values",
-    "SELECT DISTINCT event_type AS value FROM events",
+    "SELECT DISTINCT 'events' AS __m, 'event_type' AS key, "
+    "event_type AS value FROM events",
 )
 def q_influxql_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-measurement (__m, key, value) rows — the HTTP layer blocks on
+    # __m (ShowTagValues:9532 wire shape)
     return query(
         spark, sf_dir, "SHOW TAG VALUES FROM events WITH KEY = event_type"
     )

@@ -24,6 +24,14 @@ ALLOWLIST = {
         "the batch the client sent, not by stored data",
     ("sources/line_protocol.py", "to_measurement_table"):
         "one row per distinct field name — bounded by schema width",
+    ("influxql/planner.py", "plan_show"):
+        "SHOW SERIES CARDINALITY: one row per 1-week shard group — "
+        "bounded by the data's time span, not its volume",
+    ("influxql/planner.py", "_plan_show_meta"):
+        "SHOW TAG VALUES: one row per distinct tag value — the same "
+        "tag-index materialization the reference's meta layer performs "
+        "(show_tag_values_executor.go collects all values to the "
+        "coordinator before the limit slice)",
 }
 
 

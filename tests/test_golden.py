@@ -41,9 +41,12 @@ GOLDEN = [
                 {
                     "statement_id": 0,
                     "series": [
-                        {"name": "results", "columns": ["value"],
-                         "values": [["click"], ["error"], ["purchase"],
-                                    ["signup"], ["view"]]}
+                        {"name": "events", "columns": ["key", "value"],
+                         "values": [["event_type", "click"],
+                                    ["event_type", "error"],
+                                    ["event_type", "purchase"],
+                                    ["event_type", "signup"],
+                                    ["event_type", "view"]]}
                     ],
                 }
             ]

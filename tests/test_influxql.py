@@ -485,8 +485,9 @@ def test_division_does_not_lex_as_regex():
 
 
 def test_regex_measurement_source(spark, sf_dir, tmp_path):
-    """FROM /cpu[13]/ → one series block per matching measurement
-    (server_test.go:2158)."""
+    """FROM /cpu[13]/ → ONE merged stream over the matching measurements
+    (server_test.go MultiMeasurements 'select * from regexe
+    measurements'; the per-block cases at :2158 are Go-skipped)."""
     import json
 
     from opengemini_spark.api import handle_query, handle_write
@@ -496,8 +497,8 @@ def test_regex_measurement_source(spark, sf_dir, tmp_path):
         spark,
         [
             "cpu1,host=server01 value=10 1425085416703820946",
-            "cpu2,host=server01 value=20 1425085416703820946",
-            "cpu3,host=server01 value=30 1425085416703820946",
+            "cpu2,host=server01 value=20 1425085416703820947",
+            "cpu3,host=server01 value=30 1425085416703820948",
         ],
         root,
     )
@@ -507,8 +508,9 @@ def test_regex_measurement_source(spark, sf_dir, tmp_path):
     )
     exp = json.loads(
         '{"results":[{"statement_id":0,"series":['
-        '{"name":"cpu1","columns":["time","value"],"values":[["2015-02-28T01:03:36.703820946Z",10.0]]},'
-        '{"name":"cpu3","columns":["time","value"],"values":[["2015-02-28T01:03:36.703820946Z",30.0]]}]}]}'
+        '{"name":"cpu1,cpu3","columns":["time","value"],"values":['
+        '["2015-02-28T01:03:36.703820946Z",10.0],'
+        '["2015-02-28T01:03:36.703820948Z",30.0]]}]}]}'
     )
     assert got == exp
 
@@ -517,8 +519,8 @@ def test_regex_measurement_source(spark, sf_dir, tmp_path):
         data_root=root,
     )
     blocks = agg["results"][0]["series"]
-    assert [b["name"] for b in blocks] == ["cpu1", "cpu2", "cpu3"]
-    assert all(b["values"][0][1] == 1 for b in blocks)
+    assert [b["name"] for b in blocks] == ["cpu1,cpu2,cpu3"]
+    assert blocks[0]["values"][0][1] == 3
 
 
 def test_show_measurements_with_regex(spark, sf_dir):
@@ -535,15 +537,28 @@ def test_show_cardinality_statements(spark, sf_dir):
     assert mr["count"] == 1
     m1 = query(spark, sf_dir, "SHOW MEASUREMENT CARDINALITY FROM nation").first()
     assert m1["count"] == 1
-    s = query(spark, sf_dir, "SHOW SERIES CARDINALITY FROM events").first()
+    # SHOW SERIES CARDINALITY: per shard-group (1w Monday-aligned
+    # windows) distinct-series counts, reference ShowSeries shape
+    rows = query(spark, sf_dir, "SHOW SERIES CARDINALITY FROM events").collect()
+    assert rows and set(rows[0].asDict()) == {"startTime", "endTime", "count"}
     ev = load_table(spark, sf_dir, "events")
-    tags = [c for c, t in ev.dtypes if t == "string"]
-    assert s["count"] == ev.select(*tags).distinct().count()
+    tags = sorted(c for c, t in ev.dtypes if t == "string")
+    WEEK = 7 * 24 * 3600 * 10**9
+    OFF = 4 * 24 * 3600 * 10**9
+    exp = (
+        ev.selectExpr(
+            f"time_ns - ((time_ns - {OFF}) % {WEEK}) AS __w", *tags
+        ).distinct().groupBy("__w").count().count()
+    )
+    assert len(rows) == exp
+    total_distinct = ev.select(*tags).distinct().count()
+    assert all(0 < r["count"] <= total_distinct for r in rows)
 
 
 def test_multi_measurement_from(spark, sf_dir, tmp_path):
-    """SELECT … FROM m1, m2 — one independent series block per source
-    (InfluxQL comma-separated measurement list)."""
+    """SELECT … FROM m1, m2 — ONE merged series over the matching
+    measurements, named 'm1,m2' (server_test.go MultiMeasurements —
+    the older per-source-block cases are Go-skipped)."""
     import json
 
     from opengemini_spark.api import handle_query, handle_write
@@ -551,19 +566,17 @@ def test_multi_measurement_from(spark, sf_dir, tmp_path):
     root = str(tmp_path / "multi")
     handle_write(spark, [
         "cpua,host=s1 value=1.0 946684800000000000",
-        "gpua,host=s2 value=2.0 946684800000000000",
+        "gpua,host=s2 value=2.0 946684800000000001",
         "other,host=s3 value=9.0 946684800000000000",
     ], root)
     got = handle_query(
         spark, sf_dir, "SELECT value FROM cpua, gpua",
         epoch=None, data_root=root,
     )
-    assert [s["name"] for s in got["results"][0]["series"]] == ["cpua", "gpua"]
+    assert [s["name"] for s in got["results"][0]["series"]] == ["cpua,gpua"]
     assert got["results"][0]["series"][0]["values"] == [
-        ["2000-01-01T00:00:00Z", 1.0]
-    ]
-    assert got["results"][0]["series"][1]["values"] == [
-        ["2000-01-01T00:00:00Z", 2.0]
+        ["2000-01-01T00:00:00Z", 1.0],
+        ["2000-01-01T00:00:00.000000001Z", 2.0],
     ]
 
 

@@ -281,11 +281,12 @@ def _eval_writes(body: str) -> tuple[list[str], list[str]]:
 def _queries(body: str, notes: list[str]) -> list[dict]:
     out = []
     for m in re.finditer(
-        r"\{\s*\n\s*name:\s*\"([^\"]*)\",\s*\n(.*?)\n\s*\}[,)]",
+        r"\{\s*\n\s*name:\s*(?:\"([^\"]*)\"|`([^`]*)`),\s*\n(.*?)\n\s*\}[,)]",
         body,
         re.S,
     ):
-        name, rest = m.group(1), m.group(2)
+        name = m.group(1) if m.group(1) is not None else m.group(2)
+        rest = m.group(3)
         q: dict = {"name": name}
         cm = re.search(r"command:\s*`([^`]*)`", rest)
         if cm:

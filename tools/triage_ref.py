@@ -42,23 +42,31 @@ def load_cases(fn: str):
 def main() -> None:
     from opengemini_spark.session import get_spark
     from opengemini_spark.api import handle_query, handle_write
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
 
     spark = get_spark()
     sf_dir = "/root/testdata/sf0.001"
+    # the reference server pre-creates db0/rp0 before every suite
+    ddl = DDLExecutor(
+        spark, MetaStore(tempfile.mkdtemp(prefix="triage_meta_"))
+    )
+    ddl.execute("CREATE DATABASE db0")
     for fn in sys.argv[1:]:
         writes, cases, warn, raw = load_cases(fn)
         print(f"\n=== {fn}: {len(writes)} writes, {len(cases)} cases"
               + (" [uses now()]" if warn else ""))
         root = tempfile.mkdtemp(prefix="triage_")
         try:
-            handle_write(spark, writes, root)
+            if writes:
+                handle_write(spark, writes, root)
         except Exception as e:
             print(f"  WRITE ERROR: {e}")
             continue
         for name, q, exp in cases:
             try:
                 got = handle_query(spark, sf_dir, q, epoch=None,
-                                   data_root=root, now_ns=1893459723000000000)
+                                   data_root=root, ddl=ddl,
+                                   now_ns=1893459723000000000)
                 want = json.loads(exp)
                 if got == want:
                     print(f"  PASS {name}")
