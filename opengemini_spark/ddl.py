@@ -28,6 +28,41 @@ class RetentionPolicy:
     duration_ns: int
     shard_group_duration_ns: int = 86_400_000_000_000  # 1d partitions
     default: bool = False
+    hot_duration_ns: int = 0
+    warm_duration_ns: int = 0
+    index_duration_ns: int = 0    # 0 → tracks shard group duration
+    replica_n: int = 1
+
+
+def _go_dur(ns: int) -> str:
+    """Go ``time.Duration.String()`` for whole-second durations:
+    ``0s``, ``1h0m0s``, ``168h0m0s`` (meta/data.go ShowRetentionPolicies
+    marshals durations with Duration.String())."""
+    if ns == 0:
+        return "0s"
+    s, rem_ns = divmod(ns, 10**9)
+    frac = ""
+    if rem_ns:
+        frac = f"{rem_ns / 1e9:.9f}".rstrip("0")[1:]  # ".5" style
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    if h:
+        return f"{h}h{m}m{s}{frac}s"
+    if m:
+        return f"{m}m{s}{frac}s"
+    return f"{s}{frac}s"
+
+
+def _norm_shard_group_ns(duration_ns: int) -> int:
+    """Default shard-group duration by retention duration
+    (lifted influxdb meta: 0→168h, <2d→1h, <6mo→1d, else 7d)."""
+    if duration_ns == 0:
+        return 7 * 24 * 3_600_000_000_000
+    if duration_ns < 2 * 24 * 3_600_000_000_000:
+        return 3_600_000_000_000
+    if duration_ns < 180 * 24 * 3_600_000_000_000:
+        return 24 * 3_600_000_000_000
+    return 7 * 24 * 3_600_000_000_000
 
 
 @dataclass
@@ -35,6 +70,8 @@ class Database:
     name: str
     retention_policies: dict[str, RetentionPolicy] = field(default_factory=dict)
     measurements: list[str] = field(default_factory=list)
+    tag_array: bool = False       # EnableTagArray (detail: "array")
+    replica_n: int = 1
 
 
 class MetaStore:
@@ -135,8 +172,10 @@ class DDLExecutor:
                 _dur_ns(dur) if dur else 0,
                 default=True,
             )
-            if shard_dur:
-                rp.shard_group_duration_ns = _dur_ns(shard_dur)
+            rp.shard_group_duration_ns = (
+                _dur_ns(shard_dur) if shard_dur
+                else _norm_shard_group_ns(rp.duration_ns)
+            )
             self.meta.databases[name].retention_policies[rp.name] = rp
             self.meta.db_dir(name).mkdir(parents=True, exist_ok=True)
             self.meta.save()
@@ -160,11 +199,32 @@ class DDLExecutor:
             ]
         }
 
+    def _show_dbs_detail(self, s, m):
+        """SHOW DATABASES DETAIL: name, ReplicaN, Tag Attribute
+        (statement_executor.go executeShowDatabasesStatement ShowDetail)."""
+        return {
+            "series": [
+                {
+                    "name": "databases",
+                    "columns": ["name", "ReplicaN", "Tag Attribute"],
+                    "values": [
+                        [
+                            n,
+                            d.replica_n,
+                            "array" if d.tag_array else "default",
+                        ]
+                        for n, d in sorted(self.meta.databases.items())
+                    ],
+                }
+            ]
+        }
+
     # --- retention policies ---
     def _create_rp(self, s, m):
         rp_name, db, dur = m.group(1), m.group(2), m.group(3)
         d = self.meta.databases[db]
         rp = RetentionPolicy(rp_name, _dur_ns(dur), default="default" in m.group(0))
+        rp.shard_group_duration_ns = _norm_shard_group_ns(rp.duration_ns)
         d.retention_policies[rp_name] = rp
         if rp.default:
             for other in d.retention_policies.values():
@@ -173,17 +233,36 @@ class DDLExecutor:
         return {"ok": True}
 
     def _show_rps(self, s, m):
+        """Nameless row, Go duration strings, name-sorted
+        (meta/data.go ShowRetentionPolicies)."""
         db = m.group(1)
+        if db not in self.meta.databases:
+            raise ValueError(f"database not found: {db}")
         rps = self.meta.databases[db].retention_policies
         return {
             "series": [
                 {
-                    "name": "retention policies",
-                    "columns": ["name", "duration_ns", "shardGroupDuration_ns", "default"],
-                    "values": [
-                        [r.name, r.duration_ns, r.shard_group_duration_ns, r.default]
-                        for r in rps.values()
+                    "columns": [
+                        "name", "duration", "shardGroupDuration",
+                        "hot duration", "warm duration", "index duration",
+                        "replicaN", "default",
                     ],
+                    "values": sorted(
+                        [
+                            r.name,
+                            _go_dur(r.duration_ns),
+                            _go_dur(r.shard_group_duration_ns),
+                            _go_dur(r.hot_duration_ns),
+                            _go_dur(r.warm_duration_ns),
+                            _go_dur(
+                                r.index_duration_ns
+                                or r.shard_group_duration_ns
+                            ),
+                            r.replica_n,
+                            r.default,
+                        ]
+                        for r in rps.values()
+                    ),
                 }
             ]
         }
@@ -579,6 +658,7 @@ class DDLExecutor:
         ),
         (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
         (r"show databases$", _show_dbs),
+        (r"show databases detail$", _show_dbs_detail),
         (
             r"create retention policy ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*) "
             r"duration ([a-z0-9]+)(?: replication \d+)?( default)?$",

@@ -51,16 +51,27 @@ _TOKEN_RE = re.compile(
 
 def _regex_allowed(toks: list[Tok]) -> bool:
     """A ``/`` starts a regex literal only where influxql's scanner allows
-    one: after ``=~``/``!~``, after FROM (regex measurement source), or
-    after a comma continuing a FROM list — everywhere else it's division
-    (``value / 2 + cost / 4`` must not lex the middle as a regex)."""
-    for t in reversed(toks):
+    one: after ``=~``/``!~``, after FROM (regex measurement source), after
+    a comma continuing a FROM list, or after a db/rp qualifier ident that
+    ends with ``.`` (``FROM db0.rp0./cpu[13]/``) — everywhere else it's
+    division (``value / 2 + cost / 4`` must not lex the middle as a
+    regex)."""
+    for i in range(len(toks) - 1, -1, -1):
+        t = toks[i]
         if t.kind == "OP" and t.text in ("=~", "!~"):
             return True
         if t.kind == "KEYWORD" and t.text == "from":
             return True
         if t.kind == "OP" and t.text == ",":
             continue  # look through FROM-list commas
+        if (
+            t.kind == "IDENT"
+            and t.text.endswith(".")
+            and i > 0
+            and toks[i - 1].kind == "KEYWORD"
+            and toks[i - 1].text == "from"
+        ):
+            return True  # qualified regex source: FROM db.rp./re/
         return False
     return False
 

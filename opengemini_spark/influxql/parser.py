@@ -138,15 +138,24 @@ class Parser:
         Definitions may reference each other in any order; a direct or
         indirect self-reference is the reference's 'Unsupported feature:
         recursive call to itself <name>' error (server_test.go CTE_Query)."""
-        ctes: dict[str, ast.SelectStatement] = {}
+        ctes: dict[str, ast.Node] = {}
         while True:
             name = self.expect("IDENT").value
             self.expect("KEYWORD", "as")
             self.expect("OP", "(")
-            self.expect("KEYWORD", "select")
-            # a CTE body may itself be a UNION chain (Union_Table
-            # "union CTE": with u1 as (select … union all select …) …)
-            ctes[name] = self._maybe_union(self.select_statement(sub=True))
+            if self.kw("graph"):
+                # WITH t1 AS (GRAPH n 'start' …): a graph traversal as a
+                # CTE body, referenced like a table (Push_Down_Rule_
+                # Incondition "SELECT uid FROM t1"; sql.y GRAPH in
+                # with-clause)
+                ctes[name] = self.graph_statement()
+            else:
+                self.expect("KEYWORD", "select")
+                # a CTE body may itself be a UNION chain (Union_Table
+                # "union CTE": with u1 as (select … union all select …) …)
+                ctes[name] = self._maybe_union(
+                    self.select_statement(sub=True)
+                )
             self.expect("OP", ")")
             if not self.accept("OP", ","):
                 break
@@ -458,6 +467,15 @@ class Parser:
             return ast.RegexSource(self.next().value), None
         else:
             tok = self.expect("IDENT")
+            if tok.text.endswith(".") and self.peek().kind == "REGEX":
+                # qualified regex source: FROM db.rp./re/ | rp./re/ |
+                # db../re/ (influxql measurement grammar)
+                segs = _split_db_segments(tok.text)[:-1]
+                if len(segs) >= 2:
+                    self.src_meta.append((segs[0] or None, segs[1] or None))
+                else:
+                    self.src_meta.append((None, segs[0] or None))
+                return ast.RegexSource(self.next().value), None
             self._record_src(tok)
             src = tok.value
         alias = None

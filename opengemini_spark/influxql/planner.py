@@ -115,6 +115,18 @@ class Planner:
                 raise
         raise ValueError("measurement not found")
 
+    def _plan_graph_nodes(self, stmt: "ast.GraphStatement") -> DataFrame:
+        """Run a GRAPH traversal against the session's canonical graph
+        (suite_graph.graph_tables over the sf_dir tables — the reference
+        binds GraphStatement to its in-memory topo store,
+        engine/executor/graph.go CreateGraph/MultiHopFilter)."""
+        from opengemini_spark.operators.graph import plan_graph
+        from opengemini_spark.suite_graph import graph_tables
+
+        nodes, edges = graph_tables(self.spark, self.sf_dir)
+        nodes_out, _ = plan_graph(self.spark, stmt, nodes, edges)
+        return nodes_out
+
     def _load_regex(self, pattern: str) -> DataFrame:
         """FROM /regex/ and FROM m1,m2 (exact-alternation): ONE merged
         stream over every matching measurement — unionByName with
@@ -963,7 +975,22 @@ class Planner:
             return self.plan_show(stmt)
         if isinstance(stmt, ast.UnionStatement):
             return self._plan_union(stmt)
+        if isinstance(stmt, ast.GraphStatement):
+            return self._plan_graph_nodes(stmt)
         assert isinstance(stmt, ast.SelectStatement)
+        if isinstance(stmt.source, ast.GraphStatement):
+            # SELECT cols FROM <graph-CTE>: projection over the traversal's
+            # node set (Push_Down_Rule_Incondition "uid IN (SELECT uid
+            # FROM t1)" with t1 AS (GRAPH …))
+            g = self._plan_graph_nodes(stmt.source)
+            sel = []
+            for fld in stmt.fields:
+                assert isinstance(fld.expr, ast.VarRef), (
+                    "graph CTE projection supports plain columns"
+                )
+                c = F.col(fld.expr.name)
+                sel.append(c.alias(fld.alias) if fld.alias else c)
+            return g.select(*sel)
         if any(
             isinstance(f.expr, ast.Call) and f.expr.name == "compare"
             for f in stmt.fields
@@ -1106,6 +1133,33 @@ class Planner:
         self._cur_tags_meta = list(_tags_meta) if _tags_meta else None
         self._cur_df = df  # schema context for type-directed scalars (cast_*)
         hints = getattr(stmt, "_og_hints", None) or set()
+        if (
+            ("full_series" in hints or "specific_series" in hints)
+            and stmt.where is not None
+        ):
+            # series-hint queries resolve the WHERE against the series
+            # INDEX only: a field comparison cannot match a series key, so
+            # it evaluates FALSE there and is never re-applied to rows
+            # (FullSeries/SpecificSeries "or field": `… AND region='uswest'
+            # OR value > 99` keeps only the tag-matched series)
+            tagset = set(_tags_meta or [])
+
+            def _index_only(n: ast.Node) -> ast.Node:
+                if isinstance(n, ast.BinaryExpr):
+                    if n.op in ("and", "or"):
+                        n.lhs = _index_only(n.lhs)
+                        n.rhs = _index_only(n.rhs)
+                        return n
+                    for side in (n.lhs, n.rhs):
+                        if (
+                            isinstance(side, ast.VarRef)
+                            and side.name.lower() != "time"
+                            and side.name not in tagset
+                        ):
+                            return ast.Literal(False)
+                return n
+
+            stmt.where = _index_only(stmt.where)
         if "specific_series" in hints:
             # specific-series scan emits in value order (the reference
             # streams series in creation order — FullSeries test)

@@ -22,13 +22,13 @@ def test_database_lifecycle(ddl, spark, tmp_path):
     assert [["mydb"]] == out["series"][0]["values"]
     # autogen RP exists and is default
     rps = ddl.execute("SHOW RETENTION POLICIES ON mydb")["series"][0]["values"]
-    assert rps[0][0] == "autogen" and rps[0][3] is True
+    assert rps[0][0] == "autogen" and rps[0][7] is True
 
     ddl.execute("CREATE RETENTION POLICY hot ON mydb DURATION 30d DEFAULT")
     rps = {r[0]: r for r in
            ddl.execute("SHOW RETENTION POLICIES ON mydb")["series"][0]["values"]}
-    assert rps["hot"][1] == 30 * 86400 * 10**9
-    assert rps["hot"][3] is True and rps["autogen"][3] is False
+    assert rps["hot"][1] == "720h0m0s"
+    assert rps["hot"][7] is True and rps["autogen"][7] is False
 
     # metastore persists across re-open
     reopened = DDLExecutor(ddl.spark, MetaStore(str(ddl.meta.root)))
@@ -84,7 +84,7 @@ def test_admin_surface(ddl, spark):
     ddl.execute("ALTER RETENTION POLICY rp1 ON adm DURATION 12h DEFAULT")
     rps = ddl.execute("SHOW RETENTION POLICIES ON adm")["series"][0]["values"]
     row = next(r for r in rps if r[0] == "rp1")
-    assert row[1] == 12 * 3600 * 10**9 and row[3] is True
+    assert row[1] == "12h0m0s" and row[7] is True
 
     ddl.execute("CREATE MEASUREMENT cpu_pre")
     assert "cpu_pre" in ddl.meta.databases["adm"].measurements

@@ -130,3 +130,42 @@ def test_suite_queries_run(spark, sf_dir):
     e = q_graph_multihop_edges(spark, sf_dir)
     assert e.columns == ["uid", "src", "dst", "kind", "prop"]
     assert e.count() > 0
+
+
+def test_graph_cte_statement(spark, sf_dir, tmp_path):
+    """WITH t1 AS (GRAPH …) — a traversal as a CTE body, projected like a
+    table and usable in IN subqueries (Push_Down_Rule_Incondition
+    'WITH t1 AS (GRAPH 3 'ELB') … uid IN (SELECT uid FROM t1)')."""
+    import json
+
+    from opengemini_spark.api import handle_query, handle_write
+
+    got = handle_query(
+        spark, sf_dir,
+        "WITH t1 AS (GRAPH 1 'c1') SELECT uid, kind FROM t1",
+        epoch=None,
+    )
+    vals = got["results"][0]["series"][0]["values"]
+    uids = {v[0] for v in vals}
+    assert "c1" in uids and all(
+        u == "c1" or u.startswith("o") for u in uids
+    )
+
+    # IN-subquery over graph uids: semi-join keeps only rows whose uid
+    # is in the 1-hop neighborhood of c1
+    root = str(tmp_path / "gcte")
+    handle_write(spark, [
+        "alarm,host=a additional=1,uid=\"c1\" 946684800000000000",
+        "alarm,host=b additional=2,uid=\"zzz\" 946684800000000001",
+    ], root)
+    got2 = handle_query(
+        spark, sf_dir,
+        "WITH t1 AS (GRAPH 1 'c1') SELECT count(additional) FROM alarm "
+        "WHERE uid IN (SELECT uid FROM t1)",
+        epoch=None, data_root=root,
+    )
+    exp = json.loads(
+        '{"results":[{"statement_id":0,"series":[{"name":"alarm",'
+        '"columns":["time","count"],"values":[["1970-01-01T00:00:00Z",1]]}]}]}'
+    )
+    assert got2 == exp

@@ -252,8 +252,9 @@ def _eval_writes(body: str) -> tuple[list[str], list[str]]:
         for ln in out.split("\n"):
             if ln.strip():
                 writes.append(ln.strip())
-    # writes := []string{ `...`, "..." } joined into a single &Write
-    for m in re.finditer(r"writes\s*:?=\s*\[\]string\{(.*?)\n\t?\}", body,
+    # writes := / writes2 := []string{ `...`, "..." } (the writesArray
+    # suites append several batches — each becomes part of one stream)
+    for m in re.finditer(r"writes\d*\s*:?=\s*\[\]string\{(.*?)\n\t?\}", body,
                          re.S):
         for lm in re.finditer(r'`([^`]+)`|"((?:[^"\\]|\\.)*)"', m.group(1)):
             s = lm.group(1) if lm.group(1) is not None else lm.group(2)

@@ -51,6 +51,9 @@ def main() -> None:
         spark, MetaStore(tempfile.mkdtemp(prefix="triage_meta_"))
     )
     ddl.execute("CREATE DATABASE db0")
+    ddl.execute(
+        "CREATE RETENTION POLICY rp0 ON db0 DURATION 0s REPLICATION 1 DEFAULT"
+    )
     for fn in sys.argv[1:]:
         writes, cases, warn, raw = load_cases(fn)
         print(f"\n=== {fn}: {len(writes)} writes, {len(cases)} cases"
