@@ -66,6 +66,8 @@ def handle_query(
     truncated (with ``"partial": true``) at ``max_row_limit`` rows like
     the reference's MaxRowLimit.
     """
+    from opengemini_spark.ddl import QueryParseError
+
     results = []
     for i, stmt_text in enumerate(_split_statements(q)):
         try:
@@ -80,7 +82,10 @@ def handle_query(
                     in ("databases", "retention", "users", "queries",
                         "grants", "streams", "continuous",
                         "subscriptions")
+                ) or stmt_text.lower().startswith(
+                    "show measurements detail"
                 ):
+                    ddl.data_root = data_root   # server-mode write root
                     out = ddl.execute(stmt_text)
                     out.pop("ok", None)  # wire shape carries no ok flag
                     out["statement_id"] = i
@@ -136,6 +141,36 @@ def handle_query(
                         for d in _os.listdir(data_root)
                         if _os.path.isdir(f"{data_root}/{d}")
                     )
+            if (
+                ddl is not None
+                and isinstance(stmt, iast.ShowStatement)
+                and stmt.what == "measurements"
+            ):
+                # server-mode SHOW MEASUREMENTS: the emulated db's
+                # members (meta-registered ∪ written), not the driver
+                # catalog (measurement_commands)
+                import os as _os
+                import re as _re
+
+                names: set[str] = set()
+                for d_ in ddl.meta.databases.values():
+                    names.update(d_.measurements)
+                if data_root is not None and _os.path.isdir(data_root):
+                    names.update(
+                        d for d in _os.listdir(data_root)
+                        if _os.path.isdir(f"{data_root}/{d}")
+                    )
+                if stmt.key:
+                    pat = _re.compile(stmt.key)
+                    names = {n for n in names if pat.search(n)}
+                blk: dict = {"statement_id": i}
+                if names:
+                    blk["series"] = [{
+                        "name": "measurements", "columns": ["name"],
+                        "values": [[n] for n in sorted(names)],
+                    }]
+                results.append(blk)
+                continue
             planner = Planner(
                 spark, sf_dir, loader=loader, catalog_names=catalog_names
             )
@@ -299,6 +334,13 @@ def handle_query(
                     getattr(planner, "matched_measurements", None)
                     or ["results"]
                 )
+            elif (
+                isinstance(stmt, iast.ShowStatement)
+                and stmt.what == "measurements"
+            ):
+                # SHOW MEASUREMENTS block is named after itself
+                # (measurement_commands wire shape)
+                measurement = "measurements"
             else:
                 measurement = (
                     _resolve_measurement_name(src.source, catalog_names)
@@ -361,6 +403,10 @@ def handle_query(
                 for s in block.get("series", []):
                     s.pop("name", None)
             results.append(block)
+        except QueryParseError as e:
+            # yacc parse failures abort the whole request with a top-level
+            # error envelope (httpd/handler.go query-parse path)
+            return {"error": f"error parsing query: {e}"}
         except (SyntaxError, ValueError, KeyError, AssertionError) as e:
             results.append({"statement_id": i, "error": str(e)})
     out = {"results": results}
@@ -399,18 +445,37 @@ def _resolve_measurement_name(
     return parts[-1]
 
 
+_PRECISION_NS = {
+    "n": 1, "ns": 1, "u": 10**3, "us": 10**3, "µ": 10**3,
+    "ms": 10**6, "s": 10**9, "m": 60 * 10**9, "h": 3600 * 10**9,
+}
+
+
 def handle_write(
     spark: SparkSession,
     lines: list[str],
     data_root: str,
+    precision: str = "n",
 ) -> dict:
     """Line-protocol write: parse → pivot per measurement → partitioned
     append under ``data_root/<measurement>/``.
 
+    ``precision`` is the write endpoint's url parameter (n/u/ms/s/m/h —
+    handler.go getPrecisionMultiplier): timestamps in the posted lines are
+    in that unit and scale to nanoseconds.
+
     The parsed batch is cached once and reused by the measurement
     discovery and every per-measurement pivot — one parse pass per batch,
     not one per measurement (VERDICT r1 minor #4)."""
-    parsed = parse_line_protocol(spark, lines).persist()
+    parsed = parse_line_protocol(spark, lines)
+    mult = _PRECISION_NS[precision]
+    if mult != 1:
+        from pyspark.sql import functions as _F
+
+        parsed = parsed.withColumn(
+            "time_ns", _F.col("time_ns") * _F.lit(mult)
+        )
+    parsed = parsed.persist()
     try:
         measurements = [
             r["measurement"]
@@ -418,12 +483,60 @@ def handle_write(
         ]
         written = {}
         for m in measurements:
-            wide = to_measurement_table(parsed, m)
+            # registered field types constrain later batches (partial
+            # write on type conflict — Write_FieldTypeConflict)
+            known: dict[str, str] = {}
+            meta_path = f"{data_root}/{m}/{storage.SCHEMA_META}"
+            import json as _json
+            import os as _os
+
+            if _os.path.exists(meta_path):
+                known = _json.load(open(meta_path)).get("field_types", {})
+            wide = to_measurement_table(parsed, m, field_types=known)
             storage.write_measurement(wide, f"{data_root}/{m}")
             written[m] = wide.count()
     finally:
         parsed.unpersist()
     return {"written": written}
+
+
+def handle_query_chunked(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    chunk_size: int,
+    **kw,
+) -> list[dict]:
+    """``chunked=true`` responses: one JSON document per chunk, each a
+    full results envelope; every chunk before the last carries
+    ``"partial": true`` at both the series and the result level
+    (httpd/handler.go chunked emission; By_Chunked_SingleMst)."""
+    full = handle_query(spark, sf_dir, q, chunk_size=chunk_size, **kw)
+    if "results" not in full:
+        return [full]
+    docs: list[dict] = []
+    for res in full["results"]:
+        blocks = res.get("series")
+        if not blocks:
+            docs.append({"results": [res]})
+            continue
+        for j, b in enumerate(blocks):
+            blk = dict(b)
+            r: dict = {
+                "statement_id": res["statement_id"], "series": [blk],
+            }
+            if j < len(blocks) - 1:
+                # series-level partial only when the SAME series continues
+                # in the next chunk; result-level when any chunk follows
+                nxt = blocks[j + 1]
+                if (
+                    nxt.get("name") == b.get("name")
+                    and nxt.get("tags") == b.get("tags")
+                ):
+                    blk["partial"] = True
+                r["partial"] = True
+            docs.append({"results": [r]})
+    return docs
 
 
 def handle_prom_query_range(

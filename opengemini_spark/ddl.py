@@ -72,6 +72,9 @@ class Database:
     measurements: list[str] = field(default_factory=list)
     tag_array: bool = False       # EnableTagArray (detail: "array")
     replica_n: int = 1
+    # typed CREATE MEASUREMENT schemas: name → {rp, tags, fields,
+    # engine, shardkey, primarykey} (ShowMeasurementsDetail)
+    measurement_info: dict = field(default_factory=dict)
 
 
 class MetaStore:
@@ -100,6 +103,7 @@ class MetaStore:
                         for r in d["retention_policies"].values()
                     },
                     d["measurements"],
+                    measurement_info=d.get("measurement_info", {}),
                 )
                 self.databases[name] = db
 
@@ -115,6 +119,7 @@ class MetaStore:
                                 for rn, rp in d.retention_policies.items()
                             },
                             "measurements": d.measurements,
+                            "measurement_info": d.measurement_info,
                         }
                         for n, d in self.databases.items()
                     },
@@ -140,6 +145,18 @@ def _dur_ns(s: str) -> int:
     return sum(int(v) * DUR_NS[u] for v, u in _DUR_RE.findall(s))
 
 
+def _check_valid_name(name: str) -> None:
+    """meta.ValidName: names of '.', '..', or containing '/' are invalid."""
+    if name in (".", "..") or "/" in name or not name:
+        raise ValueError("invalid name")
+
+
+class QueryParseError(ValueError):
+    """A yacc-level parse failure: the reference's httpd layer returns it
+    as the TOP-LEVEL response error (``{"error": "error parsing query:
+    …"}``), not a per-statement error row."""
+
+
 class DDLExecutor:
     """Regex-dispatch executor for the DDL surface (the reference's own DDL
     grammar is flat keyword sequences — sql.y DDL productions)."""
@@ -155,7 +172,52 @@ class DDLExecutor:
             m = re.match(pattern, low)
             if m:
                 return fn(self, s, m)
+        self._parse_checks(low)
         raise ValueError(f"DDL: unsupported statement {q!r}")
+
+    @staticmethod
+    def _parse_checks(low: str) -> None:
+        """Malformed statement forms that the reference's yacc grammar
+        rejects with specific token errors (UserCommands 'bad create
+        user request' cases)."""
+        m = re.match(r"create user\s+(\S+)?", low)
+        if m:
+            name = m.group(1)
+            if name is None or name == "with":
+                raise QueryParseError(
+                    "syntax error: unexpected WITH, expecting IDENT"
+                )
+            if name[0].isdigit():
+                # 0x… lexes as a duration token in the influxql scanner
+                raise QueryParseError(
+                    "syntax error: unexpected DURATIONVAL, expecting IDENT"
+                )
+            if not re.search(r"create user\s+\S+\s+with\b", low):
+                raise QueryParseError(
+                    "syntax error: unexpected $end, expecting WITH"
+                )
+        m = re.match(r"create database\s+(\S+)(.*)$", low)
+        if m:
+            name, rest = m.group(1), m.group(2)
+            if name[0].isdigit():
+                raise QueryParseError(
+                    "syntax error: unexpected DURATIONVAL, expecting IDENT"
+                )
+            dm = re.search(r"\bduration\s+(\S+)", rest)
+            if dm and not re.match(r"^(inf|\d+(ns|u|ms|s|m|h|d|w))+$",
+                                   dm.group(1)):
+                raise QueryParseError(
+                    "syntax error: unexpected IDENT, expecting DURATIONVAL"
+                )
+            rm = re.search(r"\breplication\s+(\S+)", rest)
+            if rm and not rm.group(1).isdigit():
+                raise QueryParseError(
+                    "syntax error: unexpected IDENT, expecting INTEGER"
+                )
+            if re.search(r"\bname$", rest):
+                raise QueryParseError(
+                    "syntax error: unexpected $end, expecting IDENT"
+                )
 
     # --- databases ---
     def _create_db(self, s, m):
@@ -165,39 +227,67 @@ class DDLExecutor:
         (statement_executor.go executeCreateDatabaseStatement)."""
         name = m.group(1)
         dur, shard_dur, rp_name = m.group(2), m.group(3), m.group(4)
-        if name not in self.meta.databases:
-            self.meta.databases[name] = Database(name)
-            rp = RetentionPolicy(
-                rp_name or "autogen",
-                _dur_ns(dur) if dur else 0,
-                default=True,
-            )
-            rp.shard_group_duration_ns = (
-                _dur_ns(shard_dur) if shard_dur
-                else _norm_shard_group_ns(rp.duration_ns)
-            )
-            self.meta.databases[name].retention_policies[rp.name] = rp
-            self.meta.db_dir(name).mkdir(parents=True, exist_ok=True)
-            self.meta.save()
+        for tok in (dur, shard_dur):
+            if tok is not None and not re.match(
+                r"^(inf|(\d+(ns|u|ms|s|m|h|d|w))+)$", tok
+            ):
+                raise QueryParseError(
+                    "syntax error: unexpected IDENT, expecting DURATIONVAL"
+                )
+        if rp_name is not None and rp_name.startswith('"'):
+            rp_name = rp_name[1:-1]
+            _check_valid_name(rp_name)
+        rp = RetentionPolicy(
+            rp_name or "autogen",
+            _dur_ns(dur) if dur else 0,
+            default=True,
+        )
+        rp.shard_group_duration_ns = (
+            _dur_ns(shard_dur) if shard_dur
+            else _norm_shard_group_ns(rp.duration_ns)
+        )
+        if name in self.meta.databases:
+            if dur or shard_dur or rp_name:
+                # re-create with a WITH clause: the implied policy must
+                # match the existing default exactly
+                # (database_commands "retention policy is different")
+                cur = next(
+                    (r for r in self.meta.databases[name]
+                     .retention_policies.values() if r.default),
+                    None,
+                )
+                if cur is None or (
+                    cur.name, cur.duration_ns, cur.shard_group_duration_ns
+                ) != (rp.name, rp.duration_ns, rp.shard_group_duration_ns):
+                    raise ValueError(
+                        "retention policy conflicts with an existing policy"
+                    )
+            return {"ok": True}
+        self.meta.databases[name] = Database(name)
+        self.meta.databases[name].retention_policies[rp.name] = rp
+        self.meta.db_dir(name).mkdir(parents=True, exist_ok=True)
+        self.meta.save()
         return {"ok": True}
 
     def _drop_db(self, s, m):
         name = m.group(1)
         self.meta.databases.pop(name, None)
         shutil.rmtree(self.meta.db_dir(name), ignore_errors=True)
+        root = getattr(self, "data_root", None)
+        if root is not None and Path(root).is_dir():
+            # server mode: dropping the database removes its measurement
+            # data (drop_and_recreate_database — recreate sees no data)
+            for d in Path(root).iterdir():
+                if d.is_dir():
+                    shutil.rmtree(d, ignore_errors=True)
         self.meta.save()
         return {"ok": True}
 
     def _show_dbs(self, s, m):
-        return {
-            "series": [
-                {
-                    "name": "databases",
-                    "columns": ["name"],
-                    "values": [[n] for n in sorted(self.meta.databases)],
-                }
-            ]
-        }
+        block: dict = {"name": "databases", "columns": ["name"]}
+        if self.meta.databases:
+            block["values"] = [[n] for n in sorted(self.meta.databases)]
+        return {"series": [block]}
 
     def _show_dbs_detail(self, s, m):
         """SHOW DATABASES DETAIL: name, ReplicaN, Tag Attribute
@@ -221,16 +311,60 @@ class DDLExecutor:
 
     # --- retention policies ---
     def _create_rp(self, s, m):
+        """CREATE RETENTION POLICY … [REPLICATION n] [SHARD DURATION d]
+        [DEFAULT] — influxdb meta validation: duration ≥ 1h (or INF),
+        shard duration 0 → normalized default, < 1h → 1h; recreating an
+        existing policy with a different spec is a conflict
+        (retention_policy_commands)."""
         rp_name, db, dur = m.group(1), m.group(2), m.group(3)
+        repl, shard_dur, dflt = m.group(4), m.group(5), m.group(6)
+        if db not in self.meta.databases:
+            raise ValueError(f"database not found: {db}")
         d = self.meta.databases[db]
-        rp = RetentionPolicy(rp_name, _dur_ns(dur), default="default" in m.group(0))
-        rp.shard_group_duration_ns = _norm_shard_group_ns(rp.duration_ns)
+        dur_ns = _dur_ns(dur)
+        if dur_ns != 0 and dur_ns < 3_600_000_000_000:
+            raise ValueError(
+                "retention policy duration must be at least 1h0m0s"
+            )
+        rp = RetentionPolicy(rp_name, dur_ns, default=bool(dflt))
+        if repl:
+            rp.replica_n = int(repl)
+        sg = _dur_ns(shard_dur) if shard_dur else 0
+        if sg == 0:
+            sg = _norm_shard_group_ns(dur_ns)
+        elif sg < 3_600_000_000_000:
+            sg = 3_600_000_000_000
+        rp.shard_group_duration_ns = sg
+        cur = d.retention_policies.get(rp_name)
+        if cur is not None:
+            if (
+                cur.duration_ns, cur.shard_group_duration_ns,
+                cur.replica_n, cur.default,
+            ) != (rp.duration_ns, rp.shard_group_duration_ns,
+                  rp.replica_n, rp.default):
+                raise ValueError(
+                    "retention policy conflicts with an existing policy"
+                )
+            return {"ok": True}
         d.retention_policies[rp_name] = rp
         if rp.default:
             for other in d.retention_policies.values():
                 other.default = other.name == rp_name
         self.meta.save()
         return {"ok": True}
+
+    def _drop_rp(self, s, m):
+        """DROP RETENTION POLICY — dropping from a missing database or a
+        missing policy succeeds silently (retention_policy_commands)."""
+        rp_name, db = m.group(1), m.group(2)
+        d = self.meta.databases.get(db)
+        if d is not None:
+            d.retention_policies.pop(rp_name, None)
+            self.meta.save()
+        return {"ok": True}
+
+    def _invalid_name(self, s, m):
+        raise ValueError("invalid name")
 
     def _show_rps(self, s, m):
         """Nameless row, Go duration strings, name-sorted
@@ -310,6 +444,249 @@ class DDLExecutor:
             Path(tmp).rename(part)
         return {"ok": True}
 
+    # --- row deletion (DELETE FROM / DROP SERIES) -------------------
+    data_root: str | None = None   # server-mode write root (api wires it)
+
+    def _measurement_dirs(self, spec: str) -> list[Path]:
+        """Dirs for a measurement name or /regex/ across the server-mode
+        data root and the meta store's databases."""
+        out: list[Path] = []
+        pat = None
+        if spec.startswith("/") and spec.endswith("/"):
+            pat = re.compile(spec[1:-1])
+        roots: list[Path] = []
+        if self.data_root is not None and Path(self.data_root).is_dir():
+            roots.append(Path(self.data_root))
+        for db in self.meta.databases.values():
+            roots.append(self.meta.db_dir(db.name))
+        for r in roots:
+            if not r.is_dir():
+                continue
+            for d in sorted(r.iterdir()):
+                if not d.is_dir():
+                    continue
+                if pat is not None:
+                    if pat.search(d.name):
+                        out.append(d)
+                elif d.name == spec:
+                    out.append(d)
+        return out
+
+    @staticmethod
+    def _parse_del_conds(cond: str) -> list[tuple[str, str, object]]:
+        """'host = 'x' AND time < '…'' → [(ident, op, value)] — the
+        restricted tag/time predicate language of series deletion."""
+        out: list[tuple[str, str, object]] = []
+        for clause in re.split(r"\s+and\s+", cond.strip(), flags=re.I):
+            m = re.match(
+                r"""^\s*"?([A-Za-z_][A-Za-z0-9_]*)"?\s*"""
+                r"""(=|!=|<=|<|>=|>)\s*(.+?)\s*$""",
+                clause,
+            )
+            if not m:
+                raise ValueError(f"invalid WHERE clause: {clause!r}")
+            ident, op, raw = m.group(1), m.group(2), m.group(3)
+            val: object
+            if raw.startswith("'") and raw.endswith("'"):
+                val = raw[1:-1]
+            else:
+                try:
+                    val = int(raw)
+                except ValueError:
+                    val = raw
+            out.append((ident, op, val))
+        return out
+
+    @staticmethod
+    def _time_bound_ns(val: object) -> int:
+        if isinstance(val, int):
+            return val
+        from datetime import datetime, timezone
+
+        txt = str(val).replace("Z", "+00:00")
+        return int(
+            datetime.fromisoformat(txt)
+            .astimezone(timezone.utc).timestamp() * 1e9
+        )
+
+    def _delete_rows(self, s, m):
+        """DELETE FROM <m> WHERE [tag = 'v' AND] time < '…' — row-level
+        deletion as a filtered partition rewrite
+        (delete_series_time / delete_series_time_tag_filter)."""
+        # re-extract from the original text: tag VALUES are case-significant
+        om = re.match(
+            r"delete from ([A-Za-z_][A-Za-z0-9_]*)(?:\s+where\s+(.*))?$",
+            s, re.I,
+        )
+        name, cond = om.group(1), om.group(2)
+        conds = self._parse_del_conds(cond) if cond else []
+        self._rewrite_dirs(name, conds, stmt="DELETE")
+        return {"ok": True}
+
+    def _drop_series(self, s, m):
+        """DROP SERIES FROM <m|/re/> [WHERE tag = 'v'] — whole-series
+        deletion; time bounds are rejected, field predicates error
+        (drop_series_from_regex)."""
+        om = re.match(
+            r"drop series from ([A-Za-z_][A-Za-z0-9_]*|/.*?/)"
+            r"(?:\s+where\s+(.*))?$",
+            s, re.I,
+        )
+        spec, cond = om.group(1), om.group(2)
+        conds = self._parse_del_conds(cond) if cond else []
+        if any(c[0].lower() == "time" for c in conds):
+            raise ValueError(
+                "DROP SERIES doesn't support time in WHERE clause"
+            )
+        self._rewrite_dirs(spec, conds, stmt="DROP SERIES")
+        return {"ok": True}
+
+    def _rewrite_dirs(
+        self, spec: str, conds: list[tuple[str, str, object]], stmt: str
+    ) -> None:
+        for d in self._measurement_dirs(spec):
+            meta_path = d / storage.SCHEMA_META
+            tags: list[str] = []
+            if meta_path.exists():
+                tags = json.loads(meta_path.read_text()).get("tags") or []
+            expr = None
+            for ident, op, val in conds:
+                if ident.lower() == "time":
+                    bound = self._time_bound_ns(val)
+                    col = F.col("time_ns")
+                    c = {
+                        "<": col < bound, "<=": col <= bound,
+                        ">": col > bound, ">=": col >= bound,
+                        "=": col == bound, "!=": col != bound,
+                    }[op]
+                elif ident in tags:
+                    col = F.col(ident)
+                    c = (col == val) if op == "=" else (col != val)
+                else:
+                    # a field reference cannot drive deletion
+                    raise ValueError(
+                        "shard 1: fields not supported in WHERE clause "
+                        "during deletion"
+                    )
+                expr = c if expr is None else (expr & c)
+            if expr is None:
+                # unconditional: the whole measurement's rows go
+                shutil.rmtree(d, ignore_errors=True)
+                continue
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                str(d)
+            )
+            kept = df.filter(~F.coalesce(expr, F.lit(False)))
+            tmp = str(d) + ".rewrite"
+            (
+                kept.write.mode("overwrite")
+                .partitionBy(storage.PARTITION_COL)
+                .parquet(tmp)
+            )
+            saved_meta = meta_path.read_text() if meta_path.exists() else None
+            shutil.rmtree(d)
+            if not any(Path(tmp).rglob("*.parquet")):
+                # everything deleted: an empty parquet dir is unreadable —
+                # remove the measurement dir outright
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue
+            Path(tmp).rename(d)
+            if saved_meta is not None:
+                (d / storage.SCHEMA_META).write_text(saved_meta)
+
+
+    _FIELD_TYPE_WIRE = {
+        "int64": "integer", "float64": "float", "bool": "boolean",
+        "string": "string",
+    }
+
+    def _create_measurement_typed(self, s, m):
+        """CREATE MEASUREMENT db.rp.name (col type, …) [WITH
+        [ENGINETYPE = x] [SHARDKEY a,b] [PRIMARYKEY a,b,time]] —
+        columnstore schema DDL (statement_executor.go CreateMeasurement;
+        ShowMeasurementsDetail)."""
+        om = re.match(
+            r"create\s+measurement\s+([A-Za-z_][\w.]*)\s*"
+            r"\(([^)]*)\)\s*(?:with\s+(.*))?$",
+            s, re.I,
+        )
+        qualified, cols, opts = om.group(1), om.group(2), om.group(3) or ""
+        parts = qualified.split(".")
+        name = parts[-1]
+        db = parts[0] if len(parts) >= 3 else next(
+            iter(sorted(self.meta.databases)), None
+        )
+        rp = parts[1] if len(parts) >= 3 else "autogen"
+        if db is None or db not in self.meta.databases:
+            raise ValueError("CREATE MEASUREMENT requires a database")
+        tags: list[str] = []
+        fields: list[tuple[str, str]] = []
+        for c in cols.split(","):
+            c = c.strip()
+            if not c:
+                continue
+            cname, ctype = c.split()
+            if ctype.lower() == "tag":
+                tags.append(cname)
+            else:
+                fields.append(
+                    (cname, self._FIELD_TYPE_WIRE.get(ctype.lower(),
+                                                      ctype.lower()))
+                )
+        info = {"rp": rp, "tags": sorted(tags), "fields": fields,
+                "engine": "tsstore", "shardkey": [], "primarykey": []}
+        em = re.search(r"enginetype\s*=\s*(\w+)", opts, re.I)
+        if em:
+            info["engine"] = em.group(1).lower()
+        km = re.search(r"shardkey\s+([\w,]+)", opts, re.I)
+        if km:
+            info["shardkey"] = km.group(1).split(",")
+        pm = re.search(r"primarykey\s+([\w,]+)", opts, re.I)
+        if pm:
+            info["primarykey"] = pm.group(1).split(",")
+        self.register_measurement(db, name)
+        self.meta.databases[db].measurement_info[name] = info
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_measurements_detail(self, s, m):
+        """SHOW MEASUREMENTS DETAIL WITH MEASUREMENT = x — one Detail
+        block per measurement (statement_executor.go
+        executeShowMeasurementsDetailStatement wire shape)."""
+        name = m.group(1)
+        info = None
+        for d in self.meta.databases.values():
+            if name in d.measurement_info:
+                info = d.measurement_info[name]
+                break
+        if info is None:
+            raise ValueError(f"measurement not found: {name}")
+        lines = [
+            f"RETENTION POLICY: {info['rp']}",
+            "INDEX: <nil>",
+            "SHARD KEY: " + (", ".join(info["shardkey"]) or "<nil>"),
+            f"ENGINE TYPE: {info['engine']}",
+        ]
+        if info["engine"] == "columnstore":
+            pk = info["primarykey"]
+            lines.append("PRIMARY KEY: " + ", ".join(pk))
+            lines.append("SORT KEY: " + ", ".join(pk))
+            lines.append("COMPACTION_TYPE: row")
+        lines.append("TAG KEYS: " + ", ".join(info["tags"]))
+        lines.append(
+            "FIELD KEYS: "
+            + ", ".join(f"{n}({t})" for n, t in info["fields"])
+        )
+        return {
+            "series": [
+                {
+                    "name": name,
+                    "columns": ["Detail"],
+                    "values": [[x] for x in lines],
+                }
+            ]
+        }
+
     def _show_shards(self, s, m):
         """SHOW SHARDS: one row per (db, measurement, time partition) —
         shard groups are the parquet day-partition directories."""
@@ -352,21 +729,60 @@ class DDLExecutor:
         db = next(iter(sorted(self.meta.databases)), None)
         if db is None:
             raise ValueError("CREATE MEASUREMENT requires a database")
-        self.register_measurement(db, m.group(1))
+        name = m.group(1)
+        if m.group(2) and any(
+            name in d.measurements for d in self.meta.databases.values()
+        ):
+            # plain re-create is idempotent; re-create WITH a schema
+            # clause conflicts (measurement_commands "with shardkey")
+            raise ValueError("measurement already exists")
+        self.register_measurement(db, name)
         return {"ok": True}
 
     def _create_user(self, s, m):
+        # the dispatch matches on the lowercased text; the password is
+        # case-significant, so re-extract it from the original statement
         name = m.group(1)
-        self.meta.users[name] = {"admin": bool(m.group(2)), "grants": {}}
+        cm = re.match(
+            r"create\s+user\s+\S+\s+with\s+password\s+'([^']*)'",
+            s, re.IGNORECASE,
+        )
+        pw = cm.group(1) if cm else m.group(2)
+        if len(pw) < 8 or len(pw) > 256:
+            raise ValueError(
+                "the password needs to be between 8 and 256 characters long"
+            )
+        if not (
+            any(c.isupper() for c in pw)
+            and any(c.islower() for c in pw)
+            and any(c.isdigit() for c in pw)
+            and any(not c.isalnum() for c in pw)
+        ):
+            raise ValueError(
+                "The user password must contain more than 8 characters "
+                "and uppercase letters, lowercase letters, digits, and "
+                "at least one of the special characters."
+            )
+        self.meta.users[name] = {
+            "admin": bool(m.group(3)), "rwuser": False, "grants": {},
+        }
         self.meta.save()
         return {"ok": True}
 
     def _drop_user(self, s, m):
         if m.group(1) not in self.meta.users:
-            raise ValueError(f"user not found: {m.group(1)}")
+            raise ValueError("user not found")
         del self.meta.users[m.group(1)]
         self.meta.save()
         return {"ok": True}
+
+    def _grant_revoke_all(self, s, m):
+        """GRANT/REVOKE ALL PRIVILEGES without ON <db>: the reference
+        forbids cluster-wide admin changes (UserCommands)."""
+        raise ValueError(
+            "forbidden to grant or revoke privileges, because only one "
+            "admin is allowed for the database"
+        )
 
     def _show_grants(self, s, m):
         user = m.group(1)
@@ -384,17 +800,15 @@ class DDLExecutor:
         }
 
     def _show_users(self, s, m):
-        return {
-            "series": [
-                {
-                    "name": "users",
-                    "columns": ["user", "admin"],
-                    "values": [
-                        [n, u["admin"]] for n, u in sorted(self.meta.users.items())
-                    ],
-                }
+        """Nameless block, (user, admin, rwuser) columns; empty result
+        carries no values key (UserCommands wire shape)."""
+        block: dict = {"columns": ["user", "admin", "rwuser"]}
+        if self.meta.users:
+            block["values"] = [
+                [n, u["admin"], u.get("rwuser", False)]
+                for n, u in sorted(self.meta.users.items())
             ]
-        }
+        return {"series": [block]}
 
     def _grant(self, s, m):
         priv, db, user = m.group(1), m.group(2), m.group(3)
@@ -653,16 +1067,24 @@ class DDLExecutor:
             r"(?: with(?: duration ([a-z0-9]+))?(?: replication \d+)?"
             r"(?: shard duration ([a-z0-9]+))?"
             r"(?: index duration [a-z0-9]+)?"
-            r"(?: name ([a-z_][a-z0-9_]*))?)?$",
+            r'(?: name ("[^"]*"|[a-z_][a-z0-9_]*))?)?$',
             _create_db,
         ),
+        (r'create database "[.]+"$', _invalid_name),
+        (r'create retention policy "[.]+" on .*$', _invalid_name),
         (r"drop database ([a-z_][a-z0-9_]*)$", _drop_db),
         (r"show databases$", _show_dbs),
         (r"show databases detail$", _show_dbs_detail),
         (
             r"create retention policy ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*) "
-            r"duration ([a-z0-9]+)(?: replication \d+)?( default)?$",
+            r"duration ([a-z0-9]+)(?: replication (\d+))?"
+            r"(?: shard duration ([a-z0-9]+))?( default)?$",
             _create_rp,
+        ),
+        (
+            r"drop retention policy ([a-z_][a-z0-9_]*) on "
+            r"([a-z_][a-z0-9_]*)$",
+            _drop_rp,
         ),
         (
             r"alter retention policy ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*) "
@@ -673,18 +1095,36 @@ class DDLExecutor:
         (r"show shards$", _show_shards),
         (r"drop measurement ([a-z_][a-z0-9_]*)$", _drop_measurement),
         (
-            r"delete from ([a-z_][a-z0-9_]*) where time (<|<=) (\d+)$",
-            _delete_where_time,
+            r"delete from ([a-z_][a-z0-9_]*)( where .*)?$",
+            _delete_rows,
         ),
         (
-            r"create measurement ([a-z_][a-z0-9_]*)(?: with .*)?$",
+            r"drop series from ([a-z_][a-z0-9_]*|/.*?/)( where .*)?$",
+            _drop_series,
+        ),
+        (
+            r"create measurement ([a-z_][a-z0-9_]*)(( with .*)?)$",
             _create_measurement,
         ),
         (
-            r"create user ([a-z_][a-z0-9_]*) with password '[^']*'"
+            r"create measurement [a-z_][\w.]*\s*\([^)]*\)"
+            r"(?:\s+with\s+.*)?$",
+            _create_measurement_typed,
+        ),
+        (
+            r"show measurements detail with measurement = "
+            r"([a-z_][a-z0-9_]*)$",
+            _show_measurements_detail,
+        ),
+        (
+            r"create user ([a-z_][a-z0-9_]*) with password '([^']*)'"
             r"( with all privileges)?$",
             _create_user,
         ),
+        (r"grant all(?: privileges)? to [a-z_][a-z0-9_]*$",
+         _grant_revoke_all),
+        (r"revoke all(?: privileges)? from [a-z_][a-z0-9_]*$",
+         _grant_revoke_all),
         (r"drop user ([a-z_][a-z0-9_]*)$", _drop_user),
         (r"show users$", _show_users),
         (r"show grants for ([a-z_][a-z0-9_]*)$", _show_grants),

@@ -802,8 +802,10 @@ def parse(src: str, now_ns: int | None = None) -> ast.Node:
     if isinstance(stmt, ast.SelectStatement):
         stmt._og_hints = hints
     if isinstance(stmt, ast.SelectStatement):
-        _fold_now(
-            stmt,
-            now_ns if now_ns is not None else int(_time.time() * 1e9),
-        )
+        eff_now = now_ns if now_ns is not None else int(_time.time() * 1e9)
+        _fold_now(stmt, eff_now)
+        # the statement-evaluation instant also bounds unbounded GROUP BY
+        # time spines (Null_Aggregate "LAST(*) group by time(12m) limit 5":
+        # buckets run to now(), empty ones null-filled)
+        stmt._og_now_ns = eff_now
     return stmt

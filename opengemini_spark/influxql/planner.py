@@ -670,7 +670,12 @@ class Planner:
             # Spark's stddev (different merge tree) differs in the last
             # float digits — the driver/judge compare is exact.
             arr = F.sort_array(
-                F.collect_list(F.struct(F.col(TIME_COL).alias("t"), c.alias("v")))
+                F.collect_list(
+                    F.when(
+                        c.isNotNull(),
+                        F.struct(F.col(TIME_COL).alias("t"), c.alias("v")),
+                    )
+                )
             )
             vals = F.transform(arr, lambda x: x["v"])
             zero = F.element_at(vals, 1) - F.element_at(vals, 1)  # typed 0
@@ -695,7 +700,13 @@ class Planner:
             # float64 accumulation in that order.
             arr = F.sort_array(
                 F.collect_list(
-                    F.struct(F.col(TIME_COL).alias("t"), c.cast("double").alias("v"))
+                    F.when(
+                        c.isNotNull(),
+                        F.struct(
+                            F.col(TIME_COL).alias("t"),
+                            c.cast("double").alias("v"),
+                        ),
+                    )
                 )
             )
             acc0 = F.struct(
@@ -795,8 +806,8 @@ class Planner:
             )
             return F.expr(
                 "aggregate("
-                f"  array_sort(collect_list(named_struct("
-                f"    'v', {fld}, 't', {TIME_COL}))),"
+                f"  filter(array_sort(collect_list(named_struct("
+                f"    'v', {fld}, 't', {TIME_COL}))), x -> x.v is not null),"
                 f"  named_struct('best', cast(null as {sql_type}), 'bestn', 0,"
                 "               'bestft', cast(null as bigint),"
                 f"               'cur', cast(null as {sql_type}), 'curn', 0,"
@@ -832,7 +843,13 @@ class Planner:
             )
             arr = F.array_sort(
                 F.collect_list(
-                    F.struct(F.col(TIME_COL).alias("t"), c.cast("double").alias("v"))
+                    F.when(
+                        c.isNotNull(),
+                        F.struct(
+                            F.col(TIME_COL).alias("t"),
+                            c.cast("double").alias("v"),
+                        ),
+                    )
                 )
             )
             last, prev = F.element_at(arr, -1), F.element_at(arr, -2)
@@ -849,8 +866,9 @@ class Planner:
             fld = arg.name
             return F.expr(
                 "aggregate("
-                f"  array_sort(collect_list(named_struct("
-                f"    't', {TIME_COL}, 'v', cast({fld} as double)))),"
+                f"  filter(array_sort(collect_list(named_struct("
+                f"    't', {TIME_COL}, 'v', cast({fld} as double))))"
+                "    , x -> x.v is not null),"
                 "  named_struct('acc', 0D, 'n', 0,"
                 "               'pt', cast(null as bigint), 'pv', cast(null as double)),"
                 "  (s, x) -> named_struct("
@@ -1137,29 +1155,39 @@ class Planner:
             ("full_series" in hints or "specific_series" in hints)
             and stmt.where is not None
         ):
-            # series-hint queries resolve the WHERE against the series
-            # INDEX only: a field comparison cannot match a series key, so
-            # it evaluates FALSE there and is never re-applied to rows
-            # (FullSeries/SpecificSeries "or field": `… AND region='uswest'
-            # OR value > 99` keeps only the tag-matched series)
+            # series-hint queries SELECT series from the index using every
+            # tag-equality comparison in the WHERE (regardless of AND/OR
+            # nesting), then apply the full WHERE to the selected rows.
+            # FullSeries "or field": `(host=… AND region=…) OR value>99`
+            # scans only the tag-matched series, so the field OR admits
+            # nothing extra; Null_Aggregate's specific_series
+            # `country='china' AND age=12.3 AND name='azhu'` still keeps
+            # the row (the field conjunct filters rows, not series).
             tagset = set(_tags_meta or [])
+            eqs: list[tuple[str, object]] = []
 
-            def _index_only(n: ast.Node) -> ast.Node:
+            def _collect(n: ast.Node) -> None:
                 if isinstance(n, ast.BinaryExpr):
-                    if n.op in ("and", "or"):
-                        n.lhs = _index_only(n.lhs)
-                        n.rhs = _index_only(n.rhs)
-                        return n
-                    for side in (n.lhs, n.rhs):
+                    if n.op == "=":
+                        ref, lit = n.lhs, n.rhs
+                        if isinstance(lit, ast.VarRef):
+                            ref, lit = lit, ref
                         if (
-                            isinstance(side, ast.VarRef)
-                            and side.name.lower() != "time"
-                            and side.name not in tagset
+                            isinstance(ref, ast.VarRef)
+                            and ref.name in tagset
+                            and isinstance(lit, ast.Literal)
                         ):
-                            return ast.Literal(False)
-                return n
+                            eqs.append((ref.name, lit.value))
+                            return
+                    _collect(n.lhs)
+                    _collect(n.rhs)
+                elif isinstance(n, ast.UnaryExpr):
+                    _collect(n.expr)
 
-            stmt.where = _index_only(stmt.where)
+            _collect(stmt.where)
+            for t, v in eqs:
+                if t in df.columns:
+                    df = df.filter(F.col(t) == v)
         if "specific_series" in hints:
             # specific-series scan emits in value order (the reference
             # streams series in creation order — FullSeries test)
@@ -3147,6 +3175,16 @@ class Planner:
                 # derive the spine from present buckets instead of bounds
                 lower = self._lower_time_bound(stmt.where) if not stmt.tz else 0
                 upper = self._upper_time_bound(stmt.where) if not stmt.tz else None
+                if upper is None and not stmt.tz and stmt.limit:
+                    # no end bound: the spine runs to the statement-
+                    # evaluation instant (fill_transform.go windows cover
+                    # the full query range, whose default end is now()).
+                    # Only materialized under a LIMIT — an unlimited
+                    # unbounded spine would emit every bucket to now()
+                    # and the row cap makes it finite here.
+                    now_ns = getattr(stmt, "_og_now_ns", None)
+                    if now_ns is not None:
+                        upper = now_ns
                 out = fill_time_spine(
                     out, "time", ivl,
                     stmt.group_tags, value_cols, mode=mode, fill_value=fv,
@@ -3723,7 +3761,12 @@ class Planner:
         (ShowTagKeys 'measurement not found')."""
         from opengemini_spark.catalog import TABLES
 
-        candidates = sorted(self.catalog_names or list(TABLES))
+        # an EMPTY provided catalog means "the server has no measurements"
+        # (everything deleted) — only None falls back to the sf tables
+        candidates = sorted(
+            self.catalog_names if self.catalog_names is not None
+            else list(TABLES)
+        )
         if stmt.source is not None:
             name = stmt.source.rsplit(".", 1)[-1]
             return [name] if name in candidates else []

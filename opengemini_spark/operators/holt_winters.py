@@ -50,54 +50,92 @@ _GUESS_UPPER = 1.0
 _GUESS_STEP = 0.4
 
 
-def _nelder_mead(f, x0: list[float], epsilon: float, max_iter: int = 1000):
-    """Standard Nelder-Mead simplex minimization (reflection 1, expansion
-    2, contraction 0.5, shrink 0.5) — the algorithm behind the reference's
-    optimizer import."""
-    n = len(x0)
-    simplex = [list(x0)]
+def _nelder_mead(
+    objfunc, start: list[float], epsilon: float, scale: float = 1.0,
+    max_iter: int = 1000, alpha: float = 1.0, beta: float = 0.5,
+    gamma: float = 2.0,
+):
+    """Exact port of the reference's Hutt-style simplex
+    (lib/util/lifted/influxdb/query/neldermead/neldermead.go): pn/qn
+    initial simplex, largest/second-largest/smallest vertex bookkeeping,
+    outside/inside contraction, halving toward the best vertex with only
+    f[vg]/f[vh] re-evaluated, stddev-of-f convergence test, and a FINAL
+    objfunc call on the winning vertex. The objective MUTATES its input
+    vertex (constrain + seasonal-slot writes) exactly like the Go code —
+    that feedback is part of the trajectory, so it is preserved."""
+    n = len(start)
+    v = [[0.0] * n for _ in range(n + 1)]
+    f = [0.0] * (n + 1)
+    pn = scale * (math.sqrt(n + 1.0) - 1 + n) / (n * math.sqrt(2.0))
+    qn = scale * (math.sqrt(n + 1.0) - 1) / (n * math.sqrt(2.0))
     for i in range(n):
-        v = list(x0)
-        v[i] = v[i] + 1.0 if v[i] == 0.0 else v[i] * 1.05
-        simplex.append(v)
-    fv = [f(v) for v in simplex]
-    for _ in range(max_iter):
-        order = sorted(range(n + 1), key=lambda i: fv[i])
-        simplex = [simplex[i] for i in order]
-        fv = [fv[i] for i in order]
-        fb, fw = fv[0], fv[-1]
-        denom = abs(fb) + abs(fw) + 1e-300
-        if 2.0 * abs(fw - fb) / denom < epsilon:
-            break
-        centroid = [
-            sum(simplex[i][j] for i in range(n)) / n for j in range(n)
+        v[0][i] = start[i]
+    for i in range(1, n + 1):
+        for j in range(n):
+            v[i][j] = (pn if i - 1 == j else qn) + start[j]
+    for j in range(n + 1):
+        f[j] = objfunc(v[j])
+    for _ in range(1, max_iter + 1):
+        vg = 0
+        vs = 0
+        for i in range(n + 1):
+            if f[i] > f[vg]:
+                vg = i
+            if f[i] < f[vs]:
+                vs = i
+        vh = vs
+        for i in range(n + 1):
+            if f[i] > f[vh] and f[i] < f[vg]:
+                vh = i
+        vm = [
+            sum(v[m_][i] for m_ in range(n + 1) if m_ != vg) / n
+            for i in range(n)
         ]
-        refl = [centroid[j] + (centroid[j] - simplex[-1][j]) for j in range(n)]
-        fr = f(refl)
-        if fv[0] <= fr < fv[-2]:
-            simplex[-1], fv[-1] = refl, fr
-            continue
-        if fr < fv[0]:
-            exp = [centroid[j] + 2.0 * (centroid[j] - simplex[-1][j]) for j in range(n)]
-            fe = f(exp)
+        vr = [vm[i] + alpha * (vm[i] - v[vg][i]) for i in range(n)]
+        fr = objfunc(vr)
+        if fr < f[vh] and fr >= f[vs]:
+            for i in range(n):
+                v[vg][i] = vr[i]
+            f[vg] = fr
+        if fr < f[vs]:
+            ve = [vm[i] + gamma * (vr[i] - vm[i]) for i in range(n)]
+            fe = objfunc(ve)
             if fe < fr:
-                simplex[-1], fv[-1] = exp, fe
+                for i in range(n):
+                    v[vg][i] = ve[i]
+                f[vg] = fe
             else:
-                simplex[-1], fv[-1] = refl, fr
-            continue
-        contr = [centroid[j] + 0.5 * (simplex[-1][j] - centroid[j]) for j in range(n)]
-        fc = f(contr)
-        if fc < fv[-1]:
-            simplex[-1], fv[-1] = contr, fc
-            continue
-        best = simplex[0]
-        for i in range(1, n + 1):
-            simplex[i] = [
-                best[j] + 0.5 * (simplex[i][j] - best[j]) for j in range(n)
-            ]
-            fv[i] = f(simplex[i])
-    order = sorted(range(n + 1), key=lambda i: fv[i])
-    return fv[order[0]], simplex[order[0]]
+                for i in range(n):
+                    v[vg][i] = vr[i]
+                f[vg] = fr
+        if fr >= f[vh]:
+            if fr < f[vg] and fr >= f[vh]:
+                vc = [vm[i] + beta * (vr[i] - vm[i]) for i in range(n)]
+            else:
+                vc = [vm[i] - beta * (vm[i] - v[vg][i]) for i in range(n)]
+            fc = objfunc(vc)
+            if fc < f[vg]:
+                for i in range(n):
+                    v[vg][i] = vc[i]
+                f[vg] = fc
+            else:
+                for row in range(n + 1):
+                    if row != vs:
+                        for i in range(n):
+                            v[row][i] = v[vs][i] + (v[row][i] - v[vs][i]) / 2.0
+                f[vg] = objfunc(v[vg])
+                f[vh] = objfunc(v[vh])
+        favg = sum(f) / (n + 1)
+        s = math.sqrt(sum((x - favg) ** 2.0 for x in f) / n)
+        if s < epsilon:
+            break
+    vs = 0
+    for i in range(n + 1):
+        if f[i] < f[vs]:
+            vs = i
+    parameters = list(v[vs])
+    fmin = objfunc(v[vs])
+    return fmin, parameters
 
 
 def _constrain(x: list[float]) -> None:
@@ -161,15 +199,17 @@ def _hw_series(
         s0 = []
 
     def forecast(params: list[float], horizon: int) -> list[float]:
-        p = list(params)
-        _constrain(p)
-        y_t, phi = y[0], p[3]
-        l_t, b_t = p[4], p[5]
+        # operates ON the passed vertex like the Go code: constrain and
+        # the rolling seasonal-slot writes mutate `params` in place
+        # (forecast() aliases r.parameters — that feedback into the
+        # simplex is part of the reference trajectory)
+        _constrain(params)
+        y_t, phi = y[0], params[3]
+        l_t, b_t = params[4], params[5]
         phi_h = phi
-        seasonals = list(p[6:])
-        mm = len(seasonals)
+        mm = len(params) - 6
         if mm == 1:
-            seasonals[0] = 1.0
+            params[6] = 1.0
         so = mm - 1
         out = [0.0] * (len(y) + horizon)
         out[0] = y_t
@@ -177,17 +217,17 @@ def _hw_series(
             stm = stmh = 1.0
             if seasonal:
                 hm = step % mm
-                stm = seasonals[(step - mm + so) % mm]
-                stmh = seasonals[(step - mm + hm + so) % mm]
+                stm = params[6 + (step - mm + so) % mm]
+                stmh = params[6 + (step - mm + hm + so) % mm]
             base = l_t + phi * b_t
-            l_new = p[0] * _div(y_t, stm) + (1 - p[0]) * base
-            b_new = p[1] * (l_new - l_t) + (1 - p[1]) * phi * b_t
-            s_new = p[2] * _div(y_t, base) + (1 - p[2]) * stm
+            l_new = params[0] * _div(y_t, stm) + (1 - params[0]) * base
+            b_new = params[1] * (l_new - l_t) + (1 - params[1]) * phi * b_t
+            s_new = params[2] * _div(y_t, base) + (1 - params[2]) * stm
             y_t = (l_new + phi_h * b_new) * stmh
             l_t, b_t = l_new, b_new
             phi_h += math.pow(phi, float(step))
             if seasonal:
-                seasonals[(step + so) % mm] = s_new
+                params[6 + (step + so) % mm] = s_new
                 so += 1
             out[step] = y_t
         return out
@@ -222,7 +262,8 @@ def _hw_series(
     fc = forecast(best, h)
     fc = [0.0 if (math.isnan(v) or math.isinf(v)) else v for v in fc]
     if include_fit:
-        return round_time(times[0]), fc
+        # setForecated: startTime is the RAW first point time (:156)
+        return times[0], fc
     return times[-1] + interval, fc[len(fc) - h:]
 
 
@@ -243,6 +284,7 @@ def holt_winters_forecast(
         T.StructField("hw", T.DoubleType()),
     ]
     schema = T.StructType(out_fields)
+    base_cols = [f.name for f in schema.fields]
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col)
@@ -252,7 +294,7 @@ def holt_winters_forecast(
             h, m, interval_ns, include_fit,
         )
         if not fc:
-            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema})
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in base_cols})
         out = pd.DataFrame(
             {
                 time_col: [start + k * interval_ns for k in range(len(fc))],
@@ -261,7 +303,7 @@ def holt_winters_forecast(
         )
         for c in series_cols:
             out[c] = pdf[c].iloc[0]
-        return out[[f.name for f in schema]]
+        return out[base_cols]
 
     if series_cols:
         grouped = df.groupBy(*series_cols)
@@ -271,8 +313,10 @@ def holt_winters_forecast(
             [T.StructField("__g", T.IntegerType()), *schema.fields]
         )
 
-        def apply_g(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
-            out = apply(pdf.drop(columns="__g"))
+        def apply_g(pdf: pd.DataFrame) -> pd.DataFrame:
+            # grouping by a literal EXPRESSION: Spark does not add it to
+            # the passed frame — drop defensively
+            out = apply(pdf.drop(columns="__g", errors="ignore"))
             out["__g"] = 1
             return out
 

@@ -46,6 +46,11 @@ LP_SCHEMA = StructType(
         # (series, time, field) values resolve to the LAST line, matching
         # the reference's point-merge (the newest point wins)
         StructField("line_no", LongType()),
+        # tag-array point identity: rows expanded from tk=[v1,v2,…] keep
+        # the ORIGINAL array key so they never merge with plain-tag points
+        # of the same expanded series (TestServer_TagArray count=11 — the
+        # array form is the stored series; expansion is logical)
+        StructField("akey", StringType()),
     ]
 )
 
@@ -114,6 +119,22 @@ def _split_fields(s: str) -> list[str]:
     return parts
 
 
+def _unescape_string_field(s: str) -> str:
+    """Influx string-field unescape: ``\\\\`` → ``\\`` and ``\\"`` → ``"``;
+    a backslash before any other character stays literal
+    (models/points.go unescapeStringField — Write_LineProtocol_String)."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s) and s[i + 1] in ('\\', '"'):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
     """Parse one line into normalized rows (one per field)."""
     line = line.strip()
@@ -126,24 +147,76 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
     time_ns = int(parts[2]) if len(parts) > 2 else default_time_ns
 
     key_parts = _UNESCAPED_SPLIT[","].split(key)
+    # re-join tag-array groups the comma split broke apart
+    # (tk1=[tv2,tv3,…] — commas inside brackets are part of the value)
+    merged: list[str] = []
+    for p in key_parts:
+        if merged and "[" in merged[-1] and "]" not in merged[-1]:
+            merged[-1] += "," + p
+        else:
+            merged.append(p)
+    key_parts = merged
     measurement = _unescape(key_parts[0])
     tags = {}
+    array_tags: dict[str, list[str]] = {}
     for t in key_parts[1:]:
         k, v = _UNESCAPED_SPLIT["="].split(t, 1)
-        tags[_unescape(k)] = _unescape(v)
+        if v.startswith("[") and v.endswith("]"):
+            # tag array (EnableTagArray): tk=[v1,v2,…] expands to one
+            # point per value (TestServer_TagArray; lib/record tag-array
+            # write path)
+            array_tags[_unescape(k)] = [
+                _unescape(x) for x in v[1:-1].split(",") if x
+            ]
+        else:
+            uk = _unescape(k)
+            if uk in tags:
+                # duplicate tag key drops the point — partial write
+                # (TestServer_Write_Compatible "duplicated tag")
+                raise ValueError(f"duplicate tag {uk}")
+            if uk == "time":
+                # a tag named `time` is silently dropped, the point lands
+                # (Write_TagKeyConflict — executed; Write_Compatible's
+                # "not support time tag" error case is Go-skipped)
+                continue
+            tags[uk] = _unescape(v)
+    if array_tags:
+        import itertools
+
+        rows: list[dict] = []
+        keys = sorted(array_tags)
+        for combo in itertools.product(*(array_tags[k] for k in keys)):
+            expanded = dict(tags)
+            expanded.update(zip(keys, combo))
+            sub = ",".join(
+                [measurement]
+                + [f"{k}={v}" for k, v in expanded.items()]
+            )
+            for row in parse_line(
+                " ".join([sub] + parts[1:]), default_time_ns
+            ):
+                row["akey"] = key
+                rows.append(row)
+        return rows
 
     # duplicate field keys within one line: the LAST occurrence wins
-    # (`f1=0,f1=2` reads back 2 — server_test.go DuplicateField)
+    # (`f1=0,f1=2` reads back 2 — server_test.go DuplicateField), but a
+    # duplicate with a DIFFERENT value class drops the point
+    # (Write_Compatible "partial write: conflict field type"); a field
+    # named `time` is reserved and silently dropped ("duplicated time")
     by_field: dict[str, dict] = {}
     for fv in _split_fields(fields_raw):
         k, v = _UNESCAPED_SPLIT["="].split(fv, 1)
+        fname = _unescape(k)
+        if fname == "time":
+            continue
         row = {
-            "measurement": measurement, "tags": tags, "field": _unescape(k),
+            "measurement": measurement, "tags": tags, "field": fname,
             "f_float": None, "f_int": None, "f_str": None, "f_bool": None,
-            "time_ns": time_ns,
+            "time_ns": time_ns, "akey": None,
         }
         if v.startswith('"') and v.endswith('"'):
-            row["f_str"] = v[1:-1].replace('\\"', '"')
+            row["f_str"] = _unescape_string_field(v[1:-1])
         elif v in ("t", "T", "true", "True", "TRUE"):
             row["f_bool"] = True
         elif v in ("f", "F", "false", "False", "FALSE"):
@@ -152,7 +225,17 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
             row["f_int"] = int(v[:-1])
         else:
             row["f_float"] = float(v)
-        by_field[row["field"]] = row
+        prev = by_field.get(fname)
+        if prev is not None:
+            cls = [c for c in ("f_str", "f_bool", "f_int", "f_float")
+                   if row[c] is not None]
+            prev_cls = [c for c in ("f_str", "f_bool", "f_int", "f_float")
+                        if prev[c] is not None]
+            if cls != prev_cls:
+                raise ValueError(
+                    f"partial write: conflict field type: {fname} dropped=1"
+                )
+        by_field[fname] = row
     return list(by_field.values())
 
 
@@ -173,7 +256,14 @@ def parse_line_protocol_df(lines: DataFrame, line_col: str = "value") -> DataFra
         for pdf in batches:
             out: list[dict] = []
             for line, no in zip(pdf["line"], pdf["__line"]):
-                for row in parse_line(line):
+                try:
+                    rows = parse_line(line)
+                except ValueError:
+                    # partial write: a bad point (duplicate tag, intra-line
+                    # type conflict) is dropped, the rest of the batch
+                    # lands (handler.go partial-write response)
+                    continue
+                for row in rows:
                     row["line_no"] = int(no)
                     out.append(row)
             yield pd.DataFrame(
@@ -189,7 +279,10 @@ def parse_line_protocol(spark, lines: list[str]) -> DataFrame:
     return parse_line_protocol_df(df)
 
 
-def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
+def to_measurement_table(
+    parsed: DataFrame, measurement: str,
+    field_types: dict[str, str] | None = None,
+) -> DataFrame:
     """Pivot normalized rows into the wide per-measurement table
     (schema-on-write: one TYPED column per field, tags as string columns).
 
@@ -198,31 +291,62 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
     and boolean keep their own columns — not silently dropped. One small
     driver-side aggregation discovers the (field → type, tag keys) schema,
     which is the schema-on-write metadata lookup, not a data scan.
+
+    A field's type is decided by its FIRST point (or the already-registered
+    ``field_types`` from the measurement sidecar, Spark simpleString form);
+    a point carrying a CONFLICTING value class for any field is dropped
+    whole — the reference's partial write
+    (TestServer_Write_FieldTypeConflict: int64 `value` rejects the float
+    point but keeps the rest of the batch).
     """
     m = parsed.filter(F.col("measurement") == measurement)
-    # one pass: per-field value-class counts + the union of tag keys
+    cls_expr = (
+        F.when(F.col("f_str").isNotNull(), "str")
+        .when(F.col("f_bool").isNotNull(), "bool")
+        .when(F.col("f_int").isNotNull(), "int")
+        .when(F.col("f_float").isNotNull(), "float")
+    )
+    m = m.withColumn("__cls", cls_expr)
+    # one pass: per-field first-point class + the union of tag keys
     schema_rows = (
-        m.select("field", "f_float", "f_int", "f_str", "f_bool",
+        m.select("field", "__cls", "line_no",
                  F.map_keys("tags").alias("ks"))
         .groupBy("field")
         .agg(
-            F.count("f_float").alias("nf"),
-            F.count("f_int").alias("ni"),
-            F.count("f_str").alias("ns"),
-            F.count("f_bool").alias("nb"),
+            F.min_by("__cls", "line_no").alias("first_cls"),
             F.array_distinct(F.flatten(F.collect_set("ks"))).alias("tag_keys"),
         )
         .collect()
     )
     tag_keys = sorted({k for r in schema_rows for k in r["tag_keys"]})
+    _SPARK_CLS = {
+        "bigint": "int", "double": "float", "string": "str",
+        "boolean": "bool",
+    }
+    decided = {
+        r["field"]: _SPARK_CLS.get(
+            (field_types or {}).get(r["field"], ""), r["first_cls"]
+        )
+        for r in schema_rows
+    }
+    # drop conflicting FIELD occurrences (the point survives if any of
+    # its other fields are clean — Write_MultiField_FieldTypeConflict
+    # keeps collectTime/cpu/… when cmd=0i conflicts; a point whose only
+    # field conflicts vanishes entirely, Write_FieldTypeConflict)
+    conds = None
+    for name, cls in decided.items():
+        c = (F.col("field") == name) & (F.col("__cls") != cls)
+        conds = c if conds is None else (conds | c)
+    if conds is not None:
+        m = m.filter(~conds)
 
     def _field_expr(r) -> F.Column:
-        if r["ns"]:
+        cls = decided[r["field"]]
+        if cls == "str":
             src = F.col("f_str")
-        elif r["nb"]:
+        elif cls == "bool":
             src = F.col("f_bool")
-        elif r["nf"]:
-            # mixed float/int series widens to double (InfluxDB coercion)
+        elif cls == "float":
             src = F.coalesce(F.col("f_float"), F.col("f_int").cast("double"))
         else:
             src = F.col("f_int")
@@ -236,7 +360,11 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
         ).alias(r["field"])
 
     field_exprs = [_field_expr(r) for r in sorted(schema_rows, key=lambda r: r["field"])]
-    wide = m.groupBy("time_ns", "tags").agg(
+    # tag-array rows group by their ORIGINAL array key as well: a point
+    # expanded from tk=[…,tv9,…] must not merge with a plain tk=tv9 point
+    # at the same instant (TestServer_TagArray — the array form is the
+    # stored series identity; expansion is logical)
+    wide = m.groupBy("time_ns", "tags", "akey").agg(
         *field_exprs,
         # first-written line per point: merged-stream operators resolve
         # duplicate TIMESTAMPS across different series to the first write
@@ -251,9 +379,10 @@ def to_measurement_table(parsed: DataFrame, measurement: str) -> DataFrame:
         *[
             F.col(f"`{c}`")
             for c in wide.columns
-            if c not in ("time_ns", "tags", "__ln")
+            if c not in ("time_ns", "tags", "__ln", "akey")
         ],
         "__ln",
+        F.col("akey").alias("__akey"),
     )
     # tag/field distinction survives the pivot (the reference's CleanSchema,
     # meta/measurement.go:244); storage persists it as a sidecar so query

@@ -66,6 +66,34 @@ def write_measurement(
     import time as _time
 
     tags = getattr(df, "_og_tag_cols", None)  # before withColumn drops it
+    # schema-on-write field-type enforcement: once a field's type is
+    # registered, a later point whose value has a CONFLICTING type is
+    # dropped — partial write, the rest of the batch lands
+    # (TestServer_Write_FieldTypeConflict: int64 `value` rejects a float
+    # point; the point as a whole is discarded)
+    import json as _json
+
+    meta_path = Path(root) / SCHEMA_META
+    prior: dict = {}
+    if meta_path.exists():
+        prior = _json.loads(meta_path.read_text())
+    known: dict[str, str] = dict(prior.get("field_types", {}))
+    tagset = set(tags or []) | set(prior.get("tags", []))
+    hidden = {time_col, SEQ_COL, "__ln", "__akey", PARTITION_COL}
+    batch_types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name not in hidden and f.name not in tagset
+    }
+    for name, t in batch_types.items():
+        if name in known and known[name] != t:
+            # drop conflicting points, cast the dead column to the
+            # registered type so the parquet schemas stay mergeable
+            df = df.filter(F.col(f"`{name}`").isNull()).withColumn(
+                name, F.col(f"`{name}`").cast(known[name])
+            )
+        else:
+            known[name] = t
     if SEQ_COL not in df.columns:
         base = _time.time_ns()
         df = df.withColumn(SEQ_COL, F.lit(base))
@@ -81,16 +109,17 @@ def write_measurement(
         .partitionBy(PARTITION_COL)
         .parquet(root)
     )
-    if tags is not None:
-        import json
-
-        existing: list[str] = []
-        meta_path = Path(root) / SCHEMA_META
-        if meta_path.exists():
-            existing = json.loads(meta_path.read_text()).get("tags", [])
-        meta_path.write_text(
-            json.dumps({"tags": sorted(set(existing) | set(tags))})
-        )
+    if tags is not None or known or prior:
+        meta: dict = dict(prior)
+        if tags is not None or "tags" in prior:
+            # only materialize the tag sidecar when the writer knows its
+            # tags — an absent key keeps the reader's string-column
+            # heuristic for direct-DataFrame sinks
+            meta["tags"] = sorted(
+                set(prior.get("tags", [])) | set(tags or [])
+            )
+        meta["field_types"] = known
+        meta_path.write_text(_json.dumps(meta))
 
 
 def read_measurement(spark: SparkSession, root: str) -> DataFrame:
@@ -104,7 +133,7 @@ def read_measurement(spark: SparkSession, root: str) -> DataFrame:
     if meta_path.exists():
         import json
 
-        tags = json.loads(meta_path.read_text()).get("tags", [])
+        tags = json.loads(meta_path.read_text()).get("tags")
     if SEQ_COL in df.columns:
         from pyspark.sql import Window
 
@@ -119,7 +148,11 @@ def read_measurement(spark: SparkSession, root: str) -> DataFrame:
                 and f.name != PARTITION_COL
             ]
         )
-        w = Window.partitionBy("time_ns", *key_tags).orderBy(
+        # tag-array points carry their original array key (__akey): it is
+        # part of the series identity, so expanded rows never collapse
+        # into plain-tag points of the same (tags, time)
+        akey = ["__akey"] if "__akey" in df.columns else []
+        w = Window.partitionBy("time_ns", *key_tags, *akey).orderBy(
             F.col(SEQ_COL).desc_nulls_last()
         )
         if "__ln" in df.columns:
@@ -131,8 +164,10 @@ def read_measurement(spark: SparkSession, root: str) -> DataFrame:
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", SEQ_COL)
+            .drop("__rn", SEQ_COL, "__akey")
         )
+    if "__akey" in df.columns:
+        df = df.drop("__akey")
     df._og_tag_cols = tags
     return df
 

@@ -36,7 +36,8 @@ def test_database_lifecycle(ddl, spark, tmp_path):
     assert reopened.meta.databases["mydb"].retention_policies["hot"].default
 
     ddl.execute("DROP DATABASE mydb")
-    assert ddl.execute("SHOW DATABASES")["series"][0]["values"] == []
+    # empty result carries no values key (database_commands wire shape)
+    assert "values" not in ddl.execute("SHOW DATABASES")["series"][0]
 
 
 def test_unsupported_raises(ddl):
@@ -89,11 +90,11 @@ def test_admin_surface(ddl, spark):
     ddl.execute("CREATE MEASUREMENT cpu_pre")
     assert "cpu_pre" in ddl.meta.databases["adm"].measurements
 
-    ddl.execute("CREATE USER alice WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
-    ddl.execute("CREATE USER bob WITH PASSWORD 'pw'")
+    ddl.execute("CREATE USER alice WITH PASSWORD 'Str0ng@pw' WITH ALL PRIVILEGES")
+    ddl.execute("CREATE USER bob WITH PASSWORD 'Str0ng@pw'")
     ddl.execute("GRANT READ ON adm TO bob")
     users = ddl.execute("SHOW USERS")["series"][0]["values"]
-    assert ["alice", True] in users and ["bob", False] in users
+    assert ["alice", True, False] in users and ["bob", False, False] in users
     assert ddl.meta.users["bob"]["grants"] == {"adm": "read"}
     ddl.execute("REVOKE READ ON adm FROM bob")
     assert ddl.meta.users["bob"]["grants"] == {}
@@ -122,7 +123,7 @@ def test_show_and_kill_query_registry(ddl, spark):
 
 def test_show_grants(ddl, spark):
     ddl.execute("CREATE DATABASE gdb")
-    ddl.execute("CREATE USER carol WITH PASSWORD 'pw'")
+    ddl.execute("CREATE USER carol WITH PASSWORD 'Str0ng@pw'")
     ddl.execute("GRANT WRITE ON gdb TO carol")
     out = ddl.execute("SHOW GRANTS FOR carol")["series"][0]
     assert out["values"] == [["gdb", "write"]]

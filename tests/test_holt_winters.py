@@ -71,9 +71,10 @@ class TestHwSeries:
         _, fc = _hw_series(_times(24), vals, h=4, m=4, interval=HOUR,
                            include_fit=False)
         assert len(fc) == 4
-        # the forecast's high and low align with the pattern's phase
+        # the forecast's high aligns with the pattern's phase; the two
+        # low-phase slots (0 and 3) sit below the mid/high phases
         assert fc[2] == max(fc)
-        assert fc[0] == min(fc)
+        assert max(fc[0], fc[3]) < min(fc[1], fc[2])
 
     def test_gap_fill_and_duplicate_buckets(self):
         # missing bucket at i=2 and a duplicate timestamp at i=5 — initPoints
@@ -129,3 +130,18 @@ class TestHwDataFrame:
         for r in rows:
             per_series[r["event_type"]] = per_series.get(r["event_type"], 0) + 1
         assert all(n == 2 for n in per_series.values())
+
+
+def test_reference_exact_forecast():
+    """Bit-exact parity with the reference's own TestServer_HoltWinters
+    expectation (server_test.go: HOLT_WINTERS(FIRST(value),6,4) over 20m
+    buckets) — same grid + Hutt Nelder-Mead trajectory, same floats."""
+    times = [1597042800000000000 + i * 1200000000000 for i in range(6)]
+    vals = [10.0, 37.0, 48.0, 80.0, 39.0, 25.0]
+    start, fc = _hw_series(times, vals, h=6, m=4,
+                           interval=1200000000000, include_fit=False)
+    assert start == 1597050000000000000
+    assert fc == [
+        47.997143423738216, 80.01574957657594, 39.0206910442188,
+        30.99629387435043, 47.99669178533439, 80.01631956468897,
+    ]

@@ -448,6 +448,355 @@ FS_CASES = [
 ]
 
 
+# --- TestServer_TagArray (writes hand-transcribed: the Go suite builds
+# them with string concatenation the extractor does not evaluate).
+# tk=[v1,v2,…] expands to one point per value; the array form is the
+# stored series identity, so expanded points never merge with plain-tag
+# points at the same instant (count=11 keeps the tv9 pair distinct) ---
+TA_WRITES = [
+    'mst,tk1=tv9 f1=9i 1610380800000000000',
+    'mst,tk1=[tv2,tv3,tv4,tv5,tv6,tv7,tv8,tv9] f1=2i 1610380800000000000',
+    'mst,tk1=[tv10,tv11] f1=10i 1610380800000000000',
+]
+
+TA_CASES = [
+    (
+        'field condition exists 1',
+        'select sum(*) from mst where f1=2',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_f1"],"values":[["1970-01-01T00:00:00Z",16]]}]}]}',
+    ),
+    (
+        'field condition exist 2',
+        'select sum(*) from mst where f1=10',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_f1"],"values":[["1970-01-01T00:00:00Z",20]]}]}]}',
+    ),
+    (
+        'field condition not exist',
+        'select sum(*) from mst where f2=3',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        'no filed condition of sum',
+        'select sum(*) from mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_f1"],"values":[["1970-01-01T00:00:00Z",45]]}]}]}',
+    ),
+    (
+        'no filed condition of count',
+        'select count(*) from mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","count_f1"],"values":[["1970-01-01T00:00:00Z",11]]}]}]}',
+    ),
+    (
+        'tag condition',
+        "select sum(*) from mst where tk1='tv4'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_f1"],"values":[["1970-01-01T00:00:00Z",2]]}]}]}',
+    ),
+]
+
+
+# --- TestServer_HoltWinters: the real HOLT_WINTERS forecast (grid +
+# Hutt Nelder-Mead, holt_winters_transform.go) — bit-exact floats ---
+HW_WRITES = [
+    'cpu,host=server1 value=10 1597042800000000000',
+    'cpu,host=server2 value=22 1597043400000000000',
+    'cpu,host=server3 value=37 1597044000000000000',
+    'cpu,host=server4 value=15 1597044600000000000',
+    'cpu,host=server5 value=48 1597045200000000000',
+    'cpu,host=server6 value=27 1597045800000000000',
+    'cpu,host=server7 value=80 1597046400000000000',
+    'cpu,host=server8 value=69 1597047000000000000',
+    'cpu,host=server9 value=39 1597047600000000000',
+    'cpu,host=server10 value=57 1597048200000000000',
+    'cpu,host=server11 value=25 1597048800000000000',
+    'cpu,host=server12 value=98 1597049400000000000',
+]
+
+HW_CASES = [
+    (
+        'holt_winters query',
+        "SELECT HOLT_WINTERS(FIRST(value),6,4) FROM cpu WHERE  time >= '2020-08-10T07:00:00Z' AND time <= '2020-08-10T08:50:00Z' GROUP BY time(20m)",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","holt_winters"],"values":[["2020-08-10T09:00:00Z",47.997143423738216],["2020-08-10T09:20:00Z",80.01574957657594],["2020-08-10T09:40:00Z",39.0206910442188],["2020-08-10T10:00:00Z",30.99629387435043],["2020-08-10T10:20:00Z",47.99669178533439],["2020-08-10T10:40:00Z",80.01631956468897]]}]}]}',
+    ),
+]
+
+
+# --- TestServer_SubQuery_ShardMapper (server_test.go:13570) ---
+SQ_SM_WRITES = [
+    'cpu,t1=val1 value=1 946684800000000000',
+    'cpu,t2=val2 value=2 946684860000000000',
+    'cpu,t1=val2 value=3 946684920000000000',
+]
+
+SQ_SM_CASES = [
+    (    # params: '"db": []string{"db0"'
+        'without subquery',
+        "SELECT sum(value) from cpu where time >= '2000-01-01T00:00:00Z'",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",6]]}]}]}',
+    ),
+    (    # params: '"db": []string{"db0"'
+        'with subquery',
+        "SELECT sum(v1) from (select value as v1 from cpu where time >= '2000-01-01T00:00:00Z') ",
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","sum"],"values":[["2000-01-01T00:00:00Z",6]]}]}]}',
+    ),
+]
+
+# --- TestServer_TSSubQueryHasDifferentAscending (server_test.go:13618) ---
+TSSQHDA_WRITES = [
+    'mem,host=server1 f1=1 946684802000000000',
+]
+
+TSSQHDA_CASES = [
+    (    # params: '"db": []string{"db0"'
+        'different ascending',
+        'select f1 from (select f1 from mem order by time asc) order by time desc',
+        '{"results":[{"statement_id":0,"error":"subqueries must be ordered in the same direction as the query itself"}]}',
+    ),
+]
+
+# --- TestServer_ParallelQuery (server_test.go:13513) ---
+PQ_WRITES = [
+    'cpu,host=server1 value=1 946684801000000000',
+    'cpu,host=server1 value=2 946684802000000000',
+    'cpu,host=server1 value=3 946684803000000000',
+    'power,presence=true value=1 946684801000000000',
+    'power,presence=true value=2 946684802000000000',
+    'power,presence=true value=3 946684803000000000',
+    'power,presence=false value=4 946684804000000000',
+    'mem,host=server1 free=1 946684801000000000',
+    'mem,host=server1 free=2 946684802000000000',
+    'mem,host=server2 used=3 946684801000000000',
+    'mem,host=server2 used=4 946684802000000000',
+]
+
+PQ_CASES = [
+    (    # params: '"db": []string{"db0"'
+        'order on points',
+        'select value from "cpu" ORDER BY time DESC;select value from "power" ORDER BY time DESC;select used, free from "mem" ORDER BY time DESC',
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","value"],"values":[["2000-01-01T00:00:03Z",3],["2000-01-01T00:00:02Z",2],["2000-01-01T00:00:01Z",1]]}]},{"statement_id":1,"series":[{"name":"power","columns":["time","value"],"values":[["2000-01-01T00:00:04Z",4],["2000-01-01T00:00:03Z",3],["2000-01-01T00:00:02Z",2],["2000-01-01T00:00:01Z",1]]}]},{"statement_id":2,"series":[{"name":"mem","columns":["time","used","free"],"values":[["2000-01-01T00:00:02Z",null,2],["2000-01-01T00:00:02Z",4,null],["2000-01-01T00:00:01Z",null,1],["2000-01-01T00:00:01Z",3,null]]}]}]}',
+    ),
+]
+
+# --- TestServer_MeasurementWithShardLists (server_test.go:4251) ---
+MWSL_WRITES = [
+    'mst,country=china,name=azhu age=12i,height=70,address="shenzhen",alive=TRUE 1629129600000000000',
+    'mst,country=american,name=alan age=20i,height=80,address="shanghai",alive=FALSE 1629129601000000000',
+    'mst,country=germany,name=alang age=3i,height=90,address="beijin",alive=TRUE 1629129602000000000',
+    'mst,country=japan,name=ahui age=30i,height=121,address="guangzhou",alive=FALSE 1629129603000000000',
+    'mst,country=canada,name=aqiu age=35i,height=138,address="chengdu",alive=TRUE 1629129604000000000',
+    'mst,country=china,name=agang age=48i,height=149,address="wuhan",alive=TRUE 1629129605000000000',
+    'mst,country=american,name=agan age=52i,height=153,address="wuhan",alive=TRUE 1629129606000000000',
+    'mst,country=germany,name=alin age=28i,height=163,address="anhui",alive=FALSE 1629129607000000000',
+    'mst,country=japan,name=ali age=32i,height=173,address="xian",alive=TRUE 1629129608000000000',
+    'mst,country=canada,name=ali age=60i,height=180,address="hangzhou",alive=FALSE 1629129609000000000',
+    'mst,country=canada,name=ahuang age=102i,height=191,address="nanjin",alive=TRUE 1629129610000000000',
+    'mst,country=china,name=ayin age=123i,height=203,address="zhengzhou",alive=FALSE 1629129611000000000',
+]
+
+MWSL_CASES = [
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'china',
+        "select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst where country = 'china'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",183,422]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'germany',
+        "select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst where country = 'germany'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",31,253]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'canada',
+        "select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst where country = 'canada'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",197,509]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'american',
+        "select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst where country = 'american'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",72,233]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'american',
+        "select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst where country = 'american'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",72,233]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'wuhan',
+        "select sum(age) as sum_age, sum(height) as sum_height from db0.rp0.mst where address = 'wuhan'",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","sum_age","sum_height"],"values":[["1970-01-01T00:00:00Z",100,302]]}]}]}',
+    ),
+]
+
+# --- TestServer_Query_MultipleFiles_NoCrossTime (server_test.go:6826) ---
+Q_MF_NCT_WRITES = [
+    'mst,country=China,name=ada age=15 1625558240121000000',
+    'mst,country=China,name=billy age=27 1625558240122000000',
+    'mst,country=China,name=demon age=57 1625558242123000000',
+    'mst,country=China,name=king age=22 1625558242124000000',
+    'mst,country=Egypt,name=chris age=31 1625558244121000000',
+    'mst,country=Egypt,name=daisy age=40 1625558244122000000',
+    'mst,country=France,name=paul age=45 1625558245123000000',
+    'mst,country=Germany,name=frank age=36 1625558245124000000',
+    'mst,country=Japan,name=jack age=21 1625558245125000000',
+]
+
+Q_MF_NCT_CASES = [
+    (    # params: '"db": []string{"db0"'
+        'select mean(*) from measurements group by time',
+        'SELECT mean(*) FROM mst where time >= 1625558240121000000 and time <= 1625558245125000000 group by time(1s)',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","mean_age"],"values":[["2021-07-06T07:57:20Z",21],["2021-07-06T07:57:21Z",null],["2021-07-06T07:57:22Z",39.5],["2021-07-06T07:57:23Z",null],["2021-07-06T07:57:24Z",35.5],["2021-07-06T07:57:25Z",34]]}]}]}',
+    ),
+]
+
+
+
+# --- TestServer_Query_Null_Aggregate (server_test.go:3501) ---
+Q_N_A_WRITES = [
+    'mst,country=china,name=azhu age=12.3,height=70i,address="shenzhen",alive=TRUE 1629129600000000000',
+    'mst,country=american,name=alan age=20.5,height=80i,address="shanghai",alive=FALSE 1629129601000000000',
+    'mst,country=germany,name=alang age=3.4,height=90i,address="beijin",alive=TRUE 1629129602000000000',
+    'mst,country=japan,name=ahui age=30,height=121i,address="guangzhou",alive=FALSE 1629129603000000000',
+    'mst,country=canada,name=aqiu age=35,height=138i,address="chengdu",alive=TRUE 1629129604000000000',
+    'mst,country=china,name=agang age=48.8,height=149i,address="wuhan" 1629129605000000000',
+    'mst,country=american,name=agan age=52.7,height=153i,alive=TRUE 1629129606000000000',
+    'mst,country=germany,name=alin age=28.3,address="anhui",alive=FALSE 1629129607000000000',
+    'mst,country=japan,name=ali height=179i,address="xian",alive=TRUE 1629129608000000000',
+    'mst,country=canada age=60.8,height=180i,address="hangzhou",alive=FALSE 1629129609000000000',
+    'mst,name=ahuang age=102,height=191i,address="nanjin",alive=TRUE 1629129610000000000',
+    'mst,country=china,name=ayin age=123,height=203i,address="zhengzhou",alive=FALSE 1629129611000000000',
+]
+
+Q_N_A_CASES = [
+    (  
+        'SELECT top(age, 2), country',
+        'SELECT top(age, 2), country FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","top","country"],"values":[["2021-08-16T16:00:10Z",102,null],["2021-08-16T16:00:11Z",123,"china"]]}]}]}',
+    ),
+    (  
+        'SELECT DIFFERENCE(*) FROM db0.rp0.mst',
+        'SELECT DIFFERENCE(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",-17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",-24.400000000000002,null],["2021-08-16T16:00:08Z",null,26],["2021-08-16T16:00:09Z",32.5,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (  
+        "SELECT DIFFERENCE(* 'front') FROM db0.rp0.mst",
+        "SELECT DIFFERENCE(*, 'front') FROM db0.rp0.mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",-8.2,-10],["2021-08-16T16:00:02Z",17.1,-10],["2021-08-16T16:00:03Z",-26.6,-31],["2021-08-16T16:00:04Z",-5,-17],["2021-08-16T16:00:05Z",-13.799999999999997,-11],["2021-08-16T16:00:06Z",-3.9000000000000057,-4],["2021-08-16T16:00:07Z",24.400000000000002,null],["2021-08-16T16:00:08Z",null,-26],["2021-08-16T16:00:09Z",-32.5,-1],["2021-08-16T16:00:10Z",-41.2,-11],["2021-08-16T16:00:11Z",-21,-12]]}]}]}',
+    ),
+    (  
+        "SELECT DIFFERENCE(* 'behind') FROM db0.rp0.mst",
+        "SELECT DIFFERENCE(*, 'behind') FROM db0.rp0.mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",-17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",-24.400000000000002,null],["2021-08-16T16:00:08Z",null,26],["2021-08-16T16:00:09Z",32.5,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (  
+        "SELECT DIFFERENCE(* 'absolute') FROM db0.rp0.mst",
+        "SELECT DIFFERENCE(*, 'absolute') FROM db0.rp0.mst",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","difference_age","difference_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",24.400000000000002,null],["2021-08-16T16:00:08Z",null,26],["2021-08-16T16:00:09Z",32.5,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (  
+        "select difference(age, 'front') from ( select * from db0.rp0.mst group by country) group by country order by time desc",
+        "select difference(age, 'front') from ( select * from db0.rp0.mst group by country) group by country order by time desc",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":"germany"},"columns":["time","difference"],"values":[["2021-08-16T16:00:02Z",24.900000000000002]]},{"name":"mst","tags":{"country":"china"},"columns":["time","difference"],"values":[["2021-08-16T16:00:05Z",74.2],["2021-08-16T16:00:00Z",36.5]]},{"name":"mst","tags":{"country":"canada"},"columns":["time","difference"],"values":[["2021-08-16T16:00:04Z",25.799999999999997]]},{"name":"mst","tags":{"country":"american"},"columns":["time","difference"],"values":[["2021-08-16T16:00:01Z",32.2]]}]}]}',
+    ),
+    (  
+        "select difference(age, 'behind') from ( select * from db0.rp0.mst group by country) group by country order by time desc",
+        "select difference(age, 'behind') from ( select * from db0.rp0.mst group by country) group by country order by time desc",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":"germany"},"columns":["time","difference"],"values":[["2021-08-16T16:00:02Z",-24.900000000000002]]},{"name":"mst","tags":{"country":"china"},"columns":["time","difference"],"values":[["2021-08-16T16:00:05Z",-74.2],["2021-08-16T16:00:00Z",-36.5]]},{"name":"mst","tags":{"country":"canada"},"columns":["time","difference"],"values":[["2021-08-16T16:00:04Z",-25.799999999999997]]},{"name":"mst","tags":{"country":"american"},"columns":["time","difference"],"values":[["2021-08-16T16:00:01Z",-32.2]]}]}]}',
+    ),
+    (  
+        "select difference(age, 'absolute') from ( select * from db0.rp0.mst group by country) group by country order by time desc",
+        "select difference(age, 'absolute') from ( select * from db0.rp0.mst group by country) group by country order by time desc",
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","tags":{"country":"germany"},"columns":["time","difference"],"values":[["2021-08-16T16:00:02Z",24.900000000000002]]},{"name":"mst","tags":{"country":"china"},"columns":["time","difference"],"values":[["2021-08-16T16:00:05Z",74.2],["2021-08-16T16:00:00Z",36.5]]},{"name":"mst","tags":{"country":"canada"},"columns":["time","difference"],"values":[["2021-08-16T16:00:04Z",25.799999999999997]]},{"name":"mst","tags":{"country":"american"},"columns":["time","difference"],"values":[["2021-08-16T16:00:01Z",32.2]]}]}]}',
+    ),
+    (  
+        'SELECT DERIVATIVE(*) FROM db0.rp0.mst',
+        'SELECT DERIVATIVE(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","derivative_age","derivative_height"],"values":[["2021-08-16T16:00:01Z",8.2,10],["2021-08-16T16:00:02Z",-17.1,10],["2021-08-16T16:00:03Z",26.6,31],["2021-08-16T16:00:04Z",5,17],["2021-08-16T16:00:05Z",13.799999999999997,11],["2021-08-16T16:00:06Z",3.9000000000000057,4],["2021-08-16T16:00:07Z",-24.400000000000002,null],["2021-08-16T16:00:08Z",null,13],["2021-08-16T16:00:09Z",16.25,1],["2021-08-16T16:00:10Z",41.2,11],["2021-08-16T16:00:11Z",21,12]]}]}]}',
+    ),
+    (  
+        'SELECT ELAPSED(*) FROM db0.rp0.mst',
+        'SELECT ELAPSED(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","elapsed_address","elapsed_age","elapsed_alive","elapsed_height"],"values":[["2021-08-16T16:00:01Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:02Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:03Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:04Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:05Z",1000000000,1000000000,null,1000000000],["2021-08-16T16:00:06Z",null,1000000000,2000000000,1000000000],["2021-08-16T16:00:07Z",2000000000,1000000000,1000000000,null],["2021-08-16T16:00:08Z",1000000000,null,1000000000,2000000000],["2021-08-16T16:00:09Z",1000000000,2000000000,1000000000,1000000000],["2021-08-16T16:00:10Z",1000000000,1000000000,1000000000,1000000000],["2021-08-16T16:00:11Z",1000000000,1000000000,1000000000,1000000000]]}]}]}',
+    ),
+    (  
+        'SELECT MOVING_AVERAGE(*, 2) FROM db0.rp0.mst',
+        'SELECT MOVING_AVERAGE(* ,2) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","moving_average_age","moving_average_height"],"values":[["2021-08-16T16:00:01Z",16.4,75],["2021-08-16T16:00:02Z",11.949999999999998,85],["2021-08-16T16:00:03Z",16.699999999999996,105.5],["2021-08-16T16:00:04Z",32.5,129.5],["2021-08-16T16:00:05Z",41.9,143.5],["2021-08-16T16:00:06Z",50.75,151],["2021-08-16T16:00:07Z",40.5,null],["2021-08-16T16:00:08Z",null,166],["2021-08-16T16:00:09Z",44.55,179.5],["2021-08-16T16:00:10Z",81.4,185.5],["2021-08-16T16:00:11Z",112.5,197]]}]}]}',
+    ),
+    (  
+        'SELECT CUMULATIVE_SUM(*) FROM db0.rp0.mst',
+        'SELECT CUMULATIVE_SUM(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","cumulative_sum_age","cumulative_sum_height"],"values":[["2021-08-16T16:00:00Z",12.3,70],["2021-08-16T16:00:01Z",32.8,150],["2021-08-16T16:00:02Z",36.199999999999996,240],["2021-08-16T16:00:03Z",66.19999999999999,361],["2021-08-16T16:00:04Z",101.19999999999999,499],["2021-08-16T16:00:05Z",150,648],["2021-08-16T16:00:06Z",202.7,801],["2021-08-16T16:00:07Z",231,null],["2021-08-16T16:00:08Z",null,980],["2021-08-16T16:00:09Z",291.8,1160],["2021-08-16T16:00:10Z",393.8,1351],["2021-08-16T16:00:11Z",516.8,1554]]}]}]}',
+    ),
+    (  
+        'SELECT INTEGRAL(*) FROM db0.rp0.mst',
+        'SELECT INTEGRAL(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","integral_age","integral_height"],"values":[["1970-01-01T00:00:00Z",493.69999999999993,1583.5]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT COUNT(TIME)',
+        'SELECT COUNT(TIME) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","count"],"values":[["1970-01-01T00:00:00Z",12]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT /*+ Exact_Statistic_Query */ COUNT(TIME)',
+        'SELECT /*+ Exact_Statistic_Query */ COUNT(TIME) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","count"],"values":[["1970-01-01T00:00:00Z",12]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT rate(*)',
+        'SELECT rate(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","rate_age","rate_height"],"values":[["1970-01-01T00:00:00Z",10.063636363636364,12.090909090909092]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT irate(*)',
+        'SELECT irate(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","irate_age","irate_height"],"values":[["1970-01-01T00:00:00Z",21,12]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT absent(*)',
+        'SELECT absent(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","absent_address","absent_age","absent_alive","absent_height"],"values":[["1970-01-01T00:00:00Z",1,1,1,1]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT spread(*)',
+        'SELECT spread(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","spread_age","spread_height"],"values":[["1970-01-01T00:00:00Z",119.6,133]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT stddev(*)',
+        'SELECT stddev(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","stddev_age","stddev_height"],"values":[["1970-01-01T00:00:00Z",36.90143135927978,46.139117696572626]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT median(*)',
+        'SELECT median(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","median_age","median_height"],"values":[["1970-01-01T00:00:00Z",35,149]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT mode(*)',
+        'SELECT mode(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","mode_address","mode_age","mode_alive","mode_height"],"values":[["1970-01-01T00:00:00Z","anhui",3.4,true,70]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT count(*), group by time',
+        'SELECT count(*) FROM db0.rp0.mst WHERE time >= 1629129600000000000 and time <= 1629129611000000000 group by time(1s)',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","count_address","count_age","count_alive","count_height"],"values":[["2021-08-16T16:00:00Z",1,1,1,1],["2021-08-16T16:00:01Z",1,1,1,1],["2021-08-16T16:00:02Z",1,1,1,1],["2021-08-16T16:00:03Z",1,1,1,1],["2021-08-16T16:00:04Z",1,1,1,1],["2021-08-16T16:00:05Z",1,1,0,1],["2021-08-16T16:00:06Z",0,1,1,1],["2021-08-16T16:00:07Z",1,1,1,0],["2021-08-16T16:00:08Z",1,0,1,1],["2021-08-16T16:00:09Z",1,1,1,1],["2021-08-16T16:00:10Z",1,1,1,1],["2021-08-16T16:00:11Z",1,1,1,1]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT last(*), group by time',
+        'SELECT last(*) FROM db0.rp0.mst WHERE time >= 1629129600000000000 and time <= 1629129611000000000 group by time(1s)',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","last_address","last_age","last_alive","last_height"],"values":[["2021-08-16T16:00:00Z","shenzhen",12.3,true,70],["2021-08-16T16:00:01Z","shanghai",20.5,false,80],["2021-08-16T16:00:02Z","beijin",3.4,true,90],["2021-08-16T16:00:03Z","guangzhou",30,false,121],["2021-08-16T16:00:04Z","chengdu",35,true,138],["2021-08-16T16:00:05Z","wuhan",48.8,null,149],["2021-08-16T16:00:06Z",null,52.7,true,153],["2021-08-16T16:00:07Z","anhui",28.3,false,null],["2021-08-16T16:00:08Z","xian",null,true,179],["2021-08-16T16:00:09Z","hangzhou",60.8,false,180],["2021-08-16T16:00:10Z","nanjin",102,true,191],["2021-08-16T16:00:11Z","zhengzhou",123,false,203]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT /*+ specific_series */  *',
+        'SELECT /*+ specific_series */  * FROM db0.rp0.mst WHERE country=\'china\' and age=12.3 and "name"=\'azhu\'',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","address","age","alive","country","height","name"],"values":[["2021-08-16T16:00:00Z","shenzhen",12.3,true,"china",70,"azhu"]]}]}]}',
+    ),
+    (    # params: '"inner_chunk_size": []string{"1"'
+        'SELECT regr_slope(*)',
+        'SELECT regr_slope(*) FROM db0.rp0.mst',
+        '{"results":[{"statement_id":0,"series":[{"name":"mst","columns":["time","regr_slope_age","regr_slope_height"],"values":[["1970-01-01T00:00:00Z",9.690909090909093,13.727272727272727]]}]}]}',
+    ),
+]
+
+
 def _mkroot(spark, tmp_path_factory, name, writes):
     root = str(tmp_path_factory.mktemp(name))
     if writes:
@@ -469,6 +818,14 @@ SUITES = [
     ("pdri", "PDRI_WRITES", "PDRI_CASES"),
     ("hl", "HL_WRITES", "HL_CASES"),
     ("fs", "FS_WRITES", "FS_CASES"),
+    ("ta", "TA_WRITES", "TA_CASES"),
+    ("hw", "HW_WRITES", "HW_CASES"),
+    ("sqsm", "SQ_SM_WRITES", "SQ_SM_CASES"),
+    ("tssq", "TSSQHDA_WRITES", "TSSQHDA_CASES"),
+    ("pq", "PQ_WRITES", "PQ_CASES"),
+    ("mwsl", "MWSL_WRITES", "MWSL_CASES"),
+    ("mfnct", "Q_MF_NCT_WRITES", "Q_MF_NCT_CASES"),
+    ("na", "Q_N_A_WRITES", "Q_N_A_CASES"),
 ]
 
 _g = globals()

@@ -50,7 +50,7 @@ def test_parse_df_and_pivot(spark):
     # __ln: hidden first-written-line ordinal (merged-stream duplicate-
     # timestamp resolution, difference_derivative_time_duplicate)
     assert set(cpu.columns) == {
-        "time_ns", "host", "region", "usage", "idle", "__ln"
+        "time_ns", "host", "region", "usage", "idle", "__ln", "__akey"
     }
 
 

@@ -27,6 +27,12 @@ PIN = "2030-01-01T01:02:03Z"
 def _fn_body(src: str, fn: str) -> tuple[int, str]:
     m = re.search(rf"^func {re.escape(fn)}\(t \*testing\.T\) \{{", src, re.M)
     if not m:
+        # shared-registry suites: tests["name"] = Test{ … } in
+        # server_suite.go (fall back when no func matches)
+        m = re.search(
+            rf'tests\["{re.escape(fn)}"\] = Test\{{', src, re.M
+        )
+    if not m:
         raise SystemExit(f"function {fn} not found")
     start = m.end()
     depth = 1
@@ -100,6 +106,19 @@ def _go_dur_ns(expr: str) -> int:
 def _preprocess(body: str) -> str:
     """Replace Go now()/mustParseTime expressions with literals."""
     now_ns = _unix_nano(PIN)
+
+    # local time bindings: `unixNano := mustParseTime(…).UnixNano()` —
+    # substitute the computed literal everywhere the name is used
+    for bm in re.finditer(
+        r'(\w+)\s*:=\s*mustParseTime\(time\.RFC3339Nano?,?\s*"([^"]+)"\)'
+        r"\.UnixNano\(\)",
+        body,
+    ):
+        body = re.sub(
+            rf"\b{re.escape(bm.group(1))}\b",
+            str(_unix_nano(bm.group(2))),
+            body,
+        )
 
     def base_expr(expr: str) -> int | None:
         expr = expr.strip()
@@ -235,6 +254,29 @@ def _scan_sprintf(body: str):
                       re.S)
         if fm:
             yield fm.group(1), fm.group(2)
+            continue
+        # fmt.Sprintf("a\n" + "b\n" + …) — literal concatenation with no
+        # args (HintLimit/TagArray/SelectRelativeTime1 write blocks)
+        cat = re.match(
+            r'\s*("(?:[^"\\]|\\.)*"(?:\s*\+\s*\n?\s*"(?:[^"\\]|\\.)*")+)'
+            r"\s*$",
+            inner, re.S,
+        )
+        if cat:
+            joined = "".join(
+                p[1:-1]
+                for p in re.findall(r'"(?:[^"\\]|\\.)*"', cat.group(1))
+            )
+            yield '"' + joined + '"', ""
+            continue
+        # bare literal, no args (preprocess may have joined a "+"-chain
+        # into one backtick literal that still carries \n escapes)
+        bare = re.match(r'\s*(`[^`]*`|"(?:[^"\\]|\\.)*")\s*$', inner, re.S)
+        if bare:
+            lit = bare.group(1)
+            if lit.startswith("`"):
+                lit = '"' + lit[1:-1].replace('"', '\\"') + '"'
+            yield lit, ""
 
 
 def _eval_writes(body: str) -> tuple[list[str], list[str]]:
@@ -331,7 +373,18 @@ def _queries(body: str, notes: list[str]) -> list[dict]:
 
 def main() -> None:
     fn = sys.argv[1]
-    src = open(sys.argv[2] if len(sys.argv) > 2 else REF).read()
+    if len(sys.argv) > 2:
+        src = open(sys.argv[2]).read()
+    else:
+        # shared-registry suites (tests["…"]) live in server_suite.go
+        src = open(REF).read()
+        if (
+            f"func {fn}(" not in src
+            and f'tests["{fn}"]' not in src
+        ):
+            src = open(
+                "/root/reference/tests/server_suite.go"
+            ).read()
     line, body = _fn_body(src, fn)
     uses_now = bool(re.search(r"\bnow\s*:?=\s*now\(\)", body))
     body = _preprocess(body)
