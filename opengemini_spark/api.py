@@ -171,8 +171,17 @@ def handle_query(
                     }]
                 results.append(blk)
                 continue
+            field_index = None
+            if ddl is not None:
+                field_index = {
+                    mname: minfo["field_index"]
+                    for d_ in ddl.meta.databases.values()
+                    for mname, minfo in d_.measurement_info.items()
+                    if minfo.get("field_index")
+                } or None
             planner = Planner(
-                spark, sf_dir, loader=loader, catalog_names=catalog_names
+                spark, sf_dir, loader=loader, catalog_names=catalog_names,
+                field_index=field_index,
             )
             df = planner.plan(stmt)
             if (
@@ -456,6 +465,7 @@ def handle_write(
     lines: list[str],
     data_root: str,
     precision: str = "n",
+    now_ns: int | None = None,
 ) -> dict:
     """Line-protocol write: parse → pivot per measurement → partitioned
     append under ``data_root/<measurement>/``.
@@ -466,9 +476,21 @@ def handle_write(
 
     The parsed batch is cached once and reused by the measurement
     discovery and every per-measurement pivot — one parse pass per batch,
-    not one per measurement (VERDICT r1 minor #4)."""
-    parsed = parse_line_protocol(spark, lines)
+    not one per measurement (VERDICT r1 minor #4).
+
+    ``now_ns`` stamps points posted without a timestamp, like the
+    reference server's write-time now() (handler.go → models.ParsePoints
+    default time). ``None`` uses the wall clock."""
+    if now_ns is None:
+        import time as _time
+
+        now_ns = _time.time_ns()
     mult = _PRECISION_NS[precision]
+    # untimestamped points are stamped pre-scaling in the posted unit
+    # (the reference truncates its now() to the write precision)
+    parsed = parse_line_protocol(
+        spark, lines, default_time_ns=now_ns // mult
+    )
     if mult != 1:
         from pyspark.sql import functions as _F
 

@@ -140,7 +140,8 @@ _DUR_RE = re.compile(r"(\d+)(ns|u|ms|s|m|h|d|w)")
 
 
 def _dur_ns(s: str) -> int:
-    if s.lower() == "inf":
+    s = s.lower()
+    if s == "inf":
         return 0
     return sum(int(v) * DUR_NS[u] for v, u in _DUR_RE.findall(s))
 
@@ -157,13 +158,46 @@ class QueryParseError(ValueError):
     …"}``), not a per-statement error row."""
 
 
+class _OrigMatch:
+    """Match proxy that re-reads group text from the ORIGINAL (pre-lower)
+    statement by span, so identifier values keep their case while the
+    dispatch keywords stay case-insensitive."""
+
+    def __init__(self, m: re.Match, orig: str):
+        self._m = m
+        self._s = orig
+
+    def group(self, i: int = 0):
+        a, b = self._m.span(i)
+        return None if a == -1 else self._s[a:b]
+
+    def span(self, i: int = 0):
+        return self._m.span(i)
+
+    def start(self, i: int = 0):
+        return self._m.start(i)
+
+    def end(self, i: int = 0):
+        return self._m.end(i)
+
+
 class DDLExecutor:
     """Regex-dispatch executor for the DDL surface (the reference's own DDL
     grammar is flat keyword sequences — sql.y DDL productions)."""
 
-    def __init__(self, spark: SparkSession, meta: MetaStore):
+    def __init__(self, spark: SparkSession, meta: MetaStore,
+                 password_policy: bool = True, auth_enabled: bool = False):
         self.spark = spark
         self.meta = meta
+        # NewParseConfig servers validate password strength; the default
+        # config does not (ShowDatabases_WithAuth creates user `admin`
+        # with password 'admin' successfully)
+        self.password_policy = password_policy
+        # per-request authorization context (httpd auth middleware):
+        # when enabled, SHOW DATABASES lists only the current user's
+        # readable/writable databases
+        self.auth_enabled = auth_enabled
+        self.current_user: str | None = None
 
     def execute(self, q: str) -> dict:
         s = q.strip().rstrip(";")
@@ -171,7 +205,12 @@ class DDLExecutor:
         for pattern, fn in self._DISPATCH:
             m = re.match(pattern, low)
             if m:
-                return fn(self, s, m)
+                # patterns are written lowercase and matched against the
+                # lowered text; identifier VALUES are case-significant
+                # (CREATE DATABASE dbR keeps its capitals —
+                # ShowDatabases_WithAuth), so groups re-extract from the
+                # original statement by span
+                return fn(self, s, _OrigMatch(m, s))
         self._parse_checks(low)
         raise ValueError(f"DDL: unsupported statement {q!r}")
 
@@ -285,8 +324,17 @@ class DDLExecutor:
 
     def _show_dbs(self, s, m):
         block: dict = {"name": "databases", "columns": ["name"]}
-        if self.meta.databases:
-            block["values"] = [[n] for n in sorted(self.meta.databases)]
+        names = sorted(self.meta.databases)
+        if self.auth_enabled and self.current_user is not None:
+            # authorized listing: an admin sees everything, other users
+            # see only databases they hold READ/WRITE/ALL on
+            # (ShowDatabases_WithAuth)
+            u = self.meta.users.get(self.current_user, {})
+            if not u.get("admin"):
+                grants = u.get("grants", {})
+                names = [n for n in names if grants.get(n)]
+        if names:
+            block["values"] = [[n] for n in names]
         return {"series": [block]}
 
     def _show_dbs_detail(self, s, m):
@@ -737,6 +785,20 @@ class DDLExecutor:
             # clause conflicts (measurement_commands "with shardkey")
             raise ValueError("measurement already exists")
         self.register_measurement(db, name)
+        im = re.search(
+            r"indextype\s+\"?field\"?\s+indexlist\s+([\w,]+)",
+            m.group(2) or "", re.I,
+        )
+        if im:
+            # field-index DDL (TestServer_FieldIndex_Query): the listed
+            # FIELDS become GROUP BY-able like tags while staying fields
+            info = self.meta.databases[db].measurement_info.setdefault(
+                name,
+                {"rp": "rp0", "tags": [], "fields": [],
+                 "engine": "tsstore", "shardkey": [], "primarykey": []},
+            )
+            info["field_index"] = im.group(1).split(",")
+            self.meta.save()
         return {"ok": True}
 
     def _create_user(self, s, m):
@@ -748,6 +810,12 @@ class DDLExecutor:
             s, re.IGNORECASE,
         )
         pw = cm.group(1) if cm else m.group(2)
+        if not self.password_policy:
+            self.meta.users[name] = {
+                "admin": bool(m.group(3)), "rwuser": False, "grants": {},
+            }
+            self.meta.save()
+            return {"ok": True}
         if len(pw) < 8 or len(pw) > 256:
             raise ValueError(
                 "the password needs to be between 8 and 256 characters long"
@@ -811,7 +879,7 @@ class DDLExecutor:
         return {"series": [block]}
 
     def _grant(self, s, m):
-        priv, db, user = m.group(1), m.group(2), m.group(3)
+        priv, db, user = m.group(1).lower(), m.group(2), m.group(3)
         if user not in self.meta.users:
             raise ValueError(f"user not found: {user}")
         self.meta.users[user]["grants"][db] = priv
@@ -922,10 +990,27 @@ class DDLExecutor:
     # statement_executor.go:862 → MetaClient.CreateSubscription) ---
     def _create_subscription(self, s, m):
         name, db, rp, mode = m.group(1), m.group(2), m.group(3), m.group(4)
-        dests = re.findall(r"'([^']*)'", s[m.end(4):])
+        dests = re.findall(r"""["']([^"']*)["']""", s[m.end(4):])
+        for d in dests:
+            # destinations must be absolute http(s) URLs
+            # (meta.CreateSubscription url.Parse + scheme validation —
+            # SubscriptionCommands "CREATE SUBSCRIPTION WITH INVALID URL")
+            if not re.match(r"(?i)https?://", d):
+                raise ValueError(f"invalid url {d}")
         self.meta.subscriptions[name] = {
             "name": name, "db": db, "rp": rp,
             "mode": mode.upper(), "destinations": dests,
+        }
+        self.meta.save()
+        return {"ok": True}
+
+    def _drop_all_subscriptions(self, s, m):
+        """DROP ALL SUBSCRIPTIONS [ON db] (sql.y DropSubscription ALL
+        form): removes every subscription, or the named db's."""
+        db = m.group(1)
+        self.meta.subscriptions = {
+            k: v for k, v in self.meta.subscriptions.items()
+            if db is not None and v["db"] != db
         }
         self.meta.save()
         return {"ok": True}
@@ -934,6 +1019,9 @@ class DDLExecutor:
         by_db: dict[str, list] = {}
         for e in self.meta.subscriptions.values():
             by_db.setdefault(e["db"], []).append(e)
+        if not by_db:
+            # no subscriptions → the wire omits "series" entirely
+            return {}
         return {
             "series": [
                 {
@@ -1129,13 +1217,13 @@ class DDLExecutor:
         (r"show users$", _show_users),
         (r"show grants for ([a-z_][a-z0-9_]*)$", _show_grants),
         (
-            r"grant (read|write|all)(?: privileges)? on ([a-z_][a-z0-9_]*) "
-            r"to ([a-z_][a-z0-9_]*)$",
+            r'grant (read|write|all)(?: privileges)? on "?([a-z_][a-z0-9_]*)"? '
+            r'to "?([a-z_][a-z0-9_]*)"?$',
             _grant,
         ),
         (
-            r"revoke (read|write|all)(?: privileges)? on ([a-z_][a-z0-9_]*) "
-            r"from ([a-z_][a-z0-9_]*)$",
+            r'revoke (read|write|all)(?: privileges)? on "?([a-z_][a-z0-9_]*)"? '
+            r'from "?([a-z_][a-z0-9_]*)"?$',
             _revoke,
         ),
         (r"kill query (\d+)$", _kill_query),
@@ -1152,6 +1240,10 @@ class DDLExecutor:
             _create_subscription,
         ),
         (r"show subscriptions$", _show_subscriptions),
+        (
+            r'drop all subscriptions(?: on "?([a-z_][a-z0-9_]*)"?)?$',
+            _drop_all_subscriptions,
+        ),
         (
             r'drop subscription "?([a-z_][a-z0-9_]*)"? on '
             r'"?([a-z_][a-z0-9_]*)"?\."?([a-z_][a-z0-9_]*)"?$',

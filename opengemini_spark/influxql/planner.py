@@ -65,11 +65,16 @@ class Planner:
         sf_dir: str,
         loader=None,
         catalog_names: list[str] | None = None,
+        field_index: dict[str, list[str]] | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.loader = loader      # optional: measurement name -> DataFrame
         self.catalog_names = catalog_names  # measurements for SHOW scans
+        # measurement → field names declared `indextype "field" indexlist`
+        # (CREATE MEASUREMENT DDL): those FIELDS group like tags
+        self.field_index = field_index or {}
+        self._fi_dims: set[str] = set()  # active field-index GROUP BY dims
         self._agg_subst: dict[int, str] = {}  # agg-call node id -> hidden col
         self._in_subquery = False  # True while planning a derived table
         self._agg_interval_ns: int | None = None  # GROUP BY time interval
@@ -1248,8 +1253,21 @@ class Planner:
             tag_ok = (
                 set(_tags_meta) if _tags_meta is not None else set(df.columns)
             )
+            fi_fields = (
+                set(self.field_index.get(stmt.source.split(".")[-1], ()))
+                if isinstance(stmt.source, str) else set()
+            )
             for t in stmt.group_tags:
                 if t in tag_ok:
+                    continue
+                if t in fi_fields and t in df.columns:
+                    # field-index dim (CREATE MEASUREMENT … indextype
+                    # "field" indexlist t, TestServer_FieldIndex_Query):
+                    # the field's VALUE is the series key, while the
+                    # field column itself stays projected — the dim is
+                    # kept as-is for grouping and exempted from the
+                    # wildcard's grouped-dim exclusion.
+                    self._fi_dims.add(t)
                     continue
                 if t in df.columns:
                     alias = f"__f_{t}"
@@ -1278,7 +1296,10 @@ class Planner:
                     expanded.extend(
                         ast.Field(ast.VarRef(c))
                         for c in sorted(df.columns)
-                        if c not in (TIME_COL, "ts", *stmt.group_tags)
+                        if (
+                            c in self._fi_dims
+                            or c not in (TIME_COL, "ts", *stmt.group_tags)
+                        )
                         and not c.startswith("__")
                         and (
                             hint is None
@@ -1702,7 +1723,9 @@ class Planner:
         for i, (leg, _alias) in enumerate(src.legs):
             df, _tags, _dims = self._derived_leg(leg)
             skey = (
-                F.col("__skey") if "__skey" in df.columns else F.lit("")
+                F.col("__skey") if "__skey" in df.columns
+                else F.col("__skey_t") if "__skey_t" in df.columns
+                else F.lit("")
             )
             df = df.withColumn(
                 "__skey", F.concat(F.lit(f"{i:04d},"), skey)
@@ -1852,8 +1875,9 @@ class Planner:
                     .withColumn("time", F.lit(lo))
                 )
             df = df.select("time", *gcols, out_name)
-            if "__skey" in df.columns:
-                df = df.drop("__skey")
+            for _sk in ("__skey", "__skey_t"):
+                if _sk in df.columns:
+                    df = df.drop(_sk)
             frames.append(df)
 
         gcols = [f"__tag_{t}" for t in tags]
@@ -2063,6 +2087,8 @@ class Planner:
                 # the leg carries its own emission-order key (a nested
                 # join or raw derived table) — preserve it as-is
                 skey = F.col("__skey")
+            elif "__skey_t" in df.columns:
+                skey = F.col("__skey_t")
             elif tags:
                 skey = F.concat_ws(
                     ",",
@@ -3492,11 +3518,20 @@ class Planner:
             cols.append(F.col("__skey0"))
         if "__skey" in df.columns:
             cols.append(F.col("__skey"))
+        elif "__skey_t" in df.columns and not isinstance(stmt.source, str):
+            # derived table: the inner scan's (time, series-key) order IS
+            # the row order the outer re-emits — promote to the KEY-MAJOR
+            # form so it sorts before the projected values (CTE "simple
+            # query with cte": ff2 keeps the inner series order)
+            cols.append(F.col("__skey_t").alias("__skey"))
         else:
             skey_tags = sorted(
                 t for t in (self._cur_tags_meta or []) if t in df.columns
             )
             if skey_tags:
+                # VALUE-MAJOR key (__skey_t): a direct measurement scan's
+                # equal-time merge compares the projected values first,
+                # series key last (DropSeries "before drop")
                 cols.append(
                     F.concat_ws(
                         ",",
@@ -3507,7 +3542,7 @@ class Planner:
                             )
                             for t in skey_tags
                         ],
-                    ).alias("__skey")
+                    ).alias("__skey_t")
                 )
         # only a real measurement scan skips field-less rows — a derived
         # table's nulls are materialized values the outer query re-emits

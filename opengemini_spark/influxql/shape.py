@@ -80,7 +80,7 @@ def iter_influx_blocks(
     value_cols = [
         c for c in df.columns
         if c not in tag_cols and c != time_col
-        and c not in ("__skey", "__skey0")
+        and c not in ("__skey", "__skey0", "__skey_t")
     ]
     has_time = time_col in df.columns
     columns = ([time_col] if has_time else []) + value_cols
@@ -112,18 +112,31 @@ def iter_influx_blocks(
     if has_time and not presorted:
         sort_exprs.append(row_dir(_col(time_col)))
     if has_skey and not presorted:
-        # equal-time rows follow series-key order (per-series stream
-        # merge); the merge heap compares keys ASCENDING in both time
-        # directions (OrderByTime "order desc with sparse data")
+        # equal-time rows follow the threaded emission-order key (derived
+        # tables / joins: the inner order IS the outer order — CTE
+        # "simple query with cte")
         sort_exprs.append(_col("__skey").asc())
-    # value tie-break at equal times: ascending by default; the top()
+    has_skey_tail = "__skey_t" in df.columns and not presorted
+    # value tie-break at equal times: ascending with NULLS FIRST — the
+    # reference's equal-time merge surfaces rows missing a column before
+    # rows carrying it (server_test.go DropSeries "before drop": the
+    # value-only series02 row precedes the field1=100 row); the top()
     # selector emits its ties largest-first (server_test.go TopBottomInt
     # "top - memory - host tag": 2002 before 1002 at the same instant)
     tie_dir = (
-        (lambda c: c.desc_nulls_last()) if value_tie_desc else row_dir
+        (lambda c: c.desc_nulls_last()) if value_tie_desc
+        else (lambda c: c.desc_nulls_first()) if order_desc
+        else (lambda c: c.asc_nulls_first())
     )
     if not presorted:
         sort_exprs += [tie_dir(_col(c)) for c in value_cols]
+    if has_skey_tail:
+        # equal-time, equal-value rows follow series-key order (per-series
+        # stream merge; OrderByTime "order desc with sparse data") — on a
+        # DIRECT measurement scan the VALUE compare runs first
+        # (DropSeries: the value-only series precedes field-carrying rows
+        # at the same instant), the key is the final tie
+        sort_exprs.append(_col("__skey_t").asc())
     src = df.orderBy(*sort_exprs) if sort_exprs else df
 
     blk: dict | None = None

@@ -239,11 +239,19 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
     return list(by_field.values())
 
 
-def parse_line_protocol_df(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_line_protocol_df(
+    lines: DataFrame, line_col: str = "value",
+    default_time_ns: int = 0,
+) -> DataFrame:
     """Arrow-batched parse of a DataFrame of raw lines (batch or streaming).
 
     Works on ``spark.read.text`` / ``readStream`` sources — the streaming
     ingest path is this plus a ``writeStream`` sink.
+
+    ``default_time_ns`` stamps points written without a timestamp — the
+    reference server uses its own now() (models.ParsePointsWithPrecision;
+    MultiMeasurementsInDifferentRp relies on the stamp landing *after*
+    the query's upper time bound).
     """
     src = lines.select(
         F.col(line_col).cast("string").alias("line"),
@@ -257,7 +265,7 @@ def parse_line_protocol_df(lines: DataFrame, line_col: str = "value") -> DataFra
             out: list[dict] = []
             for line, no in zip(pdf["line"], pdf["__line"]):
                 try:
-                    rows = parse_line(line)
+                    rows = parse_line(line, default_time_ns)
                 except ValueError:
                     # partial write: a bad point (duplicate tag, intra-line
                     # type conflict) is dropped, the rest of the batch
@@ -273,10 +281,12 @@ def parse_line_protocol_df(lines: DataFrame, line_col: str = "value") -> DataFra
     return src.mapInPandas(run, LP_SCHEMA)
 
 
-def parse_line_protocol(spark, lines: list[str]) -> DataFrame:
+def parse_line_protocol(
+    spark, lines: list[str], default_time_ns: int = 0,
+) -> DataFrame:
     """Convenience: parse an in-memory batch of lines."""
     df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
-    return parse_line_protocol_df(df)
+    return parse_line_protocol_df(df, default_time_ns=default_time_ns)
 
 
 def to_measurement_table(

@@ -255,7 +255,9 @@ def test_subscription_statements(spark, tmp_path):
         ["autogen", "sub0", "ALL", ["http://h1:9092", "http://h2:9092"]]
     ]
     ddl.execute('DROP SUBSCRIPTION "sub0" ON "db0"."autogen"')
-    assert ddl.execute("SHOW SUBSCRIPTIONS")["series"] == []
+    # the wire omits "series" entirely when no subscriptions exist
+    # (SubscriptionCommands "SHOW SUBSCRIPTIONS AFTER DROP")
+    assert "series" not in ddl.execute("SHOW SUBSCRIPTIONS")
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not found"):
         ddl.execute('DROP SUBSCRIPTION "sub0" ON "db0"."autogen"')
