@@ -460,12 +460,62 @@ _PRECISION_NS = {
 }
 
 
+def forward_to_subscriptions(
+    lines: list[str],
+    db: str,
+    rp: str,
+    subscriptions: dict[str, dict],
+    post=None,
+) -> int:
+    """Fan a write batch out to matching subscriptions (the reference's
+    subscriber service: services/subscriber — SubscriptionForward).
+
+    ALL mode posts the batch to EVERY destination; ANY mode posts to ONE,
+    rotating round-robin across writes. ``post(url, db, rp, body)``
+    overrides the transport (default: stdlib HTTP POST to
+    ``<dest>/write?db=<db>&rp=<rp>`` with the raw line protocol, exactly
+    the wire the reference's subscriber emits). Returns the number of
+    requests sent."""
+    if post is None:
+        def post(url, db_, rp_, body):  # pragma: no cover - network
+            import urllib.parse
+            import urllib.request
+
+            q = urllib.parse.urlencode({"db": db_, "rp": rp_})
+            req = urllib.request.Request(
+                f"{url}/write?{q}", data=body.encode(),
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=5).read()
+
+    body = "\n".join(lines)
+    sent = 0
+    for sub in subscriptions.values():
+        if sub.get("db") != db or sub.get("rp") != rp:
+            continue
+        dests = sub.get("destinations") or []
+        if not dests:
+            continue
+        if sub.get("mode") == "ANY":
+            i = sub["_rr"] = (sub.get("_rr", -1) + 1) % len(dests)
+            targets = [dests[i]]
+        else:
+            targets = dests
+        for d in targets:
+            post(d, db, rp, body)
+            sent += 1
+    return sent
+
+
 def handle_write(
     spark: SparkSession,
     lines: list[str],
     data_root: str,
     precision: str = "n",
     now_ns: int | None = None,
+    rp: str | None = None,
+    ddl=None,
+    db: str = "db0",
 ) -> dict:
     """Line-protocol write: parse → pivot per measurement → partitioned
     append under ``data_root/<measurement>/``.
@@ -485,6 +535,24 @@ def handle_write(
         import time as _time
 
         now_ns = _time.time_ns()
+    # batch-fatal validation: an unquoted NaN/Inf field value rejects the
+    # ENTIRE request before anything lands (Write_LineProtocol_Partial);
+    # the cheap regex gates which lines get the precise parse
+    import re as _re
+
+    from opengemini_spark.sources.line_protocol import (
+        InvalidFieldValueError, parse_line,
+    )
+
+    maybe_bad = _re.compile(r"=[+-]?(?:nan|inf)", _re.I)
+    for ln in lines:
+        if maybe_bad.search(ln):
+            try:
+                parse_line(ln)
+            except InvalidFieldValueError:
+                raise ValueError("invalid field value") from None
+            except ValueError:
+                pass  # other per-point problems stay partial-write drops
     mult = _PRECISION_NS[precision]
     # untimestamped points are stamped pre-scaling in the posted unit
     # (the reference truncates its now() to the write precision)
@@ -505,20 +573,32 @@ def handle_write(
         ]
         written = {}
         for m in measurements:
+            # a ?rp= write lands in that retention policy's OWN copy of
+            # the measurement (dir `<rp>.<m>`) — rp-qualified FROM
+            # sources resolve to it, DROP MEASUREMENT <rp>.<m> removes
+            # only it (DropMeasurementPerRP)
+            dirname = f"{rp}.{m}" if rp else m
             # registered field types constrain later batches (partial
             # write on type conflict — Write_FieldTypeConflict)
             known: dict[str, str] = {}
-            meta_path = f"{data_root}/{m}/{storage.SCHEMA_META}"
+            meta_path = f"{data_root}/{dirname}/{storage.SCHEMA_META}"
             import json as _json
             import os as _os
 
             if _os.path.exists(meta_path):
                 known = _json.load(open(meta_path)).get("field_types", {})
             wide = to_measurement_table(parsed, m, field_types=known)
-            storage.write_measurement(wide, f"{data_root}/{m}")
+            storage.write_measurement(wide, f"{data_root}/{dirname}")
             written[m] = wide.count()
     finally:
         parsed.unpersist()
+    if ddl is not None and getattr(ddl.meta, "subscriptions", None):
+        # subscriber fan-out AFTER the local write lands (the reference
+        # forwards the raw points of every accepted write request)
+        forward_to_subscriptions(
+            lines, db, rp or "rp0", ddl.meta.subscriptions,
+            post=getattr(ddl, "subscription_post", None),
+        )
     return {"written": written}
 
 

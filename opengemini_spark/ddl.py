@@ -451,11 +451,27 @@ class DDLExecutor:
 
     # --- measurements / series ---
     def _drop_measurement(self, s, m):
-        name = m.group(1)
+        """DROP MEASUREMENT [rp.]name — an rp-qualified name drops only
+        that retention policy's copy; an unqualified name drops the flat
+        dir and the DEFAULT rp's copy (DropMeasurementPerRP: `DROP
+        MEASUREMENT cpu0` leaves rp1.cpu0 intact)."""
+        spec = m.group(1)
+        targets = [spec]
+        if "." not in spec:
+            for d in self.meta.databases.values():
+                for rp in d.retention_policies.values():
+                    if rp.default:
+                        targets.append(f"{rp.name}.{spec}")
+        name = spec.split(".")[-1]
         for d in self.meta.databases.values():
             if name in d.measurements:
                 d.measurements.remove(name)
-                shutil.rmtree(self.meta.db_dir(d.name) / name, ignore_errors=True)
+        for t in targets:
+            for path in self._measurement_dirs(t):
+                shutil.rmtree(path, ignore_errors=True)
+            for d in self.meta.databases.values():
+                shutil.rmtree(self.meta.db_dir(d.name) / t,
+                              ignore_errors=True)
         self.meta.save()
         return {"ok": True}
 
@@ -1181,7 +1197,7 @@ class DDLExecutor:
         ),
         (r"show retention policies on ([a-z_][a-z0-9_]*)$", _show_rps),
         (r"show shards$", _show_shards),
-        (r"drop measurement ([a-z_][a-z0-9_]*)$", _drop_measurement),
+        (r"drop measurement ([a-z_][a-z0-9_.]*)$", _drop_measurement),
         (
             r"delete from ([a-z_][a-z0-9_]*)( where .*)?$",
             _delete_rows,

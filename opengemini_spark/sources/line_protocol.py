@@ -135,6 +135,12 @@ def _unescape_string_field(s: str) -> str:
     return "".join(out)
 
 
+class InvalidFieldValueError(ValueError):
+    """A field value the line-protocol grammar rejects outright (NaN/Inf
+    floats): the whole write request fails, unlike type-conflict partial
+    drops."""
+
+
 def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
     """Parse one line into normalized rows (one per field)."""
     line = line.strip()
@@ -224,7 +230,14 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
         elif v.endswith(("i", "u")):
             row["f_int"] = int(v[:-1])
         else:
-            row["f_float"] = float(v)
+            x = float(v)
+            if x != x or x in (float("inf"), float("-inf")):
+                # NaN/Inf field values reject the WHOLE write request —
+                # not a partial drop (models/points.go parseNumber;
+                # Write_LineProtocol_Partial: nothing from the batch
+                # lands, the request errors "invalid field value")
+                raise InvalidFieldValueError("invalid field value")
+            row["f_float"] = x
         prev = by_field.get(fname)
         if prev is not None:
             cls = [c for c in ("f_str", "f_bool", "f_int", "f_float")

@@ -776,3 +776,129 @@ def test_parity8_showdbs_with_auth(spark, sf_dir, tmp_path_factory):
     assert q("SHOW DATABASES", user="nobody") == json.loads(
         '{"results":[{"statement_id":0,"series":[{"name":"databases",'
         '"columns":["name"]}]}]}')
+
+
+# --- drop_and_recreate_series_retest (server_suite.go) ---
+def test_parity8_recreate_series_retest(spark, sf_dir, tmp_path_factory,
+                                        p8_ddl):
+    root = str(tmp_path_factory.mktemp("p8_retest"))
+    handle_write(spark,
+                 ['cpu,host=serverA,region=uswest val=23.2 '
+                  '946684800000000000'], root)
+    got = handle_query(spark, sf_dir, "SHOW SERIES", epoch=None,
+                       data_root=root, ddl=p8_ddl)
+    assert got == json.loads(
+        '{"results":[{"statement_id":0,"series":[{"columns":["key"],'
+        '"values":[["cpu,host=serverA,region=uswest"]]}]}]}')
+
+
+# --- TestServer_DropMeasurementPerRP (server_test.go) ---
+# two writes of the SAME measurement into different retention policies;
+# DROP MEASUREMENT cpu0 removes only the default rp0's copy, the
+# rp-qualified form removes rp1's.
+def test_parity8_drop_measurement_per_rp(spark, sf_dir, tmp_path_factory):
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(
+        spark, MetaStore(str(tmp_path_factory.mktemp("p8_perrp_meta"))))
+    ddl.execute("CREATE DATABASE db0")
+    ddl.execute(
+        "CREATE RETENTION POLICY rp0 ON db0 DURATION 0s REPLICATION 1 "
+        "DEFAULT")
+    ddl.execute("CREATE RETENTION POLICY rp1 ON db0 DURATION 0s "
+                "REPLICATION 1")
+    root = str(tmp_path_factory.mktemp("p8_perrp"))
+    handle_write(spark, ["cpu0,host=server01 usage=10"], root, rp="rp0")
+    handle_write(spark, ["cpu0,host=server02 usage=20"], root, rp="rp1")
+
+    def q(text):
+        return handle_query(spark, sf_dir, text, epoch=None,
+                            data_root=root, ddl=ddl)
+
+    assert q("DROP MEASUREMENT cpu0") == {"results": [{"statement_id": 0}]}
+    assert q("SELECT * FROM rp0.cpu0") == {"results": [
+        {"statement_id": 0, "error": "measurement not found"}]}
+    assert q("DROP MEASUREMENT rp1.cpu0") == {
+        "results": [{"statement_id": 0}]}
+    assert q("SELECT * FROM rp1.cpu0") == {"results": [
+        {"statement_id": 0, "error": "measurement not found"}]}
+
+
+# --- TestServer_Write_LineProtocol_{Float,Integer,Bool,Partial} ---
+_LP_TS = 1257894000000000000  # 2009-11-10T23:00:00Z
+
+
+@pytest.mark.parametrize("line,want_val", [
+    ("cpu,host=server01 value=1.0", 1),
+    ("cpu,host=server01 value=100i", 100),
+    ("cpu,host=server01 value=true", True),
+], ids=["float", "integer", "bool"])
+def test_parity8_write_lp_typed(spark, sf_dir, tmp_path_factory, p8_ddl,
+                                line, want_val):
+    root = str(tmp_path_factory.mktemp("p8_lp"))
+    handle_write(spark, [f"{line} {_LP_TS}"], root)
+    got = handle_query(spark, sf_dir,
+                       "SELECT * FROM db0.rp0.cpu GROUP BY *",
+                       epoch=None, data_root=root, ddl=p8_ddl)
+    assert got == {"results": [{"statement_id": 0, "series": [
+        {"name": "cpu", "tags": {"host": "server01"},
+         "columns": ["time", "value"],
+         "values": [["2009-11-10T23:00:00Z", want_val]]}]}]}
+
+
+def test_parity8_write_lp_partial_nan(spark, sf_dir, tmp_path_factory,
+                                      p8_ddl):
+    """A NaN field value rejects the ENTIRE write request — nothing from
+    the batch lands (Write_LineProtocol_Partial)."""
+    root = str(tmp_path_factory.mktemp("p8_lp_nan"))
+    points = [
+        f"cpu,host=server01 value=100 {_LP_TS}",
+        f"cpu,host=server01 value=NaN {_LP_TS}",
+        f"cpu,host=server01 value=NaN {_LP_TS}",
+    ]
+    with pytest.raises(ValueError, match="invalid field value"):
+        handle_write(spark, points, root)
+    got = handle_query(spark, sf_dir,
+                       "SELECT * FROM db0.rp0.cpu GROUP BY *",
+                       epoch=None, data_root=root, ddl=p8_ddl)
+    assert got == {"results": [
+        {"statement_id": 0, "error": "measurement not found"}]}
+
+
+# --- TestServer_SubscriptionForward (server_test.go) ---
+def test_parity8_subscription_forward(spark, sf_dir, tmp_path_factory):
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(
+        spark, MetaStore(str(tmp_path_factory.mktemp("p8_fwd_meta"))))
+    ddl.execute("CREATE DATABASE db0")
+    ddl.execute("CREATE RETENTION POLICY rp0 ON db0 DURATION 0s "
+                "REPLICATION 1 DEFAULT")
+    requests: list[tuple[str, str, str, str]] = []
+    ddl.subscription_post = (
+        lambda url, db, rp, body: requests.append((url, db, rp, body)))
+    root = str(tmp_path_factory.mktemp("p8_fwd"))
+    writes = [
+        "cpu,host=server1 value=1 946857601000000000",
+        "cpu,host=server1 value=2 946857602000000000",
+        "cpu,host=server1 value=3 946857603000000000",
+    ]
+    ddl.execute('create subscription subs0 on db0.rp0 destinations all '
+                '"http://127.0.0.1:19001", "http://127.0.0.1:19002"')
+    for _ in range(5):
+        handle_write(spark, writes, root, ddl=ddl, db="db0", rp="rp0")
+    # ALL mode: every write goes to BOTH destinations
+    assert len(requests) == 10
+    assert all(r[1] == "db0" and r[2] == "rp0"
+               and r[3] == "\n".join(writes) for r in requests)
+    assert {r[0] for r in requests} == {
+        "http://127.0.0.1:19001", "http://127.0.0.1:19002"}
+
+    ddl.execute("drop subscription subs0 on db0.rp0")
+    ddl.execute('create subscription subs0 on db0.rp0 destinations any '
+                '"http://127.0.0.1:19001", "http://127.0.0.1:19002"')
+    requests.clear()
+    for _ in range(5):
+        handle_write(spark, writes, root, ddl=ddl, db="db0", rp="rp0")
+    # ANY mode: exactly one destination per write, rotating
+    assert len(requests) == 5
