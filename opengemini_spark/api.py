@@ -641,28 +641,39 @@ def handle_query_chunked(
     return docs
 
 
+def _prom_result_name(node) -> str:
+    from opengemini_spark.promql.engine import result_metric_name
+
+    return result_metric_name(node)
+
+
 def handle_prom_query_range(
     spark: SparkSession,
     sf_dir: str,
     registry,
     promql: str,
-    start_s: int,
-    end_s: int,
-    step_s: int,
+    start_s: float,
+    end_s: float,
+    step_s: float,
+    lookback_s: int | None = None,
 ) -> dict:
     """``GET /api/v1/query_range`` (handler_prom.go:539): PromQL text →
-    engine → matrix JSON; errors in the Prometheus envelope."""
+    engine → matrix JSON; errors in the Prometheus envelope.
+    ``lookback_s`` mirrors the ``lookback-delta`` url parameter."""
     from opengemini_spark.promql import query_range
     from opengemini_spark.promql.parser import parse_promql
     from opengemini_spark.promql.shape import to_prom_matrix, to_prom_vector
 
     try:
         node = parse_promql(promql)
-        df = query_range(spark, sf_dir, registry, promql, start_s, end_s, step_s)
-        labels = [c for c in df.columns if c not in ("t", "value")]
-        metric = getattr(node, "metric", "")
-        if start_s == end_s:
-            return to_prom_vector(df, metric, labels)
+        kw = {} if lookback_s is None else {"lookback_s": lookback_s}
+        df = query_range(spark, sf_dir, registry, promql, start_s, end_s,
+                         step_s, **kw)
+        labels = [c for c in df.columns
+                  if c not in ("t", "value", "__ts")]
+        metric = _prom_result_name(node)
+        # /query_range is ALWAYS a matrix, even for a one-point window
+        # (prom_test.go `sum(up @ start())` with start == end)
         return to_prom_matrix(df, metric, labels)
     except (SyntaxError, ValueError, KeyError, AssertionError) as e:
         return {"status": "error", "errorType": "bad_data", "error": str(e)}
@@ -673,7 +684,8 @@ def handle_prom_query(
     sf_dir: str,
     registry,
     promql: str,
-    time_s: int,
+    time_s: float,
+    lookback_s: int | None = None,
 ) -> dict:
     """``GET /api/v1/query`` (handler.go:345-351 servePromQuery,
     handler_prom.go): instant evaluation at ``time_s``. The most-hit
@@ -690,16 +702,20 @@ def handle_prom_query(
 
     try:
         node = parse_promql(promql)
+        kw = {} if lookback_s is None else {"lookback_s": lookback_s}
         kind, payload = query_instant(
-            spark, sf_dir, registry, promql, time_s
+            spark, sf_dir, registry, promql, time_s, **kw
         )
         if kind == "scalar":
             return to_prom_scalar(payload, time_s)
-        labels = [c for c in payload.columns if c not in ("t", "value")]
-        metric = getattr(node, "metric", "")
+        order = getattr(payload, "order", None)
+        df = getattr(payload, "df", payload)
+        labels = [c for c in df.columns
+                  if c not in ("t", "value", "__ts")]
+        metric = _prom_result_name(node)
         if kind == "matrix":
-            return to_prom_matrix(payload, metric, labels)
-        return to_prom_vector(payload, metric, labels)
+            return to_prom_matrix(df, metric, labels)
+        return to_prom_vector(df, metric, labels, order=order)
     except (SyntaxError, ValueError, KeyError, AssertionError) as e:
         return {"status": "error", "errorType": "bad_data", "error": str(e)}
 
@@ -989,14 +1005,51 @@ def handle_otlp_metrics_write(
     return {"written": written}
 
 
-def handle_prom_labels(spark: SparkSession, sf_dir: str, registry) -> dict:
+def _parse_match(match: str):
+    """``match[]`` parameter → (metric, matchers) via the PromQL parser."""
+    from opengemini_spark.promql.parser import parse_promql
+
+    sel = parse_promql(match)
+    return sel.metric, sel.matchers
+
+
+def _apply_matchers(df, matchers, labels):
+    for mt in matchers:
+        c = F.col(mt.label) if mt.label in labels else F.lit("")
+        if mt.op == "=":
+            df = df.filter(c == mt.value)
+        elif mt.op == "!=":
+            df = df.filter(c != mt.value)
+        elif mt.op == "=~":
+            df = df.filter(c.rlike(mt.value))
+        else:
+            df = df.filter(~c.rlike(mt.value))
+    return df
+
+
+def handle_prom_labels(
+    spark: SparkSession, sf_dir: str, registry, match: str | None = None
+) -> dict:
     """``GET /api/v1/labels`` (handler.go:361): the sorted union of label
     names across registered metrics, plus ``__name__`` — metadata only, no
-    data scan."""
+    data scan. ``match`` (the ``match[]`` parameter) restricts to the
+    matched metric's label set."""
     names: set[str] = {"__name__"}
-    for m in registry.names():
-        names.update(registry.get(m).labels)
+    if match:
+        metric, _ = _parse_match(match)
+        names.update(registry.get(metric).labels)
+    else:
+        for m in registry.names():
+            names.update(registry.get(m).labels)
     return {"status": "success", "data": sorted(names)}
+
+
+def handle_prom_metadata(spark: SparkSession, sf_dir: str, registry,
+                         limit: int | None = None) -> dict:
+    """``GET /api/v1/metadata``: the reference returns a bare success
+    envelope for line-protocol-born metrics (no HELP/TYPE metadata exists
+    — prom_test.go MetaData expectations)."""
+    return {"status": "success"}
 
 
 #: Upper bound on label values / series rows returned by the metadata
@@ -1007,7 +1060,9 @@ PROM_META_MAX_VALUES = 100_000
 
 
 def handle_prom_label_values(
-    spark: SparkSession, sf_dir: str, registry, label: str
+    spark: SparkSession, sf_dir: str, registry, label: str,
+    match: str | None = None,
+    start_s: float | None = None, end_s: float | None = None,
 ) -> dict:
     """``GET /api/v1/label/<name>/values`` (handler.go:369): distinct
     values of one label across every metric carrying it; ``__name__``
@@ -1019,14 +1074,22 @@ def handle_prom_label_values(
     sequential jobs with an unbounded collect (VERDICT r2 wrong #4)."""
     if label == "__name__":
         return {"status": "success", "data": registry.names()}
+    sel_metric = sel_matchers = None
+    if match:
+        sel_metric, sel_matchers = _parse_match(match)
     parts = []
     for m in registry.names():
+        if sel_metric and m != sel_metric:
+            continue
         metric = registry.get(m)
         if label not in metric.labels:
             continue
+        df = metric.loader(spark, sf_dir)
+        if sel_matchers:
+            df = _apply_matchers(df, sel_matchers, metric.labels)
+        df = _prom_time_clip(df, metric.time_col, start_s, end_s)
         parts.append(
-            metric.loader(spark, sf_dir)
-            .select(F.col(label).cast("string").alias("v"))
+            df.select(F.col(label).cast("string").alias("v"))
             .where(F.col(label).isNotNull())
         )
     if not parts:
@@ -1043,20 +1106,41 @@ def handle_prom_label_values(
     return {"status": "success", "data": [r["v"] for r in rows]}
 
 
+def _prom_time_clip(df, time_col, start_s, end_s):
+    """[start, end] second bounds on the µs sample time (the metadata
+    endpoints' start/end url params — prom_test.go 'label values exact')."""
+    if start_s is not None:
+        df = df.filter(F.col(time_col) >= int(round(start_s * 1e6)))
+    if end_s is not None:
+        df = df.filter(F.col(time_col) <= int(round(end_s * 1e6)))
+    return df
+
+
 def handle_prom_series(
     spark: SparkSession,
     sf_dir: str,
     registry,
     metric: str,
     matchers: dict[str, str] | None = None,
+    start_s: float | None = None, end_s: float | None = None,
 ) -> dict:
     """``GET /api/v1/series`` (handler.go:377): the distinct label-sets of
     a metric, optionally filtered by equality matchers; capped at
     ``PROM_META_MAX_VALUES`` series (MaxRowLimit analogue)."""
+    if isinstance(metric, str) and (
+        "{" in metric or metric not in registry.names()
+    ):
+        # a full match[] selector string
+        metric, sel_matchers = _parse_match(metric)
+    else:
+        sel_matchers = []
     m = registry.get(metric)
     df = m.loader(spark, sf_dir)
+    if sel_matchers:
+        df = _apply_matchers(df, sel_matchers, m.labels)
     for k, v in (matchers or {}).items():
         df = df.filter(F.col(k) == v)
+    df = _prom_time_clip(df, m.time_col, start_s, end_s)
     rows = (
         df.select(*m.labels).distinct()
         .orderBy(*[F.col(c).cast("string") for c in m.labels])

@@ -1171,7 +1171,8 @@ class DDLExecutor:
             r"(?: with(?: duration ([a-z0-9]+))?(?: replication \d+)?"
             r"(?: shard duration ([a-z0-9]+))?"
             r"(?: index duration [a-z0-9]+)?"
-            r'(?: name ("[^"]*"|[a-z_][a-z0-9_]*))?)?$',
+            r'(?: name ("[^"]*"|[a-z_][a-z0-9_]*))?'
+            r"(?: shardkey [a-z0-9_,]+)?)?$",
             _create_db,
         ),
         (r'create database "[.]+"$', _invalid_name),

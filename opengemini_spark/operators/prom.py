@@ -42,15 +42,25 @@ def explode_steps(
     time_col: str,
     range_us: int,
     step_us: int,
+    phase_us: int = 0,
 ) -> DataFrame:
     """Assign each sample to every grid step whose window contains it.
 
-    Grid = multiples of step_us; window at t is (t - range, t].
+    Grid = ``phase_us + k·step_us`` (Prometheus imposes no alignment on a
+    range query's start, so the grid carries the start's phase); window
+    at t is the CLOSED interval [t - range, t] (the reference lifts the
+    pre-3.0 Prometheus range-selector semantics — prom_test.go
+    ``delta(up[3m])`` includes the sample exactly ``range`` old).
     """
-    p = F.col(time_col)
-    # smallest grid point ≥ p … largest grid point strictly below p + range
-    t_min = F.expr(f"(({time_col} + {step_us - 1}) div {step_us}) * {step_us}")
-    t_max = F.expr(f"(({time_col} + {range_us - 1}) div {step_us}) * {step_us}")
+    # smallest grid point ≥ p … largest grid point ≤ p + range
+    t_min = F.expr(
+        f"((({time_col} - {phase_us}) + {step_us - 1}) div {step_us})"
+        f" * {step_us} + {phase_us}"
+    )
+    t_max = F.expr(
+        f"((({time_col} - {phase_us}) + {range_us}) div {step_us})"
+        f" * {step_us} + {phase_us}"
+    )
     return (
         df.withColumn("__tmin", t_min.cast("long"))
         .withColumn("__tmax", t_max)
@@ -70,13 +80,14 @@ def over_time(
     range_us: int,
     step_us: int,
     calls: dict[str, Column],
+    phase_us: int = 0,
 ) -> DataFrame:
     """Generic *_over_time: normalize → explode → one grouped aggregate.
 
     ``calls`` maps output name → aggregate Column over (value, time).
     """
     s = normalize_samples(df, labels, time_col, value_col)
-    e = explode_steps(s, labels, time_col, range_us, step_us)
+    e = explode_steps(s, labels, time_col, range_us, step_us, phase_us)
     return e.groupBy(*labels, "t").agg(
         *[c.alias(n) for n, c in calls.items()]
     )
@@ -93,16 +104,18 @@ def _extrapolated(
 
     Expects columns: n, first_t, first_v, last_t, last_v, delta (already
     reset-corrected when is_counter). Emits ``result`` per (labels, t).
+
+    All durations are formed as integer-µs DIFFERENCES first and divided
+    to seconds after — subtracting two ~1.7e9 doubles loses the 1e-7
+    tail, and Prometheus (int64-ms arithmetic) keeps it. The final value
+    follows Prometheus's operation order exactly:
+    ``delta * (extrapolateToInterval / sampledInterval [/ range])``
+    (promql/functions.go extrapolatedRate) — same rounding, bit-equal.
     """
     rng = float(range_us) / US
-    first_t = F.col("first_t") / US
-    last_t = F.col("last_t") / US
-    t_end = F.col("t") / US
-    t_start = t_end - rng
-
-    sampled = last_t - first_t
-    to_start = first_t - t_start
-    to_end = t_end - last_t
+    sampled = (F.col("last_t") - F.col("first_t")) / US
+    to_start = (F.col("first_t") - F.col("t") + F.lit(range_us)) / US
+    to_end = (F.col("t") - F.col("last_t")) / US
     avg_ivl = sampled / (F.col("n") - 1)
     threshold = avg_ivl * 1.1
 
@@ -119,9 +132,10 @@ def _extrapolated(
         + F.when(to_start < threshold, to_start).otherwise(avg_ivl / 2)
         + F.when(to_end < threshold, to_end).otherwise(avg_ivl / 2)
     )
-    result = F.col("delta") / sampled * extrap
+    factor = extrap / sampled
     if per_second:
-        result = result / rng
+        factor = factor / rng
+    result = F.col("delta") * factor
     return (
         g.filter((F.col("n") >= 2) & (sampled > 0))
         .withColumn("result", result)
@@ -137,10 +151,11 @@ def _window_stats(
     range_us: int,
     step_us: int,
     counter_correct: bool,
+    phase_us: int = 0,
 ) -> DataFrame:
     """Per-(labels, t) stats: n, first/last sample, (reset-corrected) delta."""
     s = normalize_samples(df, labels, time_col, value_col)
-    e = explode_steps(s, labels, time_col, range_us, step_us)
+    e = explode_steps(s, labels, time_col, range_us, step_us, phase_us)
     if counter_correct:
         w = Window.partitionBy(*labels, "t").orderBy(time_col)
         e = e.withColumn("__prev", F.lag("value").over(w)).withColumn(
@@ -164,38 +179,41 @@ def _window_stats(
 
 def rate_prom(
     df: DataFrame, labels: list[str], time_col: str, value_col: str,
-    range_us: int, step_us: int,
+    range_us: int, step_us: int, phase_us: int = 0,
 ) -> DataFrame:
     """rate(): per-second extrapolated counter rate."""
-    g = _window_stats(df, labels, time_col, value_col, range_us, step_us, True)
+    g = _window_stats(df, labels, time_col, value_col, range_us, step_us,
+                      True, phase_us)
     return _extrapolated(g, labels, range_us, is_counter=True, per_second=True)
 
 
 def increase_prom(
     df: DataFrame, labels: list[str], time_col: str, value_col: str,
-    range_us: int, step_us: int,
+    range_us: int, step_us: int, phase_us: int = 0,
 ) -> DataFrame:
     """increase(): extrapolated counter delta over the window."""
-    g = _window_stats(df, labels, time_col, value_col, range_us, step_us, True)
+    g = _window_stats(df, labels, time_col, value_col, range_us, step_us,
+                      True, phase_us)
     return _extrapolated(g, labels, range_us, is_counter=True, per_second=False)
 
 
 def delta_prom(
     df: DataFrame, labels: list[str], time_col: str, value_col: str,
-    range_us: int, step_us: int,
+    range_us: int, step_us: int, phase_us: int = 0,
 ) -> DataFrame:
     """delta(): extrapolated gauge difference (no reset correction)."""
-    g = _window_stats(df, labels, time_col, value_col, range_us, step_us, False)
+    g = _window_stats(df, labels, time_col, value_col, range_us, step_us,
+                      False, phase_us)
     return _extrapolated(g, labels, range_us, is_counter=False, per_second=False)
 
 
 def irate_idelta_prom(
     df: DataFrame, labels: list[str], time_col: str, value_col: str,
-    range_us: int, step_us: int,
+    range_us: int, step_us: int, phase_us: int = 0,
 ) -> DataFrame:
     """irate()/idelta(): from the last two samples of each window."""
     s = normalize_samples(df, labels, time_col, value_col)
-    e = explode_steps(s, labels, time_col, range_us, step_us)
+    e = explode_steps(s, labels, time_col, range_us, step_us, phase_us)
     w = Window.partitionBy(*labels, "t").orderBy(F.col(time_col).desc())
     top2 = e.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 2)
     g = top2.groupBy(*labels, "t").agg(
@@ -247,9 +265,14 @@ def histogram_quantile(
     )
     lo = F.coalesce(F.col("prev_le"), F.lit(0.0))
     lo_cum = F.coalesce(F.col("prev_cum"), F.lit(0.0))
-    interp = lo + (F.col(le_col) - lo) * (F.col("rank") - lo_cum) / (
-        F.col(count_col) - lo_cum
-    )
+    # Prometheus computes (rank/count) FIRST, then scales the bucket span
+    # (promql/quantile.go bucketQuantile) — same float rounding; a zero
+    # in-bucket count yields NaN (0/0), never an error
+    cnt = F.col(count_col) - lo_cum
+    ratio = F.when(
+        cnt == 0, F.lit(float("nan"))
+    ).otherwise((F.col("rank") - lo_cum) / cnt)
+    interp = lo + (F.col(le_col) - lo) * ratio
     # +Inf bucket → return the upper bound of the last finite bucket
     result = F.when(F.col(le_col) == float("inf"), lo).otherwise(interp)
     return hit.select(*labels, result.alias("quantile"))
@@ -257,11 +280,11 @@ def histogram_quantile(
 
 def _sorted_window_arr(
     df: DataFrame, labels: list[str], time_col: str, value_col: str,
-    range_us: int, step_us: int,
+    range_us: int, step_us: int, phase_us: int = 0,
 ) -> DataFrame:
     """(labels, t, arr) — time-sorted window samples per grid step."""
     s = normalize_samples(df, labels, time_col, value_col)
-    e = explode_steps(s, labels, time_col, range_us, step_us)
+    e = explode_steps(s, labels, time_col, range_us, step_us, phase_us)
     return e.groupBy(*labels, "t").agg(
         F.array_sort(
             F.collect_list(
@@ -281,6 +304,7 @@ def linreg_over_time(
     step_us: int,
     mode: str = "deriv",
     predict_s: float = 0.0,
+    phase_us: int = 0,
 ) -> DataFrame:
     """deriv() / predict_linear(): simple least squares over the window.
 
@@ -293,7 +317,7 @@ def linreg_over_time(
     window array, so accumulation order (and therefore every last bit)
     matches the reference's loop.
     """
-    g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us)
+    g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us, phase_us)
     ref = "element_at(__arr, 1).st" if mode == "deriv" else "t"
     fold = (
         "aggregate(__arr,"
@@ -333,6 +357,7 @@ def holt_winters_prom(
     step_us: int,
     sf: float,
     tf: float,
+    phase_us: int = 0,
 ) -> DataFrame:
     """holt_winters(v[d], sf, tf): Prometheus double exponential smoothing
     (promql/functions.go funcHoltWinters; reference reducer
@@ -340,7 +365,7 @@ def holt_winters_prom(
     trend seeds at the first difference, and the smoothed LAST value of
     the window is emitted. Same-order JVM fold — bit-compatible with the
     reference loop."""
-    g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us)
+    g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us, phase_us)
     # bare decimal literals parse as DECIMAL in Spark SQL — cast to double
     SF = f"cast({sf!r} as double)"
     TF = f"cast({tf!r} as double)"

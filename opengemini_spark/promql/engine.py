@@ -52,6 +52,15 @@ class _Vector:
     """Instant vector: DataFrame (labels…, t, value)."""
     df: DataFrame
     labels: list[str]
+    #: True for per-step scalars (``time()``): participates in binops like
+    #: a scalar (join on t only), renders as resultType "scalar"
+    scalar: bool = False
+    #: result-order override for sort()/sort_desc(): "asc" | "desc" | None
+    order: str | None = None
+    #: pure time() result: in arithmetic with a vector, the reference
+    #: binds it to each SAMPLE's own timestamp (transpiled time column —
+    #: prom_test.go Comparison_Op_Fix `time() > metric - time()`)
+    is_time: bool = False
 
 
 @dataclass
@@ -60,6 +69,54 @@ class _RangeVector:
     samples: DataFrame           # (labels…, tu, value)
     labels: list[str]
     range_s: int
+
+
+#: functions through which Prometheus KEEPS the metric's __name__
+#: (the reference's sort*/subquery paths DROP it, unlike upstream —
+#: prom_test.go SortFunc, Subquery_LastAndQuantile)
+_NAME_PRESERVING = {"label_replace", "label_join"}
+
+
+def result_metric_name(node) -> str:
+    """The __name__ a (sub)expression's result samples carry, if any
+    (promql/functions.go dropMetricName call sites)."""
+    if isinstance(node, P.VectorSelector):
+        return node.metric
+    if isinstance(node, P.Subquery):
+        return ""   # the reference drops the name through subqueries
+    if (
+        isinstance(node, P.FuncCall)
+        and node.name in _NAME_PRESERVING
+        and node.args
+    ):
+        return result_metric_name(node.args[0])
+    if (
+        isinstance(node, P.FuncCall)
+        and node.name == "last_over_time"
+        and node.args
+        and isinstance(node.args[0], P.VectorSelector)
+    ):
+        return node.args[0].metric
+    if isinstance(node, P.Aggregate) and node.op in ("topk", "bottomk"):
+        return result_metric_name(node.expr)
+    if isinstance(node, P.BinOp):
+        if node.op in ("and", "unless"):
+            return result_metric_name(node.lhs)
+        if (
+            node.op in ("==", "!=", ">", "<", ">=", "<=")
+            and not getattr(node, "bool_mod", False)
+        ):
+            def _scalarish(n) -> bool:
+                if isinstance(n, P.BinOp):
+                    return _scalarish(n.lhs) and _scalarish(n.rhs)
+                return isinstance(n, P.NumberLit) or (
+                    isinstance(n, P.FuncCall)
+                    and n.name in ("time", "scalar")
+                )
+
+            keep = node.rhs if _scalarish(node.lhs) else node.lhs
+            return result_metric_name(keep)
+    return ""
 
 
 class Engine:
@@ -73,17 +130,73 @@ class Engine:
         step_s: int,
         lookback_s: int = DEFAULT_LOOKBACK_S,
     ):
-        if start_s % step_s or step_s <= 0:
-            raise ValueError("PromQL engine: start must be step-aligned")
+        # timestamps may be float seconds (the HTTP API's ms-precision
+        # `time=1709258327.955` — prom_test.go); all internal arithmetic
+        # is integer µs
+        su = int(round(start_s * US))
+        eu = int(round(end_s * US))
+        pu = int(round(step_s * US))
+        if pu <= 0:
+            raise ValueError("PromQL engine: step must be positive")
         self.spark, self.sf_dir, self.registry = spark, sf_dir, registry
-        self.start_us = start_s * US
-        self.end_us = end_s * US
-        self.step_us = step_s * US
+        self.start_us = su
+        self.end_us = eu
+        self.step_us = pu
         self.lookback_s = lookback_s
 
     # --- selectors ---
     def _samples(self, sel: P.VectorSelector) -> tuple[DataFrame, list[str]]:
-        m = self.registry.get(sel.metric)
+        if not sel.metric:
+            # nameless selector {__name__=~"…"}: the union of every
+            # registry metric the __name__ matchers admit, labels padded
+            # to the union schema (prom_test.go regex measurement)
+            import re as _re
+
+            names = self.registry.names()
+            for mt in sel.matchers:
+                if mt.label != "__name__":
+                    continue
+                if mt.op == "=":
+                    names = [n for n in names if n == mt.value]
+                elif mt.op == "!=":
+                    names = [n for n in names if n != mt.value]
+                elif mt.op == "=~":
+                    names = [n for n in names if _re.search(mt.value, n)]
+                else:
+                    names = [n for n in names if not _re.search(mt.value, n)]
+            if not names:
+                raise KeyError("PromQL: no metric matches the selector")
+            # __name__ rides as a REAL label column: series of different
+            # metrics with identical label sets stay distinct (count over
+            # {__name__=~"down|up"} counts both metrics' series)
+            all_labels = sorted(
+                {l for n in names for l in self.registry.get(n).labels}
+                | {"__name__"}
+            )
+            frames = []
+            rest = [m for m in sel.matchers if m.label != "__name__"]
+            for n in names:
+                sub = P.VectorSelector(
+                    n, rest, None, sel.offset_s, getattr(sel, "at_s", None)
+                )
+                d, labels = self._samples(sub)
+                d = d.withColumn("__name__", F.lit(n))
+                for l in all_labels:
+                    if l not in [*labels, "__name__"]:
+                        d = d.withColumn(l, F.lit(None).cast("string"))
+                frames.append(d.select(*all_labels, "tu", "value"))
+            from functools import reduce
+
+            return reduce(lambda a, b: a.unionByName(b), frames), all_labels
+        try:
+            m = self.registry.get(sel.metric)
+        except KeyError:
+            # a selector on a nonexistent metric is an EMPTY vector, not
+            # an error (prom_test.go `http_requests or cpu_count or …`)
+            empty = self.spark.createDataFrame(
+                [], "tu long, value double"
+            )
+            return empty, []
         df = m.loader(self.spark, self.sf_dir)
         d = df.select(
             *[F.col(c) for c in m.labels],
@@ -96,7 +209,12 @@ class Engine:
             # unchanged window logic (promql offset modifier)
             d = d.withColumn("tu", F.col("tu") + F.lit(sel.offset_s * US))
         for mt in sel.matchers:
-            c = F.col(mt.label)
+            # a label the metric does not carry reads as "" (Prometheus
+            # matches absent labels against the empty string)
+            c = (
+                F.col(mt.label) if mt.label in m.labels
+                else F.lit("")
+            )
             if mt.op == "=":
                 d = d.filter(c == mt.value)
             elif mt.op == "!=":
@@ -127,7 +245,7 @@ class Engine:
         (``@`` modifier, promql @ modifier; the reference handles it in
         transpiler.go:375). The pinned expression is evaluated ONCE there
         and the result fanned out over the outer grid."""
-        at_s = self._resolve_at(at) // US
+        at_s = self._resolve_at(at) / US   # float seconds: @ keeps ms
         return Engine(
             self.spark, self.sf_dir, self.registry,
             at_s, at_s, max(at_s, 1), self.lookback_s,
@@ -158,15 +276,76 @@ class Engine:
                 a.at_s = None
         return self._fanout(self._pin_engine(at)._func(call2))
 
+    def _absent_of(self, present_t: DataFrame, arg) -> _Vector:
+        """Grid steps NOT in ``present_t`` → value 1; labels come from the
+        selector's equality matchers (promql/functions.go
+        createLabelsForAbsentFunction: a label named by MORE than one
+        matcher is dropped — prom_test.go duplicate-matcher absent)."""
+        grid = self.spark.range(1).select(self._grid().alias("t"))
+        missing = grid.join(present_t, "t", "left_anti")
+        out = missing.withColumn("value", F.lit(1.0))
+        labels: list[str] = []
+        sel = arg
+        if isinstance(sel, P.Subquery):
+            sel = sel.inner
+        if isinstance(sel, P.VectorSelector):
+            from collections import Counter
+
+            counts = Counter(mt.label for mt in sel.matchers)
+            for mt in sel.matchers:
+                if (
+                    mt.op == "="
+                    and mt.label != "__name__"
+                    and counts[mt.label] == 1
+                ):
+                    out = out.withColumn(mt.label, F.lit(mt.value))
+                    labels.append(mt.label)
+        return _Vector(out.select(*labels, "t", "value"), sorted(labels))
+
+    def _shard_covered(self, sel) -> bool | None:
+        """Whether any stored shard group intersects the query window —
+        the reference's absent() over a window with NO shards returns
+        nothing (the transform never runs). Shard groups are the default
+        1w; data presence is approximated by the metric's sample span
+        widened to week boundaries. None → unknown metric (no shards at
+        all exist for it, but the executor still runs absent and emits 1
+        — prom_test.go "absent with no mst" vs "absent with no shard")."""
+        if isinstance(sel, P.Subquery):
+            sel = sel.inner
+        if not isinstance(sel, P.VectorSelector) or not sel.metric:
+            return True
+        try:
+            m = self.registry.get(sel.metric)
+        except KeyError:
+            return None
+        df = m.loader(self.spark, self.sf_dir)
+        row = df.agg(
+            F.min(m.time_col).alias("lo"), F.max(m.time_col).alias("hi")
+        ).first()
+        if row["lo"] is None:
+            return None
+        week = 7 * 86400 * US
+        lo = (row["lo"] // week) * week
+        hi = (row["hi"] // week + 1) * week
+        return self.start_us < hi and self.end_us >= lo
+
     def _clip(self, df: DataFrame) -> DataFrame:
+        # grid membership is relative to start (Prometheus imposes no
+        # step alignment on start — prom_test.go range queries)
         return df.filter(
             (F.col("t") >= self.start_us) & (F.col("t") <= self.end_us)
-            & (F.col("t") % self.step_us == 0)
+            & ((F.col("t") - self.start_us) % self.step_us == 0)
         )
+
+    _clip_t = _clip
 
     # --- evaluation ---
     def eval(self, node) -> _Vector:
         out = self._eval(node)
+        if isinstance(out, _Vector) and "__ts" in out.df.columns:
+            # the hidden sample-time column never leaves the engine
+            out = _Vector(out.df.drop("__ts"), out.labels,
+                          out.scalar, out.order)
         if isinstance(out, _RangeVector):
             raise ValueError("PromQL: range vector needs a function (e.g. rate)")
         if isinstance(out, P.NumberLit):
@@ -242,7 +421,10 @@ class Engine:
         out = prom.over_time(
             s, labels, "tu", "value",
             self.lookback_s * US + 1, self.step_us,
-            {"value": F.max_by("value", "tu")},
+            # __ts: the chosen sample's own µs timestamp — time() bound
+            # to a vector reads it (reference transpiler semantics)
+            {"value": F.max_by("value", "tu"), "__ts": F.max("tu")},
+            phase_us=self.start_us % self.step_us,
         )
         return _Vector(self._clip(out), labels)
 
@@ -296,7 +478,20 @@ class Engine:
             return pinned
         name = call.name
         if name == "scalar":
-            return P.NumberLit(self._scalar_value(call.args[0]))
+            inner = self._eval(call.args[0])
+            if isinstance(inner, P.NumberLit):
+                return inner
+            assert isinstance(inner, _Vector), "scalar needs an instant vector"
+            grid = self.spark.range(1).select(self._grid().alias("t"))
+            per_t = inner.df.groupBy("t").agg(
+                F.count(F.lit(1)).alias("__n"), F.min("value").alias("__v")
+            )
+            out = grid.join(per_t, "t", "left").withColumn(
+                "value",
+                F.when(F.col("__n") == 1, F.col("__v"))
+                .otherwise(F.lit(float("nan"))),
+            ).select("t", "value")
+            return _Vector(out, [], scalar=True)
         if name == "histogram_quantile":
             q = call.args[0].value
             v = self._eval(call.args[1])
@@ -314,6 +509,16 @@ class Engine:
             return _Vector(
                 out.withColumnRenamed("quantile", "value"), labels
             )
+        if name == "clamp":
+            v = self._eval(call.args[0])
+            assert isinstance(v, _Vector), "clamp needs an instant vector"
+            lo = float(call.args[1].value)
+            hi = float(call.args[2].value)
+            out = v.df.withColumn(
+                "value", F.least(F.greatest(F.col("value"), F.lit(lo)),
+                                 F.lit(hi))
+            )
+            return _Vector(out, v.labels)
         if name in ("abs", "clamp_min", "clamp_max", "round", "floor", "ceil"):
             v = self._eval(call.args[0])
             assert isinstance(v, _Vector), f"{name} needs an instant vector"
@@ -336,40 +541,313 @@ class Engine:
                 col = F.least(c, F.lit(call.args[1].value))
             return _Vector(v.df.withColumn("value", col), v.labels)
 
-        rv = self._eval(call.args[0])
+        if name == "time":
+            # per-step scalar: value = evaluation time in seconds
+            grid = self.spark.range(1).select(self._grid().alias("t"))
+            return _Vector(
+                grid.withColumn("value", F.col("t") / F.lit(1e6)),
+                [], scalar=True, is_time=True,
+            )
+        if name == "vector":
+            inner = self._eval(call.args[0])
+            if isinstance(inner, P.NumberLit):
+                grid = self.spark.range(1).select(self._grid().alias("t"))
+                return _Vector(
+                    grid.withColumn("value", F.lit(float(inner.value))), []
+                )
+            assert isinstance(inner, _Vector)
+            return _Vector(inner.df, inner.labels)
+        if name in ("year", "month", "day_of_month", "day_of_week",
+                    "day_of_year", "days_in_month", "hour", "minute"):
+            # date parts of the value-as-epoch-seconds, UTC; defaults to
+            # vector(time()) with no argument (promql/functions.go)
+            if call.args:
+                v = self._eval(call.args[0])
+                if isinstance(v, P.NumberLit):
+                    grid = self.spark.range(1).select(self._grid().alias("t"))
+                    v = _Vector(
+                        grid.withColumn("value", F.lit(float(v.value))), []
+                    )
+            else:
+                grid = self.spark.range(1).select(self._grid().alias("t"))
+                v = _Vector(
+                    grid.withColumn("value", F.col("t") / F.lit(1e6)), []
+                )
+            ts = F.timestamp_seconds(F.col("value"))
+            part = {
+                "year": F.year(ts), "month": F.month(ts),
+                "day_of_month": F.dayofmonth(ts),
+                "day_of_week": F.dayofweek(ts) - 1,   # Prometheus: 0=Sunday
+                "day_of_year": F.dayofyear(ts),
+                "days_in_month": F.dayofmonth(F.last_day(ts)),
+                "hour": F.hour(ts), "minute": F.minute(ts),
+            }[name]
+            return _Vector(
+                v.df.withColumn("value", part.cast("double")), v.labels
+            )
+        if name in ("exp", "ln", "log2", "log10", "sqrt", "sgn"):
+            v = self._eval(call.args[0])
+            assert isinstance(v, _Vector), f"{name} needs an instant vector"
+            c = F.col("value")
+            col = {
+                "exp": F.exp(c), "ln": F.log(c), "log2": F.log2(c),
+                "log10": F.log10(c), "sqrt": F.sqrt(c),
+                "sgn": F.signum(c),
+            }[name]
+            # Prometheus yields NaN on domain errors, never null
+            col = F.coalesce(col, F.lit(float("nan")))
+            return _Vector(v.df.withColumn("value", col), v.labels)
+        if name in ("sort", "sort_desc"):
+            v = self._eval(call.args[0])
+            assert isinstance(v, _Vector), f"{name} needs an instant vector"
+            return _Vector(
+                v.df, v.labels,
+                order="asc" if name == "sort" else "desc",
+            )
+        if name in ("sort_by_label", "sort_by_label_desc"):
+            v = self._eval(call.args[0])
+            keys = [a.value for a in call.args[1:]]
+            return _Vector(
+                v.df, v.labels,
+                order=("label:" if name == "sort_by_label" else "label_desc:")
+                + ",".join(keys),
+            )
+        if name == "label_replace":
+            v = self._eval(call.args[0])
+            dst, repl, src, regex = (a.value for a in call.args[1:5])
+            src_col = (
+                F.col(src).cast("string") if src in v.labels
+                else F.lit("")
+            )
+            # Prometheus: the regex must match the WHOLE source value;
+            # non-matches leave the label set unchanged
+            matched = src_col.rlike(f"^(?:{regex})$")
+            new = F.regexp_replace(
+                F.coalesce(src_col, F.lit("")), f"^(?:{regex})$",
+                repl.replace("$", "$"),
+            )
+            labels = list(v.labels)
+            if dst not in labels:
+                labels = sorted([*labels, dst])
+            cur = (
+                F.col(dst).cast("string") if dst in v.labels
+                else F.lit(None).cast("string")
+            )
+            out = v.df.withColumn(
+                dst,
+                F.when(matched, new).otherwise(cur),
+            )
+            # an empty replacement removes the label (renders as absent)
+            out = out.withColumn(
+                dst, F.when(F.col(dst) == "", None).otherwise(F.col(dst))
+            )
+            return _Vector(out, labels)
+        if name == "label_join":
+            v = self._eval(call.args[0])
+            dst, sep = call.args[1].value, call.args[2].value
+            srcs = [a.value for a in call.args[3:]]
+            parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                if c in v.labels else F.lit("")
+                for c in srcs
+            ]
+            joined = F.concat_ws(sep, *parts) if parts else F.lit("")
+            labels = list(v.labels)
+            if dst not in labels:
+                labels = sorted([*labels, dst])
+            out = v.df.withColumn(dst, joined)
+            out = out.withColumn(
+                dst, F.when(F.col(dst) == "", None).otherwise(F.col(dst))
+            )
+            return _Vector(out, labels)
+        if name == "timestamp":
+            sel = call.args[0]
+            if isinstance(sel, P.VectorSelector) and sel.range_s is None:
+                # bare selector: the SAMPLE's own timestamp
+                samples, labels = self._samples(sel)
+                out = prom.over_time(
+                    samples, labels, "tu", "value",
+                    self.lookback_s * US + 1, self.step_us,
+                    {"value": F.max("tu") / F.lit(1e6)},
+                    phase_us=self.start_us % self.step_us,
+                )
+                return _Vector(self._clip(out), labels)
+            # computed vector: samples materialize at the eval time
+            v = self._eval(sel)
+            assert isinstance(v, _Vector), "timestamp needs an instant vector"
+            return _Vector(
+                v.df.withColumn("value", F.col("t") / F.lit(1e6)),
+                v.labels,
+            )
+        if name == "absent":
+            covered = self._shard_covered(call.args[0])
+            if covered is None:
+                # unknown metric: everything is absent
+                empty = self.spark.range(0).select(
+                    F.col("id").alias("t")
+                )
+                return self._absent_of(empty, call.args[0])
+            if not covered:
+                # no shard intersects the window: the reference's absent
+                # transform never runs — empty result, not 1s
+                grid = self.spark.range(1).select(self._grid().alias("t"))
+                return self._absent_of(grid, call.args[0])
+            inner = self._eval(call.args[0])
+            assert isinstance(inner, _Vector), "absent needs an instant vector"
+            return self._absent_of(inner.df.select("t").distinct(),
+                                   call.args[0])
+        # quantile_over_time's range vector is the SECOND argument
+        rv = self._eval(
+            call.args[1] if name == "quantile_over_time" else call.args[0]
+        )
         assert isinstance(rv, _RangeVector), f"{name} needs a range vector"
-        rng_us = rv.range_s * US
+        rng_us = int(round(rv.range_s * US))
+        # the grid carries the start's phase: an unaligned range-query
+        # start shifts every window boundary (prom_test.go range queries)
+        ph = self.start_us % self.step_us
+        if name == "absent_over_time":
+            covered = self._shard_covered(call.args[0])
+            if covered is False:
+                grid = self.spark.range(1).select(self._grid().alias("t"))
+                return self._absent_of(grid, call.args[0])
+            samples = prom.normalize_samples(
+                rv.samples, rv.labels, "tu", "value")
+            present = prom.explode_steps(
+                samples, rv.labels, "tu", rng_us, self.step_us, ph
+            ).select("t").distinct()
+            return self._absent_of(self._clip_t(present), call.args[0])
+        if name == "present_over_time":
+            out = prom.over_time(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                {"value": F.lit(1.0)}, phase_us=ph,
+            )
+            return _Vector(self._clip(out), rv.labels)
+        if name in ("stddev_over_time", "stdvar_over_time"):
+            # Welford's update in TIME order over the window — matches
+            # Prometheus's streaming accumulation bit-for-bit where
+            # var_pop's two-pass math drifts a ulp (prom_test.go
+            # SubQueryStdVarOverTime "54.88888888888889")
+            g = prom._sorted_window_arr(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                ph,
+            )
+            welford = (
+                "aggregate(__arr,"
+                " named_struct('c', cast(0 as double),"
+                "              'm', cast(0 as double),"
+                "              'a', cast(0 as double)),"
+                " (acc, x) -> named_struct("
+                "   'c', acc.c + 1,"
+                "   'm', acc.m + (x.v - acc.m) / (acc.c + 1),"
+                "   'a', acc.a + (x.v - acc.m)"
+                "        * (x.v - (acc.m + (x.v - acc.m) / (acc.c + 1)))),"
+                " acc -> acc.a / acc.c)"
+            )
+            val = F.expr(welford)
+            if name == "stddev_over_time":
+                val = F.sqrt(val)
+            out = g.withColumn("value", val).drop("__arr")
+            return _Vector(self._clip(out), rv.labels)
+        if name in ("changes", "resets"):
+            g = prom._sorted_window_arr(
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                ph,
+            )
+            cmpop = "!=" if name == "changes" else "<"
+            fold = (
+                "aggregate(slice(__arr, 2, greatest(size(__arr)-1, 0)),"
+                " named_struct('prev', element_at(__arr, 1).v,"
+                "              'c', cast(0 as double)),"
+                " (acc, x) -> named_struct('prev', x.v,"
+                f"  'c', acc.c + (case when x.v {cmpop} acc.prev"
+                "        then 1 else 0 end)),"
+                " acc -> acc.c)"
+            )
+            out = g.withColumn("value", F.expr(fold)).drop("__arr")
+            return _Vector(self._clip(out), rv.labels)
+        if name in ("quantile_over_time", "mad_over_time"):
+            # quantile: Prometheus linear interpolation over the sorted
+            # window values (promql/quantile.go); mad: median absolute
+            # deviation (the reference's extension, mad_over_time)
+            rv2, rng2 = rv, rng_us
+            phi = (
+                float(call.args[0].value)
+                if name == "quantile_over_time" else 0.5
+            )
+            g = prom._sorted_window_arr(
+                rv2.samples, rv2.labels, "tu", "value", rng2, self.step_us,
+                ph,
+            )
+            g = g.withColumn(
+                "__vs", F.expr("array_sort(transform(__arr, x -> x.v))")
+            )
+
+            def interp(arr: str, q: str) -> str:
+                return (
+                    f"case when {q} < 0 then double('-inf')"
+                    f" when {q} > 1 then double('inf')"
+                    f" when size({arr}) = 0 then null else"
+                    f" element_at({arr},"
+                    f"   cast(floor({q}*(size({arr})-1)) as int) + 1)"
+                    f" + ({q}*(size({arr})-1)"
+                    f"    - floor({q}*(size({arr})-1)))"
+                    f" * (element_at({arr},"
+                    f"      least(cast(floor({q}*(size({arr})-1)) as int)+2,"
+                    f"            size({arr})))"
+                    f"    - element_at({arr},"
+                    f"       cast(floor({q}*(size({arr})-1)) as int) + 1))"
+                    " end"
+                )
+
+            if name == "quantile_over_time":
+                out = g.withColumn(
+                    "value", F.expr(interp("__vs", repr(phi)))
+                ).drop("__arr", "__vs")
+            else:
+                g = g.withColumn(
+                    "__med", F.expr(interp("__vs", "0.5"))
+                ).withColumn(
+                    "__devs",
+                    F.expr("array_sort(transform(__vs,"
+                           " v -> abs(v - __med)))"),
+                )
+                out = g.withColumn(
+                    "value", F.expr(interp("__devs", "0.5"))
+                ).drop("__arr", "__vs", "__med", "__devs")
+            return _Vector(self._clip(out), rv2.labels)
         if name in self._OVER_TIME:
             out = prom.over_time(
                 rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
-                {"value": self._OVER_TIME[name]()},
+                {"value": self._OVER_TIME[name]()}, phase_us=ph,
             )
         elif name in ("rate", "increase", "delta"):
             fn = {"rate": prom.rate_prom, "increase": prom.increase_prom,
                   "delta": prom.delta_prom}[name]
-            out = fn(rv.samples, rv.labels, "tu", "value", rng_us, self.step_us)
+            out = fn(rv.samples, rv.labels, "tu", "value", rng_us,
+                     self.step_us, phase_us=ph)
             out = out.withColumnRenamed("result", "value")
         elif name in ("irate", "idelta"):
             out = prom.irate_idelta_prom(
-                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us
+                rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
+                phase_us=ph,
             )
             out = out.select(*rv.labels, "t", F.col(name).alias("value"))
         elif name == "deriv":
             out = prom.linreg_over_time(
                 rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
-                mode="deriv",
+                mode="deriv", phase_us=ph,
             )
         elif name == "predict_linear":
             dur = call.args[1].value
             out = prom.linreg_over_time(
                 rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
-                mode="predict", predict_s=float(dur),
+                mode="predict", predict_s=float(dur), phase_us=ph,
             )
         elif name == "holt_winters":
             sf, tf = call.args[1].value, call.args[2].value
             out = prom.holt_winters_prom(
                 rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
-                sf=float(sf), tf=float(tf),
+                sf=float(sf), tf=float(tf), phase_us=ph,
             )
         else:
             raise ValueError(f"PromQL: unsupported function {name}")
@@ -386,9 +864,20 @@ class Engine:
         # Prometheus semantics: by → keep exactly those; without → drop
         # those; NEITHER → drop every label
         if agg.by is not None:
+            if "__name__" in agg.by and "__name__" not in v.labels:
+                nm = result_metric_name(agg.expr)
+                v = _Vector(
+                    v.df.withColumn("__name__", F.lit(nm or None)),
+                    [*v.labels, "__name__"],
+                    v.scalar, v.order,
+                )
             keep = [l for l in agg.by if l in v.labels]
         elif agg.without is not None:
-            keep = [l for l in v.labels if l not in agg.without]
+            # `without` also drops __name__ (promql aggregations strip the
+            # metric name unconditionally; only an explicit by(__name__)
+            # keeps it)
+            keep = [l for l in v.labels
+                    if l not in agg.without and l != "__name__"]
         else:
             keep = []
         if agg.op in ("topk", "bottomk"):
@@ -419,24 +908,42 @@ class Engine:
             return _Vector(out, v.labels)
         if agg.op == "count_values":
             # new label (param) = stringified sample value; count per value
-            # (Go formats integral floats without ".0")
+            # (Go formats integral floats without ".0"). A label literally
+            # named "value"/"t" would collide with the result columns, so
+            # it rides in a __lbl_ column the shapes strip (prom_test.go
+            # count_values("value", up)).
             lbl = agg.param
+            col = lbl if lbl not in ("value", "t") else f"__lbl_{lbl}"
             val_str = F.when(
                 F.col("value") == F.col("value").cast("long").cast("double"),
                 F.col("value").cast("long").cast("string"),
             ).otherwise(F.col("value").cast("string"))
             out = (
-                v.df.withColumn(lbl, val_str)
-                .groupBy("t", *keep, lbl)
+                v.df.withColumn(col, val_str)
+                .groupBy("t", *keep, col)
                 .agg(F.count(F.lit(1)).cast("double").alias("value"))
             )
-            return _Vector(out, [*keep, lbl])
+            return _Vector(out, [*keep, col])
         if agg.op == "quantile":
-            out = v.df.groupBy("t", *keep).agg(
-                F.percentile(
-                    F.col("value"), F.lit(self._scalar_value(agg.param))
-                ).alias("value")
+            phi = self._scalar_value(agg.param)
+            arr = v.df.groupBy("t", *keep).agg(
+                F.array_sort(F.collect_list("value")).alias("__vs")
             )
+            q = repr(float(phi))
+            interp = (
+                f"case when {q} < 0 then double('-inf')"
+                f" when {q} > 1 then double('inf')"
+                f" when isnan({q}) then double('nan')"
+                " when size(__vs) = 0 then null else"
+                f" element_at(__vs, cast(floor({q}*(size(__vs)-1)) as int)+1)"
+                f" + ({q}*(size(__vs)-1) - floor({q}*(size(__vs)-1)))"
+                f" * (element_at(__vs,"
+                f"     least(cast(floor({q}*(size(__vs)-1)) as int)+2,"
+                f"           size(__vs)))"
+                f"   - element_at(__vs,"
+                f"      cast(floor({q}*(size(__vs)-1)) as int)+1)) end"
+            )
+            out = arr.withColumn("value", F.expr(interp)).drop("__vs")
             return _Vector(out, keep)
         if agg.op in ("min", "max"):
             # Prometheus min/max ignore NaN samples unless the group is all
@@ -481,6 +988,41 @@ class Engine:
                 )
             )
             return _Vector(out, keep)
+        if agg.op in ("stddev", "stdvar"):
+            # Prometheus accumulates variance with Welford's update in
+            # series-label order (promql/engine.go groupedAggregation) —
+            # var_pop's two-pass math lands 1-2 ulps away (prom_test.go
+            # stdvar: "1.25", not "1.2500000000000002")
+            sig = F.concat_ws(
+                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                          for c in v.labels]
+            )
+            arr = v.df.groupBy("t", *keep).agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(sig.alias("s"),
+                                                F.col("value").alias("v")))
+                    ),
+                    lambda x: x["v"],
+                ).alias("__vs")
+            )
+            welford = (
+                "aggregate(__vs,"
+                " named_struct('c', cast(0 as double),"
+                "              'm', cast(0 as double),"
+                "              'a', cast(0 as double)),"
+                " (acc, x) -> named_struct("
+                "   'c', acc.c + 1,"
+                "   'm', acc.m + (x - acc.m) / (acc.c + 1),"
+                "   'a', acc.a + (x - acc.m)"
+                "        * (x - (acc.m + (x - acc.m) / (acc.c + 1)))),"
+                " acc -> acc.a / acc.c)"
+            )
+            val = F.expr(welford)
+            if agg.op == "stddev":
+                val = F.sqrt(val)
+            out = arr.withColumn("value", val).drop("__vs")
+            return _Vector(out, keep)
         out = v.df.groupBy("t", *keep).agg(
             self._AGGS[agg.op](F.col("value")).alias("value")
         )
@@ -490,6 +1032,13 @@ class Engine:
         lhs, rhs = self._eval(b.lhs), self._eval(b.rhs)
         if b.op in ("and", "or", "unless"):
             return self._set_binop(b, lhs, rhs)
+        # per-step scalar (time()) ⊕ anything: join on t only — the
+        # scalar side contributes one value per step (prom_test.go
+        # `metric > time()`, `time() >= (time() < metric)`)
+        if (isinstance(lhs, _Vector) and lhs.scalar) or (
+            isinstance(rhs, _Vector) and rhs.scalar
+        ):
+            return self._scalar_vec_binop(b, lhs, rhs)
         # scalar ⊕ scalar: constant-fold to a NumberLit (e.g. `1 + 2`,
         # `-(2*3)` via the unary-minus rewrite) — treating a literal lhs as a
         # vector would crash on .df. Scalar comparisons yield 1.0 / 0.0.
@@ -526,12 +1075,22 @@ class Engine:
             )
             c, litc = F.col("value"), F.lit(lit)
             a, bb = (litc, c) if flip else (c, litc)
-            if b.op in ("+", "-", "*", "/", "%"):
+            if b.op in ("+", "-", "*", "/", "%", "^"):
                 expr = {"+": a + bb, "-": a - bb, "*": a * bb,
-                        "/": a / bb, "%": a % bb}[b.op]
+                        "/": a / bb, "%": a % bb,
+                        "^": F.pow(a, bb)}[b.op]
                 return _Vector(vec.df.withColumn("value", expr), vec.labels)
             cmp = {"==": a == bb, "!=": a != bb, ">": a > bb, "<": a < bb,
                    ">=": a >= bb, "<=": a <= bb}[b.op]
+            if getattr(b, "bool_mod", False):
+                # `v > bool s`: every sample stays, value becomes 0/1
+                return _Vector(
+                    vec.df.withColumn(
+                        "value",
+                        F.when(cmp, 1.0).otherwise(0.0),
+                    ),
+                    vec.labels,
+                )
             return _Vector(vec.df.filter(cmp), vec.labels)
 
         on = b.on if b.on is not None else [
@@ -541,31 +1100,101 @@ class Engine:
         # many-to-one matching: the "many" side keeps its full label set;
         # the "one" side must be unique per (match labels, t) —
         # prom_binop_transform's group_left/group_right semantics.
+        carry = [
+            c for c in (getattr(b, "carry", None) or [])
+        ]
         if b.group == "left":
+            # group_left(lbls): carried labels come from the ONE (right)
+            # side onto each many-side row (prom_test.go Operators2)
             keep = lhs.labels
             lx = lhs.df.select(*keep, "t", F.col("value").alias("__l"))
-            rx = rhs.df.select(*on, "t", F.col("value").alias("__r"))
-            out_labels = keep
+            rcols = [c for c in dict.fromkeys([*on, *carry])
+                     if c in rhs.labels or c in on]
+            rx = rhs.df.select(*rcols, "t", F.col("value").alias("__r"))
+            out_labels = list(dict.fromkeys([*keep, *carry]))
         elif b.group == "right":
             keep = rhs.labels
-            lx = lhs.df.select(*on, "t", F.col("value").alias("__l"))
+            lcols = [c for c in dict.fromkeys([*on, *carry])
+                     if c in lhs.labels or c in on]
+            lx = lhs.df.select(*lcols, "t", F.col("value").alias("__l"))
             rx = rhs.df.select(*keep, "t", F.col("value").alias("__r"))
-            out_labels = keep
+            out_labels = list(dict.fromkeys([*keep, *carry]))
         else:
             lx = lhs.df.select(*on, "t", F.col("value").alias("__l"))
             rx = rhs.df.select(*on, "t", F.col("value").alias("__r"))
             out_labels = on
         j = lx.join(rx, [*on, "t"])
         a, bb = F.col("__l"), F.col("__r")
-        if b.op in ("+", "-", "*", "/", "%"):
+        if b.op in ("+", "-", "*", "/", "%", "^"):
             expr = {"+": a + bb, "-": a - bb, "*": a * bb, "/": a / bb,
-                    "%": a % bb}[b.op]
+                    "%": a % bb, "^": F.pow(a, bb)}[b.op]
             out = j.withColumn("value", expr)
         else:
             cmp = {"==": a == bb, "!=": a != bb, ">": a > bb, "<": a < bb,
                    ">=": a >= bb, "<=": a <= bb}[b.op]
-            out = j.filter(cmp).withColumn("value", a)
+            if getattr(b, "bool_mod", False):
+                out = j.withColumn("value", F.when(cmp, 1.0).otherwise(0.0))
+            else:
+                out = j.filter(cmp).withColumn("value", a)
         return _Vector(out.select(*out_labels, "t", "value"), out_labels)
+
+    def _scalar_vec_binop(self, b: P.BinOp, lhs, rhs) -> _Vector:
+        """One side is a per-step scalar (``time()``). Semantics follow
+        scalar⊕vector: arithmetic applies positionally; comparisons
+        filter the VECTOR side's samples (value unchanged) unless `bool`.
+        scalar⊕scalar comparisons require `bool` and yield 0/1."""
+        # normalize a NumberLit side into a per-step scalar frame
+        def as_scalar_vec(x) -> _Vector:
+            if isinstance(x, P.NumberLit):
+                grid = self.spark.range(1).select(self._grid().alias("t"))
+                return _Vector(
+                    grid.withColumn("value", F.lit(float(x.value))), [],
+                    scalar=True,
+                )
+            return x
+
+        lv, rv = as_scalar_vec(lhs), as_scalar_vec(rhs)
+        both_scalar = lv.scalar and rv.scalar
+        if lv.scalar:
+            sc, vec, flip = lv, rv, True      # scalar on the LEFT
+        else:
+            sc, vec, flip = rv, lv, False
+        if (
+            getattr(sc, "is_time", False)
+            and not both_scalar
+            and "__ts" in vec.df.columns
+            and b.op in ("+", "-", "*", "/", "%", "^")
+        ):
+            # reference semantics: time() in vector ARITHMETIC binds to
+            # each sample's own timestamp (transpiled time column);
+            # comparisons keep the evaluation time
+            # (Comparison_Op_Fix: `metric > time()` filters against 10,
+            # `metric - time()` subtracts the sample times)
+            j = vec.df.withColumn("__s", F.col("__ts") / F.lit(1e6))
+        else:
+            j = vec.df.join(
+                F.broadcast(sc.df.select("t", F.col("value").alias("__s"))),
+                "t",
+            )
+        v, s_ = F.col("value"), F.col("__s")
+        a, bb = (s_, v) if flip else (v, s_)
+        # the sample's own timestamp stays attached through scalar
+        # arithmetic (time() chains — `time() > metric - time()`)
+        ts_tail = ["__ts"] if "__ts" in j.columns else []
+        if b.op in ("+", "-", "*", "/", "%", "^"):
+            expr = {"+": a + bb, "-": a - bb, "*": a * bb, "/": a / bb,
+                    "%": a % bb, "^": F.pow(a, bb)}[b.op]
+            out = j.withColumn("value", expr)
+            return _Vector(out.select(*vec.labels, "t", "value", *ts_tail),
+                           vec.labels, scalar=both_scalar)
+        cmp = {"==": a == bb, "!=": a != bb, ">": a > bb, "<": a < bb,
+               ">=": a >= bb, "<=": a <= bb}[b.op]
+        if getattr(b, "bool_mod", False) or both_scalar:
+            out = j.withColumn("value", F.when(cmp, 1.0).otherwise(0.0))
+        else:
+            out = j.filter(cmp)
+        return _Vector(out.select(*vec.labels, "t", "value", *ts_tail),
+                       vec.labels, scalar=both_scalar)
 
     def _set_binop(self, b: P.BinOp, lhs: _Vector, rhs: _Vector) -> _Vector:
         """vector and/or/unless vector (prom_binop_transform set ops):
@@ -584,8 +1213,21 @@ class Engine:
             return _Vector(out, lhs.labels)
         # or: keep all of lhs; add rhs series whose FULL label signature has
         # no lhs series at that step (Prometheus matches series identity,
-        # not shared labels — metrics may have different label schemas)
-        all_labels = sorted(set(lhs.labels) | set(rhs.labels))
+        # not shared labels — metrics may have different label schemas).
+        # Each side's metric NAME rides as a per-sample __name__ column —
+        # `(m + 1) or m` mixes unnamed left samples with named right ones
+        # (prom_test.go Operators1 "(vector+1) OR vector").
+        lname = result_metric_name(b.lhs)
+        rname = result_metric_name(b.rhs)
+        lhs_labels, rhs_labels = list(lhs.labels), list(rhs.labels)
+        if (lname or rname) and "__name__" not in (
+            set(lhs_labels) | set(rhs_labels)
+        ):
+            lx = lx.withColumn("__name__", F.lit(lname or None))
+            rx = rx.withColumn("__name__", F.lit(rname or None))
+            lhs_labels.append("__name__")
+            rhs_labels.append("__name__")
+        all_labels = sorted(set(lhs_labels) | set(rhs_labels))
 
         def _pad(df, have):
             for l in all_labels:
@@ -593,12 +1235,24 @@ class Engine:
                     df = df.withColumn(l, F.lit(None).cast("string"))
             return df.select(*all_labels, "t", "value")
 
-        lp, rp = _pad(lx, lhs.labels), _pad(rx, rhs.labels)
-        sig = lp.select(*all_labels, "t").distinct()
+        lp, rp = _pad(lx, lhs_labels), _pad(rx, rhs_labels)
+        # the or-identity compares the MATCH labels: on(...) restricts,
+        # ignoring(...) removes, default is every label EXCEPT __name__
+        # (`(m+1) or m`: the unnamed left series shadow the named right)
+        if b.on is not None:
+            match = [l for l in all_labels if l in b.on]
+        elif b.ignoring is not None:
+            match = [l for l in all_labels
+                     if l not in b.ignoring and l != "__name__"]
+        else:
+            match = [l for l in all_labels if l != "__name__"]
+        sig = lp.select(*match, "t").distinct()
         cond = None
-        for c in [*all_labels, "t"]:
+        for c in [*match, "t"]:
             eq = rp[c].eqNullSafe(sig[c])
             cond = eq if cond is None else cond & eq
+        if cond is None:
+            cond = rp["t"] == sig["t"]
         extra = rp.join(sig, cond, "left_anti")
         out = lp.unionByName(extra.select(*all_labels, "t", "value"))
         return _Vector(out, all_labels)
@@ -648,12 +1302,21 @@ def query_instant(
     if isinstance(res, P.NumberLit):
         return "scalar", float(res.value)
     if isinstance(res, _RangeVector):
-        hi = time_s * US
-        lo = hi - res.range_s * US
+        hi = int(round(time_s * US))
+        lo = hi - int(round(res.range_s * US))
         df = res.samples.filter(
-            (F.col("tu") > lo) & (F.col("tu") <= hi)
+            (F.col("tu") >= lo) & (F.col("tu") <= hi)
         ).select(*res.labels, F.col("tu").alias("t"), "value")
         return "matrix", df
+    if isinstance(res, _Vector) and "__ts" in res.df.columns:
+        res = _Vector(res.df.drop("__ts"), res.labels,
+                      res.scalar, res.order)
     if isinstance(res, _Vector):
-        return "vector", res.df
+        if res.scalar:
+            # per-step scalar (time() arithmetic): one grid point here
+            rows = res.df.limit(2).collect()
+            return "scalar", (
+                float(rows[0]["value"]) if rows else float("nan")
+            )
+        return "vector", res
     raise ValueError(f"PromQL: cannot evaluate {promql!r} at an instant")

@@ -10,16 +10,17 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+DUR_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400,
+         "w": 604800, "y": 31536000}
 
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<duration>\d+[smhdw])
+  | (?P<duration>(?:\d+(?:ms|[smhdwy]))+(?![a-zA-Z_0-9]))
   | (?P<number>\d+\.\d+|\d+)
-  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
-  | (?P<op>=~|!~|!=|==|<=|>=|[-+*/%(){}\[\],=<>@])
+  | (?P<op>=~|!~|!=|==|<=|>=|[-+*/%^(){}\[\],=<>@])
     """,
     re.VERBOSE,
 )
@@ -44,7 +45,11 @@ def lex(src: str) -> list[Tok]:
         if kind == "ws":
             continue
         if kind == "duration":
-            toks.append(Tok("DURATION", text, int(text[:-1]) * DUR_S[text[-1]]))
+            total: float = 0
+            for v, u in re.findall(r"(\d+)(ms|[smhdwy])", text):
+                total += int(v) * DUR_S[u]
+            toks.append(Tok("DURATION", text,
+                            int(total) if total == int(total) else total))
         elif kind == "number":
             toks.append(Tok("NUMBER", text, float(text)))
         elif kind == "string":
@@ -111,11 +116,18 @@ class BinOp:
     on: list[str] | None = None
     ignoring: list[str] | None = None
     group: str | None = None         # 'left' | 'right' (many-to-one matching)
+    bool_mod: bool = False           # `== bool`: 0/1 result, no filtering
+    carry: list[str] | None = None   # group_left(lbl,…) carried labels
 
 
 @dataclass
 class NumberLit:
     value: float
+
+
+@dataclass
+class StringLit:
+    value: str
 
 
 AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
@@ -126,6 +138,14 @@ FUNCS = {
     "count_over_time", "last_over_time", "abs", "clamp_min", "clamp_max",
     "histogram_quantile", "round", "floor", "ceil", "scalar",
     "deriv", "predict_linear", "holt_winters",
+    "stddev_over_time", "stdvar_over_time", "quantile_over_time",
+    "mad_over_time", "present_over_time", "absent_over_time", "absent",
+    "changes", "resets", "timestamp", "time", "vector",
+    "label_replace", "label_join", "sort", "sort_desc",
+    "sort_by_label", "sort_by_label_desc",
+    "year", "month", "day_of_month", "day_of_week", "day_of_year", "days_in_month",
+    "hour", "minute",
+    "exp", "ln", "log2", "log10", "sqrt", "sgn", "clamp",
 }
 
 # Inf/NaN are number literals in PromQL's lexer (promql/parser/lex.go
@@ -145,9 +165,21 @@ class Parser:
         self.i += 1
         return t
 
+    _KEYWORDS = {"by", "without", "bool", "on", "ignoring",
+                 "group_left", "group_right", "or", "and", "unless",
+                 "offset"}
+
     def accept(self, kind: str, text: str | None = None) -> Tok | None:
         t = self.peek()
-        if t.kind == kind and (text is None or t.text == text):
+        if t.kind == kind and (
+            text is None
+            or t.text == text
+            or (
+                kind == "IDENT"
+                and text in self._KEYWORDS
+                and t.text.lower() == text
+            )
+        ):
             return self.next()
         return None
 
@@ -176,8 +208,8 @@ class Parser:
             t = self.peek()
             if t.kind == "IDENT" and t.text == "or":
                 self.next()
-                on, ignoring, group = self._matching()
-                lhs = BinOp(t.text, lhs, self._and_unless_level(), on, ignoring, group)
+                on, ignoring, group, carry = self._matching()
+                lhs = BinOp(t.text, lhs, self._and_unless_level(), on, ignoring, group, carry=carry)
             else:
                 return lhs
 
@@ -187,19 +219,27 @@ class Parser:
             t = self.peek()
             if t.kind == "IDENT" and t.text in ("and", "unless"):
                 self.next()
-                on, ignoring, group = self._matching()
-                lhs = BinOp(t.text, lhs, self._cmp_level(), on, ignoring, group)
+                on, ignoring, group, carry = self._matching()
+                lhs = BinOp(t.text, lhs, self._cmp_level(), on, ignoring, group, carry=carry)
             else:
                 return lhs
 
     def _cmp_level(self):
+        # comparisons are LEFT-associative (`metric > time() < time()` ≡
+        # `(metric > time()) < time()` — prom_test.go Comparison_Op_Fix)
         lhs = self.add()
-        t = self.peek()
-        if t.kind == "OP" and t.text in self._CMP:
+        while True:
+            t = self.peek()
+            if not (t.kind == "OP" and t.text in self._CMP):
+                return lhs
             self.next()
-            on, ignoring, group = self._matching()
-            return BinOp(t.text, lhs, self.add(), on, ignoring, group)
-        return lhs
+            # `== bool`: the comparison returns 0/1 instead of filtering
+            # (required for scalar-scalar comparisons — prom_test.go
+            # `up + (1 != bool 2)`)
+            bool_mod = self.accept("IDENT", "bool") is not None
+            on, ignoring, group, carry = self._matching()
+            lhs = BinOp(t.text, lhs, self.add(), on, ignoring, group,
+                        bool_mod, carry=carry)
 
     def add(self):
         lhs = self.mul()
@@ -207,21 +247,32 @@ class Parser:
             t = self.peek()
             if t.kind == "OP" and t.text in ("+", "-"):
                 self.next()
-                on, ignoring, group = self._matching()
-                lhs = BinOp(t.text, lhs, self.mul(), on, ignoring, group)
+                on, ignoring, group, carry = self._matching()
+                lhs = BinOp(t.text, lhs, self.mul(), on, ignoring, group, carry=carry)
             else:
                 return lhs
 
     def mul(self):
-        lhs = self.primary()
+        lhs = self._pow()
         while True:
             t = self.peek()
             if t.kind == "OP" and t.text in ("*", "/", "%"):
                 self.next()
-                on, ignoring, group = self._matching()
-                lhs = BinOp(t.text, lhs, self.primary(), on, ignoring, group)
+                on, ignoring, group, carry = self._matching()
+                lhs = BinOp(t.text, lhs, self._pow(), on, ignoring, group, carry=carry)
             else:
                 return lhs
+
+    def _pow(self):
+        # ^ binds tighter than * and is RIGHT-associative (promql/parser)
+        lhs = self.primary()
+        t = self.peek()
+        if t.kind == "OP" and t.text == "^":
+            self.next()
+            on, ignoring, group, carry = self._matching()
+            return BinOp("^", lhs, self._pow(), on, ignoring, group,
+                         carry=carry)
+        return lhs
 
     def _matching(self):
         on = ignoring = group = None
@@ -229,15 +280,16 @@ class Parser:
             on = self._label_list()
         elif self.accept("IDENT", "ignoring"):
             ignoring = self._label_list()
+        carry: list[str] | None = None
         if self.accept("IDENT", "group_left"):
             group = "left"
             if self.peek().text == "(":
-                self._label_list()  # carried labels: parsed, not yet projected
+                carry = self._label_list()
         elif self.accept("IDENT", "group_right"):
             group = "right"
             if self.peek().text == "(":
-                self._label_list()
-        return on, ignoring, group
+                carry = self._label_list()
+        return on, ignoring, group, carry
 
     def _label_list(self) -> list[str]:
         self.expect("OP", "(")
@@ -257,9 +309,15 @@ class Parser:
             if isinstance(operand, NumberLit):
                 return NumberLit(-operand.value)
             return BinOp("*", NumberLit(-1.0), operand)
+        if t.kind == "OP" and t.text == "+":
+            self.next()
+            return self.primary()
         if t.kind == "NUMBER":
             self.next()
             return NumberLit(t.value)
+        if t.kind == "STRING":
+            self.next()
+            return StringLit(t.value)
         if t.kind == "IDENT" and t.text.lower() in _NUM_IDENTS:
             self.next()
             return NumberLit(_NUM_IDENTS[t.text.lower()])
@@ -270,16 +328,28 @@ class Parser:
             return self._maybe_subquery(e)
         if t.kind == "IDENT":
             name = self.next().value
-            if name in AGG_OPS:
-                return self._maybe_subquery(self._aggregate(name))
+            # aggregation keywords are case-insensitive (SUM(...) BY (job)
+            # — promql/parser keyword table; prom_test.go Operators1)
+            if name.lower() in AGG_OPS and self.peek().text in ("(",) or (
+                name.lower() in AGG_OPS
+                and self.peek().kind == "IDENT"
+                and self.peek().text.lower() in ("by", "without")
+            ):
+                return self._maybe_subquery(self._aggregate(name.lower()))
             if name in FUNCS:
                 self.expect("OP", "(")
-                args = [self.expr()]
-                while self.accept("OP", ","):
+                args = []
+                if not self.accept("OP", ")"):
                     args.append(self.expr())
-                self.expect("OP", ")")
+                    while self.accept("OP", ","):
+                        args.append(self.expr())
+                    self.expect("OP", ")")
                 return self._maybe_subquery(FuncCall(name, args))
             return self._selector(name)
+        if t.kind == "OP" and t.text == "{":
+            # {__name__=~"…", …}: nameless selector — the metric is chosen
+            # by matchers alone (prom_test.go regex measurement)
+            return self._selector("")
         raise SyntaxError(f"PromQL: unexpected {t.text!r}")
 
     def _aggregate(self, op: str) -> Aggregate:

@@ -20,20 +20,44 @@ def _fmt_value(v: float) -> str:
         return "NaN"
     if math.isinf(v):
         return "+Inf" if v > 0 else "-Inf"
-    if v == int(v) and abs(v) < 1e15:
+    if v == int(v) and abs(v) < 2**63:
+        # Go strconv.FormatFloat(v, 'f', -1, 64): fixed notation, no cap
+        # at 1e15 (prom_test.go stdvar "5555555388888890")
         return str(int(v))
-    return repr(v)
+    s = repr(v)
+    if "e" in s or "E" in s:
+        # fixed notation like Go's 'f' format
+        s = format(v, "f").rstrip("0").rstrip(".") or "0"
+    return s
+
+
+def _label_sig(label_cols: list[str]):
+    """Prometheus series order: the rendered ``{name="value", …}``
+    string (absent labels omitted) — `{a="abb"}` sorts before
+    `{aa="bb"}`, and `{job="x", region="y"}` before `{job="x"}`
+    (prom_test.go NameTag/DuplicateLabels order)."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.concat(F.lit(f'{c.removeprefix("__lbl_")}="'),
+                     F.col(c).cast("string"), F.lit('"')),
+        )
+        for c in label_cols
+    ]
+    return F.concat(F.lit("{"), F.concat_ws(", ", *parts), F.lit("}"))
 
 
 def _ordered_rows(
     df: DataFrame, label_cols: list[str], time_col: str | None
 ):
-    """Stream rows ordered (labels as strings, then time) via
+    """Stream rows ordered (label signature, then time) via
     ``toLocalIterator`` — never a full driver collect (the reference's
     chunked HTTP sender shape; VERDICT r1 "what's wrong" #3)."""
     from pyspark.sql import functions as F
 
-    sort = [F.col(c).cast("string").asc() for c in label_cols]
+    sort = [_label_sig(label_cols).asc()] if label_cols else []
     if time_col is not None:
         sort.append(F.col(time_col).asc())
     return (df.orderBy(*sort) if sort else df).toLocalIterator()
@@ -56,8 +80,9 @@ def to_prom_matrix(
             ordered.append(
                 {
                     "metric": {
-                        "__name__": metric_name,
-                        **{c: str(r[c]) for c in label_cols},
+                        **({"__name__": metric_name} if metric_name else {}),
+                        **{c.removeprefix("__lbl_"): str(r[c])
+                           for c in label_cols if r[c] is not None},
                     },
                     "values": [],
                 }
@@ -95,8 +120,9 @@ def rows_to_prom_matrix(
             ordered.append(
                 {
                     "metric": {
-                        "__name__": metric_name,
-                        **{c: str(r[c]) for c in label_cols},
+                        **({"__name__": metric_name} if metric_name else {}),
+                        **{c.removeprefix("__lbl_"): str(r[c])
+                           for c in label_cols if r[c] is not None},
                     },
                     "values": [],
                 }
@@ -116,15 +142,39 @@ def to_prom_vector(
     label_cols: list[str],
     time_col: str = "t",
     value_col: str = "value",
+    order: str | None = None,
 ) -> dict:
-    """Instant-query vector: one sample per label-set."""
+    """Instant-query vector: one sample per label-set.
+
+    ``order`` overrides the default label ordering: "asc"/"desc" sort by
+    value (sort()/sort_desc()), "label:<keys>"/"label_desc:<keys>" by the
+    named labels (sort_by_label[_desc])."""
+    from pyspark.sql import functions as F
+
+    if order in ("asc", "desc"):
+        col = F.col(value_col)
+        it = df.orderBy(
+            col.asc() if order == "asc" else col.desc()
+        ).toLocalIterator()
+    elif order and order.startswith(("label:", "label_desc:")):
+        desc = order.startswith("label_desc:")
+        keys = order.split(":", 1)[1].split(",")
+        cols = [
+            (F.col(k).desc() if desc else F.col(k).asc())
+            for k in keys if k in df.columns
+        ]
+        it = df.orderBy(*cols).toLocalIterator() if cols \
+            else _ordered_rows(df, label_cols, None)
+    else:
+        it = _ordered_rows(df, label_cols, None)
     out = []
-    for r in _ordered_rows(df, label_cols, None):
+    for r in it:
         out.append(
             {
                 "metric": {
-                    "__name__": metric_name,
-                    **{c: str(r[c]) for c in label_cols},
+                    **({"__name__": metric_name} if metric_name else {}),
+                    **{c.removeprefix("__lbl_"): str(r[c])
+                       for c in label_cols if r[c] is not None},
                 },
                 "value": [r[time_col] / 1_000_000, _fmt_value(r[value_col])],
             }

@@ -94,11 +94,13 @@ _STATS_CTE = (
              sum(CASE WHEN value < pv THEN pv ELSE 0.0 END) AS resets
       FROM lagged GROUP BY event_type, t
     ), d AS (
+      -- durations form as integer-µs differences FIRST, seconds after —
+      -- mirrors the engine's (and Prometheus's int64-ms) exactness
       SELECT *, last_v - first_v + resets AS delta,
-             last_t / 1000000 - first_t / 1000000 AS sampled,
-             first_t / 1000000 - (t / 1000000 - {rng}) AS to_start0,
-             t / 1000000 - last_t / 1000000 AS to_end,
-             (last_t / 1000000 - first_t / 1000000) / (n - 1) AS avg_ivl
+             (last_t - first_t) / 1000000 AS sampled,
+             (first_t - t + {rng_us}) / 1000000 AS to_start0,
+             (t - last_t) / 1000000 AS to_end,
+             ((last_t - first_t) / 1000000) / (n - 1) AS avg_ivl
       FROM stats WHERE n >= 2 AND last_t > first_t
     ), z AS (
       SELECT *, avg_ivl * 1.1 AS threshold,
@@ -114,7 +116,7 @@ _STATS_CTE = (
                AS extrap
       FROM z
     )
-""".format(rng=RANGE_S)
+""".format(rng_us=RANGE_S * 1000000)
 )
 
 
@@ -123,7 +125,7 @@ _STATS_CTE = (
     _STATS_CTE
     + f"""
     SELECT event_type, t,
-           round(delta / sampled * extrap / {RANGE_S}, 6) AS rate
+           round(delta * (extrap / sampled / {RANGE_S}), 6) AS rate
     FROM x
     """,
 )
@@ -138,7 +140,7 @@ def q_prom_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STATS_CTE
     + """
     SELECT event_type, t,
-           round(delta / sampled * extrap, 6) AS increase
+           round(delta * (extrap / sampled), 6) AS increase
     FROM x
     """,
 )
@@ -159,10 +161,10 @@ _DELTA_CTE = (
       FROM e GROUP BY event_type, t
     ), d AS (
       SELECT *, last_v - first_v + 0.0 AS delta,
-             last_t / 1000000 - first_t / 1000000 AS sampled,
-             first_t / 1000000 - (t / 1000000 - {rng}) AS to_start,
-             t / 1000000 - last_t / 1000000 AS to_end,
-             (last_t / 1000000 - first_t / 1000000) / (n - 1) AS avg_ivl
+             (last_t - first_t) / 1000000 AS sampled,
+             (first_t - t + {rng_us}) / 1000000 AS to_start,
+             (t - last_t) / 1000000 AS to_end,
+             ((last_t - first_t) / 1000000) / (n - 1) AS avg_ivl
       FROM stats WHERE n >= 2 AND last_t > first_t
     ), x AS (
       SELECT *,
@@ -172,7 +174,7 @@ _DELTA_CTE = (
                AS extrap
       FROM d
     )
-""".format(rng=RANGE_S)
+""".format(rng_us=RANGE_S * 1000000)
 )
 
 
@@ -180,7 +182,7 @@ _DELTA_CTE = (
     "prom_delta_gauge",
     _DELTA_CTE
     + """
-    SELECT event_type, t, round(delta / sampled * extrap, 6) AS delta_v FROM x
+    SELECT event_type, t, round(delta * (extrap / sampled), 6) AS delta_v FROM x
     """,
 )
 def q_prom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,7 +82,8 @@ def q_promql_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # instant evaluation at a single timestamp (GET /api/v1/query, r3) — the
-# engine's query_instant vector path; window is (AT-12h, AT]
+# engine's query_instant vector path; window is [AT-12h, AT] (closed —
+# the reference lifts pre-3.0 Prometheus range-selector semantics)
 INSTANT_AT = START + 10 * 86400
 
 
@@ -92,7 +93,7 @@ INSTANT_AT = START + 10 * 86400
     SELECT event_type, CAST({INSTANT_AT} AS BIGINT) * 1000000 AS t,
            CAST(count(*) AS DOUBLE) AS value
     FROM events
-    WHERE epoch_us(ts) >  CAST({INSTANT_AT - 43200} AS BIGINT) * 1000000
+    WHERE epoch_us(ts) >= CAST({INSTANT_AT - 43200} AS BIGINT) * 1000000
       AND epoch_us(ts) <= CAST({INSTANT_AT} AS BIGINT) * 1000000
     GROUP BY event_type
     """,
@@ -100,17 +101,17 @@ INSTANT_AT = START + 10 * 86400
 def q_promql_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengemini_spark.promql.engine import query_instant
 
-    kind, df = query_instant(
+    kind, payload = query_instant(
         spark, sf_dir, _registry(),
         "count_over_time(events_value[12h])", INSTANT_AT,
     )
     assert kind == "vector"
-    return df
+    return payload.df
 
 
 # --- PromQL subquery (r3): expr[range:step] ---------------------------------
 # inner count_over_time on the absolutely-aligned 6h grid spanning
-# [START-12h, END]; outer max_over_time over (t-12h, t] of those samples.
+# [START-12h, END]; outer max_over_time over [t-12h, t] of those samples.
 # The oracle replays both layers set-oriented in DuckDB.
 SUB_STEP = 21600
 SUB_RANGE = 43200
@@ -125,7 +126,7 @@ SUB_RANGE = 43200
     inner_v AS (
       SELECT e.event_type, tg.tp, CAST(count(*) AS DOUBLE) AS v
       FROM tg JOIN events e
-        ON epoch_us(e.ts) >  CAST(tg.tp - {SUB_STEP} AS BIGINT) * 1000000
+        ON epoch_us(e.ts) >= CAST(tg.tp - {SUB_STEP} AS BIGINT) * 1000000
        AND epoch_us(e.ts) <= CAST(tg.tp AS BIGINT) * 1000000
       GROUP BY e.event_type, tg.tp
     ),
@@ -133,7 +134,7 @@ SUB_RANGE = 43200
     SELECT i.event_type, CAST(og.t AS BIGINT) * 1000000 AS t,
            max(i.v) AS value
     FROM og JOIN inner_v i
-      ON i.tp > og.t - {SUB_RANGE} AND i.tp <= og.t
+      ON i.tp >= og.t - {SUB_RANGE} AND i.tp <= og.t
     GROUP BY i.event_type, og.t
     """,
 )

@@ -452,7 +452,15 @@ def test_prom_instant_query_matches_range_at_point(spark, sf_dir):
     rng = handle_prom_query_range(
         spark, sf_dir, _events_registry(), q, at, at, at
     )
-    assert inst["data"] == rng["data"]
+    # /query_range is ALWAYS a matrix (even one-point — prom_test.go
+    # `sum(up @ start())`); the samples must agree with the instant vector
+    assert inst["data"]["resultType"] == "vector"
+    assert rng["data"]["resultType"] == "matrix"
+    as_matrix = [
+        {"metric": e["metric"], "values": [e["value"]]}
+        for e in inst["data"]["result"]
+    ]
+    assert as_matrix == rng["data"]["result"]
 
 
 def test_prom_metadata_endpoints(spark, sf_dir):

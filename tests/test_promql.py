@@ -127,9 +127,15 @@ def test_vector_binop_ratio(spark, sf_dir, registry):
         assert a[k] == pytest.approx(b[k])
 
 
-def test_unaligned_start_rejected(spark, sf_dir, registry):
-    with pytest.raises(ValueError, match="step-aligned"):
-        query_range(spark, sf_dir, registry, "events_value", 7, END, STEP)
+def test_unaligned_start_accepted(spark, sf_dir, registry):
+    """Prometheus imposes NO step alignment on start — the grid carries
+    the start's phase (prom_test.go range queries at *.955 starts)."""
+    df = query_range(
+        spark, sf_dir, registry, "events_value", START + 7, END, STEP
+    )
+    ts = sorted({r["t"] for r in df.select("t").distinct().collect()})
+    assert ts and all((t - (START + 7) * 10**6) % (STEP * 10**6) == 0
+                      for t in ts)
 
 
 def test_group_left_many_to_one(spark, sf_dir, registry):
@@ -297,9 +303,12 @@ def test_deriv_least_squares(spark):
     out = prom.linreg_over_time(
         df, ["job"], "tu", "value", 300 * US, 300 * US, mode="deriv"
     ).collect()
-    # samples at 60/120/180 (t=0 is outside the left-open window):
-    # x=0,60,120  y=10,20,40 → slope = 1800/7200
-    assert [(r["t"] // US, r["value"]) for r in out] == [(300, 0.25)]
+    # CLOSED window [0, 300] keeps the t=0 sample (the reference lifts
+    # pre-3.0 range-selector semantics): x=0,60,120,180  y=0,10,20,40
+    # → slope = 3900/18000 = 13/60
+    assert [(r["t"] // US, r["value"]) for r in out] == [
+        (300, pytest.approx(13 / 60))
+    ]
 
 
 def test_predict_linear_anchored_at_eval_time(spark):
@@ -310,8 +319,9 @@ def test_predict_linear_anchored_at_eval_time(spark):
         df, ["job"], "tu", "value", 300 * US, 300 * US,
         mode="predict", predict_s=600.0,
     ).collect()
-    # x rel eval(300s): -240,-180,-120; intercept 68.33…; +slope·600
-    assert out[0]["value"] == pytest.approx(218.33333333333331)
+    # closed window keeps t=0: x rel eval(300s) = -300,-240,-180,-120;
+    # intercept 63.0; + slope·600 = 193.0
+    assert out[0]["value"] == pytest.approx(193.0)
 
 
 def test_holt_winters_prom_recurrence(spark):
@@ -390,7 +400,7 @@ def test_subquery_parses_all_forms():
 def test_subquery_equals_manual_inner_grid(spark, sf_dir, registry):
     """max_over_time(inner[12h:6h]) at each outer t equals the max of the
     inner instant evaluations at the aligned 6h grid points in
-    (t-12h, t] — i.e. t-6h and t."""
+    [t-12h, t] (closed range) — i.e. t-12h, t-6h and t."""
     from opengemini_spark.promql import query_range
 
     out = query_range(
@@ -409,7 +419,7 @@ def test_subquery_equals_manual_inner_grid(spark, sf_dir, registry):
     for (et, t), v in got.items():
         window = [
             iv[(et, tp)]
-            for tp in (t - STEP * 10**6, t)
+            for tp in (t - 2 * STEP * 10**6, t - STEP * 10**6, t)
             if (et, tp) in iv
         ]
         assert window and v == max(window), (et, t)

@@ -902,3 +902,22 @@ def test_parity8_subscription_forward(spark, sf_dir, tmp_path_factory):
         handle_write(spark, writes, root, ddl=ddl, db="db0", rp="rp0")
     # ANY mode: exactly one destination per write, rotating
     assert len(requests) == 5
+
+
+# --- TestServer_Query_With_All_ShardKey (server_test.go) ---
+def test_parity8_all_shardkey(spark, sf_dir, tmp_path_factory):
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(
+        spark, MetaStore(str(tmp_path_factory.mktemp("p8_sk_meta"))))
+    ddl.execute("CREATE DATABASE db0 WITH SHARDKEY tag1,tag2")
+    root = str(tmp_path_factory.mktemp("p8_sk"))
+    handle_write(spark, [f"cpu,tag1=tv1,tag2=tv2 value=1.0 {_LP_TS}"],
+                 root)
+    got = handle_query(
+        spark, sf_dir,
+        "SELECT * FROM db0.autogen.cpu where tag1='tv1' AND tag2='tv2'",
+        epoch=None, data_root=root, ddl=ddl)
+    assert got == {"results": [{"statement_id": 0, "series": [
+        {"name": "cpu", "columns": ["time", "tag1", "tag2", "value"],
+         "values": [["2009-11-10T23:00:00Z", "tv1", "tv2", 1]]}]}]}
