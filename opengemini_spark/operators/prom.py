@@ -258,6 +258,12 @@ def histogram_quantile(
         .withColumn("prev_cum", F.lag(count_col).over(w))
         .withColumn("max_cum", F.max(count_col).over(total))
         .withColumn("rank", F.lit(q) * F.col("max_cum"))
+        # promql/quantile.go: a usable histogram needs ≥2 buckets and a
+        # +Inf bucket — otherwise the quantile is NaN (prom_test.go
+        # Histogram1/2: the stray le=8-only window)
+        .withColumn("__nb", F.count(F.lit(1)).over(total))
+        .withColumn("__has_inf", F.max(le_col).over(total)
+                    == float("inf"))
     )
     hit = b.filter(
         (F.col(count_col) >= F.col("rank"))
@@ -275,6 +281,10 @@ def histogram_quantile(
     interp = lo + (F.col(le_col) - lo) * ratio
     # +Inf bucket → return the upper bound of the last finite bucket
     result = F.when(F.col(le_col) == float("inf"), lo).otherwise(interp)
+    result = F.when(
+        (F.col("__nb") < 2) | (~F.col("__has_inf")),
+        F.lit(float("nan")),
+    ).otherwise(result)
     return hit.select(*labels, result.alias("quantile"))
 
 
@@ -318,6 +328,18 @@ def linreg_over_time(
     matches the reference's loop.
     """
     g = _sorted_window_arr(df, labels, time_col, value_col, range_us, step_us, phase_us)
+    return linreg_from_windows(g, labels, mode, predict_s)
+
+
+def linreg_from_windows(
+    g: DataFrame,
+    labels: list[str],
+    mode: str = "deriv",
+    predict_s: float = 0.0,
+) -> DataFrame:
+    """The regression tail over pre-built (labels, t, __arr) windows —
+    exposed so an @-pinned predict_linear can re-anchor the SAME window
+    at every outer grid time (the anchor is the ``t`` column)."""
     ref = "element_at(__arr, 1).st" if mode == "deriv" else "t"
     fold = (
         "aggregate(__arr,"

@@ -119,6 +119,37 @@ def result_metric_name(node) -> str:
     return ""
 
 
+def _kahan_welford_fold(arr_expr: str, val: str, finish: str) -> str:
+    """Kahan-compensated Welford fold over a sorted SQL array — the
+    reference's exact accumulation (agg_func_prom.go:406 stdVarOverTime,
+    and its grouped mean): ``delta/count`` Kahan-added into the mean,
+    ``delta*(v-mean')`` Kahan-added into the aux. Intermediates are
+    textually repeated (SQL lambdas cannot bind locals); Catalyst CSE
+    collapses them."""
+    d = f"(({val}) - (acc.m + acc.cm))"
+    inc1 = f"({d} / (acc.n + 1))"
+    t1 = f"(acc.m + {inc1})"
+    cmp1 = (f"(case when abs(acc.m) >= abs({inc1}) "
+            f"then (acc.m - {t1}) + {inc1} "
+            f"else ({inc1} - {t1}) + acc.m end)")
+    cm2 = f"(acc.cm + {cmp1})"
+    inc2 = f"({d} * (({val}) - ({t1} + {cm2})))"
+    t2 = f"(acc.a + {inc2})"
+    cmp2 = (f"(case when abs(acc.a) >= abs({inc2}) "
+            f"then (acc.a - {t2}) + {inc2} "
+            f"else ({inc2} - {t2}) + acc.a end)")
+    ca2 = f"(acc.ca + {cmp2})"
+    return (
+        f"aggregate({arr_expr}, "
+        "named_struct('n', cast(0 as double), 'm', cast(0 as double), "
+        "'cm', cast(0 as double), 'a', cast(0 as double), "
+        "'ca', cast(0 as double)), "
+        f"(acc, x) -> named_struct('n', acc.n + 1, 'm', {t1}, "
+        f"'cm', {cm2}, 'a', {t2}, 'ca', {ca2}), "
+        f"acc -> {finish})"
+    )
+
+
 class Engine:
     def __init__(
         self,
@@ -274,7 +305,31 @@ class Engine:
         for a in call2.args:
             if isinstance(a, (P.VectorSelector, P.Subquery)):
                 a.at_s = None
-        return self._fanout(self._pin_engine(at)._func(call2))
+        pin = self._pin_engine(at)
+        if call.name == "predict_linear":
+            # the reference anchors the regression intercept at the OUTER
+            # evaluation time even when the window is @-pinned
+            # (PredictLinear_BugFix: predict_linear(m[100m] @ 2000, 3600)
+            # at t=0 intercepts at 0): re-run the SAME pinned window's
+            # regression with each outer grid time as the anchor —
+            # bit-identical to the reference's per-anchor sums
+            rv = pin._eval(call2.args[0])
+            assert isinstance(rv, _RangeVector)
+            g = prom._sorted_window_arr(
+                rv.samples, rv.labels, "tu", "value",
+                int(round(rv.range_s * US)), pin.step_us,
+                pin.start_us % pin.step_us,
+            ).filter(
+                (F.col("t") >= pin.start_us) & (F.col("t") <= pin.end_us)
+            )
+            grid = self.spark.range(1).select(self._grid().alias("t"))
+            windows = g.drop("t").crossJoin(F.broadcast(grid))
+            out = prom.linreg_from_windows(
+                windows, rv.labels, mode="predict",
+                predict_s=float(call2.args[1].value),
+            )
+            return _Vector(self._clip(out), rv.labels)
+        return self._fanout(pin._func(call2))
 
     def _absent_of(self, present_t: DataFrame, arg) -> _Vector:
         """Grid steps NOT in ``present_t`` → value 1; labels come from the
@@ -499,7 +554,9 @@ class Engine:
                 "histogram_quantile needs an instant vector with an 'le' label"
             )
             labels = [l for l in v.labels if l != "le"]
-            buckets = v.df.withColumn(
+            # series without an le label are not buckets — dropped
+            # (promql histogram_quantile; Histogram1's notle series)
+            buckets = v.df.filter(F.col("le").isNotNull()).withColumn(
                 "le",
                 F.when(F.col("le") == "+Inf", float("inf")).otherwise(
                     F.col("le").cast("double")
@@ -731,19 +788,9 @@ class Engine:
                 rv.samples, rv.labels, "tu", "value", rng_us, self.step_us,
                 ph,
             )
-            welford = (
-                "aggregate(__arr,"
-                " named_struct('c', cast(0 as double),"
-                "              'm', cast(0 as double),"
-                "              'a', cast(0 as double)),"
-                " (acc, x) -> named_struct("
-                "   'c', acc.c + 1,"
-                "   'm', acc.m + (x.v - acc.m) / (acc.c + 1),"
-                "   'a', acc.a + (x.v - acc.m)"
-                "        * (x.v - (acc.m + (x.v - acc.m) / (acc.c + 1)))),"
-                " acc -> acc.a / acc.c)"
-            )
-            val = F.expr(welford)
+            val = F.expr(_kahan_welford_fold(
+                "__arr", "x.v", "(acc.a + acc.ca) / acc.n"
+            ))
             if name == "stddev_over_time":
                 val = F.sqrt(val)
             out = g.withColumn("value", val).drop("__arr")
@@ -988,6 +1035,28 @@ class Engine:
                 )
             )
             return _Vector(out, keep)
+        if agg.op == "avg":
+            # Kahan incremental mean in series order (the reference's
+            # grouped mean — nested avgs differ at the last ulp from
+            # sum/count: prom_test.go MultiAgg_HashAgg)
+            sig = F.concat_ws(
+                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                          for c in v.labels]
+            )
+            arr = v.df.groupBy("t", *keep).agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(sig.alias("s"),
+                                                F.col("value").alias("v")))
+                    ),
+                    lambda x: x["v"],
+                ).alias("__vs")
+            )
+            out = arr.withColumn(
+                "value",
+                F.expr(_kahan_welford_fold("__vs", "x", "acc.m + acc.cm")),
+            ).drop("__vs")
+            return _Vector(out, keep)
         if agg.op in ("stddev", "stdvar"):
             # Prometheus accumulates variance with Welford's update in
             # series-label order (promql/engine.go groupedAggregation) —
@@ -1006,19 +1075,9 @@ class Engine:
                     lambda x: x["v"],
                 ).alias("__vs")
             )
-            welford = (
-                "aggregate(__vs,"
-                " named_struct('c', cast(0 as double),"
-                "              'm', cast(0 as double),"
-                "              'a', cast(0 as double)),"
-                " (acc, x) -> named_struct("
-                "   'c', acc.c + 1,"
-                "   'm', acc.m + (x - acc.m) / (acc.c + 1),"
-                "   'a', acc.a + (x - acc.m)"
-                "        * (x - (acc.m + (x - acc.m) / (acc.c + 1)))),"
-                " acc -> acc.a / acc.c)"
-            )
-            val = F.expr(welford)
+            val = F.expr(_kahan_welford_fold(
+                "__vs", "x", "(acc.a + acc.ca) / acc.n"
+            ))
             if agg.op == "stddev":
                 val = F.sqrt(val)
             out = arr.withColumn("value", val).drop("__vs")
@@ -1220,12 +1279,14 @@ class Engine:
         lname = result_metric_name(b.lhs)
         rname = result_metric_name(b.rhs)
         lhs_labels, rhs_labels = list(lhs.labels), list(rhs.labels)
-        if (lname or rname) and "__name__" not in (
+        need_name = bool(lname or rname) or "__name__" in (
             set(lhs_labels) | set(rhs_labels)
-        ):
+        )
+        if need_name and "__name__" not in lhs_labels:
             lx = lx.withColumn("__name__", F.lit(lname or None))
-            rx = rx.withColumn("__name__", F.lit(rname or None))
             lhs_labels.append("__name__")
+        if need_name and "__name__" not in rhs_labels:
+            rx = rx.withColumn("__name__", F.lit(rname or None))
             rhs_labels.append("__name__")
         all_labels = sorted(set(lhs_labels) | set(rhs_labels))
 

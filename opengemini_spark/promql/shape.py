@@ -45,6 +45,7 @@ def _label_sig(label_cols: list[str]):
                      F.col(c).cast("string"), F.lit('"')),
         )
         for c in label_cols
+        if c != "__name__"   # series order ignores the metric name
     ]
     return F.concat(F.lit("{"), F.concat_ws(", ", *parts), F.lit("}"))
 
@@ -58,6 +59,10 @@ def _ordered_rows(
     from pyspark.sql import functions as F
 
     sort = [_label_sig(label_cols).asc()] if label_cols else []
+    if "__name__" in label_cols:
+        # sig excludes the metric name; same-sig series of different
+        # metrics stay CONTIGUOUS (matrix grouping) and name-ordered
+        sort.append(F.col("__name__").asc_nulls_first())
     if time_col is not None:
         sort.append(F.col(time_col).asc())
     return (df.orderBy(*sort) if sort else df).toLocalIterator()

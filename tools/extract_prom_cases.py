@@ -107,10 +107,10 @@ def _gen_writes(body: str) -> list[str]:
         if m:
             py.append("    " * indent + f"{m.group(1)} = []")
             continue
-        m = re.match(r"(\w+) = ([\w ()+\-*/.\[\]]+)$", ln)
+        m = re.match(r"(\w+) (\+=|-=|=) ([\w ()+\-*/.\[\]]+)$", ln)
         if m and not ln.startswith(("if ", "s ", "defer", "t.")):
             py.append("    " * indent
-                      + f"{m.group(1)} = {_goexpr(m.group(2))}")
+                      + f"{m.group(1)} {m.group(2)} {_goexpr(m.group(3))}")
             continue
         # anything else in the preamble (server setup) is ignorable
     ns: dict = {}
