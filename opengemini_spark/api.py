@@ -374,7 +374,7 @@ def handle_query(
             )
             # distinct emits values in first-occurrence order (per bucket
             # under GROUP BY time) — the plan's order is the result order
-            presorted = is_join or isinstance(
+            presorted = bool(getattr(stmt, "order_by_col", None)) or is_join or isinstance(
                 stmt, iast.UnionStatement
             ) or (
                 isinstance(stmt, iast.SelectStatement)

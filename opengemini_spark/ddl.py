@@ -456,22 +456,30 @@ class DDLExecutor:
         dir and the DEFAULT rp's copy (DropMeasurementPerRP: `DROP
         MEASUREMENT cpu0` leaves rp1.cpu0 intact)."""
         spec = m.group(1)
-        targets = [spec]
-        if "." not in spec:
+        name = spec.split(".")[-1]
+        # rp-prefixed copies of the measurement: an unqualified drop
+        # removes only the DEFAULT rp's copy, `DROP MEASUREMENT rp.m`
+        # that rp's (DropMeasurementPerRP). The drop of these is
+        # immediate; the PLAIN name keeps the reference's async-delete
+        # semantics — the metastore entry goes, stored data lingers
+        # (SHOW SERIES after an unqualified drop still lists the series,
+        # server_test.go SHOW-metadata suite).
+        rp_targets = []
+        if "." in spec:
+            rp_targets.append(spec)
+        else:
             for d in self.meta.databases.values():
                 for rp in d.retention_policies.values():
                     if rp.default:
-                        targets.append(f"{rp.name}.{spec}")
-        name = spec.split(".")[-1]
+                        rp_targets.append(f"{rp.name}.{spec}")
         for d in self.meta.databases.values():
             if name in d.measurements:
                 d.measurements.remove(name)
-        for t in targets:
+                shutil.rmtree(self.meta.db_dir(d.name) / name,
+                              ignore_errors=True)
+        for t in rp_targets:
             for path in self._measurement_dirs(t):
                 shutil.rmtree(path, ignore_errors=True)
-            for d in self.meta.databases.values():
-                shutil.rmtree(self.meta.db_dir(d.name) / t,
-                              ignore_errors=True)
         self.meta.save()
         return {"ok": True}
 

@@ -110,6 +110,8 @@ class SelectStatement(Node):
     source_alias: str | None = None     # FROM (SELECT …) AS <alias>
     order_desc: bool = False
     order_explicit: bool = False        # ORDER BY written out (direction
+    order_by_col: str | None = None     # ORDER BY <column> (columnstore PK)
+    order_col_desc: bool = False
     # mismatch check: subqueries must sort the same way as the outer query)
     limit: int | None = None
     offset: int | None = None

@@ -410,12 +410,20 @@ class Parser:
             self.expect("OP", ")")
         if self.kw("order"):
             self.expect("KEYWORD", "by")
-            self.expect("KEYWORD", "time")
-            stmt.order_explicit = True
-            if self.kw("desc"):
-                stmt.order_desc = True
+            if self.kw("time"):
+                stmt.order_explicit = True
+                if self.kw("desc"):
+                    stmt.order_desc = True
+                else:
+                    self.kw("asc")
             else:
-                self.kw("asc")
+                # ORDER BY <column> [ASC|DESC] — columnstore primary-key
+                # ordering (server_colstore_test.go Select_PKkey)
+                col = self.next()
+                stmt.order_by_col = col.value
+                stmt.order_col_desc = bool(self.kw("desc"))
+                if not stmt.order_col_desc:
+                    self.kw("asc")
         if self.kw("limit"):
             stmt.limit = self.expect("INTEGER").value
         if self.kw("offset"):

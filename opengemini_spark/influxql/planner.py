@@ -492,7 +492,8 @@ class Planner:
 
     _CASTS = ("cast_int64", "cast_float64", "cast_bool", "cast_string")
     # materialize-registry string functions (string_functions.go:74-133)
-    _STRING_SCALARS = ("str", "position", "substr", "json_object")
+    _STRING_SCALARS = ("str", "position", "substr", "json_object",
+                       "if")
 
     @staticmethod
     def _is_scalar_fn(name: str) -> bool:
@@ -522,6 +523,53 @@ class Planner:
             if isinstance(a.value, float):
                 return "float"
         return None
+
+    def _if_fn_call(self, e: ast.Call) -> Column:
+        """if('"key" op value', then, else) — the columnstore conditional
+        projection (server_colstore_test.go FunctionIf; the condition is a
+        restricted predicate STRING, with the reference's exact
+        validation messages)."""
+        import re as _re
+
+        if len(e.args) != 3:
+            raise ValueError(
+                f"invalid number of arguments for if, expected 3, "
+                f"got {len(e.args)}"
+            )
+        cond = e.args[0]
+        bad = ValueError(
+            "invalid condition, input like "
+            "'\"key\" [operator] \\'string\\'' or "
+            "'\"key\" [operator] digit'"
+        )
+        if not (isinstance(cond, ast.Literal) and isinstance(cond.value, str)):
+            raise bad
+        # Go-source conditions arrive with \" escapes intact inside the
+        # single-quoted string ('\"area\"=...') — unescape before parsing
+        cond_text = cond.value.replace('\\"', '"').replace("\\'", "'")
+        m = _re.match(
+            r'^\s*"([^"]+)"\s*(!=|<>|<=|>=|=|<|>)\s*'
+            r"(?:'(.*)'|(-?\d+(?:\.\d+)?))\s*$",
+            cond_text, _re.S,
+        )
+        if not m:
+            raise bad
+        t2 = self._arg_influx_type(e.args[1])
+        t3 = self._arg_influx_type(e.args[2])
+        if t2 is not None and t3 is not None and t2 != t3:
+            raise ValueError(
+                "the 2nd and 3rd argument must be of same type in if()"
+            )
+        key, op = m.group(1), m.group(2)
+        val = m.group(3) if m.group(3) is not None else float(m.group(4))
+        c = F.col(key)
+        pred = {
+            "=": c == val, "!=": c != val, "<>": c != val,
+            "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+        }[op]
+        return F.when(pred, self.col_expr(e.args[1])).otherwise(
+            self.col_expr(e.args[2])
+        )
 
     def _string_fn_call(self, e: ast.Call) -> Column:
         """str/position/substr/json_object (string_functions.go strFunc,
@@ -632,6 +680,8 @@ class Planner:
             return self._cast_call(e)
         if e.name == "ip_mask":
             return self._ip_mask_call(e)
+        if e.name == "if":
+            return self._if_fn_call(e)
         if e.name in self._STRING_SCALARS:
             return self._string_fn_call(e)
         if e.name in self._SCALARS:
@@ -3625,6 +3675,16 @@ class Planner:
             )
         if stmt.limit:
             out = out.limit(stmt.limit)
+        if getattr(stmt, "order_by_col", None) and \
+                stmt.order_by_col in out.columns:
+            # ORDER BY <column> (columnstore primary-key order —
+            # Select_PKkey): the plan's order IS the result order
+            c = F.col(stmt.order_by_col)
+            out = out.orderBy(
+                c.desc() if getattr(stmt, "order_col_desc", False)
+                else c.asc(),
+                F.col("time").asc() if "time" in out.columns else F.lit(1),
+            )
         return out
 
     def plan_show(self, stmt: ast.ShowStatement) -> DataFrame:
