@@ -39,7 +39,7 @@ _EXPLODE_CTE = f"""
       SELECT event_type, tu, value,
              unnest(generate_series(
                ((tu + {STEP_US - 1}) // {STEP_US}) * {STEP_US},
-               ((tu + {RANGE_US - 1}) // {STEP_US}) * {STEP_US},
+               ((tu + {RANGE_US}) // {STEP_US}) * {STEP_US},
                {STEP_US})) AS t
       FROM s
     )

@@ -143,3 +143,74 @@ def q_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         "max_over_time(count_over_time(events_value[6h])[12h:6h])",
     )
+
+
+@register(
+    "promql_changes_e2e",
+    # changes(): value transitions in TIME order per closed window
+    # (promql/functions.go funcChanges; engine ordered-window fold)
+    _EXPLODE_CTE
+    + f"""
+    , lagged AS (
+      SELECT event_type, t, value,
+             lag(value) OVER (PARTITION BY event_type, t ORDER BY tu) AS pv
+      FROM e
+    )
+    SELECT event_type, t,
+           CAST(count(CASE WHEN value != pv THEN 1 END) AS DOUBLE) AS value
+    FROM lagged GROUP BY event_type, t
+    HAVING {_T_BOUND}
+    """,
+)
+def q_promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, "changes(events_value[12h])")
+
+
+@register(
+    "promql_quantile_agg_e2e",
+    # quantile(φ, v): Prometheus linear interpolation over the sorted
+    # per-step vector (promql/quantile.go) — the engine's instant-vector
+    # values are each step's latest sample within lookback; restricted to
+    # steps ≤ 300s after a sample so DuckDB can replay the lookback
+    f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS tu, max(value) AS value
+      FROM events GROUP BY 1, 2
+    ), e AS (
+      SELECT event_type, tu, value,
+             unnest(generate_series(
+               ((tu + {21600 * 10**6 - 1}) // {21600 * 10**6})
+                 * {21600 * 10**6},
+               ((tu + {300 * 10**6}) // {21600 * 10**6}) * {21600 * 10**6},
+               {21600 * 10**6})) AS t
+      FROM s
+    ), latest AS (
+      SELECT event_type, t, arg_max(value, tu) AS value
+      FROM e GROUP BY event_type, t
+    ), ranked AS (
+      SELECT t, value,
+             row_number() OVER (PARTITION BY t ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY t) AS n
+      FROM latest
+    )
+    SELECT t,
+           round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                     THEN value END)
+           + (0.5 * (max(n) - 1) - floor(0.5 * (max(n) - 1)))
+           * (max(CASE WHEN rn = least(
+                    CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)
+                  THEN value END)
+              - max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN value END)), 6) AS value
+    FROM ranked GROUP BY t
+    HAVING {_T_BOUND}
+    """,
+)
+def q_promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.promql.engine import Engine
+    from opengemini_spark.promql import parser as P
+
+    eng = Engine(spark, sf_dir, _registry(), START, END, STEP,
+                 lookback_s=300)
+    v = eng.eval(P.parse_promql("quantile(0.5, events_value)"))
+    return v.df.select("t", F.round("value", 6).alias("value"))
