@@ -344,22 +344,22 @@ def chande_momentum(
     cmo = 100·(Σgains − Σlosses)/(Σgains + Σlosses) over the last n diffs
     — no recursion, so this stays JVM-side (lag + sum over a row frame).
 
-    Diffs are quantized to integer cents before the frame sums: window
-    aggregation order over doubles is engine-specific (segment trees vs
-    linear scans), while int64 sums are exact in any order — so the result
-    is reproducible bit-for-bit at any scale.
+    Diffs are RAW floats (the reference's ChandeMomentumOscillatorReduce
+    accumulates float64 gains/losses — an earlier integer-cent
+    quantization distorted sub-cent data, ADVICE r2 #2's sibling).
+    Bounded row frames re-scan the frame in sort order, so the float sums
+    accumulate deterministically.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(*series_cols).orderBy(*order_cols)
     frame = w.rowsBetween(-(n - 1), 0)
     d = df.withColumn(
-        "__diff",
-        F.round((F.col(value_col) - F.lag(value_col).over(w)) * 100).cast("long"),
+        "__diff", F.col(value_col) - F.lag(value_col).over(w)
     )
     d = (
-        d.withColumn("__gain", F.when(F.col("__diff") > 0, F.col("__diff")).otherwise(F.lit(0)))
-        .withColumn("__loss", F.when(F.col("__diff") < 0, -F.col("__diff")).otherwise(F.lit(0)))
+        d.withColumn("__gain", F.when(F.col("__diff") > 0, F.col("__diff")).otherwise(F.lit(0.0)))
+        .withColumn("__loss", F.when(F.col("__diff") < 0, -F.col("__diff")).otherwise(F.lit(0.0)))
         .withColumn("__nd", F.count("__diff").over(frame))
         .withColumn("__sg", F.sum("__gain").over(frame))
         .withColumn("__sl", F.sum("__loss").over(frame))

@@ -209,14 +209,14 @@ def q_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (
       SELECT user_id, epoch_us(ts) AS tu, event_id,
-             CAST(round((value - lag(value) OVER w) * 100) AS BIGINT) AS diff
+             value - lag(value) OVER w AS diff
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), f AS (
       SELECT user_id, tu, event_id,
              count(diff) OVER fr AS nd,
-             sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER fr AS sg,
-             sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER fr AS sl
+             sum(CASE WHEN diff > 0 THEN diff ELSE 0.0 END) OVER fr AS sg,
+             sum(CASE WHEN diff < 0 THEN -diff ELSE 0.0 END) OVER fr AS sl
       FROM d
       WINDOW fr AS (PARTITION BY user_id ORDER BY tu, event_id
                     ROWS BETWEEN {CMO_N - 1} PRECEDING AND CURRENT ROW)
