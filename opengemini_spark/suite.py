@@ -865,6 +865,8 @@ PRIORITY: tuple[str, ...] = (
     "influxql_join_stmt",  # JOIN statement surface, inner join (r3)
     "influxql_join_full_stmt",  # FULL JOIN type-zero fill (r3)
     "influxql_union_stmt",  # UNION BY NAME statement surface (r3)
+    "promql_changes_e2e",  # changes() through the engine text path (r3)
+    "promql_quantile_agg_e2e",  # quantile agg linear interpolation (r3)
     # -- driver-verified sentinels (r1/r2 green) --
     "scan_filter_project",
     "agg_basic",
