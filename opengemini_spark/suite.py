@@ -887,8 +887,6 @@ PRIORITY: tuple[str, ...] = (
     "show_cardinality",
     "agg_regr_slope",
     "compare_timeshift",
-    "scalar_math",
-    "graph_multihop_nodes",
 )
 
 
