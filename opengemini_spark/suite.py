@@ -880,13 +880,13 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
-    "text_token_stats",
     "influxql_window_agg_fill",
     "influxql_func_ema",
     "sink_select_into",
     "show_cardinality",
     "agg_regr_slope",
-    "compare_timeshift",
+    "scalar_math",
+    "graph_multihop_nodes",
 )
 
 
