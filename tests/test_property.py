@@ -90,3 +90,77 @@ def test_line_protocol_roundtrip(point):
         assert r["tags"] == tags
         assert r["time_ns"] == ts
         assert r["f_float"] == fields[r["field"]]
+
+
+# --- PromQL parser fuzz (§5 randomized testing, r3) -------------------------
+
+from hypothesis import strategies as pst
+
+from opengemini_spark.promql import parser as PP
+
+_plabel = pst.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+_pmetric = pst.from_regex(r"[a-z][a-z0-9_:]{0,8}", fullmatch=True)
+
+
+@st.composite
+def promql_exprs(draw, depth=0):
+    """Random well-formed PromQL expressions."""
+    if depth >= 2:
+        kind = draw(st.sampled_from(["selector", "number"]))
+    else:
+        kind = draw(st.sampled_from(
+            ["selector", "number", "binop", "agg", "func", "range_fn"]
+        ))
+    if kind == "number":
+        return str(draw(st.integers(0, 10**6)))
+    if kind == "selector":
+        m = draw(_pmetric)
+        if draw(st.booleans()):
+            lbl = draw(_plabel)
+            op = draw(st.sampled_from(["=", "!=", "=~", "!~"]))
+            return f'{m}{{{lbl}{op}"v1"}}'
+        return m
+    if kind == "binop":
+        a = draw(promql_exprs(depth + 1))
+        b = draw(promql_exprs(depth + 1))
+        op = draw(st.sampled_from(["+", "-", "*", "/", "%", "^",
+                                   ">", "<", "==", "!=", ">=", "<="]))
+        return f"({a}) {op} ({b})"
+    if kind == "agg":
+        inner = draw(promql_exprs(depth + 1))
+        op = draw(st.sampled_from(sorted(PP.AGG_OPS - {
+            "quantile", "topk", "bottomk", "count_values"})))
+        by = draw(st.sampled_from(["", " by (x)", " without (x)"]))
+        return f"{op}({inner}){by}"
+    if kind == "func":
+        inner = draw(promql_exprs(depth + 1))
+        fn = draw(st.sampled_from(["abs", "ceil", "floor", "exp", "sqrt",
+                                   "sort", "sort_desc", "sgn"]))
+        return f"{fn}({inner})"
+    m = draw(_pmetric)
+    rng = draw(st.sampled_from(["30s", "5m", "1h", "1m30s", "59999ms"]))
+    fn = draw(st.sampled_from(["rate", "increase", "delta", "irate",
+                               "avg_over_time", "sum_over_time",
+                               "count_over_time", "changes", "resets",
+                               "stddev_over_time", "present_over_time"]))
+    off = draw(st.sampled_from(["", " offset 5m"]))
+    return f"{fn}({m}[{rng}]{off})"
+
+
+@given(promql_exprs())
+@settings(max_examples=300, deadline=None)
+def test_promql_generated_exprs_parse(q):
+    node = PP.parse_promql(q)
+    assert node is not None
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_promql_parser_never_crashes_unexpectedly(s):
+    """Arbitrary input either parses or raises SyntaxError/ValueError —
+    never an internal exception (the HTTP layer maps these to the
+    bad_data envelope)."""
+    try:
+        PP.parse_promql(s)
+    except (SyntaxError, ValueError, KeyError, OverflowError):
+        pass
