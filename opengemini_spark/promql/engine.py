@@ -125,7 +125,15 @@ def _kahan_welford_fold(arr_expr: str, val: str, finish: str) -> str:
     and its grouped mean): ``delta/count`` Kahan-added into the mean,
     ``delta*(v-mean')`` Kahan-added into the aux. Intermediates are
     textually repeated (SQL lambdas cannot bind locals); Catalyst CSE
-    collapses them."""
+    collapses them.
+
+    Scale note: the fold's array is one aggregation GROUP's fan-in — the
+    per-step vector Prometheus itself materializes in memory, bounded by
+    series-per-(step, by-labels). For windows it is range/scrape-interval
+    samples (small constant). At extreme global-aggregation cardinality
+    the order-insensitive two-pass form (var_pop / sum-divide) is the
+    sharded-aggregation fallback — it drops last-ulp reference equality,
+    nothing else."""
     d = f"(({val}) - (acc.m + acc.cm))"
     inc1 = f"({d} / (acc.n + 1))"
     t1 = f"(acc.m + {inc1})"
