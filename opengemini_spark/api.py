@@ -1037,7 +1037,12 @@ def handle_prom_labels(
     names: set[str] = {"__name__"}
     if match:
         metric, _ = _parse_match(match)
-        names.update(registry.get(metric).labels)
+        try:
+            names.update(registry.get(metric).labels)
+        except KeyError:
+            # unknown metric in match[] → empty success, the way real
+            # Prometheus answers metadata queries for absent series
+            return {"status": "success", "data": []}
     else:
         for m in registry.names():
             names.update(registry.get(m).labels)
@@ -1134,7 +1139,12 @@ def handle_prom_series(
         metric, sel_matchers = _parse_match(metric)
     else:
         sel_matchers = []
-    m = registry.get(metric)
+    try:
+        m = registry.get(metric)
+    except KeyError:
+        # unknown metric in match[] → empty success (real Prometheus
+        # returns success with no data for absent series)
+        return {"status": "success", "data": []}
     df = m.loader(spark, sf_dir)
     if sel_matchers:
         df = _apply_matchers(df, sel_matchers, m.labels)

@@ -98,12 +98,18 @@ def _apply_recurrence(
             last = pdf.iloc[-1]
             tail = pd.Series(True, index=pdf.index)
             for c in series_cols:
-                tail &= pdf[c] == last[c]
+                # null-safe equality: a null-keyed series (GROUP BY on a
+                # missing tag) landing on a batch boundary must NOT split
+                # into two recurrence seeds (plain == is False for NaN)
+                tail &= (pdf[c] == last[c]) | (
+                    pdf[c].isna() & pd.isna(last[c])
+                )
             head, pending = pdf[~tail], pdf[tail]
-            for _, g in head.groupby(series_cols, sort=False):
+            for _, g in head.groupby(series_cols, sort=False, dropna=False):
                 yield run_group(g.reset_index(drop=True))
         if pending is not None and len(pending):
-            for _, g in pending.groupby(series_cols, sort=False):
+            for _, g in pending.groupby(series_cols, sort=False,
+                                        dropna=False):
                 yield run_group(g.reset_index(drop=True))
 
     return src.mapInPandas(run_partition, schema)

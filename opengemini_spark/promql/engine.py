@@ -10,6 +10,7 @@ A metric is a view over a measurement: (label columns, µs time, value).
 from __future__ import annotations
 
 import math
+import re as _re
 
 from dataclasses import dataclass
 from collections.abc import Callable
@@ -29,6 +30,54 @@ class Metric:
     labels: list[str]
     time_col: str = "tu"         # µs
     value_col: str = "value"
+
+
+def _go_expand_to_java(repl: str, pattern: str) -> str:
+    """Translate a Go ``regexp.Expand`` replacement template (what
+    Prometheus ``label_replace`` uses — promql/functions.go) into a Java
+    ``Matcher.appendReplacement`` template for ``regexp_replace``.
+
+    Go semantics: ``$name``/``${name}`` reference a group (numeric or
+    named); ``$$`` is a literal ``$``; a malformed reference (``$`` at
+    end, ``$`` before a non-name char, unclosed ``${``) is a literal
+    ``$``; a well-formed but unknown/out-of-range reference expands to
+    the EMPTY string. Java instead throws on ``$<non-group>`` and treats
+    backslash as an escape — so every case must be translated."""
+    try:
+        pat = _re.compile(pattern)
+        ngroups, names = pat.groups, set(pat.groupindex)
+    except _re.error:
+        ngroups, names = 0, set()
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "\\":
+            out.append("\\\\")          # literal backslash for Java
+            i += 1
+            continue
+        if ch != "$":
+            out.append(ch)
+            i += 1
+            continue
+        if repl[i + 1 : i + 2] == "$":   # $$ → literal $
+            out.append("\\$")
+            i += 2
+            continue
+        m = _re.match(r"\{([0-9A-Za-z_]+)\}|([0-9A-Za-z_]+)", repl[i + 1 :])
+        if not m:                        # malformed → literal $
+            out.append("\\$")
+            i += 1
+            continue
+        name = m.group(1) or m.group(2)
+        i += 1 + m.end()
+        if name.isdigit():
+            if int(name) <= ngroups:
+                out.append("$" + name)
+        elif name in names:
+            out.append("${" + name + "}")
+        # unknown/out-of-range reference → empty expansion (emit nothing)
+    return "".join(out)
 
 
 class MetricRegistry:
@@ -249,9 +298,13 @@ class Engine:
             d = d.withColumn("tu", F.col("tu") + F.lit(sel.offset_s * US))
         for mt in sel.matchers:
             # a label the metric does not carry reads as "" (Prometheus
-            # matches absent labels against the empty string)
+            # matches absent labels against the empty string) — and a
+            # per-row NULL (union-schema ingest padding) must read as ""
+            # too, else {tag=""}/{tag!="x"} silently drop the series
+            # under SQL null comparison semantics
             c = (
-                F.col(mt.label) if mt.label in m.labels
+                F.coalesce(F.col(mt.label), F.lit(""))
+                if mt.label in m.labels
                 else F.lit("")
             )
             if mt.op == "=":
@@ -680,6 +733,12 @@ class Engine:
         if name == "label_replace":
             v = self._eval(call.args[0])
             dst, repl, src, regex = (a.value for a in call.args[1:5])
+            if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+                # promql/functions.go funcLabelReplace errors on an
+                # invalid destination label name
+                raise ValueError(
+                    f"label_replace: invalid destination label {dst!r}"
+                )
             src_col = (
                 F.col(src).cast("string") if src in v.labels
                 else F.lit("")
@@ -689,7 +748,7 @@ class Engine:
             matched = src_col.rlike(f"^(?:{regex})$")
             new = F.regexp_replace(
                 F.coalesce(src_col, F.lit("")), f"^(?:{regex})$",
-                repl.replace("$", "$"),
+                _go_expand_to_java(repl, f"^(?:{regex})$"),
             )
             labels = list(v.labels)
             if dst not in labels:

@@ -253,24 +253,40 @@ class Parser:
                 return lhs
 
     def mul(self):
-        lhs = self._pow()
+        lhs = self._unary()
         while True:
             t = self.peek()
             if t.kind == "OP" and t.text in ("*", "/", "%"):
                 self.next()
                 on, ignoring, group, carry = self._matching()
-                lhs = BinOp(t.text, lhs, self._pow(), on, ignoring, group, carry=carry)
+                lhs = BinOp(t.text, lhs, self._unary(), on, ignoring, group, carry=carry)
             else:
                 return lhs
 
+    def _unary(self):
+        # unary +/- binds tighter than * but LOOSER than ^ per the PromQL
+        # grammar (promql/parser.go precedence table): -2^2 == -(2^2) == -4
+        t = self.peek()
+        if t.kind == "OP" and t.text == "-":
+            self.next()
+            operand = self._unary()
+            if isinstance(operand, NumberLit):
+                return NumberLit(-operand.value)
+            return BinOp("*", NumberLit(-1.0), operand)
+        if t.kind == "OP" and t.text == "+":
+            self.next()
+            return self._unary()
+        return self._pow()
+
     def _pow(self):
-        # ^ binds tighter than * and is RIGHT-associative (promql/parser)
+        # ^ binds tighter than unary minus and is RIGHT-associative; its
+        # RHS re-admits unary (`2^-2` is valid PromQL)
         lhs = self.primary()
         t = self.peek()
         if t.kind == "OP" and t.text == "^":
             self.next()
             on, ignoring, group, carry = self._matching()
-            return BinOp("^", lhs, self._pow(), on, ignoring, group,
+            return BinOp("^", lhs, self._unary(), on, ignoring, group,
                          carry=carry)
         return lhs
 
@@ -303,15 +319,6 @@ class Parser:
 
     def primary(self):
         t = self.peek()
-        if t.kind == "OP" and t.text == "-":
-            self.next()
-            operand = self.primary()
-            if isinstance(operand, NumberLit):
-                return NumberLit(-operand.value)
-            return BinOp("*", NumberLit(-1.0), operand)
-        if t.kind == "OP" and t.text == "+":
-            self.next()
-            return self.primary()
         if t.kind == "NUMBER":
             self.next()
             return NumberLit(t.value)

@@ -8,6 +8,7 @@ a vector of single samples.
 
 from __future__ import annotations
 
+import decimal
 import math
 
 from pyspark.sql import DataFrame
@@ -26,8 +27,12 @@ def _fmt_value(v: float) -> str:
         return str(int(v))
     s = repr(v)
     if "e" in s or "E" in s:
-        # fixed notation like Go's 'f' format
-        s = format(v, "f").rstrip("0").rstrip(".") or "0"
+        # fixed notation like Go's 'f' format, keeping ALL significant
+        # digits: format(v, "f") defaults to 6 decimals, collapsing
+        # |v| < ~5e-7 to "0" where strconv.FormatFloat(v,'f',-1,64)
+        # (lib/util/lifted/prometheus/promql/value.go:57) renders
+        # e.g. 1.5e-7 as "0.00000015" — go through Decimal instead
+        s = format(decimal.Decimal(s), "f")
     return s
 
 

@@ -476,3 +476,99 @@ def test_at_start_end_resolve(spark, sf_dir, registry):
     b = {(r["event_type"], r["t"]): r["value"] for r in base.collect()}
     for r in pinned.collect():
         assert r["value"] == b[(r["event_type"], END * 10**6)]
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE fixes
+
+
+def test_unary_minus_binds_looser_than_pow():
+    """PromQL grammar: -2^2 == -(2^2) == -4; 2^-2 == 0.25 (ADVICE r4)."""
+    from opengemini_spark.promql.engine import Engine
+
+    n = parse_promql("-2^2")
+    # shape: (-1) * (2^2)
+    assert isinstance(n, P.BinOp) and n.op == "*"
+    assert isinstance(n.lhs, P.NumberLit) and n.lhs.value == -1.0
+    assert isinstance(n.rhs, P.BinOp) and n.rhs.op == "^"
+
+    rhs_unary = parse_promql("2^-2")
+    assert isinstance(rhs_unary, P.BinOp) and rhs_unary.op == "^"
+
+    # right-assoc with unary: -2^-3 == -(2^(-3)) == -0.125
+    n3 = parse_promql("-2^-3")
+    assert isinstance(n3, P.BinOp) and n3.op == "*"
+
+
+def test_fmt_value_keeps_subMicro_digits():
+    """strconv.FormatFloat(v,'f',-1,64) parity: tiny values must not
+    collapse to "0" (ADVICE r4 — value.go:57)."""
+    from opengemini_spark.promql.shape import _fmt_value
+
+    assert _fmt_value(1.5e-7) == "0.00000015"
+    assert _fmt_value(-2.5e-9) == "-0.0000000025"
+    assert _fmt_value(0.0) == "0"
+    assert _fmt_value(1.0) == "1"
+    assert _fmt_value(0.1) == "0.1"
+    assert _fmt_value(float("nan")) == "NaN"
+    assert _fmt_value(float("inf")) == "+Inf"
+
+
+def test_go_expand_template_translation():
+    """Go regexp.Expand → Java appendReplacement translation
+    (ADVICE r4 — label_replace replacement semantics)."""
+    from opengemini_spark.promql.engine import _go_expand_to_java
+
+    pat = r"^(?:(?P<a>\w+)-(\w+))$"
+    assert _go_expand_to_java("$1", pat) == "$1"
+    assert _go_expand_to_java("${a}", pat) == "${a}"
+    assert _go_expand_to_java("$a", pat) == "${a}"          # bare named
+    assert _go_expand_to_java("cost$", pat) == "cost\\$"    # trailing $
+    assert _go_expand_to_java("$x", pat) == ""              # unknown name
+    assert _go_expand_to_java("$9", pat) == ""              # out of range
+    assert _go_expand_to_java("$$1", pat) == "\\$1"         # $$ literal
+    assert _go_expand_to_java("a$ b", pat) == "a\\$ b"      # $ + space
+    assert _go_expand_to_java("${unclosed", pat) == "\\${unclosed"
+
+
+def test_label_replace_literal_dollar_and_bad_dst(spark, sf_dir):
+    from opengemini_spark.promql.engine import query_instant
+
+    US = 10**6
+    df = spark.createDataFrame(
+        [(START * US, 1.0, "web")], ["tu", "value", "job"]
+    )
+    reg = MetricRegistry()
+    reg.register("m", Metric(lambda s, d: df, labels=["job"]))
+
+    # a replacement with a literal $ must not throw in Catalyst
+    _, v = query_instant(
+        spark, sf_dir, reg,
+        'label_replace(m, "price", "$$-$1", "job", "(.*)")',
+        START,
+    )
+    rows = v.df.collect()
+    assert rows and all(r["price"] == "$-web" for r in rows)
+
+    with pytest.raises(ValueError):
+        query_instant(
+            spark, sf_dir, reg,
+            'label_replace(m, "0bad", "x", "job", ".*")',
+            START,
+        )
+
+
+def test_matcher_null_label_reads_as_empty(spark, sf_dir):
+    """A per-row NULL label must match {tag=""} and {tag!="x"} like
+    Prometheus's absent-label-as-empty-string rule (ADVICE r4)."""
+    US = 10**6
+    rows = [(START * US, 1.0, None), (START * US, 2.0, "web")]
+    df = spark.createDataFrame(rows, ["tu", "value", "job"])
+    reg = MetricRegistry()
+    reg.register("m", Metric(lambda s, d: df, labels=["job"]))
+    from opengemini_spark.promql.engine import query_instant
+
+    _, empty = query_instant(spark, sf_dir, reg, 'm{job=""}', START)
+    assert [r["value"] for r in empty.df.collect()] == [1.0]
+    _, ne = query_instant(spark, sf_dir, reg, 'm{job!="web"}', START)
+    assert [r["value"] for r in ne.df.collect()] == [1.0]

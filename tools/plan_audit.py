@@ -6,8 +6,11 @@ scale anti-patterns:
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` nodes outside the
   documented allowlist (query×corpus scoring with a broadcast query side
   is a *deliberate* broadcast cross — the corpus never shuffles);
-- parquet scans whose WHERE did not push down (no ``PushedFilters`` on a
-  filtered scan).
+- parquet scans carrying a pushable (bare source-attribute) predicate in
+  ``DataFilters`` while ``PushedFilters`` is empty — i.e. a filter the
+  reader COULD have skipped row groups with but didn't; predicates on
+  derived expressions (hash/concat/split results) are exempt since
+  parquet cannot evaluate them.
 
 Run: ``python tools/plan_audit.py [sf_dir] [query ...]``; exits non-zero
 on any violation. This is the automated form of the per-operator
@@ -43,14 +46,32 @@ def audit(name: str, df) -> list[str]:
     )
     if n_cross and name not in CROSS_ALLOWED:
         problems.append(f"{n_cross} cartesian/BNLJ node(s)")
-    # filtered parquet scans must push something down
+    # filtered parquet scans must push something down: a scan whose
+    # DataFilters (source-column predicates evaluated at the scan) are
+    # non-empty but whose PushedFilters are empty never reached the
+    # parquet reader — row groups can't be skipped (VERDICT r3 wrong #1:
+    # the old form of this check was dead code)
     for scan in re.finditer(r"FileScan parquet[^\n]*", plan):
         line = scan.group(0)
-        if "PushedFilters: \\[\\]" in line and "Filter" in plan:
-            # empty pushdown is fine when the filter is on derived columns;
-            # flag only fully-unfiltered scans feeding a post-scan Filter
-            # on a source column (heuristic: keep as informational)
-            pass
+        data = re.search(r"DataFilters: \[(.*?)\], Format:", line)
+        pushed = re.search(r"PushedFilters: \[(.*?)\], ReadSchema:", line)
+        if data is None or pushed is None or pushed.group(1).strip():
+            continue
+        # only predicates directly on a source attribute are pushable;
+        # isnotnull(concat(...)) / pmod(hash(...)) etc. legitimately
+        # can't reach the parquet reader and are not flagged
+        filt = data.group(1)
+        pushable = re.search(
+            r"isnotnull\(\w+#\d+L?\)"                       # null filter
+            r"|\(\w+#\d+L?\s*(?:=|>|<|>=|<=|<=>)\s*[^()]+\)"  # cmp vs literal
+            r"|\w+#\d+L? IN \(",                            # IN list
+            filt,
+        )
+        if pushable:
+            problems.append(
+                f"pushable predicate not pushed to parquet: "
+                f"{pushable.group(0)[:80]}"
+            )
     return problems
 
 
