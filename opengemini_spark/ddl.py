@@ -89,12 +89,16 @@ class MetaStore:
         self.streams: dict[str, dict] = {}
         self.cqs: dict[str, dict] = {}
         self.subscriptions: dict[str, dict] = {}
+        # downsample policies keyed "db.rp" — the reference hangs the
+        # policy off the RetentionPolicyInfo (meta/downsample_policy.go)
+        self.downsamples: dict[str, dict] = {}
         if self.path.exists():
             raw = json.loads(self.path.read_text())
             self.users = raw.pop("__users__", {})
             self.streams = raw.pop("__streams__", {})
             self.cqs = raw.pop("__cqs__", {})
             self.subscriptions = raw.pop("__subscriptions__", {})
+            self.downsamples = raw.pop("__downsamples__", {})
             for name, d in raw.items():
                 db = Database(
                     name,
@@ -127,6 +131,7 @@ class MetaStore:
                     "__streams__": self.streams,
                     "__subscriptions__": self.subscriptions,
                     "__cqs__": self.cqs,
+                    "__downsamples__": self.downsamples,
                 },
                 indent=1,
             )
@@ -1134,6 +1139,213 @@ class DDLExecutor:
         self.meta.save()
         return {"ok": True}
 
+    # --- downsample policies (statement surface, r4) ---
+    # CREATE DOWNSAMPLE [ON db.rp] (float(mean,max), integer(sum)) WITH
+    # DURATION d SAMPLEINTERVAL(d,…) TIMEINTERVAL(d,…)
+    # (grammar sql.y:3788 CREATE_DOWNSAMPLE_STATEMENT; dispatch
+    # statement_executor.go:418-430; semantics NewDownSamplePolicyInfo +
+    # Check, lib/util/lifted/influx/meta/downsample_policy.go:332,239)
+
+    #: DownSampleSupportAgg (downsample_policy.go:31)
+    _DOWNSAMPLE_AGGS = {"first", "last", "min", "max", "sum", "count",
+                        "mean"}
+    _DOWNSAMPLE_TYPES = {"integer", "float", "boolean", "string"}
+
+    def _parse_downsample_calls(self, text: str) -> list[dict]:
+        calls = []
+        # type/op keywords are case-insensitive (the yacc lexer upcases
+        # keywords); _OrigMatch hands back the original-case span
+        for m in re.finditer(r"([a-z_][a-z0-9_]*)\s*\(([^)]*)\)",
+                             text.lower()):
+            dtype, ops = m.group(1), [
+                o.strip() for o in m.group(2).split(",") if o.strip()
+            ]
+            if dtype not in self._DOWNSAMPLE_TYPES:
+                # errno.DownSampleUnExpectedDataType
+                raise ValueError(f"unexpected data type {dtype}")
+            if not ops:
+                # errno.DownSampleAtLeastOneOpsForDataType
+                raise ValueError(
+                    f"at least one agg op required for data type {dtype}"
+                )
+            for op in ops:
+                if op not in self._DOWNSAMPLE_AGGS:
+                    # errno.DownSampleUnsupportedAggOp
+                    raise ValueError(f"unsupported agg op {op}")
+            calls.append({"type": dtype, "ops": ops})
+        if not calls:
+            raise ValueError("downsample needs at least one call")
+        return calls
+
+    def _create_downsample(self, s, m):
+        db, rp = m.group(1), m.group(2)
+        if db is None or rp is None:
+            # executeCreateDownSamplingStmt: ValidName(stmt.DbName) fails
+            # for the bare / rp-only forms with no db context
+            raise ValueError("invalid name")
+        if db not in self.meta.databases:
+            raise ValueError(f"database not found: {db}")
+        rpi = self.meta.databases[db].retention_policies.get(rp)
+        if rpi is None:
+            raise ValueError("retention policy not found")
+        calls = self._parse_downsample_calls(m.group(3))
+        duration_ns = _dur_ns(m.group(4))
+        sample_ns = [_dur_ns(x.strip()) for x in m.group(5).split(",")]
+        time_ns = [_dur_ns(x.strip()) for x in m.group(6).split(",")]
+        # ---- NewDownSamplePolicyInfo + Check (downsample_policy.go) ----
+        if len(sample_ns) != len(time_ns):
+            # errno.DownSampleIntervalLenCheck
+            raise ValueError(
+                "the length of sampleIntervals must be equal to "
+                "timeIntervals"
+            )
+        for i in range(1, len(sample_ns)):
+            if sample_ns[i - 1] >= sample_ns[i] or (
+                time_ns[i - 1] >= time_ns[i]
+                or time_ns[i] % time_ns[i - 1] != 0
+            ):
+                # errno.DownSampleIntervalCheck: levels strictly coarsen
+                # and each time interval divides the next
+                raise ValueError("invalid downsample intervals")
+        duration_ns = max(duration_ns, 3_600_000_000_000)  # floor 1h
+        if sample_ns[0] < rpi.shard_group_duration_ns:
+            raise ValueError(
+                "sample interval must be greater than shard duration"
+            )
+        if sample_ns[-1] >= duration_ns:
+            raise ValueError(
+                "max sample interval time must be smaller than retention "
+                "policy duration"
+            )
+        entry = {
+            "db": db, "rp": rp, "calls": calls,
+            "duration_ns": duration_ns,
+            "sample_interval_ns": sample_ns,
+            "time_interval_ns": time_ns,
+        }
+        key = f"{db}.{rp}"
+        if key in self.meta.downsamples:
+            if self.meta.downsamples[key] == entry:
+                return {"ok": True}      # identical policy: silent no-op
+            # errno.DownSamplePolicyExists
+            raise ValueError("downsample policy already exists")
+        self.meta.downsamples[key] = entry
+        self.meta.save()
+        return {"ok": True}
+
+    def _drop_downsample(self, s, m):
+        db, rp = m.group(1), m.group(2)
+        if db is None or rp is None:
+            # the rp-only form carries no DbName → ValidName("") fails
+            raise ValueError("invalid name")
+        key = f"{db}.{rp}"
+        if key not in self.meta.downsamples:
+            # errno.DownSamplePolicyNotFound (rp exists but has no policy)
+            raise ValueError("downsample policy not found")
+        del self.meta.downsamples[key]
+        self.meta.save()
+        return {"ok": True}
+
+    def _drop_all_downsamples(self, s, m):
+        """DROP DOWNSAMPLES [ON db] — DropAll=true skips the
+        policy-exists check (executeDropDownSamplingStmt)."""
+        db = m.group(1)
+        self.meta.downsamples = {
+            k: v for k, v in self.meta.downsamples.items()
+            if db is not None and v["db"] != db
+        }
+        self.meta.save()
+        return {"ok": True}
+
+    def _show_downsamples(self, s, m):
+        db = m.group(1)
+        if db is None:
+            # coordinator.ErrDatabaseNameRequired
+            raise ValueError("database name required")
+        if db not in self.meta.databases:
+            raise ValueError(f"database not found: {db}")
+
+        def calls2string(calls: list[dict]) -> str:
+            # DownSampleOperators.String(): type{op,op} joined by ","
+            return ",".join(
+                f'{c["type"]}{{{",".join(c["ops"])}}}' for c in calls
+            )
+
+        values = [
+            [
+                e["rp"],
+                calls2string(e["calls"]),
+                _go_dur(e["duration_ns"]),
+                ",".join(_go_dur(x) for x in e["sample_interval_ns"]),
+                ",".join(_go_dur(x) for x in e["time_interval_ns"]),
+            ]
+            for e in self.meta.downsamples.values()
+            if e["db"] == db
+        ]
+        values.sort(key=lambda v: v[0])
+        return {
+            "series": [
+                {
+                    # ShowDownSamplePolicies row shape (meta/data.go:3827)
+                    "columns": ["rpName", "field_operator", "duration",
+                                "sampleInterval", "timeInterval"],
+                    "values": values,
+                }
+            ]
+        }
+
+    def run_downsample_once(self, spark, db: str, rp: str, src,
+                            dest_path: str, ts_col: str = "ts",
+                            level: int = 0) -> list[str]:
+        """One rollup cycle of the registered policy at the given level:
+        fields are matched to the policy's per-type agg ops by Spark
+        column type, then rewritten at TIMEINTERVAL resolution via
+        ``downsample_once`` (engine_downsample.go analog). Returns the
+        output agg column names."""
+        from pyspark.sql.types import (
+            BooleanType, DoubleType, FloatType, IntegerType, LongType,
+            StringType,
+        )
+
+        from opengemini_spark.streaming.stream_job import downsample_once
+
+        entry = self.meta.downsamples.get(f"{db}.{rp}")
+        if entry is None:
+            raise ValueError("downsample policy not found")
+        type_of = {
+            DoubleType: "float", FloatType: "float",
+            LongType: "integer", IntegerType: "integer",
+            StringType: "string", BooleanType: "boolean",
+        }
+        _FN = {"mean": F.mean, "sum": F.sum, "min": F.min, "max": F.max,
+               "count": F.count}
+        aggs, names = [], []
+        for f_ in src.schema.fields:
+            if f_.name == ts_col:
+                continue
+            dtype = type_of.get(type(f_.dataType))
+            for call in entry["calls"]:
+                if call["type"] != dtype:
+                    continue
+                for op in call["ops"]:
+                    name = f"{op}_{f_.name}"
+                    if op in _FN:
+                        aggs.append(_FN[op](f_.name).alias(name))
+                    elif op == "first":
+                        aggs.append(
+                            F.min_by(f_.name, ts_col).alias(name)
+                        )
+                    else:  # last
+                        aggs.append(
+                            F.max_by(f_.name, ts_col).alias(name)
+                        )
+                    names.append(name)
+        if not aggs:
+            raise ValueError("no fields match the downsample policy types")
+        ti_s = entry["time_interval_ns"][level] // 1_000_000_000
+        downsample_once(src, f"{ti_s} seconds", [], aggs, dest_path, ts_col)
+        return names
+
     # statement → execution binding
     def run_stream_once(self, name: str, src, dest_path: str,
                         ts_col: str = "ts") -> None:
@@ -1287,6 +1499,22 @@ class DDLExecutor:
             r"drop continuous query ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*)$",
             _drop_cq,
         ),
+        (
+            r"create downsample"
+            r"(?: on ([a-z_][a-z0-9_]*)(?:\.([a-z_][a-z0-9_]*))?)?"
+            r" \((.+)\) with duration ([0-9]+[a-z]+)"
+            r" sampleinterval\s*\(([^)]*)\) timeinterval\s*\(([^)]*)\)$",
+            _create_downsample,
+        ),
+        (
+            r"drop downsample on ([a-z_][a-z0-9_]*)"
+            r"(?:\.([a-z_][a-z0-9_]*))?$",
+            _drop_downsample,
+        ),
+        (r"drop downsamples(?: on ([a-z_][a-z0-9_]*))?$",
+         _drop_all_downsamples),
+        (r"show downsamples(?: on ([a-z_][a-z0-9_]*))?$",
+         _show_downsamples),
     ]
 
     def register_measurement(self, db: str, name: str) -> None:

@@ -282,3 +282,98 @@ def test_create_database_with_clause(spark, tmp_path):
     # plain form still defaults to autogen
     ddl.execute("CREATE DATABASE db2")
     assert "autogen" in ddl.meta.databases["db2"].retention_policies
+
+
+# --- DOWNSAMPLE statement surface (sql.y:3788; statement_executor.go:418;
+# meta/downsample_policy.go NewDownSamplePolicyInfo + Check) ---
+
+
+def test_downsample_statement_lifecycle(ddl, spark, tmp_path):
+    ddl.execute("CREATE DATABASE db0")
+    ddl.execute(
+        "CREATE RETENTION POLICY rp0 ON db0 DURATION 30d SHARD DURATION 1h"
+    )
+    ddl.execute(
+        "CREATE DOWNSAMPLE ON db0.rp0 (FLOAT(MEAN,MAX), INTEGER(SUM)) "
+        "WITH DURATION 7d SAMPLEINTERVAL(1h,6h) TIMEINTERVAL(1m,10m)"
+    )
+    out = ddl.execute("SHOW DOWNSAMPLES ON db0")
+    blk = out["series"][0]
+    assert blk["columns"] == [
+        "rpName", "field_operator", "duration", "sampleInterval",
+        "timeInterval",
+    ]
+    assert blk["values"] == [[
+        "rp0", "float{mean,max},integer{sum}", "168h0m0s",
+        "1h0m0s,6h0m0s", "1m0s,10m0s",
+    ]]
+
+    # identical re-create is a silent no-op; a DIFFERENT one errors
+    ddl.execute(
+        "CREATE DOWNSAMPLE ON db0.rp0 (FLOAT(MEAN,MAX), INTEGER(SUM)) "
+        "WITH DURATION 7d SAMPLEINTERVAL(1h,6h) TIMEINTERVAL(1m,10m)"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        ddl.execute(
+            "CREATE DOWNSAMPLE ON db0.rp0 (FLOAT(MEAN)) "
+            "WITH DURATION 7d SAMPLEINTERVAL(1h) TIMEINTERVAL(1m)"
+        )
+
+    # one rollup cycle through the statement path
+    dest = str(tmp_path / "ds_out")
+    names = ddl.run_downsample_once(
+        spark, "db0", "rp0", _mk_src(spark), dest
+    )
+    assert set(names) == {"mean_value", "max_value", "sum_tu"}
+    rolled = spark.read.parquet(dest)
+    # 10-minute unaligned span → 11 one-minute buckets at level 0
+    assert rolled.count() == 11
+    assert rolled.agg(F.sum("max_value")).first()[0] > 0
+
+    # persists across metastore re-open
+    reopened = DDLExecutor(ddl.spark, MetaStore(str(ddl.meta.root)))
+    assert "db0.rp0" in reopened.meta.downsamples
+
+    ddl.execute("DROP DOWNSAMPLE ON db0.rp0")
+    assert ddl.execute("SHOW DOWNSAMPLES ON db0")["series"][0]["values"] == []
+    with pytest.raises(ValueError, match="not found"):
+        ddl.execute("DROP DOWNSAMPLE ON db0.rp0")
+
+
+def test_downsample_statement_validation(ddl):
+    ddl.execute("CREATE DATABASE db1")
+    ddl.execute(
+        "CREATE RETENTION POLICY rp1 ON db1 DURATION 30d SHARD DURATION 1h"
+    )
+    base = "CREATE DOWNSAMPLE ON db1.rp1 ({}) WITH DURATION {} " \
+           "SAMPLEINTERVAL({}) TIMEINTERVAL({})"
+    # interval list lengths must match (DownSampleIntervalLenCheck)
+    with pytest.raises(ValueError, match="length"):
+        ddl.execute(base.format("float(mean)", "7d", "1h,6h", "1m"))
+    # levels must strictly coarsen and divide (DownSampleIntervalCheck)
+    with pytest.raises(ValueError, match="intervals"):
+        ddl.execute(base.format("float(mean)", "7d", "6h,1h", "1m,10m"))
+    with pytest.raises(ValueError, match="intervals"):
+        ddl.execute(base.format("float(mean)", "7d", "1h,6h", "3m,10m"))
+    # first sample interval must cover a shard group
+    with pytest.raises(ValueError, match="shard duration"):
+        ddl.execute(base.format("float(mean)", "7d", "30m", "1m"))
+    # last sample interval must fit inside the policy duration
+    with pytest.raises(ValueError, match="retention policy duration"):
+        ddl.execute(base.format("float(mean)", "2h", "6h", "1m"))
+    # type/op validation (DownSampleUnExpectedDataType / UnsupportedAggOp)
+    with pytest.raises(ValueError, match="data type"):
+        ddl.execute(base.format("decimal(mean)", "7d", "1h", "1m"))
+    with pytest.raises(ValueError, match="agg op"):
+        ddl.execute(base.format("float(median)", "7d", "1h", "1m"))
+    # rp / db-context requirements
+    with pytest.raises(ValueError, match="retention policy not found"):
+        ddl.execute(base.format("float(mean)", "7d", "1h", "1m")
+                    .replace("db1.rp1", "db1.nope"))
+    with pytest.raises(ValueError, match="invalid name"):
+        ddl.execute(base.format("float(mean)", "7d", "1h", "1m")
+                    .replace("db1.rp1", "rponly"))
+    # DROP DOWNSAMPLES (DropAll) skips the exists check
+    ddl.execute("DROP DOWNSAMPLES ON db1")
+    with pytest.raises(ValueError, match="database name required"):
+        ddl.execute("SHOW DOWNSAMPLES")
