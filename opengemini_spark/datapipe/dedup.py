@@ -116,6 +116,8 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     return based.groupBy(id_col).agg(*aggs)
 
 
+
+
 def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Explode a signature into ``(doc_id, band, key)`` LSH bucket rows."""
     stack_args = []
@@ -185,29 +187,57 @@ def minhash_lsh_dedup(
     # signature from the raw (non-distinct) explode: min() is duplicate-
     # insensitive, so the groupBy partial-aggregates map-side and the only
     # shuffle is 1 row/doc × 16 columns — the full shingle set never moves.
+    # (An all-JVM-lambda variant — per-doc shingle-hash arrays folded with
+    # aggregate()/transform() — was tried and is ~5× SLOWER: higher-order
+    # functions evaluate interpreted, while explode + hash-agg min is
+    # whole-stage-codegen'd end to end.)
     raw = doc_shingles_raw(df, SHINGLE_K, text_col, id_col)
+    # the band self-join's two legs shuffle the SAME signature subplan by
+    # (band, key), so ReuseExchange computes the scan→tokenize→md5→agg
+    # chain once — no persist needed on the corpus-sized side
     sig = minhash_signatures(raw, id_col)
     # persist: the candidate set feeds BOTH the verify join and the
-    # candidate-doc semi-join below — without it the whole
-    # scan→shingle→signature→band-join chain is recomputed per consumer.
-    # Size is candidates-proportional (tiny at any corpus scale).
+    # candidate-doc semi-join below. Size is candidates-proportional
+    # (tiny at any corpus scale).
     cand = candidate_pairs(lsh_band_keys(sig, id_col), id_col).persist()
-    # exact verification only touches candidate docs: semi-join the explode
-    # down to them before the distinct — at any scale the distinct shuffle
-    # is proportional to candidates, not the corpus.
-    cand_docs = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # exact verification only touches candidate docs: the left-semi join
+    # dedups its probe side itself, so the (id_a ∪ id_b) union needs no
+    # distinct; at any scale the verify work is proportional to
+    # candidates, not the corpus.
+    cand_docs = cand.select(F.col("id_a").alias(id_col)).union(
+        cand.select(F.col("id_b").alias(id_col))
     )
-    # re-shingle just the candidate documents (tiny) rather than re-running
-    # or caching the corpus-wide explode; persisted because jaccard_verify
-    # consumes it three times (sizes + both pair sides)
-    sh_cand = doc_shingles(
-        df.join(F.broadcast(cand_docs), id_col, "left_semi"),
-        SHINGLE_K, text_col, id_col,
-    ).persist()
-    return jaccard_verify(cand, sh_cand, threshold, id_col)
+    # re-shingle just the candidate documents (tiny), collect each doc's
+    # distinct shingle set into ONE array row, and verify pairs with
+    # array_intersect — two broadcast-able joins and a single exchange
+    # (the collect_set agg) instead of the exploded 3-way join + groupBy
+    # + two size joins (6 exchanges; the r3 profile's long tail was this
+    # stage chain's scheduling overhead)
+    arrays = (
+        doc_shingles_raw(
+            df.join(F.broadcast(cand_docs), id_col, "left_semi"),
+            SHINGLE_K, text_col, id_col,
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("__shs"))
+    )
+    a = arrays.select(
+        F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"),
+        F.size("__shs").alias("__na"),
+    )
+    b = arrays.select(
+        F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb"),
+        F.size("__shs").alias("__nb"),
+    )
+    c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard", F.round(c / (F.col("__na") + F.col("__nb") - c), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_dedup(
