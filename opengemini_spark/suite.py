@@ -821,72 +821,72 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries only.
-# Round 1 verified slots 0-49 (core + datapipe); round 2's window covered the
-# InfluxQL / PromQL / scalar / graph / EMA / advanced block (all green in
-# CORRECTNESS_r02.json).
+# Rounds 1-3 covered every registered entry at least once (CORRECTNESS_r01-03
+# all green); the local gate (tools/oracle_check.py) runs the identical
+# comparison at HEAD for everything else.
 #
-# ROUND-3 ROTATION (this is it): slots 0-13 are the 14 entries that so far
-# have only a local-gate verdict — the two r1 FAILs fixed in b6ae24d
-# (transform_derivative / transform_rate, judge-confirmed local-pass) and the
-# 12 entries added after r2's window was committed. Behind them sit
-# already-driver-verified sentinels plus any query added or changed in round
-# 3, keeping the total at 50. The local gate (tools/oracle_check.py) runs the
-# identical comparison, so rotation only changes which verdicts get a driver
-# row.
+# ROUND-4 ROTATION (VERDICT r3 next #5): re-green the OLDEST verdicts at the
+# current engine — slots 0-37 are the 38 entries whose only driver row dates
+# from the round-1 engine (fills, selectors, basic aggs, transforms, text/
+# dedup/multimodal family). Next come the two entries whose code or oracle
+# changed this round (dedup_minhash_lsh verify restructure; holt_winters
+# forecast's new pin-replay oracle), then r2-era entries sitting on code
+# paths round 4 touched (promql engine matcher/label_replace fixes, the
+# recursive-operator null-key fix).
 PRIORITY: tuple[str, ...] = (
-    # -- the 14 local-pass-only entries (VERDICT r2 "What's wrong" #1) --
-    "transform_derivative",
-    "transform_rate",
-    "transform_triple_ema",
-    "transform_trix",
-    "transform_rsi",
-    "influxql_func_mode_percentile",
-    "influxql_func_integral",
-    "influxql_func_elapsed",
-    "influxql_func_holt_winters",
-    "prom_deriv",
-    "prom_predict_linear",
-    "prom_holt_winters",
-    "dedup_embedding_lsh_highthr",
-    "similarity_ivf_kmeans_topk",
-    # -- round-3 additions go here (inserted as built, sentinels dropped) --
-    "influxql_func_holt_winters_forecast",  # rows-only (Nelder-Mead forecast)
-    "promql_instant_e2e",  # GET /api/v1/query instant path (r3)
-    "castor_sigma_anomaly",  # rows-only (sequential baseline exclusion)
-    "multimodal_png_real_decode",  # real PNG decode vs closed-form oracle (r3)
-    "multimodal_wav_real_decode",  # real WAV decode vs closed-form oracle (r3)
-    "curate_contamination",  # k-gram benchmark decontamination (r3)
-    "curate_pack_sequences",  # bucketed contiguous sequence packing (r3)
-    "curate_stratified_sample",  # per-stratum hash Bernoulli keep (r3)
-    "curate_pii_redaction",  # typed-placeholder regexp redaction (r3)
-    "inc_window_agg",  # incremental query: parquet-state partial merge (r3)
-    "promql_subquery_e2e",  # PromQL subquery expr[range:step] (r3)
-    "curate_chunk_documents",  # sliding token-window chunking (r3)
-    "influxql_join_stmt",  # JOIN statement surface, inner join (r3)
-    "influxql_join_full_stmt",  # FULL JOIN type-zero fill (r3)
-    "influxql_union_stmt",  # UNION BY NAME statement surface (r3)
-    "promql_changes_e2e",  # changes() through the engine text path (r3)
-    "promql_quantile_agg_e2e",  # quantile agg linear interpolation (r3)
-    # -- driver-verified sentinels (r1/r2 green) --
-    "scan_filter_project",
-    "agg_basic",
-    "window_tumbling_agg",
-    "transform_ema",
-    "transform_holt_winters",
-    "join_inner",
-    "join_full_outer",
-    "sort_limit_global",
-    "slimit_series",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "similarity_cosine_topk",
-    "influxql_window_agg_fill",
-    "influxql_func_ema",
-    "sink_select_into",
-    "show_cardinality",
-    "agg_regr_slope",
-    "scalar_math",
-    "graph_multihop_nodes",
+    # -- r1-era verdicts, oldest first --
+    "filter_regex_like",
+    "filter_blank",
+    "agg_stats",
+    "agg_distinct",
+    "agg_mode",
+    "agg_percentile_exact",
+    "agg_histogram",
+    "selector_first_last",
+    "selector_top_per_group",
+    "selector_bottom_per_group",
+    "window_fill_null",
+    "window_fill_value",
+    "window_fill_previous",
+    "window_fill_linear",
+    "transform_difference",
+    "transform_cumulative_sum",
+    "transform_moving_average",
+    "transform_elapsed",
+    "transform_integral",
+    "transform_spread",
+    "join_left_outer",
+    "join_semi_in_subquery",
+    "join_anti_not_in",
+    "union_all_by_name",
+    "limit_per_series",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_ivf_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_ngram_counts",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "dedup_connected_components",
+    "curate_keep_list",
+    # -- changed in round 4 --
+    "dedup_minhash_lsh",  # verify stage restructured (array_intersect)
+    "influxql_func_holt_winters_forecast",  # NEW pin-replay oracle (was rows-only)
+    # -- r2-era entries on round-4-touched code paths --
+    "transform_kama",  # recursive null-key fix path
+    "transform_cmo",
+    "transform_double_ema",
+    "castor_mad_anomaly",
+    "prom_label_replace_join",  # label_replace $-template rewrite
+    "promql_rate_e2e",  # engine matcher NULL-coalesce path
+    "promql_count_over_time_matcher",
+    "promql_binop_cmp_filter",  # parser unary/pow precedence path
+    "dedup_embedding_lsh",
+    "graph_multihop_edges",
 )
 
 

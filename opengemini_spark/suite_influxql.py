@@ -349,23 +349,85 @@ def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fitted Holt-Winters parameters per series at sf0.01 — the Nelder-Mead
+# fit is deterministic (grid-seeded, fixed float order), so the winning
+# constrained vertex (alpha, beta, phi, l0, b0) is a stable function of
+# the data; regenerate with `python tools/gen_hw_pins.py` if the fit
+# trajectory or the sf0.01 fixture changes. The oracle replays the
+# damped-trend recurrence from these pins (the fit itself is not
+# SQL-expressible) — the same pin-and-replay trick as the k-means oracle.
+_HW_FORECAST_PINS = """(VALUES
+        ('click', 0.6681131050659308::DOUBLE, 1.0::DOUBLE, 0.2733247952504263::DOUBLE, 113.19914950858228::DOUBLE, 27.8495673757587::DOUBLE),
+        ('error', 0.6678294796541926::DOUBLE, 0.0::DOUBLE, 0.8013109054127613::DOUBLE, 16.500733051716914::DOUBLE, 0.437208241248923::DOUBLE),
+        ('purchase', 0.9999998667953475::DOUBLE, 0.0::DOUBLE, 0.846204322002718::DOUBLE, 25.007198038943223::DOUBLE, -0.19675399447976288::DOUBLE),
+        ('signup', 0.9740113264687944::DOUBLE, 0.0::DOUBLE, 0.8824631585976476::DOUBLE, 14.746891416138128::DOUBLE, 0.041792395220101655::DOUBLE),
+        ('view', 6.324952379192002e-06::DOUBLE, 0.8055792255257828::DOUBLE, 0.6253826155187202::DOUBLE, 22.57991110828676::DOUBLE, 6.231307439932152::DOUBLE)
+) p(event_type, alpha, beta, phi, l0, b0)"""
+
+_HW_IVL = 43_200_000_000_000    # 12h in ns, matching the entry's GROUP BY
+
+
 @register(
     "influxql_func_holt_winters_forecast",
-    # real holt_winters(call, N, S): Nelder-Mead-fitted damped
-    # multiplicative forecast (holt_winters_transform.go) — emits N FUTURE
-    # buckets per series. The optimizer is not SQL-expressible, so this is
-    # a rows-only driver check; value-level behavior is pinned by
-    # tests/test_holt_winters.py.
-    None,
+    # real holt_winters(call, N, S): Nelder-Mead-fitted damped-trend
+    # forecast (holt_winters_transform.go) — emits N FUTURE buckets per
+    # series. The oracle replays the forecast recurrence (next(),
+    # holt_winters_transform.go:138-145: l' = α·y + (1−α)(l+φb);
+    # b' = β(l'−l) + (1−β)φb; ŷ = l' + φ_h·b'; φ_h += φ^step, with ŷ fed
+    # back as the next y) from the pinned fitted parameters; both sides
+    # round to 6dp to absorb pow() ulp differences across runtimes.
+    f"""
+    WITH RECURSIVE agg AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % {_HW_IVL} AS t,
+             CAST(count(value) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(t) AS tmin, max(t) AS tmax,
+             (max(t) - min(t)) // {_HW_IVL} + 1 AS n
+      FROM agg GROUP BY 1
+    ), y0 AS (
+      SELECT a.event_type, a.v AS y0
+      FROM agg a JOIN bounds bo
+        ON a.event_type = bo.event_type AND a.t = bo.tmin
+    ), params AS (SELECT * FROM {_HW_FORECAST_PINS}
+    ), rec AS (
+      SELECT p.event_type, 0 AS step, y0.y0 AS y_t,
+             p.l0 AS l, p.b0 AS b, p.phi AS phi_h
+      FROM params p JOIN y0 ON p.event_type = y0.event_type
+      UNION ALL
+      SELECT r.event_type, r.step + 1,
+             (p.alpha * r.y_t + (1 - p.alpha) * (r.l + p.phi * r.b))
+               + r.phi_h * (p.beta * ((p.alpha * r.y_t
+                   + (1 - p.alpha) * (r.l + p.phi * r.b)) - r.l)
+                 + (1 - p.beta) * p.phi * r.b),
+             p.alpha * r.y_t + (1 - p.alpha) * (r.l + p.phi * r.b),
+             p.beta * ((p.alpha * r.y_t
+                 + (1 - p.alpha) * (r.l + p.phi * r.b)) - r.l)
+               + (1 - p.beta) * p.phi * r.b,
+             r.phi_h + power(p.phi, CAST(r.step + 1 AS DOUBLE))
+      FROM rec r
+      JOIN params p ON r.event_type = p.event_type
+      JOIN bounds bo ON r.event_type = bo.event_type
+      WHERE r.step < bo.n + 3
+    )
+    SELECT bo.tmax + (r.step - bo.n + 1) * {_HW_IVL} AS time,
+           r.event_type,
+           round(CASE WHEN isnan(r.y_t) OR isinf(r.y_t)
+                      THEN 0.0 ELSE r.y_t END, 6) AS hw
+    FROM rec r JOIN bounds bo ON r.event_type = bo.event_type
+    WHERE r.step >= bo.n
+    """,
 )
 def q_influxql_holt_winters_forecast(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return query(
+    df = query(
         spark, sf_dir,
         "SELECT holt_winters(count(value), 4, 0) AS hw "
         "FROM events GROUP BY time(12h), event_type",
     )
+    return df.withColumn("hw", F.round("hw", 6))
 
 
 @register(
