@@ -30,6 +30,21 @@ def _split_statements(q: str) -> list[str]:
     return [s.strip() for s in q.split(";") if s.strip()]
 
 
+def response_headers(version: str | None = None,
+                     build_type: str | None = None) -> dict[str, str]:
+    """Headers every HTTP response carries (handler.go:682-683 ServeHTTP:
+    version and build headers are added to ALL requests;
+    server_test.go TestServer_HTTPResponseVersion checks the version one
+    round-trips the server's configured version string)."""
+    from opengemini_spark import __version__
+
+    return {
+        "X-Geminidb-Version": version or __version__,
+        "X-Geminidb-Build": build_type or "Spark",
+        "Content-Type": "application/json",
+    }
+
+
 def handle_query(
     spark: SparkSession,
     sf_dir: str,

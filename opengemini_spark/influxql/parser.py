@@ -759,15 +759,21 @@ def _fold_now(node, now_ns: int):
             node.op in ("+", "-")
             and isinstance(node.lhs, ast.Literal)
             and isinstance(node.rhs, ast.Literal)
-            and isinstance(node.lhs.value, int)
-            and isinstance(node.rhs.value, int)
         ):
-            v = (
-                node.lhs.value + node.rhs.value
-                if node.op == "+"
-                else node.lhs.value - node.rhs.value
-            )
-            return ast.Literal(v)
+            lv, rv = node.lhs.value, node.rhs.value
+            if isinstance(lv, str) and isinstance(rv, int):
+                # time-string ± duration ('2000-01-01T…' - 1m) folds to ns
+                # like now() arithmetic (condition.go RewriteTimeFields)
+                try:
+                    from opengemini_spark.influxql.planner import (
+                        _parse_time_literal,
+                    )
+
+                    lv = _parse_time_literal(lv)
+                except (ValueError, ImportError):
+                    return node
+            if isinstance(lv, int) and isinstance(rv, int):
+                return ast.Literal(lv + rv if node.op == "+" else lv - rv)
         return node
     if isinstance(node, ast.UnaryExpr):
         node.expr = _fold_now(node.expr, now_ns)

@@ -716,6 +716,22 @@ class Planner:
         # dotted field names are plain columns, not struct paths
         col_name = f"`{raw_name}`" if "." in raw_name else raw_name
         c = F.col(col_name)
+        is_long = (
+            df is not None and dict(df.dtypes).get(raw_name) == "bigint"
+        )
+        if name == "mean" and is_long:
+            # integer mean: int64 sums overflow Spark's ANSI long add on
+            # extreme values (Aggregates_IntMax), so accumulate exactly in
+            # decimal(38,0) and emit with influxdb 1.x's precision-split
+            # float64(sum/n) + float64(sum%n)/float64(n)
+            # (IntegerMeanReducer emit semantics)
+            s = F.sum(c.cast("decimal(38,0)"))
+            n = F.count(c)
+            rem = s % n                    # sign of dividend, like Go's %
+            return (
+                ((s - rem) / n).cast("double")   # exact integer quotient
+                + rem.cast("double") / n.cast("double")
+            ).alias(out)
         if name in self._SIMPLE_AGGS:
             return self._SIMPLE_AGGS[name](c).alias(out)
         if name == "stddev":
@@ -733,6 +749,14 @@ class Planner:
                 )
             )
             vals = F.transform(arr, lambda x: x["v"])
+            if is_long:
+                # int64 folds overflow ANSI long arithmetic on extreme
+                # values (v*v at maxInt64 — Aggregates_IntMax), and the
+                # sum of two maxInt64 squares exceeds decimal(38) too:
+                # accumulate in float64 (influxdb 1.x float-reducer
+                # semantics; exact for the ordinary ranges the parity
+                # corpus pins, and stddev of equal extremes is exactly 0)
+                vals = F.transform(vals, lambda v: v.cast("double"))
             zero = F.element_at(vals, 1) - F.element_at(vals, 1)  # typed 0
             s = F.aggregate(vals, zero, lambda a, v: a + v)
             s2 = F.aggregate(vals, zero, lambda a, v: a + v * v)
@@ -3191,6 +3215,16 @@ class Planner:
                 zero_cols.append(out)
         if stmt.group_time is not None:
             src = df
+            if self._upper_time_bound(stmt.where) is None:
+                # implicit end time: an interval (GROUP BY time) query
+                # without an explicit upper bound is clamped to now()
+                # "for backwards compatibility and usability"
+                # (query/compile.go:230-236; server_test.go
+                # TestServer_Query_ImplicitEndTime) — future-dated points
+                # must not land in aggregate buckets
+                now_ns = getattr(stmt, "_og_now_ns", None)
+                if now_ns is not None:
+                    src = src.filter(F.col(TIME_COL) <= F.lit(now_ns))
             if stmt.tz:
                 # tz('…') shifts interval boundaries to local wall time
                 # (ProcessorOptions.Location, query/select.go:177): bucket on
