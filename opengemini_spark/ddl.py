@@ -783,6 +783,168 @@ class DDLExecutor:
             ]
         }
 
+    def _show_shard_groups(self, s, m):
+        """SHOW SHARD GROUPS (meta/data.go:2015 ShowShardGroups): one row
+        per live shard group across every db.rp — here the parquet
+        day-partition directories, with expiry = end + rp duration.
+        Row shape: id/database/retention_policy/start_time/end_time/
+        expiry_time, RFC3339 UTC."""
+        from datetime import datetime, timezone
+
+        def rfc3339(ns: int) -> str:
+            return datetime.fromtimestamp(
+                ns / 1e9, tz=timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+        rows = []
+        gid = 0
+        for db in sorted(self.meta.databases):
+            d = self.meta.databases[db]
+            default_rp = next(
+                (r for r in d.retention_policies.values() if r.default),
+                None,
+            )
+            seen: set[str] = set()
+            for mst in sorted(d.measurements):
+                root = self.meta.db_dir(db) / mst
+                for p in sorted(root.glob(f"{storage.PARTITION_COL}=*")):
+                    day = p.name.split("=", 1)[1]
+                    if day in seen:
+                        continue
+                    seen.add(day)
+                    gid += 1
+                    start_ns = int(
+                        datetime.strptime(day, "%Y-%m-%d")
+                        .replace(tzinfo=timezone.utc)
+                        .timestamp()
+                    ) * 10**9
+                    end_ns = start_ns + storage.DAY_NS
+                    dur = default_rp.duration_ns if default_rp else 0
+                    rows.append([
+                        gid, db,
+                        default_rp.name if default_rp else "autogen",
+                        rfc3339(start_ns), rfc3339(end_ns),
+                        rfc3339(end_ns + dur),
+                    ])
+        return {
+            "series": [
+                {
+                    "name": "shard groups",
+                    "columns": ["id", "database", "retention_policy",
+                                "start_time", "end_time", "expiry_time"],
+                    "values": rows,
+                }
+            ]
+        }
+
+    def _unsupported_command(self, s, m):
+        # DROP SHARD / SHOW DIAGNOSTICS dispatch straight to
+        # meta.ErrUnsupportCommand (statement_executor.go:308,350)
+        raise ValueError("unsupported command")
+
+    def _alter_shard_key(self, s, m):
+        """ALTER MEASUREMENT [db[.rp].]m [WITH SHARDKEY k,… [TYPE t]]
+        (sql.y:3684; executeAlterShardKeyStatement:689): the key list is
+        sorted, validated (no empties, no duplicates — ValidShardKey
+        data.go:4406), the measurement must exist, and the sharding type
+        must match the measurement's existing type."""
+        target, keys_text, type_ = m.group(1), m.group(2), m.group(3)
+        name = target.split(".")[-1]
+        db = None
+        for dn, d in self.meta.databases.items():
+            if name in d.measurements:
+                db = dn
+                break
+        if db is None:
+            raise ValueError("measurement not found")
+        keys = sorted(
+            k.strip() for k in (keys_text or "").split(",")
+        ) if keys_text else []
+        for i, k in enumerate(keys):
+            if not k:
+                raise ValueError("invalid shard key")
+            if i and keys[i - 1] == k:
+                raise ValueError("duplicate shard key")
+        new_type = (type_ or "hash").lower()
+        d = self.meta.databases[db]
+        info = d.measurement_info.setdefault(
+            name,
+            {"rp": "autogen", "tags": [], "fields": [],
+             "engine": "tsstore", "shardkey": [], "primarykey": []},
+        )
+        cur_type = info.get("shardkey_type", "hash")
+        if new_type != cur_type:
+            raise ValueError(
+                f"sharding type is not equal, new type is {new_type}, "
+                f"old type is {cur_type}"
+            )
+        if keys == info["shardkey"]:
+            return {"ok": True}      # AlterShardKey no-op on equal keys
+        info["shardkey"] = keys
+        info["shardkey_type"] = new_type
+        self.meta.save()
+        return {"ok": True}
+
+    def _set_password(self, s, m):
+        """SET PASSWORD FOR user = 'pw' (sql.y:3547;
+        executeSetPasswordUserStatement → MetaClient.UpdateUser): same
+        strength policy as CREATE USER when enabled."""
+        name = m.group(1)
+        cm = re.match(
+            r"set\s+password\s+for\s+\S+\s*=\s*'([^']*)'", s, re.IGNORECASE
+        )
+        pw = cm.group(1) if cm else ""
+        if name not in self.meta.users:
+            raise ValueError(f"user not found: {name}")
+        if self.password_policy:
+            self._check_password_strength(pw)
+        self.meta.users[name]["password_set"] = True
+        self.meta.save()
+        return {"ok": True}
+
+    #: the sql component's visible config keys (executeShowConfigs
+    #: publishes the sql node's effective config; logging.level is the
+    #: one SET CONFIG-mutable key — statement_executor.go:2561-2588)
+    _SQL_CONFIGS: dict[str, object] = {"logging.level": "info"}
+
+    def _show_configs(self, s, m):
+        import socket
+
+        cfg = dict(self._SQL_CONFIGS)
+        cfg.update(getattr(self, "_config_overrides", {}))
+        host = socket.gethostname()
+        return {
+            "series": [
+                {
+                    "columns": ["component", "instance", "name", "value"],
+                    "values": [
+                        ["sql", host, k, cfg[k]] for k in sorted(cfg)
+                    ],
+                }
+            ]
+        }
+
+    def _set_config(self, s, m):
+        component, key = m.group(1), m.group(2)
+        vm = re.match(
+            r"set\s+config\s+\S+\s+\"[^\"]*\"\s*=\s*"
+            r"(?:'([^']*)'|\"([^\"]*)\"|(\S+))",
+            s, re.IGNORECASE,
+        )
+        value = vm.group(1) or vm.group(2) or vm.group(3)
+        if component == "sql" and key == "logging.level":
+            # only the string form is legal for logging.level
+            if vm.group(3) is not None and vm.group(3).lower() in (
+                "true", "false"
+            ) or (vm.group(3) or "").replace(".", "").isdigit():
+                raise ValueError("illegal type of logging level input")
+            overrides = getattr(self, "_config_overrides", None)
+            if overrides is None:
+                overrides = self._config_overrides = {}
+            overrides[key] = value
+            return {"ok": True}
+        raise ValueError("unsupported config command")
+
     # --- admin surface (statement_executor.go:241-450 dispatch rows) ---
     def _alter_rp(self, s, m):
         """ALTER RETENTION POLICY … DURATION … [DEFAULT]."""
@@ -839,12 +1001,18 @@ class DDLExecutor:
             s, re.IGNORECASE,
         )
         pw = cm.group(1) if cm else m.group(2)
-        if not self.password_policy:
-            self.meta.users[name] = {
-                "admin": bool(m.group(3)), "rwuser": False, "grants": {},
-            }
-            self.meta.save()
-            return {"ok": True}
+        if self.password_policy:
+            self._check_password_strength(pw)
+        self.meta.users[name] = {
+            "admin": bool(m.group(3)), "rwuser": False, "grants": {},
+        }
+        self.meta.save()
+        return {"ok": True}
+
+    @staticmethod
+    def _check_password_strength(pw: str) -> None:
+        """NewParseConfig password policy (shared by CREATE USER and SET
+        PASSWORD — both route through meta user updates)."""
         if len(pw) < 8 or len(pw) > 256:
             raise ValueError(
                 "the password needs to be between 8 and 256 characters long"
@@ -860,11 +1028,6 @@ class DDLExecutor:
                 "and uppercase letters, lowercase letters, digits, and "
                 "at least one of the special characters."
             )
-        self.meta.users[name] = {
-            "admin": bool(m.group(3)), "rwuser": False, "grants": {},
-        }
-        self.meta.save()
-        return {"ok": True}
 
     def _drop_user(self, s, m):
         if m.group(1) not in self.meta.users:
@@ -1418,6 +1581,18 @@ class DDLExecutor:
         ),
         (r"show retention policies on ([a-z_][a-z0-9_]*)$", _show_rps),
         (r"show shards$", _show_shards),
+        (r"show shard groups$", _show_shard_groups),
+        (r"drop shard \d+$", _unsupported_command),
+        (r"show diagnostics$", _unsupported_command),
+        (
+            r"alter measurement ([a-z_][a-z0-9_.]*)"
+            r"(?: with shardkey ([a-z0-9_,\s]+?))?"
+            r"(?: type (hash|range))?$",
+            _alter_shard_key,
+        ),
+        (r"set password for ([a-z_][a-z0-9_]*) = '[^']*'$", _set_password),
+        (r"show configs$", _show_configs),
+        (r'set config ([a-z_]+) "([^"]*)" = .+$', _set_config),
         (r"drop measurement ([a-z_][a-z0-9_.]*)$", _drop_measurement),
         (
             r"delete from ([a-z_][a-z0-9_]*)( where .*)?$",

@@ -377,3 +377,77 @@ def test_downsample_statement_validation(ddl):
     ddl.execute("DROP DOWNSAMPLES ON db1")
     with pytest.raises(ValueError, match="database name required"):
         ddl.execute("SHOW DOWNSAMPLES")
+
+
+# --- admin long tail (statement_executor.go:246-444 dispatch rows) ---
+
+
+def test_alter_shard_key_statement(ddl, spark, sf_dir):
+    ddl.execute("CREATE DATABASE adb")
+    ddl.register_measurement("adb", "cpu")
+    ddl.execute("ALTER MEASUREMENT cpu WITH SHARDKEY region,host")
+    info = ddl.meta.databases["adb"].measurement_info["cpu"]
+    assert info["shardkey"] == ["host", "region"]  # sorted (sql.y:3692)
+    # equal keys: silent no-op
+    ddl.execute("ALTER MEASUREMENT cpu WITH SHARDKEY host,region")
+    # duplicate / unknown-measurement / type-mismatch errors
+    with pytest.raises(ValueError, match="duplicate shard key"):
+        ddl.execute("ALTER MEASUREMENT cpu WITH SHARDKEY host,host")
+    with pytest.raises(ValueError, match="measurement not found"):
+        ddl.execute("ALTER MEASUREMENT nope WITH SHARDKEY host")
+    with pytest.raises(ValueError, match="sharding type is not equal"):
+        ddl.execute("ALTER MEASUREMENT cpu WITH SHARDKEY host TYPE range")
+
+
+def test_drop_shard_and_diagnostics_unsupported(ddl):
+    # both dispatch straight to meta.ErrUnsupportCommand
+    # (statement_executor.go:308,350)
+    with pytest.raises(ValueError, match="unsupported command"):
+        ddl.execute("DROP SHARD 42")
+    with pytest.raises(ValueError, match="unsupported command"):
+        ddl.execute("SHOW DIAGNOSTICS")
+
+
+def test_show_shard_groups(ddl, spark, sf_dir):
+    ddl.execute("CREATE DATABASE sgdb")
+    ev = load_table(spark, sf_dir, "events").select(
+        "time_ns", "event_type", "value"
+    ).limit(200)
+    storage.write_measurement(ev, str(ddl.meta.db_dir("sgdb") / "events"))
+    ddl.register_measurement("sgdb", "events")
+    out = ddl.execute("SHOW SHARD GROUPS")
+    blk = out["series"][0]
+    assert blk["name"] == "shard groups"
+    assert blk["columns"] == [
+        "id", "database", "retention_policy", "start_time", "end_time",
+        "expiry_time",
+    ]
+    assert blk["values"], "day partitions should yield shard groups"
+    first = blk["values"][0]
+    assert first[1] == "sgdb" and first[2] == "autogen"
+    assert first[3].endswith("T00:00:00Z")
+
+
+def test_set_password_statement(ddl):
+    ddl.execute("CREATE USER alice WITH PASSWORD 'Str0ng!pass'")
+    ddl.execute("SET PASSWORD FOR alice = 'N3w!passw0rd'")
+    assert ddl.meta.users["alice"]["password_set"]
+    with pytest.raises(ValueError, match="between 8 and 256"):
+        ddl.execute("SET PASSWORD FOR alice = 'short'")
+    with pytest.raises(ValueError, match="user not found"):
+        ddl.execute("SET PASSWORD FOR ghost = 'N3w!passw0rd'")
+
+
+def test_show_and_set_configs(ddl):
+    out = ddl.execute("SHOW CONFIGS")
+    blk = out["series"][0]
+    assert blk["columns"] == ["component", "instance", "name", "value"]
+    vals = {v[2]: v[3] for v in blk["values"]}
+    assert vals["logging.level"] == "info"
+    ddl.execute('SET CONFIG sql "logging.level" = \'debug\'')
+    out2 = ddl.execute("SHOW CONFIGS")
+    vals2 = {v[2]: v[3] for v in out2["series"][0]["values"]}
+    assert vals2["logging.level"] == "debug"
+    # only (sql, logging.level) is settable (statement_executor.go:2587)
+    with pytest.raises(ValueError, match="unsupported config command"):
+        ddl.execute('SET CONFIG store "whatever" = \'x\'')
