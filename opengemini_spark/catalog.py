@@ -79,9 +79,21 @@ def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     cheap and buys full parallelism. At production scale the source has
     thousands of splits, the guard is false, and this is a no-op — no extra
     shuffle on wide inputs.
+
+    The probe is METADATA-ONLY (`inputFiles`): a `df.rdd.getNumPartitions()`
+    probe looks lazy but under AQE forces the upstream query stages to
+    materialize through the Python-RDD conversion — at 100× scale that blew
+    `spark.driver.maxResultSize` before the query even ran. Splittable
+    parquet means one file can still fan out to multiple input splits, so
+    files < cores is a conservative trigger: worst case is one avoidable
+    narrow-row exchange.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (in-memory test frames)
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -927,7 +927,7 @@ class DDLExecutor:
     def _set_config(self, s, m):
         component, key = m.group(1), m.group(2)
         vm = re.match(
-            r"set\s+config\s+\S+\s+\"[^\"]*\"\s*=\s*"
+            r"set\s+config\s+\S+\s+\"?[\w.-]+\"?\s*=\s*"
             r"(?:'([^']*)'|\"([^\"]*)\"|(\S+))",
             s, re.IGNORECASE,
         )
@@ -1592,7 +1592,9 @@ class DDLExecutor:
         ),
         (r"set password for ([a-z_][a-z0-9_]*) = '[^']*'$", _set_password),
         (r"show configs$", _show_configs),
-        (r'set config ([a-z_]+) "([^"]*)" = .+$', _set_config),
+        # the key may be bare or quoted (config_command suite:
+        # `SET CONFIG sql logging.level = debug`)
+        (r'set config ([a-z_]+) "?([a-z_.-]+)"? = .+$', _set_config),
         (r"drop measurement ([a-z_][a-z0-9_.]*)$", _drop_measurement),
         (
             r"delete from ([a-z_][a-z0-9_]*)( where .*)?$",

@@ -259,3 +259,130 @@ def test_parity9_response_version_headers():
     from opengemini_spark import __version__
 
     assert response_headers()["X-Geminidb-Version"] == __version__
+
+
+# --- batch 9b: remaining spot-checked server_test.go functions ---
+# TestServer_Query_DivByZero (:1281), TestServer_Query_EvilIdentifiers
+# (:10439), TestServer_Query_FieldWithMultiplePeriods[+PrefixMatch]
+# (:10559), TestServer_top_bottom_nul_column (:4119),
+# TestServer_Query_NilColumn (:6770), config_command suite
+# (server_suite.go:1134 — the SHOW CONFIGS cases are Go-skipped; the
+# SET CONFIG statement's bare-key form is the live case).
+
+
+def test_parity9b_div_by_zero_error_envelope(spark, sf_dir,
+                                             tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("p9_div0"))
+    handle_write(spark, [
+        f"inf value=42 {T0}", f"negativeinf value=-42 {T0}",
+        f"nan value=0 {T0}",
+    ], root)
+    # raw NaN/±Inf results fail Go's json.Marshal with this exact error
+    # envelope (server_test.go DivByZero)
+    exp = {
+        "error": 'struct { Results []*query.Result "json:\\"results,'
+                 'omitempty\\""; Err string "json:\\"error,omitempty\\"" }'
+                 '.Results: []*query.Result: json: unsupported value: '
+                 'NaN or ±Infinite'
+    }
+    for mst in ("inf", "negativeinf", "nan"):
+        got = handle_query(spark, sf_dir, f"SELECT value / 0 from {mst}",
+                           epoch=None, data_root=root)
+        assert got == exp, mst
+
+
+def test_parity9b_evil_identifiers(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("p9_evil"))
+    handle_write(spark, [f"cpu select=1,in-bytes=2 {T0}"], root)
+    got = handle_query(
+        spark, sf_dir, 'SELECT "select", "in-bytes" FROM cpu',
+        epoch=None, data_root=root,
+    )
+    assert got == json.loads(
+        '{"results":[{"statement_id":0,"series":[{"name":"cpu",'
+        '"columns":["time","select","in-bytes"],"values":['
+        '["2000-01-01T00:00:00Z",1,2]]}]}]}'
+    )
+
+
+@pytest.mark.parametrize("mst", ["cpu", "foo"])
+def test_parity9b_field_with_multiple_periods(spark, sf_dir,
+                                              tmp_path_factory, mst):
+    # the `foo` variant is the MeasurementPrefixMatch case: the field
+    # name foo.bar.baz shares the measurement's name as a prefix
+    root = str(tmp_path_factory.mktemp(f"p9_dots_{mst}"))
+    handle_write(spark, [f"{mst} foo.bar.baz=1 {T0}"], root)
+    exp = json.loads(
+        '{"results":[{"statement_id":0,"series":[{"name":"%s",'
+        '"columns":["time","foo.bar.baz"],"values":['
+        '["2000-01-01T00:00:00Z",1]]}]}]}' % mst
+    )
+    for q in (f"select * from {mst}", f'select "foo.bar.baz" from {mst}'):
+        got = handle_query(spark, sf_dir, q, epoch=None, data_root=root)
+        assert got == exp, q
+
+
+def test_parity9b_top_bottom_null_column(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("p9_tbnull"))
+    handle_write(spark, [
+        'mst,country=china,name=azhu height=11i 1629129600000000000',
+        'mst,country=american,name=alan age=2,height=12i 1629129601000000000',
+        'mst,country=germany,name=alang height=13i 1629129602000000000',
+        'mst,country=china,name=azhu age=4,height=24i 1629129603000000000',
+        'mst,country=american,name=alan age=5,height=25i 1629129604000000000',
+        'mst,country=germany,name=alang height=26i 1629129605000000000',
+    ], root)
+    sub = ("(select sum(age) as sum_age, sum(height) as sum_height "
+           "from mst where time >= 1629129600000000000 and "
+           "time <= 1629129605000000000 group by time(1s)) "
+           "where time >= 1629129600000000000 and "
+           "time <= 1629129605000000000")
+    for fn in ("top", "bottom"):
+        got = handle_query(
+            spark, sf_dir, f"select {fn}(sum_age, 3) from {sub}",
+            epoch=None, data_root=root,
+        )
+        assert got == json.loads(
+            '{"results":[{"statement_id":0,"series":[{"name":"mst",'
+            '"columns":["time","%s"],"values":['
+            '["2021-08-16T16:00:01Z",2],["2021-08-16T16:00:03Z",4],'
+            '["2021-08-16T16:00:04Z",5]]}]}]}' % fn
+        ), fn
+
+
+def test_parity9b_nil_column_count_star(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("p9_nil"))
+    handle_write(spark, [
+        'mst,country=china,name=ada age=15,address="chengdu" '
+        '1625558240121000000',
+    ], root)
+    handle_write(spark, [
+        'mst,country=china,name=ada age=15 1625558240121000000',
+        'mst,country=china,name=bcb height=10,age=15,address="chongqing" '
+        '1625558240122000000',
+    ], root)
+    got = handle_query(spark, sf_dir, "SELECT count(*) FROM mst",
+                       epoch=None, data_root=root)
+    assert got == json.loads(
+        '{"results":[{"statement_id":0,"series":[{"name":"mst",'
+        '"columns":["time","count_address","count_age","count_height"],'
+        '"values":[["1970-01-01T00:00:00Z",1,2,1]]}]}]}'
+    )
+
+
+def test_parity9b_set_config_bare_key(spark, tmp_path_factory):
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(
+        spark, MetaStore(str(tmp_path_factory.mktemp("p9_cfg")))
+    )
+    # the config_command suite's live case uses the bare-key, bare-value
+    # form: SET CONFIG sql logging.level = debug
+    assert ddl.execute("SET CONFIG sql logging.level = debug") == {
+        "ok": True
+    }
+    vals = {
+        v[2]: v[3]
+        for v in ddl.execute("SHOW CONFIGS")["series"][0]["values"]
+    }
+    assert vals["logging.level"] == "debug"

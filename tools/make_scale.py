@@ -55,12 +55,35 @@ def scale_table(name: str, src: str, dst: str, factor: int) -> int:
             if field.name in KEY_COLS.get(name, []):
                 col = pa.compute.add(col, r * KEY_OFF)
             elif name == "documents" and field.name == "text" and r > 0:
+                # prefix every word with a replica marker (no separator,
+                # so the marker fuses into the token): bigram shingles map
+                # 1:1 onto the original doc's bigrams WITHIN a replica
+                # (near-dup structure exactly preserved) while replicas'
+                # vocabularies are disjoint, so CROSS-replica Jaccard is
+                # ~0. A trailing one-token suffix leaves ~98% shingle
+                # overlap across replicas (an R-choose-2 candidate storm
+                # at factor 100); a standalone interleaved token makes
+                # any shared WORD a shared bigram within the replica —
+                # both collapse the dedup workload's shape.
                 col = pa.compute.binary_join_element_wise(
-                    col.cast(pa.string()), f"rep{r}", " "
+                    f"r{r}x",
+                    pa.compute.replace_substring(
+                        col.cast(pa.string()), " ", f" r{r}x"
+                    ),
+                    "",
                 )
             elif name == "embeddings" and field.name == "embedding" and r > 0:
-                mat = np.array(col.to_pylist(), dtype=np.float32)
-                mat = np.roll(mat, r, axis=1)
+                # per-replica random ROTATION (seeded QR): preserves every
+                # within-replica pairwise cosine exactly while cross-replica
+                # cosines drop to ~N(0, 1/d). A cyclic roll wraps at
+                # factor > dim (replicas r and r+dim would be identical —
+                # planted cross-replica dup storms at factor 100 with d=64).
+                mat = np.array(col.to_pylist(), dtype=np.float64)
+                rng = np.random.default_rng(1000 + r)
+                q, _ = np.linalg.qr(rng.standard_normal(
+                    (mat.shape[1], mat.shape[1])
+                ))
+                mat = (mat @ q).astype(np.float32)
                 col = pa.array(list(mat), type=field.type)
             cols[field.name] = col
         replicas.append(pa.table(cols, schema=table.schema))
