@@ -47,3 +47,40 @@ def curate(
     return out.select(
         id_col, (F.col("reason") == "kept").alias("keep"), "reason"
     )
+
+
+def quality_percentile_filter(
+    df: "DataFrame",
+    frac: float = 0.1,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Drop the bottom ``frac`` of documents by quality WITHIN each group
+    (language): corpus-wide thresholds over-prune low-resource languages,
+    per-group ranks don't. Deterministic: ties break by (quality, doc_id).
+
+    Scale: 1 row/doc enters the window (scores pre-aggregated); the
+    per-group sort is bounded by the largest language. At extreme scale
+    swap the exact rank for an approx-quantile threshold per group
+    (approxQuantile / percentile_approx) — this exact form is the
+    correctness-gated variant.
+    """
+    from pyspark.sql import Window
+
+    from opengemini_spark.datapipe import text
+
+    q = text.quality_score(df, id_col=id_col)
+    d = df.select(id_col, group_col).join(q, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_bp").asc(), F.col(id_col).asc()
+    )
+    n = Window.partitionBy(group_col)
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(
+            F.col("__rn")
+            > F.ceil(F.col("__n") * F.lit(frac)).cast("long")
+        )
+        .select(id_col, group_col, "quality_bp")
+    )

@@ -171,3 +171,73 @@ def ngram_counts(
         .filter(F.col("rank") <= top_k)
         .select(*groups, "ngram", "n", "rank")
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (Rae et al. 2021 §A1.1 repetition filters, word-level form):
+
+    - ``dup_word_frac``: fraction of word occurrences that repeat an
+      already-seen word (1 − distinct/total);
+    - ``top_word_frac``: the most frequent word's share of all words;
+    - ``top_bigram_char_frac``: fraction of word characters covered by
+      occurrences of the most frequent word bigram.
+
+    High values flag boilerplate/spam for corpus curation. All JVM
+    expressions: two explode → count aggregates and one tiny per-doc
+    join — shuffle keys are (doc, token)/(doc, bigram), high-cardinality
+    and skew-free at any corpus size. Frequency ties break toward the
+    lexicographically larger token (max over (count, token) structs),
+    mirrored exactly by the oracle.
+    """
+    from opengemini_spark.catalog import parallelize_scan
+    from opengemini_spark.datapipe.hashing import shingles_expr
+
+    toks = parallelize_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        id_col, tokens_expr(text_col).alias("__toks")
+    )
+    wc = (
+        toks.select(id_col, F.explode("__toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * F.length("tok")).alias("n_word_chars"),
+        F.max(F.struct(F.col("cnt"), F.col("tok"))).alias("__top"),
+    )
+    bc = (
+        toks.select(
+            id_col, F.explode(F.expr(shingles_expr("__toks", 2))).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bigrams = bc.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cnt"), F.col("bg"))).alias("__topbg")
+    )
+    out = words.join(bigrams, id_col, "left")
+    return out.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct"))
+            / F.col("n_words").cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.col("__top.cnt") / F.col("n_words").cast("double"), 6
+        ).alias("top_word_frac"),
+        # each bigram occurrence covers its two words' chars (the joining
+        # space is not a word char)
+        F.coalesce(
+            F.round(
+                F.col("__topbg.cnt")
+                * (F.length("__topbg.bg") - 1).cast("double")
+                / F.col("n_word_chars").cast("double"), 6
+            ),
+            F.lit(0.0),
+        ).alias("top_bigram_char_frac"),
+    )

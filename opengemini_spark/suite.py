@@ -885,8 +885,9 @@ PRIORITY: tuple[str, ...] = (
     "promql_rate_e2e",  # engine matcher NULL-coalesce path
     "promql_count_over_time_matcher",
     "promql_binop_cmp_filter",  # parser unary/pow precedence path
-    "dedup_embedding_lsh",
-    "graph_multihop_edges",
+    # -- new in round 4 (first driver verdicts) --
+    "text_repetition_signals",  # Gopher repetition quality signals
+    "curate_quality_percentile_filter",  # per-lang bottom-decile drop
 )
 
 

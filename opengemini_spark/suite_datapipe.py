@@ -940,3 +940,79 @@ def q_curate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=CHUNK_TOKENS,
         overlap_tokens=CHUNK_OVERLAP,
     )
+
+
+@register(
+    "text_repetition_signals",
+    # Gopher-style repetition filters (word-level): dup-word fraction,
+    # top-word share, top-bigram character coverage. Ties break toward
+    # the lexicographically larger token on BOTH sides (Spark: max over
+    # (count, token) structs; here: ORDER BY cnt DESC, tok DESC).
+    f"""
+    WITH d AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    wc AS (SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY 1, 2),
+    words AS (
+      SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct,
+             sum(cnt * length(tok)) AS n_word_chars
+      FROM wc GROUP BY 1
+    ), tops AS (
+      SELECT doc_id, cnt AS top_cnt FROM (
+        SELECT doc_id, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, tok DESC) AS rn
+        FROM wc) WHERE rn = 1
+    ), b AS (
+      SELECT doc_id, unnest({shingles_sql('toks', 2)}) AS bg FROM d
+    ), bcounts AS (
+      SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2
+    ), btops AS (
+      SELECT doc_id, cnt AS bg_cnt, length(bg) - 1 AS bg_chars FROM (
+        SELECT doc_id, bg, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bg DESC) AS rn
+        FROM bcounts) WHERE rn = 1
+    )
+    SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+           round((ws.n_words - ws.n_distinct)
+                 / CAST(ws.n_words AS DOUBLE), 6) AS dup_word_frac,
+           round(t.top_cnt / CAST(ws.n_words AS DOUBLE), 6)
+             AS top_word_frac,
+           coalesce(round(bt.bg_cnt * CAST(bt.bg_chars AS DOUBLE)
+                          / CAST(ws.n_word_chars AS DOUBLE), 6), 0.0)
+             AS top_bigram_char_frac
+    FROM words ws
+    JOIN tops t USING (doc_id)
+    LEFT JOIN btops bt USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_quality_percentile_filter",
+    # per-language bottom-decile drop: exact rank threshold, ties by
+    # (quality, doc_id) — the oracle replays the identical window
+    f"""
+    WITH q AS ({{QUALITY}}),
+    d AS (
+      SELECT doc.doc_id, doc.lang, q.quality_bp
+      FROM documents doc JOIN q ON doc.doc_id = q.doc_id
+    ), r AS (
+      SELECT doc_id, lang, quality_bp,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_bp ASC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    )
+    SELECT doc_id, lang, quality_bp
+    FROM r WHERE rn > CAST(ceil(n * 0.1) AS BIGINT)
+    """.replace("{QUALITY}", _quality_oracle()),
+)
+def q_curate_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe import curate
+
+    return curate.quality_percentile_filter(
+        load_table(spark, sf_dir, "documents"), frac=0.1
+    )

@@ -221,3 +221,38 @@ def test_kmeans_cells_partition_everything(spark, sf_dir):
     assert assign.count() == n
     assert assign.select("vec_id").distinct().count() == n
     assert cents.count() <= 8
+
+
+def test_repetition_signals_exact(spark):
+    """Constructed doc: 'a b a b c' → 5 words, 3 distinct, top word 'b'
+    ties 'a' at 2 (lexicographically larger wins), top bigram 'a b' ×2
+    covering 2·2 chars of 5 word chars."""
+    from opengemini_spark.datapipe.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 5
+    assert r1["dup_word_frac"] == round((5 - 3) / 5, 6)
+    assert r1["top_word_frac"] == round(2 / 5, 6)
+    assert r1["top_bigram_char_frac"] == round(2 * 2 / 5, 6)
+    r2 = got[2]  # single word: no bigram → 0.0, no dups
+    assert (r2["n_words"], r2["dup_word_frac"],
+            r2["top_bigram_char_frac"]) == (1, 0.0, 0.0)
+
+
+def test_quality_percentile_filter_drops_bottom_decile(spark, sf_dir):
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate.quality_percentile_filter(docs, frac=0.1)
+    by_lang_total = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_lang_kept = {r["lang"]: r["n"] for r in kept.groupBy("lang")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    for lang, n in by_lang_total.items():
+        assert by_lang_kept.get(lang, 0) == n - math.ceil(n * 0.1), lang
