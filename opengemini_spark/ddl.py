@@ -1116,10 +1116,14 @@ class DDLExecutor:
     # statement_executor.go:433). The SELECT goes through the real InfluxQL
     # parser; semantics bind to streaming/stream_job.py.
 
-    def _parse_stream_select(self, select_text: str, require_into: bool):
+    def _parse_stream_select(self, select_text: str, require_into: bool,
+                             restrict_calls: bool = True):
         from opengemini_spark.influxql import ast as iast
         from opengemini_spark.influxql.parser import parse
-        from opengemini_spark.streaming.stream_job import STREAM_CALLS
+        from opengemini_spark.streaming.stream_job import (
+            CQ_CALLS,
+            STREAM_CALLS,
+        )
 
         stmt = parse(select_text)
         if not isinstance(stmt, iast.SelectStatement):
@@ -1136,11 +1140,12 @@ class DDLExecutor:
             if not (isinstance(e, iast.Call) and e.args
                     and isinstance(e.args[0], iast.VarRef)):
                 raise ValueError("stream fields must be call(field)")
-            if e.name not in STREAM_CALLS:
+            allowed = STREAM_CALLS if restrict_calls else CQ_CALLS
+            if e.name not in allowed:
                 raise ValueError(
                     f"stream call {e.name!r} not supported "
                     f"(reference restriction lib/stream/stream.go:71: "
-                    f"{STREAM_CALLS})"
+                    f"{allowed})"
                 )
             out = f.alias or f"{e.name}_{e.args[0].name}"
             calls[out] = (e.name, e.args[0].name)
@@ -1148,7 +1153,7 @@ class DDLExecutor:
             raise ValueError("stream source must be a single measurement")
         return stmt, calls
 
-    def _stream_def(self, entry: dict):
+    def _stream_def(self, entry: dict, restrict: bool = True):
         from opengemini_spark.streaming.stream_job import StreamDef
 
         def dur(ns: int) -> str:
@@ -1160,6 +1165,7 @@ class DDLExecutor:
             delay=dur(entry["delay_ns"]) if entry["delay_ns"] else "0 seconds",
             dims=list(entry["dims"]),
             calls={k: tuple(v) for k, v in entry["calls"].items()},
+            restrict=restrict,
         )
 
     def _create_stream(self, s, m):
@@ -1260,11 +1266,84 @@ class DDLExecutor:
         self.meta.save()
         return {"ok": True}
 
+    @staticmethod
+    def _fmt_influx_dur(ns: int) -> str:
+        """influxql.FormatDuration: the largest unit dividing exactly
+        (90m stays "90m", 1h stays "1h" — SHOW CONTINUOUS QUERIES
+        normalization, continuous_query_commands suite)."""
+        if ns == 0:
+            return "0s"
+        for suf, u in (
+            ("w", 7 * 24 * 3600 * 10**9), ("d", 24 * 3600 * 10**9),
+            ("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9),
+            ("ms", 10**6), ("u", 10**3),
+        ):
+            if ns % u == 0:
+                return f"{ns // u}{suf}"
+        return f"{ns}ns"
+
+    def _default_rp(self, db: str) -> str:
+        d = self.meta.databases.get(db)
+        if d:
+            for rp in d.retention_policies.values():
+                if rp.default:
+                    return rp.name
+        return "autogen"
+
+    def _normalize_cq(self, name, db, every_ns, for_ns, stmt) -> str:
+        """The reference stores and SHOWs the CQ as its NORMALIZED
+        statement text: quotes stripped, INTO/FROM fully qualified with
+        the database's default RP, durations in influxql format
+        (continuous_query_commands expected strings)."""
+        def qualify(target: str) -> str:
+            parts = target.split(".")
+            if len(parts) == 3:
+                return ".".join(parts)
+            if len(parts) == 2:
+                return f"{db}.{parts[0]}.{parts[1]}"
+            return f"{db}.{self._default_rp(db)}.{target}"
+
+        fields = ", ".join(
+            f"{f.expr.name}({f.expr.args[0].name})"
+            + (f" AS {f.alias}" if f.alias else "")
+            for f in stmt.fields
+        )
+        resample = ""
+        if every_ns or for_ns:
+            resample = "RESAMPLE"
+            if every_ns:
+                resample += f" EVERY {self._fmt_influx_dur(every_ns)}"
+            if for_ns:
+                resample += f" FOR {self._fmt_influx_dur(for_ns)}"
+            resample += " "
+        gb = f"time({self._fmt_influx_dur(stmt.group_time.interval_ns)})"
+        if stmt.group_tags:
+            gb += ", " + ", ".join(stmt.group_tags)
+        return (
+            f"CREATE CONTINUOUS QUERY {name} ON {db} {resample}BEGIN "
+            f"SELECT {fields} INTO {qualify(stmt.into)} "
+            f"FROM {qualify(stmt.source)} GROUP BY {gb} END"
+        )
+
     def _create_cq(self, s, m):
         name, db, every, for_, select_text = (
             m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
         )
-        stmt, calls = self._parse_stream_select(select_text, require_into=True)
+        stmt, calls = self._parse_stream_select(
+            select_text, require_into=True, restrict_calls=False
+        )
+        every_ns = _dur_ns(every) if every else None
+        for_ns = _dur_ns(for_) if for_ else None
+        normalized = self._normalize_cq(name, db, every_ns, for_ns, stmt)
+        existing = self.meta.cqs.get(name)
+        if existing is not None:
+            # CQ names are GLOBALLY unique: an identical re-create is a
+            # silent no-op; a different db or query errors
+            # (continuous_query_commands "same name ... should ignore" /
+            # "conflict name error")
+            if existing["query"] == normalized:
+                return {"ok": True}
+            raise ValueError("continuous query name already exists")
         self.meta.cqs[name] = {
             "name": name,
             "db": db,
@@ -1272,26 +1351,31 @@ class DDLExecutor:
             "source": stmt.source,
             "interval_ns": stmt.group_time.interval_ns,
             "delay_ns": 0,
-            "resample_every_ns": _dur_ns(every) if every else None,
-            "resample_for_ns": _dur_ns(for_) if for_ else None,
+            "resample_every_ns": every_ns,
+            "resample_for_ns": for_ns,
             "dims": list(stmt.group_tags),
             "calls": calls,
-            "query": s,
+            "query": normalized,
         }
         self.meta.save()
         return {"ok": True}
 
     def _show_cqs(self, s, m):
-        # grouped per database like the reference's SHOW CONTINUOUS QUERIES
-        by_db: dict[str, list] = {}
+        # one block per DATABASE — including databases with no CQs, whose
+        # block carries columns but no values (continuous_query_commands
+        # SHOW expectation: db2's empty block after the drop)
+        by_db: dict[str, list] = {
+            db: [] for db in sorted(self.meta.databases)
+        }
         for e in self.meta.cqs.values():
             by_db.setdefault(e["db"], []).append([e["name"], e["query"]])
-        return {
-            "series": [
-                {"name": db, "columns": ["name", "query"], "values": vals}
-                for db, vals in sorted(by_db.items())
-            ]
-        }
+        out = []
+        for db in sorted(by_db):
+            blk = {"name": db, "columns": ["name", "query"]}
+            if by_db[db]:
+                blk["values"] = sorted(by_db[db])
+            out.append(blk)
+        return {"series": out}
 
     def _drop_cq(self, s, m):
         name, db = m.group(1), m.group(2)
@@ -1545,7 +1629,9 @@ class DDLExecutor:
         if entry is None:
             raise ValueError(f"no such continuous query: {name}")
         dest = dest_path or str(self.meta.db_dir(entry["db"]) / entry["dest"])
-        continuous_query_once(src, self._stream_def(entry), dest, ts_col)
+        continuous_query_once(
+            src, self._stream_def(entry, restrict=False), dest, ts_col
+        )
         return dest
 
     _DISPATCH = [
@@ -1666,14 +1752,16 @@ class DDLExecutor:
         (r"show streams(?: on [a-z_][a-z0-9_]*)?$", _show_streams),
         (r"drop stream ([a-z_][a-z0-9_]*)$", _drop_stream),
         (
-            r"create continuous query ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*)"
+            r'create continuous query "?([a-z_][a-z0-9_]*)"? on '
+            r'"?([a-z_][a-z0-9_]*)"?'
             r"(?: resample(?: every ([0-9]+[a-z]+))?(?: for ([0-9]+[a-z]+))?)?"
             r" begin (select .+) end$",
             _create_cq,
         ),
         (r"show continuous queries$", _show_cqs),
         (
-            r"drop continuous query ([a-z_][a-z0-9_]*) on ([a-z_][a-z0-9_]*)$",
+            r'drop continuous query "?([a-z_][a-z0-9_]*)"? on '
+            r'"?([a-z_][a-z0-9_]*)"?$',
             _drop_cq,
         ),
         (

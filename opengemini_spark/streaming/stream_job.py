@@ -10,6 +10,11 @@ from pyspark.sql.streaming import StreamingQuery
 # the reference restricts stream calls to these four (lib/stream/stream.go:71)
 STREAM_CALLS = ("min", "max", "sum", "count")
 
+#: continuous queries are ordinary SELECT INTO statements — they admit the
+#: full basic-agg set, not the stream-pipeline restriction
+#: (services/continuousquery runs the bound SELECT verbatim)
+CQ_CALLS = STREAM_CALLS + ("mean",)
+
 
 @dataclass
 class StreamDef:
@@ -20,13 +25,16 @@ class StreamDef:
     delay: str                    # allowed lateness, e.g. "5 minutes"
     dims: list[str] = field(default_factory=list)
     calls: dict[str, tuple[str, str]] = field(default_factory=dict)
-    # calls: out_name -> (call, field), call ∈ STREAM_CALLS
+    # calls: out_name -> (call, field); call ∈ STREAM_CALLS for streams,
+    # CQ_CALLS for continuous queries (restrict=False)
+    restrict: bool = True
 
     def validate(self) -> None:
+        allowed = STREAM_CALLS if self.restrict else CQ_CALLS
         for out, (call, _) in self.calls.items():
-            if call not in STREAM_CALLS:
+            if call not in allowed:
                 raise ValueError(
-                    f"stream call {call!r} for {out!r} not in {STREAM_CALLS} "
+                    f"stream call {call!r} for {out!r} not in {allowed} "
                     "(reference restriction, lib/stream/stream.go:71-81)"
                 )
 
@@ -35,7 +43,7 @@ def _agg_cols(sd: StreamDef) -> list[F.Column]:
     cols = []
     for out, (call, fld) in sd.calls.items():
         fn = {"min": F.min, "max": F.max, "sum": F.sum,
-              "count": F.count}[call]
+              "count": F.count, "mean": F.avg}[call]
         cols.append(fn(fld).alias(out))
     return cols
 

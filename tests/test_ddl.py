@@ -207,7 +207,11 @@ def test_create_continuous_query_statement(ddl, spark, tmp_path):
     assert spark.read.parquet(dest).count() == 6
 
     ddl.execute("DROP CONTINUOUS QUERY cq1 ON cqdb")
-    assert ddl.execute("SHOW CONTINUOUS QUERIES")["series"] == []
+    # databases keep an EMPTY block after the drop (reference
+    # continuous_query_commands SHOW shape)
+    assert ddl.execute("SHOW CONTINUOUS QUERIES")["series"] == [
+        {"name": "cqdb", "columns": ["name", "query"]}
+    ]
 
 
 def test_cq_requires_into_and_window(ddl):

@@ -386,3 +386,80 @@ def test_parity9b_set_config_bare_key(spark, tmp_path_factory):
         for v in ddl.execute("SHOW CONFIGS")["series"][0]["values"]
     }
     assert vals["logging.level"] == "debug"
+
+
+# --- TestServer_ContinuousQueryCommand (server_continuous_query_test.go;
+# suite continuous_query_commands) — normalized SHOW text, global CQ-name
+# uniqueness, identical-re-create no-op, empty-db blocks ---
+
+CQ_CASES = [
+    (
+        "create continuous query cq0_1 should succeed",
+        'CREATE CONTINUOUS QUERY "cq0_1" ON "db0" RESAMPLE EVERY 1h FOR 90m'
+        ' BEGIN SELECT mean("passengers") INTO "average_passengers" FROM'
+        ' "bus_data" GROUP BY time(30m) END',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "create continuous query the same name and query should ignore",
+        'create continuous query "cq0_1" on "db0" resample every 1h for 90m'
+        ' begin select mean("passengers") into "average_passengers" from'
+        ' "bus_data" group by time(30m) end',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "create continuous query cq1_1 should succeed",
+        'CREATE CONTINUOUS QUERY "cq1_1" ON "db1" RESAMPLE EVERY 1h FOR 90m'
+        ' BEGIN SELECT min("passengers") INTO "min_passengers" FROM'
+        ' "bus_data" GROUP BY time(15m) END',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "create continuous query cq2_1 should succeed",
+        'CREATE CONTINUOUS QUERY "cq2_1" ON "db2" RESAMPLE EVERY 1h FOR 90m'
+        ' BEGIN SELECT min("passengers") INTO "min_passengers" FROM'
+        ' "bus_data" GROUP BY time(15m) END',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "create continuous query cq2_1 should return conflict name error",
+        'CREATE CONTINUOUS QUERY "cq2_1" ON "db0" RESAMPLE EVERY 1h FOR 90m'
+        ' BEGIN SELECT min("passengers") INTO "min_passengers" FROM'
+        ' "bus_data" GROUP BY time(15m) END',
+        '{"results":[{"statement_id":0,"error":"continuous query name '
+        'already exists"}]}',
+    ),
+    (
+        "drop continuous query cq2_1 should succeed",
+        'DROP CONTINUOUS QUERY "cq2_1" ON "db2"',
+        '{"results":[{"statement_id":0}]}',
+    ),
+    (
+        "show continuous query should succeed",
+        "SHOW CONTINUOUS QUERIES",
+        '{"results":[{"statement_id":0,"series":['
+        '{"name":"db0","columns":["name","query"],"values":[["cq0_1",'
+        '"CREATE CONTINUOUS QUERY cq0_1 ON db0 RESAMPLE EVERY 1h FOR 90m'
+        ' BEGIN SELECT mean(passengers) INTO db0.autogen.average_passengers'
+        ' FROM db0.autogen.bus_data GROUP BY time(30m) END"]]},'
+        '{"name":"db1","columns":["name","query"],"values":[["cq1_1",'
+        '"CREATE CONTINUOUS QUERY cq1_1 ON db1 RESAMPLE EVERY 1h FOR 90m'
+        ' BEGIN SELECT min(passengers) INTO db1.autogen.min_passengers'
+        ' FROM db1.autogen.bus_data GROUP BY time(15m) END"]]},'
+        '{"name":"db2","columns":["name","query"]}]}]}',
+    ),
+]
+
+
+def test_parity9b_continuous_query_commands(spark, sf_dir,
+                                            tmp_path_factory):
+    from opengemini_spark.ddl import DDLExecutor, MetaStore
+
+    ddl = DDLExecutor(
+        spark, MetaStore(str(tmp_path_factory.mktemp("p9_cq")))
+    )
+    for db in ("db0", "db1", "db2"):
+        ddl.execute(f"CREATE DATABASE {db}")
+    for name, q, exp in CQ_CASES:
+        got = handle_query(spark, sf_dir, q, epoch=None, ddl=ddl)
+        assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
