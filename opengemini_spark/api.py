@@ -560,7 +560,25 @@ def handle_write(
     )
 
     maybe_bad = _re.compile(r"=[+-]?(?:nan|inf)", _re.I)
+    # the measurement token ends at the first UNESCAPED comma or space;
+    # names with , ; / \\ or non-printables reject the whole write
+    # (ValidMeasurementName, meta/validator.go:30 — server_write_test.go
+    # TestServer_Write_InvalidMeasurement). Cheap string scan: the
+    # distributed parse stays the hot path.
+    mst_tok = _re.compile(r"^(?:\\.|[^,\\ ])*")
     for ln in lines:
+        ln_s = ln.strip()
+        if not ln_s or ln_s.startswith("#"):
+            continue
+        raw = mst_tok.match(ln_s).group(0)
+        name = _re.sub(r"\\(.)", r"\1", raw)
+        if (
+            not name
+            or name in (".", "..")
+            or any(c in name for c in ',;/\\')
+            or not name.isprintable()
+        ):
+            raise ValueError(f"invalid measurement name: {name}")
         if maybe_bad.search(ln):
             try:
                 parse_line(ln)

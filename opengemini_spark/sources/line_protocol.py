@@ -163,6 +163,19 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
             merged.append(p)
     key_parts = merged
     measurement = _unescape(key_parts[0])
+    # ValidMeasurementName (meta/validator.go:30): non-empty, printable,
+    # none of , ; / \\ and not "."/"..". The reference rejects the write
+    # with errno.InvalidMeasurement (server_write_test.go
+    # TestServer_Write_InvalidMeasurement).
+    if (
+        not measurement
+        or measurement in (".", "..")
+        or any(c in measurement for c in ',;/\\')
+        or not measurement.isprintable()
+    ):
+        raise InvalidFieldValueError(
+            f"invalid measurement name: {measurement}"
+        )
     tags = {}
     array_tags: dict[str, list[str]] = {}
     for t in key_parts[1:]:

@@ -463,3 +463,24 @@ def test_parity9b_continuous_query_commands(spark, sf_dir,
     for name, q, exp in CQ_CASES:
         got = handle_query(spark, sf_dir, q, epoch=None, ddl=ddl)
         assert got == json.loads(exp), f"case {name!r}: {json.dumps(got)}"
+
+
+def test_parity9b_write_invalid_measurement(spark, tmp_path_factory):
+    """TestServer_Write_InvalidMeasurement (server_write_test.go:27):
+    names containing , ; / \\ or non-printables reject the WHOLE write
+    (ValidMeasurementName, meta/validator.go:30)."""
+    root = str(tmp_path_factory.mktemp("p9_wim"))
+    bad = [
+        "c;pu,host=server01 value=1.0",
+        "cp/u,host=server01 value=1.0",
+        "cp\\,u,host=server01 value=1.0",     # escaped comma → literal ,
+        "cpu_xxx\x00,host=server01 value=1.0",
+        ". value=1",
+    ]
+    for line in bad:
+        with pytest.raises(ValueError, match="invalid measurement name"):
+            handle_write(spark, [line], root)
+    # a dot INSIDE the name stays valid (only "." / ".." are reserved)
+    assert handle_write(spark, [f"c.pu value=1 {T0}"], root) == {
+        "written": {"c.pu": 1}
+    }
