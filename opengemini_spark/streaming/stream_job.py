@@ -143,3 +143,32 @@ def downsample_once(
         .partitionBy("p_day")
         .parquet(dest_path)
     )
+
+
+def stream_dedup(
+    src_stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup: drop repeated points (same key within the
+    watermark horizon) before they land — the training-pipeline analog of
+    exact dedup for continuous ingestion (duplicate deliveries from
+    at-least-once collectors are the norm at scale).
+
+    Spark-native: ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    keys the state store on ``key_cols`` and expires entries once the
+    event-time watermark passes ``within`` — state is bounded by the
+    duplicate-arrival horizon, not the stream's lifetime (the unbounded
+    alternative, ``dropDuplicates`` without a watermark, leaks state
+    forever and is a scale killer). Works on batch frames too (plain
+    dropDuplicates — Spark's unified model).
+    """
+    if not src_stream.isStreaming:
+        return src_stream.dropDuplicates(key_cols)
+    d = src_stream
+    if dict(d.dtypes).get(ts_col) == "timestamp_ntz":
+        d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return d.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        key_cols
+    )

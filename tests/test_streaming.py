@@ -157,3 +157,51 @@ def test_subscription_fanout(spark, sf_dir, sd, tmp_path):
     n = ev.count()
     assert spark.read.parquet(primary).count() == n
     assert spark.read.parquet(mirror).count() == n
+
+
+def test_stream_dedup_drops_duplicate_deliveries(spark, tmp_path):
+    """stream_dedup: duplicated deliveries of the same (host, tu) point
+    collapse to one row through the streaming path; batch frames take the
+    plain dropDuplicates shortcut."""
+    import time
+
+    from opengemini_spark.streaming.stream_job import stream_dedup
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    rows = [
+        ("h1", 1_700_000_000_000_000, 1.0),
+        ("h1", 1_700_000_000_000_000, 1.0),     # duplicate delivery
+        ("h2", 1_700_000_003_000_000, 2.0),
+        ("h2", 1_700_000_003_000_000, 2.0),
+        ("h2", 1_700_000_006_000_000, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, tu long, value double")
+    df = df.withColumn("ts", (F.col("tu") / 1_000_000).cast("timestamp"))
+    df.write.parquet(str(src_dir / "batch0"))
+
+    stream = (
+        spark.readStream.schema(
+            "host string, tu long, value double, ts timestamp"
+        ).parquet(str(src_dir / "*"))
+    )
+    deduped = stream_dedup(stream, ["host", "tu"], within="1 minute")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted((r["host"], r["tu"]) for r in out.collect())
+    assert got == [
+        ("h1", 1_700_000_000_000_000),
+        ("h2", 1_700_000_003_000_000),
+        ("h2", 1_700_000_006_000_000),
+    ]
+
+    # batch shortcut
+    assert stream_dedup(df, ["host", "tu"]).count() == 3
