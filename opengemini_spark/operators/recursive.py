@@ -275,61 +275,12 @@ def sigma_anomaly(
     ``std_window + 1`` emit all-zero flags (the reference returns empty).
     Rows-only driver check; value behavior pinned in tests/test_castor.py.
     """
-    import numpy as np
-
     pct = min(sensitivity / 15.0, 0.9)
 
     def detect(x: pd.Series) -> pd.DataFrame:
-        vals = x.to_numpy(dtype=float)
-        n = len(vals)
-        up_idx: list[int] = []
-        up_score: list[float] = []
-        dn_idx: list[int] = []
-        dn_score: list[float] = []
-        if n > std_window:
-            mean = float(np.mean(vals[:std_window]))
-            std = float(np.std(vals[:std_window]))
-            for i in range(n - std_window):
-                flagged = set(up_idx) | set(dn_idx)
-                window = [
-                    vals[j] for j in range(i, i + std_window)
-                    if j not in flagged
-                ]
-                if window:
-                    mean = float(np.mean(window))
-                    std = float(np.std(window))
-                    if std < mean * 0.05:
-                        std = mean * 0.05
-                t = i + std_window
-                if anomaly_type in ("both", "upper") and (
-                    vals[t] > mean + sensitivity * std
-                ):
-                    up_idx.append(t)
-                    up_score.append((vals[t] - mean) / (std + 1))
-                if anomaly_type in ("both", "lower") and (
-                    vals[t] < mean - sensitivity * std
-                ):
-                    dn_idx.append(t)
-                    dn_score.append((mean - vals[t]) / (std + 1))
-        overall = max(
-            max(up_score, default=float("-inf")),
-            max(dn_score, default=float("-inf")),
-        )
-        thr = overall * pct
-        keep_up = {i for i, s in zip(up_idx, up_score) if s >= thr}
-        keep_dn = {i for i, s in zip(dn_idx, dn_score) if s >= thr}
-        score_of = dict(zip(up_idx, up_score)) | dict(zip(dn_idx, dn_score))
-        anomaly = [1.0 if i in keep_up or i in keep_dn else 0.0 for i in range(n)]
-        updown = [
-            1.0 if i in keep_up else (-1.0 if i in keep_dn else 0.0)
-            for i in range(n)
-        ]
-        score = [
-            score_of[i] if (i in keep_up or i in keep_dn) else 0.0
-            for i in range(n)
-        ]
-        return pd.DataFrame(
-            {"anomaly": anomaly, "updown": updown, "score": score}
+        return _sigma_detect(
+            x.to_numpy(dtype=float), std_window, sensitivity,
+            anomaly_type, pct,
         )
 
     return _apply_recurrence(
@@ -507,3 +458,199 @@ def relative_strength_index(
         return pd.DataFrame({"rsi": out})
 
     return _apply_recurrence(df, series_cols, order_cols, value_col, ["rsi"], rsi)
+
+
+def stl_anomaly(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    std_window: int = 20,
+    sensitivity: float = 3.0,
+    resid_weight: float = 2.0,
+    trend_weight: float = 3.0,
+    all_weight: float = 3.0,
+    anomaly_type: str = "both",
+) -> DataFrame:
+    """Castor ``single_metric_anomaly_STL`` detector — semantics ported
+    from the reference's shipped UDF (python/ts-udf/server/udf/
+    sudden_increase_STL3.py:88-143 ``STL_sliding_window`` and :185
+    ``single_metric_anomaly_STL`` dispatch), with the statsmodels STL
+    call replaced by the in-repo Cleveland-1990 implementation
+    (operators/stl.py — the declared external-lib boundary closed):
+
+    - series ≤ std_window → nothing; series < 30 + std_window → the
+      sigma_sliding_window path (sigma_anomaly's detector);
+    - otherwise STL(period=3, robust) decomposes the series; CANDIDATE
+      indices are mean ± weight·std outliers of the residual (w=2) and
+      trend (w=3) components, plus second-half points outside the
+      first-half mean ± 3·std (``find_indices2``);
+    - candidates at/after start_index (= n/2 for n > 60, else n − 30)
+      are CONFIRMED against a rolling std_window baseline that EXCLUDES
+      candidate indices, std floored at 5% of the baseline mean, scored
+      (|v − mean|)/(std + 1);
+    - the final filter keeps scores ≥ max_score · min(sensitivity/15, .9).
+
+    Output shape matches ``sigma_anomaly``: per input row ``anomaly``
+    0/1, ``updown`` ±1/0, ``score``. Rows-only driver check; value
+    behavior pinned in tests/test_castor.py.
+    """
+    import numpy as np
+
+    from opengemini_spark.operators.stl import stl_decompose
+
+    pct = min(sensitivity / 15.0, 0.9)
+
+    def _outliers(seq: np.ndarray, weight: float, up: bool) -> list[int]:
+        mean, std = float(np.mean(seq)), float(np.std(seq))
+        if up:
+            return [int(i) for i, x in enumerate(seq) if x > mean + weight * std]
+        return [int(i) for i, x in enumerate(seq) if x < mean - weight * std]
+
+    def _outliers2(head: np.ndarray, tail: np.ndarray, weight: float,
+                   up: bool) -> list[int]:
+        mean, std = float(np.mean(head)), float(np.std(head))
+        off = len(head)
+        if up:
+            return [off + int(i) for i, x in enumerate(tail)
+                    if x > mean + weight * std]
+        return [off + int(i) for i, x in enumerate(tail)
+                if x < mean - weight * std]
+
+    def detect(x: pd.Series) -> pd.DataFrame:
+        vals = x.to_numpy(dtype=float)
+        n = len(vals)
+        empty = pd.DataFrame({
+            "anomaly": [0.0] * n, "updown": [0.0] * n, "score": [0.0] * n,
+        })
+        if n <= std_window:
+            return empty
+        if n < 30 + std_window:
+            return _sigma_detect(
+                vals, std_window, sensitivity, anomaly_type, pct
+            )
+        start = int(n / 2 if n > 60 else n - 30)
+        start = max(start, 0)
+        trend, _seas, resid = stl_decompose(vals, period=3, robust=True)
+        up_cand = sorted(
+            set(_outliers(resid, resid_weight, True))
+            | set(_outliers(trend, trend_weight, True))
+            | set(_outliers2(vals[:start], vals[start:], all_weight, True))
+        )
+        dn_cand = sorted(
+            set(_outliers(resid, resid_weight, False))
+            | set(_outliers(trend, trend_weight, False))
+            | set(_outliers2(vals[:start], vals[start:], all_weight, False))
+        )
+        cand = set(up_cand) | set(dn_cand)
+        up_idx: list[int] = []
+        up_score: list[float] = []
+        dn_idx: list[int] = []
+        dn_score: list[float] = []
+        for side, cands in (("upper", up_cand), ("lower", dn_cand)):
+            if anomaly_type not in ("both", side):
+                continue
+            mean = float(np.mean(vals[:start]))
+            std = float(np.std(vals[:start]))
+            for t in cands:
+                if t < start:
+                    continue
+                window = [
+                    vals[j] for j in range(t - std_window, t)
+                    if j not in cand
+                ]
+                if window:
+                    mean = float(np.mean(window))
+                    std = float(np.std(window))
+                    if std < mean * 0.05:
+                        std = mean * 0.05
+                if side == "upper" and vals[t] > mean + sensitivity * std:
+                    up_idx.append(t)
+                    up_score.append((vals[t] - mean) / (std + 1))
+                elif side == "lower" and vals[t] < mean - sensitivity * std:
+                    dn_idx.append(t)
+                    dn_score.append((mean - vals[t]) / (std + 1))
+        overall = max(
+            max(up_score, default=float("-inf")),
+            max(dn_score, default=float("-inf")),
+        )
+        thr = overall * pct
+        keep_up = {i for i, s in zip(up_idx, up_score) if s >= thr}
+        keep_dn = {i for i, s in zip(dn_idx, dn_score) if s >= thr}
+        score_of = dict(zip(up_idx, up_score)) | dict(zip(dn_idx, dn_score))
+        return pd.DataFrame({
+            "anomaly": [
+                1.0 if i in keep_up or i in keep_dn else 0.0
+                for i in range(n)
+            ],
+            "updown": [
+                1.0 if i in keep_up else (-1.0 if i in keep_dn else 0.0)
+                for i in range(n)
+            ],
+            "score": [
+                score_of[i] if (i in keep_up or i in keep_dn) else 0.0
+                for i in range(n)
+            ],
+        })
+
+    return _apply_recurrence(
+        df, series_cols, order_cols, value_col,
+        ["anomaly", "updown", "score"], detect,
+    )
+
+
+def _sigma_detect(vals, std_window, sensitivity, anomaly_type, pct):
+    """The sigma_sliding_window body shared by sigma_anomaly and the
+    short-series branch of stl_anomaly (sudden_increase_STL3.py:190-191
+    dispatch)."""
+    import numpy as np
+
+    n = len(vals)
+    up_idx: list[int] = []
+    up_score: list[float] = []
+    dn_idx: list[int] = []
+    dn_score: list[float] = []
+    mean = float(np.mean(vals[:std_window]))
+    std = float(np.std(vals[:std_window]))
+    for i in range(n - std_window):
+        flagged = set(up_idx) | set(dn_idx)
+        window = [
+            vals[j] for j in range(i, i + std_window) if j not in flagged
+        ]
+        if window:
+            mean = float(np.mean(window))
+            std = float(np.std(window))
+            if std < mean * 0.05:
+                std = mean * 0.05
+        t = i + std_window
+        if anomaly_type in ("both", "upper") and (
+            vals[t] > mean + sensitivity * std
+        ):
+            up_idx.append(t)
+            up_score.append((vals[t] - mean) / (std + 1))
+        if anomaly_type in ("both", "lower") and (
+            vals[t] < mean - sensitivity * std
+        ):
+            dn_idx.append(t)
+            dn_score.append((mean - vals[t]) / (std + 1))
+    overall = max(
+        max(up_score, default=float("-inf")),
+        max(dn_score, default=float("-inf")),
+    )
+    thr = overall * pct
+    keep_up = {i for i, s in zip(up_idx, up_score) if s >= thr}
+    keep_dn = {i for i, s in zip(dn_idx, dn_score) if s >= thr}
+    score_of = dict(zip(up_idx, up_score)) | dict(zip(dn_idx, dn_score))
+    return pd.DataFrame({
+        "anomaly": [
+            1.0 if i in keep_up or i in keep_dn else 0.0 for i in range(n)
+        ],
+        "updown": [
+            1.0 if i in keep_up else (-1.0 if i in keep_dn else 0.0)
+            for i in range(n)
+        ],
+        "score": [
+            score_of[i] if (i in keep_up or i in keep_dn) else 0.0
+            for i in range(n)
+        ],
+    })

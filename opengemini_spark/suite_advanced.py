@@ -152,6 +152,28 @@ def q_sigma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+@register(
+    "castor_stl_anomaly",
+    # the reference's shipped single_metric_anomaly_STL detector
+    # (sudden_increase_STL3.py:88-143,185): STL(period=3, robust)
+    # candidate indices (residual/trend/raw-half outliers) confirmed
+    # against a candidate-excluding rolling baseline. statsmodels is
+    # absent, so the decomposition is the in-repo Cleveland-1990 STL
+    # (operators/stl.py) — algorithm-level parity, and the detector's
+    # sequential baseline exclusion is non-SQL → rows-only driver check;
+    # value behavior pinned by tests/test_castor.py.
+    None,
+)
+def q_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    out = rec.stl_anomaly(
+        ev, ["event_type"], ["time_us", "event_id"], "value",
+        std_window=20, sensitivity=3.0,
+    )
+    return out.select("event_type", "rn", "anomaly", "updown",
+                      F.round("score", 6).alias("score"))
+
+
 KAMA_N = 10
 
 

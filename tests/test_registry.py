@@ -41,11 +41,13 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     # weak (no-oracle) entries are the deliberate, documented ones only:
     # the percentile sketch is engine-specific by nature and the castor
-    # sigma detector excludes prior anomalies from its rolling baseline —
-    # a sequential-stateful shape SQL cannot replay (rows-only gate).
+    # sigma/STL detectors exclude prior anomalies from their rolling
+    # baselines — sequential-stateful shapes SQL cannot replay
+    # (rows-only gate).
     # (The holt_winters forecast moved OFF this list in round 4: its
     # deterministic fit is pinned and the oracle replays the recurrence.)
     assert set(qs) - set(os_) == {
         "agg_percentile_approx",
         "castor_sigma_anomaly",
+        "castor_stl_anomaly",
     }
