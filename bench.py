@@ -60,6 +60,13 @@ HEADLINE = [
     "inc_window_agg",
     "promql_subquery_e2e",
     "curate_chunk_documents",
+    # r4 additions: Gopher repetition quality signals (two explode->count
+    # aggregates + tiny join), per-language quality-percentile filter
+    # (rank window over pre-aggregated scores), STL anomaly detection
+    # (per-series Cleveland-1990 decomposition through the castor bridge)
+    "text_repetition_signals",
+    "curate_quality_percentile_filter",
+    "castor_stl_anomaly",
 ]
 
 

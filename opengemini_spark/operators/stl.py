@@ -99,9 +99,63 @@ def _loess(
 ) -> np.ndarray:
     """Smooth the whole series (jump = 1: every position evaluated);
     ``extend`` adds that many positions beyond each end (the subseries
-    step smooths onto −1 and n — STL paper step 2)."""
-    xs = np.arange(-extend, len(y) + extend, dtype=float)
-    return np.array([_loess_at(y, x0, q, degree, rw) for x0 in xs])
+    step smooths onto −1 and n — STL paper step 2).
+
+    Interior positions are VECTORIZED: on a regular grid with odd span
+    the q-nearest window is the centered window, so one
+    sliding_window_view + row-wise weighted regression covers every
+    position with a full symmetric window (a per-position Python loop
+    made 100k-point series take minutes). Boundary and extension
+    positions — at most q−1+extend per side — fall back to the exact
+    single-point evaluator."""
+    n = len(y)
+    q_eff = min(q, n)
+    h = (q_eff - 1) // 2
+    xs_lo = np.arange(-extend, min(h, n + extend), dtype=float)
+    xs_hi = np.arange(max(n - 1 - h + 1, h), n + extend, dtype=float)
+    out = np.empty(n + 2 * extend)
+    # interior: positions h .. n-1-h (empty when the series is shorter
+    # than the span)
+    if q_eff % 2 == 1 and n - 1 - h >= h and q_eff >= 2:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(y, q_eff)            # (m, q) m=n-q+1
+        offs = np.arange(q_eff, dtype=float) - h        # distances to center
+        lam = float(h) if h > 0 else 1.0
+        if q > n:
+            lam += (q - n) / 2.0
+        tri = _tricube(np.abs(offs) / lam)
+        if rw is not None:
+            w = tri[None, :] * sliding_window_view(rw, q_eff)
+            sw = w.sum(axis=1)
+            dead = sw <= 0
+            if dead.any():                              # all-robust-zeroed
+                w[dead] = tri
+                sw[dead] = tri.sum()
+        else:
+            w = np.broadcast_to(tri, wins.shape)
+            sw = np.full(wins.shape[0], tri.sum())
+        if degree == 0 or q_eff == 1:
+            est = (w * wins).sum(axis=1) / sw
+        else:
+            xm = (w * offs).sum(axis=1) / sw
+            ym = (w * wins).sum(axis=1) / sw
+            xc = offs[None, :] - xm[:, None]
+            den = (w * xc * xc).sum(axis=1)
+            b = np.divide(
+                (w * xc * wins).sum(axis=1), den,
+                out=np.zeros_like(den), where=den > 1e-12,
+            )
+            est = ym + b * (0.0 - xm)                   # evaluate at center
+        out[extend + h : extend + n - h] = est
+    else:
+        xs_lo = np.arange(-extend, n + extend, dtype=float)
+        xs_hi = np.empty(0)
+    for x0 in xs_lo:
+        out[int(x0) + extend] = _loess_at(y, x0, q, degree, rw)
+    for x0 in xs_hi:
+        out[int(x0) + extend] = _loess_at(y, x0, q, degree, rw)
+    return out
 
 
 def _ma(y: np.ndarray, w: int) -> np.ndarray:
