@@ -879,7 +879,6 @@ PRIORITY: tuple[str, ...] = (
     # -- r2-era entries on round-4-touched code paths --
     "transform_kama",  # recursive null-key fix path
     "transform_cmo",
-    "transform_double_ema",
     "castor_mad_anomaly",
     "prom_label_replace_join",  # label_replace $-template rewrite
     "promql_rate_e2e",  # engine matcher NULL-coalesce path
@@ -888,6 +887,7 @@ PRIORITY: tuple[str, ...] = (
     # -- new in round 4 (first driver verdicts) --
     "text_repetition_signals",  # Gopher repetition quality signals
     "curate_quality_percentile_filter",  # per-lang bottom-decile drop
+    "castor_stl_anomaly",  # STL detector on the in-repo Cleveland STL
 )
 
 
