@@ -561,23 +561,24 @@ def handle_write(
 
     maybe_bad = _re.compile(r"=[+-]?(?:nan|inf)", _re.I)
     # the measurement token ends at the first UNESCAPED comma or space;
-    # names with , ; / \\ or non-printables reject the whole write
-    # (ValidMeasurementName, meta/validator.go:30 — server_write_test.go
-    # TestServer_Write_InvalidMeasurement). Cheap string scan: the
-    # distributed parse stays the hot path.
+    # invalid names reject the whole write (shared rule:
+    # line_protocol.valid_measurement_name — server_write_test.go
+    # TestServer_Write_InvalidMeasurement). Cheap string scan with the
+    # PARSER'S unescape (only \\, \\space \\= are escapes; a literal
+    # backslash stays and is invalid): the distributed parse stays the
+    # hot path.
+    from opengemini_spark.sources.line_protocol import (
+        _unescape as _lp_unescape,
+        valid_measurement_name,
+    )
+
     mst_tok = _re.compile(r"^(?:\\.|[^,\\ ])*")
     for ln in lines:
         ln_s = ln.strip()
         if not ln_s or ln_s.startswith("#"):
             continue
-        raw = mst_tok.match(ln_s).group(0)
-        name = _re.sub(r"\\(.)", r"\1", raw)
-        if (
-            not name
-            or name in (".", "..")
-            or any(c in name for c in ',;/\\')
-            or not name.isprintable()
-        ):
+        name = _lp_unescape(mst_tok.match(ln_s).group(0))
+        if not valid_measurement_name(name):
             raise ValueError(f"invalid measurement name: {name}")
         if maybe_bad.search(ln):
             try:

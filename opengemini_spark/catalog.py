@@ -15,6 +15,7 @@ plus a derived µs ``ts`` TimestampType for Spark window ops (SURVEY.md §1.2).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,20 +81,40 @@ def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     thousands of splits, the guard is false, and this is a no-op — no extra
     shuffle on wide inputs.
 
-    The probe is METADATA-ONLY (`inputFiles`): a `df.rdd.getNumPartitions()`
-    probe looks lazy but under AQE forces the upstream query stages to
-    materialize through the Python-RDD conversion — at 100× scale that blew
-    `spark.driver.maxResultSize` before the query even ran. Splittable
-    parquet means one file can still fan out to multiple input splits, so
-    files < cores is a conservative trigger: worst case is one avoidable
-    narrow-row exchange.
+    The probe is METADATA-ONLY (`inputFiles` + file sizes): a
+    `df.rdd.getNumPartitions()` probe looks lazy but under AQE forces the
+    upstream query stages to materialize through the Python-RDD
+    conversion — at 100× scale that blew `spark.driver.maxResultSize`
+    before the query even ran. Spark packs small files up to
+    `maxPartitionBytes` per input split, so the split-count estimate is
+    `ceil(total_bytes / maxPartitionBytes)` — a raw file COUNT would be
+    blind to packing (64 tiny files still scan as one split). Beyond
+    1000 files the source is production-shaped and the probe skips the
+    stat calls entirely (no-op).
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # non-file-backed plans (in-memory test frames)
-        n_files = 0
-    if n_files < target:
+        files = []
+    if len(files) > 1000:
+        return df
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    m = re.match(r"(\d+)\s*([kmg]?)b?$", raw.strip().lower())
+    max_pb = int(m.group(1)) * {
+        "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+    }[m.group(2)] if m else 134217728
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            # non-local filesystem: fall back to one split per file
+            total += max_pb
+    est_splits = max(1, -(-total // max_pb))
+    if est_splits < target:
         return df.repartition(target)
     return df
 

@@ -198,26 +198,33 @@ def repetition_signals(
     toks = parallelize_scan(df.select(F.col(id_col), F.col(text_col))).select(
         id_col, tokens_expr(text_col).alias("__toks")
     )
-    wc = (
-        toks.select(id_col, F.explode("__toks").alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE pass: unigrams and bigrams explode from a single combined array
+    # (kind 'w'/'b'), so the corpus scan + tokenization run once and both
+    # per-doc reductions read the SAME (doc, kind, term) count exchange
+    # (ReuseExchange) — two separate explodes re-ran the scan per branch
+    terms = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(__toks, t -> struct('w' as kind, t as term)), "
+                f"transform({shingles_expr('__toks', 2)}, "
+                "s -> struct('b' as kind, s as term)))"
+            )
+        ).alias("__it"),
+    ).select(id_col, F.col("__it.kind").alias("kind"),
+             F.col("__it.term").alias("term"))
+    counts = terms.groupBy(id_col, "kind", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    words = wc.groupBy(id_col).agg(
+    words = counts.filter(F.col("kind") == "w").groupBy(id_col).agg(
         F.sum("cnt").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(F.col("cnt") * F.length("tok")).alias("n_word_chars"),
-        F.max(F.struct(F.col("cnt"), F.col("tok"))).alias("__top"),
+        F.sum(F.col("cnt") * F.length("term")).alias("n_word_chars"),
+        F.max(F.struct(F.col("cnt"), F.col("term"))).alias("__top"),
     )
-    bc = (
-        toks.select(
-            id_col, F.explode(F.expr(shingles_expr("__toks", 2))).alias("bg")
-        )
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    bigrams = bc.groupBy(id_col).agg(
-        F.max(F.struct(F.col("cnt"), F.col("bg"))).alias("__topbg")
+    bigrams = counts.filter(F.col("kind") == "b").groupBy(id_col).agg(
+        F.max(F.struct(F.col("cnt"), F.col("term"))).alias("__topbg")
     )
     out = words.join(bigrams, id_col, "left")
     return out.select(
@@ -235,7 +242,7 @@ def repetition_signals(
         F.coalesce(
             F.round(
                 F.col("__topbg.cnt")
-                * (F.length("__topbg.bg") - 1).cast("double")
+                * (F.length("__topbg.term") - 1).cast("double")
                 / F.col("n_word_chars").cast("double"), 6
             ),
             F.lit(0.0),

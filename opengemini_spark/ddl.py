@@ -849,14 +849,24 @@ class DDLExecutor:
         data.go:4406), the measurement must exist, and the sharding type
         must match the measurement's existing type."""
         target, keys_text, type_ = m.group(1), m.group(2), m.group(3)
-        name = target.split(".")[-1]
-        db = None
-        for dn, d in self.meta.databases.items():
-            if name in d.measurements:
-                db = dn
-                break
-        if db is None:
-            raise ValueError("measurement not found")
+        parts = target.split(".")
+        name = parts[-1]
+        if len(parts) >= 2:
+            # db[.rp].m qualified: the named database only
+            db = parts[0]
+            if (
+                db not in self.meta.databases
+                or name not in self.meta.databases[db].measurements
+            ):
+                raise ValueError("measurement not found")
+        else:
+            db = next(
+                (dn for dn, d_ in self.meta.databases.items()
+                 if name in d_.measurements),
+                None,
+            )
+            if db is None:
+                raise ValueError("measurement not found")
         keys = sorted(
             k.strip() for k in (keys_text or "").split(",")
         ) if keys_text else []
@@ -931,7 +941,10 @@ class DDLExecutor:
             r"(?:'([^']*)'|\"([^\"]*)\"|(\S+))",
             s, re.IGNORECASE,
         )
-        value = vm.group(1) or vm.group(2) or vm.group(3)
+        value = next(
+            g for g in (vm.group(1), vm.group(2), vm.group(3))
+            if g is not None
+        )
         if component == "sql" and key == "logging.level":
             # only the string form is legal for logging.level
             if vm.group(3) is not None and vm.group(3).lower() in (

@@ -556,7 +556,7 @@ def stl_anomaly(
                 if t < start:
                     continue
                 window = [
-                    vals[j] for j in range(t - std_window, t)
+                    vals[j] for j in range(max(t - std_window, 0), t)
                     if j not in cand
                 ]
                 if window:

@@ -47,7 +47,29 @@ def _go_expand_to_java(repl: str, pattern: str) -> str:
         pat = _re.compile(pattern)
         ngroups, names = pat.groups, set(pat.groupindex)
     except _re.error:
+        # Java/RE2-valid but Python-rejected pattern (e.g. \p{Lower}):
+        # census the groups from the pattern TEXT so $1/$name still
+        # resolve — an unescaped "(" not followed by "?" opens a capture
+        # group; (?P<x>/(?<x> name it
         ngroups, names = 0, set()
+        i = 0
+        while i < len(pattern):
+            ch = pattern[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "(":
+                nm = _re.match(
+                    r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:]
+                )
+                if nm:
+                    ngroups += 1
+                    names.add(nm.group(1))
+                    i += nm.end()
+                    continue
+                if pattern[i + 1 : i + 2] != "?":
+                    ngroups += 1
+            i += 1
     out: list[str] = []
     i = 0
     while i < len(repl):

@@ -65,6 +65,19 @@ def _unescape(s: str) -> str:
     return s.replace("\\,", ",").replace("\\ ", " ").replace("\\=", "=")
 
 
+def valid_measurement_name(name: str) -> bool:
+    """ValidMeasurementName (meta/validator.go:30): non-empty, printable,
+    none of ``, ; / \\`` and not "."/"..". The ONE home of the rule —
+    the write edge (api.handle_write) and the parser both call it, with
+    the same ``_unescape`` semantics, so they cannot drift."""
+    return not (
+        not name
+        or name in (".", "..")
+        or any(c in name for c in ',;/\\')
+        or not name.isprintable()
+    )
+
+
 def _split_sections(line: str) -> list[str]:
     """Split into [key, fields, ts?] on unescaped spaces outside quotes."""
     parts: list[str] = []
@@ -163,16 +176,9 @@ def parse_line(line: str, default_time_ns: int = 0) -> list[dict]:
             merged.append(p)
     key_parts = merged
     measurement = _unescape(key_parts[0])
-    # ValidMeasurementName (meta/validator.go:30): non-empty, printable,
-    # none of , ; / \\ and not "."/"..". The reference rejects the write
-    # with errno.InvalidMeasurement (server_write_test.go
-    # TestServer_Write_InvalidMeasurement).
-    if (
-        not measurement
-        or measurement in (".", "..")
-        or any(c in measurement for c in ',;/\\')
-        or not measurement.isprintable()
-    ):
+    # the reference rejects the write with errno.InvalidMeasurement
+    # (server_write_test.go TestServer_Write_InvalidMeasurement)
+    if not valid_measurement_name(measurement):
         raise InvalidFieldValueError(
             f"invalid measurement name: {measurement}"
         )

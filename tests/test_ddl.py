@@ -455,3 +455,29 @@ def test_show_and_set_configs(ddl):
     # only (sql, logging.level) is settable (statement_executor.go:2587)
     with pytest.raises(ValueError, match="unsupported config command"):
         ddl.execute('SET CONFIG store "whatever" = \'x\'')
+
+
+def test_alter_shard_key_honors_db_qualifier(ddl):
+    """A db-qualified ALTER MEASUREMENT must touch THAT database only
+    (review r4: the unqualified search previously won even when a
+    qualifier was given)."""
+    ddl.execute("CREATE DATABASE qa1")
+    ddl.execute("CREATE DATABASE qa2")
+    ddl.register_measurement("qa1", "cpu")
+    ddl.register_measurement("qa2", "cpu")
+    ddl.execute("ALTER MEASUREMENT qa2.autogen.cpu WITH SHARDKEY host")
+    assert "cpu" not in ddl.meta.databases["qa1"].measurement_info
+    assert ddl.meta.databases["qa2"].measurement_info["cpu"][
+        "shardkey"
+    ] == ["host"]
+    with pytest.raises(ValueError, match="measurement not found"):
+        ddl.execute("ALTER MEASUREMENT qa1.autogen.nope WITH SHARDKEY host")
+
+
+def test_set_config_empty_value(ddl):
+    ddl.execute("SET CONFIG sql \"logging.level\" = ''")
+    vals = {
+        v[2]: v[3]
+        for v in ddl.execute("SHOW CONFIGS")["series"][0]["values"]
+    }
+    assert vals["logging.level"] == ""   # empty string, not null

@@ -572,3 +572,14 @@ def test_matcher_null_label_reads_as_empty(spark, sf_dir):
     assert [r["value"] for r in empty.df.collect()] == [1.0]
     _, ne = query_instant(spark, sf_dir, reg, 'm{job!="web"}', START)
     assert [r["value"] for r in ne.df.collect()] == [1.0]
+
+
+def test_go_expand_java_only_pattern_groups():
+    """A Java/RE2-valid pattern Python re rejects (\\p{Lower}) must still
+    resolve its group references via the text census (review r4)."""
+    from opengemini_spark.promql.engine import _go_expand_to_java
+
+    pat = r"^(?:(\p{Lower}+)-(?P<tail>.*))$"
+    assert _go_expand_to_java("$1", pat) == "$1"
+    assert _go_expand_to_java("$tail", pat) == "${tail}"
+    assert _go_expand_to_java("$9", pat) == ""

@@ -484,3 +484,14 @@ def test_parity9b_write_invalid_measurement(spark, tmp_path_factory):
     assert handle_write(spark, [f"c.pu value=1 {T0}"], root) == {
         "written": {"c.pu": 1}
     }
+
+
+def test_parity9b_write_backslash_measurement_rejected(spark,
+                                                       tmp_path_factory):
+    """A literal backslash in the measurement (only \\, \\space \\= are
+    line-protocol escapes, so \\d stays a backslash) is invalid and
+    batch-fatal — review r4: the edge scan previously over-unescaped it
+    to 'md' and let the point silently drop."""
+    root = str(tmp_path_factory.mktemp("p9_bsm"))
+    with pytest.raises(ValueError, match="invalid measurement name"):
+        handle_write(spark, [f"ok f=1 {T0}", "m\\d f=2"], root)
