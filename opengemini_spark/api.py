@@ -96,7 +96,8 @@ def handle_query(
                     and stmt_text.lower().split()[1]
                     in ("databases", "retention", "users", "queries",
                         "grants", "streams", "continuous",
-                        "subscriptions")
+                        "subscriptions", "cluster", "configs",
+                        "downsamples", "diagnostics")
                 ) or stmt_text.lower().startswith(
                     "show measurements detail"
                 ):

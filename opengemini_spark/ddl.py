@@ -837,6 +837,58 @@ class DDLExecutor:
             ]
         }
 
+    def _show_cluster(self, s, m):
+        """SHOW CLUSTER [WHERE nodeID = n | nodeType = t | both]
+        (sql.y:4053; executeShowCluster statement_executor.go:2599 →
+        buildClusterRows meta_client_impl.go:765): a node block
+        (time/status/hostname/nodeID/nodeType/availability) followed by a
+        migration-event block. The Spark engine is a single process
+        standing in for ts-meta + ts-store, so it reports one meta node
+        and one data node on this host; the event block is empty (no pt
+        migrations)."""
+        import socket
+        import time as _time
+
+        node_type = None
+        node_id = 0
+        for cm in re.finditer(
+            r"node(id|type)\s*=\s*'?\"?([a-z0-9_]+)'?\"?", s.lower()
+        ):
+            if cm.group(1) == "id":
+                node_id = int(cm.group(2))
+            else:
+                node_type = cm.group(2)
+        if node_type not in (None, "data", "meta"):
+            # errno.InValidNodeType
+            raise ValueError(f"invalid node type: {node_type}")
+        host = socket.gethostname()
+        ts = _time.time_ns()
+        nodes = [
+            [ts, "alive", host, 1, "meta", "available"],
+            [ts, "alive", host, 2, "data", "available"],
+        ]
+        if node_type:
+            nodes = [n for n in nodes if n[4] == node_type]
+        if node_id:
+            nodes = [n for n in nodes if n[3] == node_id]
+        if not nodes:
+            # errno.InValidNodeID
+            raise ValueError(f"invalid node id: {node_id}")
+        return {
+            "series": [
+                {
+                    "columns": ["time", "status", "hostname", "nodeID",
+                                "nodeType", "availability"],
+                    "values": nodes,
+                },
+                {
+                    "columns": ["opId", "eventType", "db", "ptId",
+                                "srcNodeId", "dstNodeId", "currState",
+                                "preState"],
+                },
+            ]
+        }
+
     def _unsupported_command(self, s, m):
         # DROP SHARD / SHOW DIAGNOSTICS dispatch straight to
         # meta.ErrUnsupportCommand (statement_executor.go:308,350)
@@ -1683,6 +1735,7 @@ class DDLExecutor:
         (r"show shard groups$", _show_shard_groups),
         (r"drop shard \d+$", _unsupported_command),
         (r"show diagnostics$", _unsupported_command),
+        (r"show cluster(?: where .+)?$", _show_cluster),
         (
             r"alter measurement ([a-z_][a-z0-9_.]*)"
             r"(?: with shardkey ([a-z0-9_,\s]+?))?"

@@ -481,3 +481,30 @@ def test_set_config_empty_value(ddl):
         for v in ddl.execute("SHOW CONFIGS")["series"][0]["values"]
     }
     assert vals["logging.level"] == ""   # empty string, not null
+
+
+def test_show_cluster(ddl):
+    """SHOW CLUSTER (sql.y:4053; buildClusterRows wire shape): node block
+    + empty event block; WHERE nodeID/nodeType filters; invalid node
+    type/id error like errno.InValidNodeType/InValidNodeID."""
+    out = ddl.execute("SHOW CLUSTER")["series"]
+    assert out[0]["columns"] == [
+        "time", "status", "hostname", "nodeID", "nodeType", "availability",
+    ]
+    assert [v[4] for v in out[0]["values"]] == ["meta", "data"]
+    assert all(v[1] == "alive" and v[5] == "available"
+               for v in out[0]["values"])
+    assert out[1]["columns"][0] == "opId" and "values" not in out[1]
+
+    only_data = ddl.execute("SHOW CLUSTER WHERE nodeType = data")["series"]
+    assert [v[4] for v in only_data[0]["values"]] == ["data"]
+    by_id = ddl.execute("SHOW CLUSTER WHERE nodeID = 1")["series"]
+    assert [v[3] for v in by_id[0]["values"]] == [1]
+    both = ddl.execute(
+        "SHOW CLUSTER WHERE nodeID = 2 AND nodeType = data"
+    )["series"]
+    assert [v[3] for v in both[0]["values"]] == [2]
+    with pytest.raises(ValueError, match="invalid node type"):
+        ddl.execute("SHOW CLUSTER WHERE nodeType = sql")
+    with pytest.raises(ValueError, match="invalid node id"):
+        ddl.execute("SHOW CLUSTER WHERE nodeID = 99")
