@@ -216,3 +216,69 @@ def frame_sample_plan(
         (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
          .cast("long") % every_n) == 0
     ).select(id_col, payload_col)
+
+
+AUDIO_FRAME = 64     # non-overlapping analysis window (samples)
+
+AUDIO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_id", LongType()),
+    StructField("n", LongType()),
+    StructField("energy_sum", LongType()),
+    StructField("zcr", LongType()),
+    StructField("peak", LongType()),
+])
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame: int = AUDIO_FRAME,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame audio features from the REAL PCM decode: for each
+    non-overlapping ``frame``-sample window of channel 0 —
+
+    - ``energy_sum``: Σ s_k² (int64-exact, no float),
+    - ``zcr``: zero crossings, sign(s_k) ≠ sign(s_{k−1}) with
+      sign(0) = +1,
+    - ``peak``: max |s_k|.
+
+    The training-pipeline shape for audio corpora (silence/noise gating,
+    segment filtering) run as one Arrow ``mapInPandas`` over
+    (id, payload): bytes stay on the executors, one output row per
+    frame, everything integer so the DuckDB oracle replays the synth
+    fixtures bit-exactly. The trailing partial frame is kept (n < frame).
+    """
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_id": [], "n": [],
+                "energy_sum": [], "zcr": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = codecs.decode_wav(bytes(payload))
+                s = samples[:, 0].astype(np.int64)
+                n = len(s)
+                sign = np.where(s >= 0, 1, -1)
+                flips = np.concatenate(
+                    ([0], (sign[1:] != sign[:-1]).astype(np.int64))
+                )
+                # crossing at global sample k (k >= 1) belongs to frame
+                # k div frame; flips[0] is 0 (no predecessor)
+                for fi in range(0, (n + frame - 1) // frame):
+                    seg = s[fi * frame : (fi + 1) * frame]
+                    fl = flips[fi * frame : (fi + 1) * frame]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_id"].append(fi)
+                    out["n"].append(len(seg))
+                    out["energy_sum"].append(int((seg * seg).sum()))
+                    out["zcr"].append(int(fl.sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(extract, AUDIO_FRAME_SCHEMA)

@@ -1016,3 +1016,48 @@ def q_curate_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.quality_percentile_filter(
         load_table(spark, sf_dir, "documents"), frac=0.1
     )
+
+
+@register(
+    "multimodal_audio_frame_features",
+    # per-frame DSP over the REAL PCM decode: energy / zero-crossings /
+    # peak per 64-sample window, all int64-exact — the oracle replays the
+    # synth fixture's closed-form signal sample by sample. sign(0) = +1;
+    # a crossing at sample k (k >= 1) belongs to frame k div 64; the
+    # trailing partial frame is kept.
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {multimodal.WAV_BASE_FRAMES} + doc_id % {multimodal.WAV_FRAME_SPAN} AS n
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    s AS (
+      SELECT doc_id, k,
+             ((doc_id * {multimodal.WAV_MUL} + k * {multimodal.WAV_STEP})
+              % 65536) - 32768 AS v,
+             k // {multimodal.AUDIO_FRAME} AS frame_id
+      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k)
+    ),
+    x AS (
+      SELECT doc_id, frame_id, k, v,
+             CASE WHEN k = 0 THEN 0
+                  WHEN (CASE WHEN v >= 0 THEN 1 ELSE -1 END) !=
+                       (CASE WHEN lag(v) OVER w >= 0 THEN 1 ELSE -1 END)
+                  THEN 1 ELSE 0 END AS flip
+      FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+    )
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v * v) AS BIGINT) AS energy_sum,
+           CAST(sum(flip) AS BIGINT) AS zcr,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM x GROUP BY doc_id, frame_id
+    """,
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    return multimodal.audio_frame_features(multimodal.synth_wav(docs))

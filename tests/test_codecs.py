@@ -89,3 +89,26 @@ def test_decode_real_delegates_and_declares_boundary():
     assert multimodal.decode_real(codecs.encode_png(img))["kind"] == "png"
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_real(b"\xff\xd8\xff\xe0JFIF....")
+
+
+def test_audio_frame_features_exact(spark):
+    """Frame DSP over a real decode: constructed signal with known
+    energy/zcr/peak per 64-sample frame."""
+    import numpy as np
+
+    from opengemini_spark.datapipe import codecs, multimodal
+
+    # 100 samples: alternating +100/-100 (a crossing at every k>=1)
+    s = np.where(np.arange(100) % 2 == 0, 100, -100).astype(np.int16)
+    payload = codecs.encode_wav(s, 8000)
+    df = spark.createDataFrame([(7, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = {r["frame_id"]: r
+            for r in multimodal.audio_frame_features(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n"] == 64 and rows[1]["n"] == 36
+    assert rows[0]["energy_sum"] == 64 * 100 * 100
+    assert rows[1]["energy_sum"] == 36 * 100 * 100
+    assert rows[0]["zcr"] == 63          # k=1..63 all cross
+    assert rows[1]["zcr"] == 36          # k=64..99 all cross
+    assert rows[0]["peak"] == 100 and rows[1]["peak"] == 100
