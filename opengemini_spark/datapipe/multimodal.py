@@ -282,3 +282,61 @@ def audio_frame_features(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(extract, AUDIO_FRAME_SCHEMA)
+
+
+IMAGE_TILE = 4       # non-overlapping tile edge (pixels)
+
+IMAGE_TILE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("tile_y", LongType()),
+    StructField("tile_x", LongType()),
+    StructField("n_px", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("px_min", LongType()),
+    StructField("px_max", LongType()),
+])
+
+
+def image_tile_stats(
+    df: DataFrame,
+    tile: int = IMAGE_TILE,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-tile pixel statistics from the REAL PNG decode: the image is
+    cut into non-overlapping ``tile``×``tile`` blocks (partial edge tiles
+    kept) and each reports sum/min/max — the downsample/patchify shape an
+    image training pipeline runs before embedding, as one Arrow
+    ``mapInPandas`` with payload bytes staying on the executors and
+    int64-exact outputs the oracle can replay from the synth fixture's
+    closed-form pixels."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "tile_y": [], "tile_x": [],
+                "n_px": [], "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, img = codecs.decode_png(bytes(payload))
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                m = img.astype(np.int64)
+                for ty in range(0, (h + tile - 1) // tile):
+                    for tx in range(0, (w + tile - 1) // tile):
+                        blk = m[ty * tile : (ty + 1) * tile,
+                                tx * tile : (tx + 1) * tile]
+                        out["doc_id"].append(int(doc_id))
+                        out["tile_y"].append(ty)
+                        out["tile_x"].append(tx)
+                        out["n_px"].append(int(blk.size))
+                        out["px_sum"].append(int(blk.sum()))
+                        out["px_min"].append(int(blk.min()))
+                        out["px_max"].append(int(blk.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(extract, IMAGE_TILE_SCHEMA)

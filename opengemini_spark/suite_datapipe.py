@@ -1061,3 +1061,42 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return multimodal.audio_frame_features(multimodal.synth_wav(docs))
+
+
+@register(
+    "multimodal_image_tile_stats",
+    # patchify over the REAL PNG decode: 4x4 tile sum/min/max (partial
+    # edge tiles kept), int64-exact — the oracle replays the synth
+    # fixture's closed-form pixels p(x,y) = (id*7 + y*31 + x*17) % 256
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {multimodal.PNG_BASE_W} + doc_id % {multimodal.PNG_SPAN_W} AS w,
+             {multimodal.PNG_BASE_H} + doc_id % {multimodal.PNG_SPAN_H} AS h
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    px AS (
+      SELECT doc_id, x, y,
+             (doc_id * 7 + y * 31 + x * 17) % 256 AS p,
+             y // {multimodal.IMAGE_TILE} AS tile_y,
+             x // {multimodal.IMAGE_TILE} AS tile_x
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y),
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x)
+    )
+    SELECT doc_id, CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(min(p) AS BIGINT) AS px_min,
+           CAST(max(p) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, tile_y, tile_x
+    """,
+)
+def q_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    return multimodal.image_tile_stats(multimodal.synth_png(docs))

@@ -112,3 +112,27 @@ def test_audio_frame_features_exact(spark):
     assert rows[0]["zcr"] == 63          # k=1..63 all cross
     assert rows[1]["zcr"] == 36          # k=64..99 all cross
     assert rows[0]["peak"] == 100 and rows[1]["peak"] == 100
+
+
+def test_image_tile_stats_exact(spark):
+    """Constructed 6x5 gradient image: tile grid 2x2 (partial edges),
+    per-tile sums verified against numpy."""
+    import numpy as np
+
+    from opengemini_spark.datapipe import codecs, multimodal
+
+    h, w = 5, 6
+    y, x = np.mgrid[0:h, 0:w]
+    img = ((y * 10 + x) % 256).astype(np.uint8)
+    payload = codecs.encode_png(img)
+    df = spark.createDataFrame([(3, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = {(r["tile_y"], r["tile_x"]): r
+            for r in multimodal.image_tile_stats(df).collect()}
+    assert set(rows) == {(ty, tx) for ty in (0, 1) for tx in (0, 1)}
+    m = img.astype(int)
+    for (ty, tx), r in rows.items():
+        blk = m[ty * 4:(ty + 1) * 4, tx * 4:(tx + 1) * 4]
+        assert r["n_px"] == blk.size
+        assert r["px_sum"] == blk.sum()
+        assert r["px_min"] == blk.min() and r["px_max"] == blk.max()
