@@ -151,7 +151,6 @@ def decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
 
     out = np.zeros((h, stride), dtype=np.int64)
     prev = np.zeros((stride,), dtype=np.int64)
-    zeros = np.zeros(bpp, dtype=np.int64)
     for y in range(h):
         ft = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -163,23 +162,37 @@ def decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
             recon = (line + prev) % 256
         elif ft == 1:  # Sub — prefix sum by bpp stride (mod-256 associative)
             recon = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
-        else:  # Average / Paeth — left-neighbor recurrence, per-pixel walk
-            recon = np.empty_like(line)
-            for x in range(0, stride, bpp):
-                left = recon[x - bpp : x] if x else zeros
-                up = prev[x : x + bpp]
-                up_left = prev[x - bpp : x] if x else zeros
-                seg = line[x : x + bpp]
-                if ft == 3:
-                    recon[x : x + bpp] = (seg + (left + up) // 2) % 256
-                elif ft == 4:
-                    recon[x : x + bpp] = (
-                        seg + _paeth(left, up, up_left)
-                    ) % 256
-                else:
-                    raise ValueError(f"bad filter type {ft}")
-            # Sub rows decoded via cumsum above need no per-pixel walk;
-            # rows reaching here covered Average(3) and Paeth(4).
+        elif ft in (3, 4):  # Average / Paeth — left-neighbor recurrence
+            # The recurrence is inherently sequential along the row, so
+            # walk it with scalar Python ints: 1-element numpy slices pay
+            # ~6 µs of dispatch per pixel (a megapixel image was ~3 s);
+            # plain ints over lists are ~8× faster.
+            ln, pv = line.tolist(), prev.tolist()
+            rc = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    left = rc[x - bpp] if x >= bpp else 0
+                    rc[x] = (ln[x] + ((left + pv[x]) >> 1)) & 255
+            else:  # Paeth (spec §9.4); with p = a+b−c: |p−a|=|b−c| etc.
+                for x in range(stride):
+                    a = rc[x - bpp] if x >= bpp else 0
+                    c = pv[x - bpp] if x >= bpp else 0
+                    b = pv[x]
+                    pa = b - c if b >= c else c - b
+                    pb = a - c if a >= c else c - a
+                    pc = a + b - 2 * c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rc[x] = (ln[x] + pred) & 255
+            recon = np.asarray(rc, dtype=np.int64)
+        else:
+            raise ValueError(f"bad filter type {ft}")
         out[y] = recon
         prev = recon
     return meta, out.astype(np.uint8).reshape(h, w, ch)

@@ -821,73 +821,71 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries only.
-# Rounds 1-3 covered every registered entry at least once (CORRECTNESS_r01-03
-# all green); the local gate (tools/oracle_check.py) runs the identical
-# comparison at HEAD for everything else.
+# Rounds 1-4 covered every registered entry at least once except the two
+# round-4 post-gate multimodal entries; the local gate (tools/oracle_check.py)
+# runs the identical comparison at HEAD for everything else.
 #
-# ROUND-4 ROTATION (VERDICT r3 next #5): re-green the OLDEST verdicts at the
-# current engine — slots 0-37 are the 38 entries whose only driver row dates
-# from the round-1 engine (fills, selectors, basic aggs, transforms, text/
-# dedup/multimodal family). Next come the two entries whose code or oracle
-# changed this round (dedup_minhash_lsh verify restructure; holt_winters
-# forecast's new pin-replay oracle), then r2-era entries sitting on code
-# paths round 4 touched (promql engine matcher/label_replace fixes, the
-# recursive-operator null-key fix).
+# ROUND-5 ROTATION (VERDICT r4 next #1): (a) the two entries that have never
+# had a driver row (landed after the r4 gate) go first; (b) all 33 entries
+# whose newest driver verdict is r2-era — after this window every registered
+# entry's newest verdict is r3+; (c) the remaining 15 slots re-verify r3-era
+# entries on code paths this round touches (LSH rerank bucketing, multimodal
+# vectorization, recursive-family oracle rework) plus the heaviest bench
+# shapes.
 PRIORITY: tuple[str, ...] = (
-    # -- r1-era verdicts, oldest first --
-    "filter_regex_like",
-    "filter_blank",
-    "agg_stats",
-    "agg_distinct",
-    "agg_mode",
-    "agg_percentile_exact",
-    "agg_histogram",
-    "selector_first_last",
-    "selector_top_per_group",
-    "selector_bottom_per_group",
-    "window_fill_null",
-    "window_fill_value",
-    "window_fill_previous",
-    "window_fill_linear",
-    "transform_difference",
-    "transform_cumulative_sum",
-    "transform_moving_average",
-    "transform_elapsed",
-    "transform_integral",
-    "transform_spread",
-    "join_left_outer",
-    "join_semi_in_subquery",
-    "join_anti_not_in",
-    "union_all_by_name",
-    "limit_per_series",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_ivf_topk",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_ngram_counts",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "dedup_connected_components",
-    "curate_keep_list",
-    # -- changed in round 4 --
-    "dedup_minhash_lsh",  # verify stage restructured (array_intersect)
-    "influxql_func_holt_winters_forecast",  # NEW pin-replay oracle (was rows-only)
-    # -- r2-era entries on round-4-touched code paths --
-    "transform_kama",  # recursive null-key fix path
-    "transform_cmo",
-    "castor_mad_anomaly",
-    "prom_label_replace_join",  # label_replace $-template rewrite
-    "promql_rate_e2e",  # engine matcher NULL-coalesce path
-    "promql_count_over_time_matcher",
-    "promql_binop_cmp_filter",  # parser unary/pow precedence path
-    # -- new in round 4 (first driver verdicts) --
-    "text_repetition_signals",  # Gopher repetition quality signals
-    "curate_quality_percentile_filter",  # per-lang bottom-decile drop
-    "castor_stl_anomaly",  # STL detector on the in-repo Cleveland STL
+    # -- never driver-checked (round-4 post-gate commits) --
+    "multimodal_audio_frame_features",
+    "multimodal_image_tile_stats",
+    # -- the 33 entries whose newest driver verdict is r2-era --
+    "agg_percentile_approx",
+    "agg_sample_hash",
+    "compare_timeshift",
+    "dedup_embedding_lsh",
+    "filter_fulltext_match",
+    "graph_multihop_edges",
+    "influxql_func_rate_irate",
+    "influxql_func_sample",
+    "influxql_raw_filter",
+    "influxql_regex_where",
+    "influxql_selector_companion",
+    "influxql_show_tag_values",
+    "influxql_subquery_inherit",
+    "prom_absent_over_time",
+    "prom_binop_ratio",
+    "prom_binop_unless",
+    "prom_delta_gauge",
+    "prom_histogram_quantile",
+    "prom_increase_extrapolated",
+    "prom_irate_idelta",
+    "prom_over_time",
+    "prom_quantile_over_time",
+    "prom_rate_extrapolated",
+    "scalar_json",
+    "scalar_network_ip",
+    "scalar_string",
+    "scalar_time_prom",
+    "scalar_url",
+    "sketch_countmin_topn",
+    "sort_multi_column",
+    "table_function_rca",
+    "transform_double_ema",  # oracle rewritten this round (single carried recursion)
+    "window_sliding_count",
+    # -- r3-era entries on round-5-touched code paths / heaviest bench shapes --
+    "dedup_embedding_lsh_highthr",  # rerank join bucketed this round
+    "multimodal_png_real_decode",
+    "multimodal_wav_real_decode",
+    "transform_ema",
+    "transform_triple_ema",
+    "transform_rsi",
+    "curate_contamination",
+    "scan_filter_project",
+    "window_tumbling_agg",
+    "agg_basic",
+    "join_inner",
+    "similarity_cosine_topk",
+    "influxql_window_agg_fill",
+    "promql_instant_e2e",
+    "show_cardinality",
 )
 
 
