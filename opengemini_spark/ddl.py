@@ -889,6 +889,102 @@ class DDLExecutor:
             ]
         }
 
+    def _show_measurement_keys(self, s, m):
+        """SHOW PRIMARYKEY/SORTKEY/PROPERTY/SHARDKEY/ENGINETYPE/INDEXES/
+        COMPACT/SCHEMA FROM [db[.rp].]mst (sql.y MEASUREMENT_INFO +
+        SHOW_MEASUREMENT_KEYS_STATEMENT productions;
+        executeShowMeasurementKeysStatement
+        statement_executor.go:1309-1363, row shapes :1366-1445):
+        per-measurement key/engine/index metadata straight from the
+        metastore. The COLUMNSTORE-only keys reject tsstore measurements
+        with the reference's error text."""
+        key, target = m.group(1).upper(), m.group(2)
+        parts = target.split(".")
+        name = parts[-1]
+        if len(parts) >= 3 and parts[0]:
+            db = parts[0]
+            if (
+                db not in self.meta.databases
+                or name not in self.meta.databases[db].measurements
+            ):
+                raise ValueError("measurement not found")
+        else:
+            db = next(
+                (dn for dn, d_ in self.meta.databases.items()
+                 if name in d_.measurements),
+                None,
+            )
+            if db is None:
+                raise ValueError("measurement not found")
+        info = self.meta.databases[db].measurement_info.get(
+            name,
+            {"rp": "autogen", "tags": [], "fields": [],
+             "engine": "tsstore", "shardkey": [], "primarykey": []},
+        )
+        engine = info.get("engine", "tsstore")
+        if key in ("PRIMARYKEY", "SORTKEY", "PROPERTY", "COMPACT") \
+                and engine != "columnstore":
+            raise ValueError("only support for COLUMNSTORE engine")
+
+        def shard_key_row():
+            # getShardKey: one row per ShardKeyInfo (key list, type,
+            # owning shard group — 0 when set at CREATE time)
+            vals = []
+            if info.get("shardkey"):
+                vals.append(
+                    [info["shardkey"], info.get("shardkey_type", "hash"), 0]
+                )
+            return {"columns": ["SHARD_KEY", "TYPE", "SHARD_GROUP"],
+                    "values": vals}
+
+        def engine_row():
+            return {"columns": ["ENGINETYPE"], "values": [[engine]]}
+
+        def index_row():
+            # getIndex: UPPER(indexName)(col,…) per index relation; the
+            # only index DDL this engine records is the field index
+            vals = (
+                [["FIELD(" + ",".join(info["field_index"]) + ")"]]
+                if info.get("field_index") else []
+            )
+            return {"columns": ["INDEXES"], "values": vals}
+
+        def primary_row():
+            return {"columns": ["PRIMARY_KEY"],
+                    "values": [[info.get("primarykey", [])]]}
+
+        def sort_row():
+            # SHOW MEASUREMENTS DETAIL parity: sort key defaults to the
+            # primary key when no explicit SORTKEY was declared
+            sk = info.get("sortkey") or info.get("primarykey", [])
+            return {"columns": ["SORT_KEY"], "values": [[sk]]}
+
+        def compact_row():
+            return {"columns": ["COMPACTION_TYPE"], "values": [["row"]]}
+
+        def property_row():
+            # getProperty iterates PropertyKey but emits PrimaryKey[i]
+            # as the key (statement_executor.go:1418-1422); no property
+            # DDL is recorded here, so both lists are empty either way
+            return {"columns": ["PROPERTY_KEY", "PROPERTY_VALUE"],
+                    "values": [[[], []]]}
+
+        series = {
+            "SHARDKEY": lambda: [shard_key_row()],
+            "ENGINETYPE": lambda: [engine_row()],
+            "INDEXES": lambda: [index_row()],
+            "PRIMARYKEY": lambda: [primary_row()],
+            "SORTKEY": lambda: [sort_row()],
+            "COMPACT": lambda: [compact_row()],
+            "PROPERTY": lambda: [property_row()],
+            "SCHEMA": lambda: (
+                [shard_key_row(), engine_row(), index_row()]
+                + ([primary_row(), sort_row(), compact_row()]
+                   if engine == "columnstore" else [])
+            ),
+        }[key]()
+        return {"series": series}
+
     def _unsupported_command(self, s, m):
         # DROP SHARD / SHOW DIAGNOSTICS dispatch straight to
         # meta.ErrUnsupportCommand (statement_executor.go:308,350)
@@ -1736,6 +1832,11 @@ class DDLExecutor:
         (r"drop shard \d+$", _unsupported_command),
         (r"show diagnostics$", _unsupported_command),
         (r"show cluster(?: where .+)?$", _show_cluster),
+        (
+            r"show (primarykey|sortkey|property|shardkey|enginetype"
+            r"|schema|indexes|compact) from ([a-z0-9_.]+)$",
+            _show_measurement_keys,
+        ),
         (
             r"alter measurement ([a-z_][a-z0-9_.]*)"
             r"(?: with shardkey ([a-z0-9_,\s]+?))?"

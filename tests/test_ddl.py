@@ -508,3 +508,74 @@ def test_show_cluster(ddl):
         ddl.execute("SHOW CLUSTER WHERE nodeType = sql")
     with pytest.raises(ValueError, match="invalid node id"):
         ddl.execute("SHOW CLUSTER WHERE nodeID = 99")
+
+
+def test_show_measurement_keys(ddl):
+    """SHOW PRIMARYKEY/SORTKEY/SHARDKEY/ENGINETYPE/INDEXES/COMPACT/
+    PROPERTY/SCHEMA FROM mst (executeShowMeasurementKeysStatement
+    statement_executor.go:1309-1363; row shapes :1366-1445): metastore-
+    backed key metadata, COLUMNSTORE-only keys rejected on tsstore."""
+    ddl.execute("CREATE DATABASE mydb")
+    ddl.execute(
+        "CREATE MEASUREMENT mydb.autogen.ts1 (t1 tag, f1 float) "
+        "WITH SHARDKEY t1"
+    )
+    ddl.execute(
+        "CREATE MEASUREMENT mydb.autogen.cs1 (t1 tag, f1 float) "
+        "WITH ENGINETYPE = columnstore SHARDKEY t1 PRIMARYKEY t1,f1"
+    )
+
+    # getShardKey: SHARD_KEY/TYPE/SHARD_GROUP, one row per key set
+    sk = ddl.execute("SHOW SHARDKEY FROM ts1")["series"][0]
+    assert sk["columns"] == ["SHARD_KEY", "TYPE", "SHARD_GROUP"]
+    assert sk["values"] == [[["t1"], "hash", 0]]
+
+    et = ddl.execute("SHOW ENGINETYPE FROM ts1")["series"][0]
+    assert et == {"columns": ["ENGINETYPE"], "values": [["tsstore"]]}
+
+    # no index DDL recorded -> empty INDEXES block
+    ix = ddl.execute("SHOW INDEXES FROM ts1")["series"][0]
+    assert ix["columns"] == ["INDEXES"] and ix["values"] == []
+
+    # COLUMNSTORE-only keys error on a tsstore measurement
+    for key in ("PRIMARYKEY", "SORTKEY", "PROPERTY", "COMPACT"):
+        with pytest.raises(ValueError, match="COLUMNSTORE"):
+            ddl.execute(f"SHOW {key} FROM ts1")
+
+    pk = ddl.execute("SHOW PRIMARYKEY FROM cs1")["series"][0]
+    assert pk == {"columns": ["PRIMARY_KEY"], "values": [[["t1", "f1"]]]}
+    # sort key defaults to the primary key (detail-block parity)
+    srt = ddl.execute("SHOW SORTKEY FROM cs1")["series"][0]
+    assert srt == {"columns": ["SORT_KEY"], "values": [[["t1", "f1"]]]}
+    cp = ddl.execute("SHOW COMPACT FROM cs1")["series"][0]
+    assert cp == {"columns": ["COMPACTION_TYPE"], "values": [["row"]]}
+    pr = ddl.execute("SHOW PROPERTY FROM cs1")["series"][0]
+    assert pr["columns"] == ["PROPERTY_KEY", "PROPERTY_VALUE"]
+
+    # SCHEMA: shardkey+engine+indexes, plus pk/sort/compaction on colstore
+    assert len(ddl.execute("SHOW SCHEMA FROM ts1")["series"]) == 3
+    schema = ddl.execute("SHOW SCHEMA FROM cs1")["series"]
+    assert len(schema) == 6
+    assert schema[1]["values"] == [["columnstore"]]
+
+    # db.rp.mst qualified resolution + unknown-measurement error
+    q = ddl.execute("SHOW SHARDKEY FROM mydb.autogen.ts1")["series"][0]
+    assert q["values"] == [[["t1"], "hash", 0]]
+    with pytest.raises(ValueError, match="measurement not found"):
+        ddl.execute("SHOW SHARDKEY FROM nosuch")
+    with pytest.raises(ValueError, match="measurement not found"):
+        ddl.execute("SHOW SHARDKEY FROM otherdb.autogen.ts1")
+
+
+def test_show_measurement_keys_field_index(ddl):
+    """Field-index DDL surfaces in SHOW INDEXES as UPPER(name)(cols)
+    (getIndex statement_executor.go:1366-1385)."""
+    ddl.execute("CREATE DATABASE mydb")
+    ddl.execute(
+        'CREATE MEASUREMENT m1 WITH INDEXTYPE "field" INDEXLIST f1,f2'
+    )
+    ix = ddl.execute("SHOW INDEXES FROM m1")["series"][0]
+    assert ix["values"] == [["FIELD(f1,f2)"]]
+    # and SCHEMA carries the same block in slot 2
+    sc = ddl.execute("SHOW SCHEMA FROM m1")["series"]
+    assert sc[2]["values"] == [["FIELD(f1,f2)"]]
