@@ -235,6 +235,7 @@ def lsh_near_dups(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int | None = None,
+    prefilter_dims: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane (sign) LSH + exact rerank.
 
@@ -252,6 +253,30 @@ def lsh_near_dups(
     the rerank touches only colliding pairs. Low thresholds inflate
     candidates (band buckets grow); that regime belongs to
     ``blocked_near_dups``.
+
+    Rerank pre-partitioning (the 1000× lever named in SCALE100_r04): the
+    signature frame is hash-repartitioned by id ONCE and every consumer —
+    both sides of the band self-join and both vector lookups of the
+    rerank — hangs off that single exchange, so Catalyst's ReuseExchange
+    computes the matmul UDF and ships the vectors exactly once (the old
+    plan re-ran the UDF three times and exchanged the full vector set
+    once per rerank side). Norms are computed per vector before the
+    join, not per colliding pair; the cosine expression keeps the exact
+    dot/(√·√) operation order so results stay bitwise identical.
+
+    Lossless candidate prefilter (``prefilter_dims``): the one exchange
+    exact rerank cannot avoid is a vector riding with each candidate
+    pair from id_a-space to id_b-space. When the threshold is high, a
+    Cauchy–Schwarz upper bound — dot(prefix_a, prefix_b) +
+    ‖rest_a‖·‖rest_b‖ ≥ dot(a, b) — computed from a ``prefilter_dims``-
+    wide prefix plus one rest-norm scalar discards pairs that cannot
+    reach the threshold BEFORE any full vector moves, cutting that
+    exchange's payload ~dim/(prefilter_dims+2)×. The bound is exact
+    (never drops a qualifying pair; the 1e-4 margin covers the output
+    rounding), so results stay identical to the unfiltered plan.
+    Default: auto-on at dim/4 prefix width for threshold ≥ 0.8 — below
+    that, near-orthogonal pairs pass the bound anyway and the extra
+    pass would be pure cost. Pass 0 to force off.
     """
     if dim is None:
         # Fallback probe (one limit-1 driver round trip); callers that know
@@ -275,9 +300,28 @@ def lsh_near_dups(
             out.append(row.tolist())
         return pd.Series(out)
 
-    sig = df.select(
-        F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
-    ).withColumn("__keys", band_keys(F.col("emb")))
+    if prefilter_dims is None:
+        prefilter_dims = dim // 4 if threshold >= 0.8 and dim >= 8 else 0
+    use_pre = 0 < prefilter_dims < dim
+
+    # repartition-before-persist: every consumer (both band self-join
+    # sides, both rerank vector lookups) reads ONE cached, id-partitioned
+    # copy — without the persist, column pruning splits the repartition
+    # into per-consumer exchanges and the signature UDF runs per branch.
+    # The id-hash partitioning propagates through the id→id_a/id_b
+    # aliases, so the rerank's vector sides join exchange-free; only the
+    # candidate pairs (two longs) move.
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+        .withColumn("__keys", band_keys(F.col("emb")))
+        .withColumn("__nrm", F.sqrt(_dot("emb", "emb")))
+    )
+    if use_pre:
+        rest = f"slice(emb, {prefilter_dims + 1}, {dim - prefilter_dims})"
+        sig = sig.withColumn(
+            "__pre", F.expr(f"slice(emb, 1, {prefilter_dims})")
+        ).withColumn("__rnrm", F.sqrt(_dot(rest, rest)))
+    sig = sig.repartition(F.col("id")).persist()
     buckets = sig.select(
         "id", F.posexplode("__keys").alias("band", "key")
     )
@@ -294,16 +338,42 @@ def lsh_near_dups(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    ea = sig.select(F.col("id").alias("id_a"), F.col("emb").alias("ea"))
-    eb = sig.select(F.col("id").alias("id_b"), F.col("emb").alias("eb"))
+    if use_pre:
+        # ship only (prefix, rest-norm, norm) with each pair; pairs whose
+        # Cauchy–Schwarz bound cannot reach the threshold never move a
+        # full vector. The margin matches the final round(·, 4) filter.
+        pre_a = sig.select(
+            F.col("id").alias("id_a"), F.col("__pre").alias("pa"),
+            F.col("__rnrm").alias("ra"), F.col("__nrm").alias("xa"),
+        )
+        pre_b = sig.select(
+            F.col("id").alias("id_b"), F.col("__pre").alias("pb"),
+            F.col("__rnrm").alias("rb"), F.col("__nrm").alias("xb"),
+        )
+        bound = (_dot("pa", "pb") + F.col("ra") * F.col("rb")) / (
+            F.col("xa") * F.col("xb")
+        )
+        cand = (
+            cand.join(pre_a, "id_a")
+            .join(pre_b, "id_b")
+            .filter(bound >= threshold - 1e-4)
+            .select("id_a", "id_b")
+        )
+    ea = sig.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("ea"),
+        F.col("__nrm").alias("na"),
+    )
+    eb = sig.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("eb"),
+        F.col("__nrm").alias("nb"),
+    )
     scored = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn(
             "cosine",
             F.round(
-                _dot("ea", "eb")
-                / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))),
+                _dot("ea", "eb") / (F.col("na") * F.col("nb")),
                 4,
             ),
         )
