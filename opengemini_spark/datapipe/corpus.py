@@ -280,3 +280,79 @@ def chunk_documents(
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    bucket_tokens: int = 32,
+    batch_size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment: group documents of similar token
+    count and deal each bucket into fixed-size batches — the standard
+    padding-waste reducer when batching variable-length sequences for
+    training. Deterministic: within a bucket, docs order by (n_tokens,
+    id) and batch ``rn div batch_size``.
+
+    → ``(doc_id, bucket, batch_idx, n_tokens)``.
+
+    Scale: token counts are one narrow projection; the only stateful op
+    is a per-bucket window — buckets are the parallelism unit and no
+    global sort exists. Bucket skew is bounded by the corpus length
+    distribution; halve ``bucket_tokens`` to split a hot bucket.
+    """
+    from pyspark.sql import Window
+
+    from opengemini_spark.datapipe.text import token_stats
+
+    toks = token_stats(df, text_col=text_col, id_col=id_col)
+    b = toks.withColumn(
+        "bucket", (F.col("n_tokens") / bucket_tokens).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_tokens").asc(), F.col(id_col).asc()
+    )
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "bucket",
+            ((F.col("__rn") - 1) / batch_size).cast("long").alias("batch_idx"),
+            "n_tokens",
+        )
+    )
+
+
+def holdout_exact_dedup(
+    df: DataFrame,
+    holdout_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Document-level cross-corpus dedup: drop every training document
+    whose EXACT content also appears in the held-out corpus (train/test
+    leakage at whole-document granularity — the cheap first pass before
+    shingle-level decontamination).
+
+    → the kept training docs ``(doc_id, source)``: documents outside
+    ``holdout_source`` whose md5(text) does not occur in it.
+
+    Scale: one md5 projection per side and a left-anti hash join on the
+    digest — high-cardinality key, no skew, and the held-out side is
+    usually small enough that Catalyst broadcasts it.
+    """
+    hashed = df.select(
+        F.col(id_col), F.col(source_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    held = (
+        hashed.filter(F.col(source_col) == holdout_source)
+        .select("__h")
+        .distinct()
+    )
+    return (
+        hashed.filter(F.col(source_col) != holdout_source)
+        .join(held, "__h", "left_anti")
+        .select(id_col, source_col)
+    )

@@ -84,3 +84,52 @@ def quality_percentile_filter(
         )
         .select(id_col, group_col, "quality_bp")
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the best document per near-dup cluster: the step after
+    clustering in a real dedup pipeline — instead of blindly keeping the
+    min-id member, keep the highest-QUALITY member so dedup never throws
+    away the cleanest copy.
+
+    → ``(component, rep_doc_id, n_members, rep_quality_bp)``, one row per
+    multi-member component (connected_components only emits docs that
+    appear in at least one near-dup pair). Ties break (quality desc,
+    doc_id asc) so the choice is deterministic.
+
+    Scale: components and quality are both doc-keyed (high-cardinality,
+    skew-free joins); the representative choice is one window over
+    component — group sizes are dup-cluster sizes, naturally small after
+    LSH banding.
+    """
+    from pyspark.sql import Window
+
+    from opengemini_spark.datapipe.cluster import connected_components
+    from opengemini_spark.datapipe.dedup import minhash_lsh_dedup
+    from opengemini_spark.datapipe.text import quality_score
+
+    pairs = minhash_lsh_dedup(docs, threshold=jaccard_threshold, id_col=id_col)
+    comps = connected_components(pairs)
+    q = quality_score(docs, id_col=id_col)
+    members = comps.join(q, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_bp").desc(), F.col(id_col).asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality_bp").alias("rep_quality_bp"),
+        )
+    )

@@ -836,6 +836,10 @@ PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-4 post-gate commits) --
     "multimodal_audio_frame_features",
     "multimodal_image_tile_stats",
+    # -- new in round 5 (first driver verdicts) --
+    "curate_cluster_representative",  # best-quality member per dup cluster
+    "curate_length_bucket_batches",  # per-bucket batch dealing, no global sort
+    "curate_holdout_exact_dedup",  # doc-level train/holdout anti-join
     # -- the 33 entries whose newest driver verdict is r2-era --
     "agg_percentile_approx",
     "agg_sample_hash",
@@ -881,11 +885,8 @@ PRIORITY: tuple[str, ...] = (
     "scan_filter_project",
     "window_tumbling_agg",
     "agg_basic",
-    "join_inner",
     "similarity_cosine_topk",
     "influxql_window_agg_fill",
-    "promql_instant_e2e",
-    "show_cardinality",
 )
 
 

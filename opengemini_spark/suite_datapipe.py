@@ -1100,3 +1100,132 @@ def q_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return multimodal.image_tile_stats(multimodal.synth_png(docs))
+
+
+# ---------------------------------------------------------------------------
+# round-5 pipeline compositions
+# ---------------------------------------------------------------------------
+
+_REP_TAIL = """, pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+    ), qual AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(greatest(len(__toks2), 1) AS BIGINT) AS nt,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS BIGINT) AS np,
+             CAST(len(list_filter(__toks2, t -> list_contains(__stops, t)))
+                  AS BIGINT) AS ns,
+             CAST(coalesce(list_sum(list_transform(__toks2, t -> length(t))), 0)
+                  AS BIGINT) AS sl
+      FROM (SELECT doc_id, text, toks AS __toks2, __stops FROM docs
+            CROSS JOIN (SELECT __stoplist AS __stops))
+    ), qbp AS (
+      SELECT doc_id,
+             8 * least(nc, 500)
+             + (CASE WHEN sl >= 8 * nt THEN 3000 ELSE (3000 * sl) // (8 * nt) END)
+             + (2000 - (2000 * np) // greatest(nc, 1))
+             + (CASE WHEN 5 * ns >= nt THEN 1000 ELSE (5000 * ns) // nt END)
+               AS quality_bp
+      FROM qual
+    ), members AS (
+      SELECT c.doc_id, c.component, q.quality_bp
+      FROM comp c JOIN qbp q ON q.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY quality_bp DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY component) AS nm
+      FROM members
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(quality_bp AS BIGINT) AS rep_quality_bp
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "curate_cluster_representative",
+    # best-quality member per near-dup cluster (the keep-the-cleanest-copy
+    # step after clustering); oracle composes the minhash-CC reachability
+    # with the quality replay, rep = (quality desc, doc_id asc)
+    _minhash_oracle().replace(
+        """SELECT i.id_a, i.id_b,
+           round(i.c / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    """,
+        _REP_TAIL,
+    ).replace("    WITH docs AS (", "    WITH RECURSIVE docs AS (")
+    .replace(
+        "SELECT doc_id, {t} AS toks FROM documents".format(t=tokens_sql("text")),
+        "SELECT doc_id, text, {t} AS toks FROM documents".format(
+            t=tokens_sql("text")
+        ),
+    )
+    .replace(
+        "__stoplist",
+        "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]",
+    ),
+)
+def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.curate import cluster_representatives
+
+    return cluster_representatives(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_length_bucket_batches",
+    # length-bucketed training batches: bucket = n_tokens div 32, batches
+    # of 16 dealt in (n_tokens, doc_id) order within each bucket
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             n_tokens // 32 AS bucket,
+             row_number() OVER (PARTITION BY n_tokens // 32
+                                ORDER BY n_tokens ASC, doc_id ASC) AS rn
+      FROM d
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST((rn - 1) // 16 AS BIGINT) AS batch_idx, n_tokens
+    FROM b
+    """,
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.length_bucket_batches(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_holdout_exact_dedup",
+    # whole-document train/holdout leakage pass: anti-join on md5(text),
+    # holdout corpus = source 'src0'
+    """
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.source != 'src0'
+      AND NOT EXISTS (
+        SELECT 1 FROM documents h
+        WHERE h.source = 'src0' AND md5(h.text) = md5(d.text)
+      )
+    """,
+)
+def q_holdout_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.holdout_exact_dedup(
+        load_table(spark, sf_dir, "documents"), holdout_source="src0"
+    )

@@ -110,3 +110,71 @@ def test_chunk_documents_windows_and_tail(spark):
     # short doc: one (short) chunk; empty doc: no chunks
     assert out[(2, 0)]["chunk_text"] == "solo" and out[(2, 0)]["n_tokens"] == 1
     assert not any(k[0] == 3 for k in out)
+
+
+def test_length_bucket_batches_deterministic_dealing(spark):
+    # texts of 1..40 words -> buckets 0 (n<32) and 1 (32<=n<64);
+    # batches of 16 dealt in (n_tokens, doc_id) order
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.length_bucket_batches(
+            docs, bucket_tokens=32, batch_size=16
+        ).collect()
+    }
+    assert len(rows) == 40
+    assert rows[0]["bucket"] == 0 and rows[0]["n_tokens"] == 1
+    assert rows[31]["bucket"] == 1 and rows[30]["bucket"] == 0
+    # bucket 0 holds docs 0..30 (31 docs): first 16 -> batch 0, rest -> 1
+    assert rows[0]["batch_idx"] == 0 and rows[15]["batch_idx"] == 0
+    assert rows[16]["batch_idx"] == 1 and rows[30]["batch_idx"] == 1
+    # bucket 1 holds docs 31..39 (9 docs): all batch 0
+    assert all(rows[i]["batch_idx"] == 0 for i in range(31, 40))
+
+
+def test_holdout_exact_dedup_drops_leaked_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "held out text", "src0"),
+            (1, "unique train text", "src1"),
+            (2, "held out text", "src1"),      # exact leak -> dropped
+            (3, "held out text", "src2"),      # leak from another source
+            (4, "another train text", "src2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in corpus.holdout_exact_dedup(docs, "src0").collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    from opengemini_spark.datapipe.curate import cluster_representatives
+    from opengemini_spark.datapipe.dedup import minhash_lsh_dedup
+    from opengemini_spark.datapipe.text import quality_score
+
+    # two identical docs (near-dup pair) with different lengths would not
+    # be identical; instead use verbatim copies so jaccard = 1.0, and give
+    # one copy extra stopword-rich content? verbatim copies tie on quality
+    # -> rep = min doc_id; a third unrelated doc forms no cluster.
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(10, base), (3, base), (99, "totally different content here")],
+        ["doc_id", "text"],
+    )
+    reps = cluster_representatives(docs).collect()
+    assert len(reps) == 1
+    r = reps[0]
+    assert r["component"] == 3           # min-id canonical component
+    assert r["n_members"] == 2
+    assert r["rep_doc_id"] == 3          # quality tie -> min doc_id
+    # and the reported quality matches quality_score for that doc
+    q = {x["doc_id"]: x["quality_bp"] for x in quality_score(docs).collect()}
+    assert r["rep_quality_bp"] == q[3]
+    # sanity: the pair really was a near-dup pair
+    assert minhash_lsh_dedup(docs, threshold=0.8).count() == 1

@@ -16,22 +16,30 @@ def test_priority_window_is_exactly_50_unique_registered_names():
     assert len(qs) == len(set(qs))
 
 
-def test_priority_window_matches_round4_rotation():
-    """The r4 window re-greens the OLDEST driver verdicts (all 38 r1-era
-    entries), plus everything changed this round, plus r2-era entries on
-    round-4-touched code paths (suite.PRIORITY docstring)."""
+def test_priority_window_matches_round5_rotation():
+    """The r5 window: the never-driver-checked entries first (r4's two
+    post-gate multimodal ops + this round's three new pipeline ops), then
+    ALL 33 entries whose newest driver verdict is r2-era, then r3-era
+    entries on round-5-touched code paths (suite.PRIORITY docstring)."""
     window = set(suite.PRIORITY)
-    # the r1-era family samples: fills, selectors, transforms, text/dedup
+    # never driver-checked → must be in the window
     for name in (
-        "window_fill_linear", "selector_first_last", "transform_integral",
-        "dedup_exact", "text_lang_id", "multimodal_frame_sample",
-        "curate_keep_list", "union_all_by_name",
+        "multimodal_audio_frame_features", "multimodal_image_tile_stats",
+        "curate_cluster_representative", "curate_length_bucket_batches",
+        "curate_holdout_exact_dedup",
     ):
         assert name in window, name
-    # entries changed/added in round 4 get driver verdicts this round
+    # r2-era staleness tail samples (full list in PRIORITY)
     for name in (
-        "dedup_minhash_lsh", "influxql_func_holt_winters_forecast",
-        "text_repetition_signals", "curate_quality_percentile_filter",
+        "agg_percentile_approx", "compare_timeshift", "dedup_embedding_lsh",
+        "prom_histogram_quantile", "scalar_json", "sketch_countmin_topn",
+        "transform_double_ema", "window_sliding_count", "table_function_rca",
+    ):
+        assert name in window, name
+    # round-5-touched code paths
+    for name in (
+        "dedup_embedding_lsh_highthr", "multimodal_png_real_decode",
+        "multimodal_wav_real_decode",
     ):
         assert name in window, name
 
