@@ -67,6 +67,15 @@ HEADLINE = [
     "text_repetition_signals",
     "curate_quality_percentile_filter",
     "castor_stl_anomaly",
+    # r5 additions: dup-cluster representative selection (minhash CC +
+    # quality compose), length-bucketed batch dealing (per-bucket windows,
+    # no global sort), doc-level train/holdout anti-join, and the two
+    # vectorized multimodal frame/tile extractors over the real codecs
+    "curate_cluster_representative",
+    "curate_length_bucket_batches",
+    "curate_holdout_exact_dedup",
+    "multimodal_audio_frame_features",
+    "multimodal_image_tile_stats",
 ]
 
 
