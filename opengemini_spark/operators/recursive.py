@@ -273,7 +273,9 @@ def sigma_anomaly(
     Output per input row: ``anomaly`` 0/1, ``updown`` +1 upper / −1 lower /
     0, ``score`` (0 when not an anomaly). Series shorter than
     ``std_window + 1`` emit all-zero flags (the reference returns empty).
-    Rows-only driver check; value behavior pinned in tests/test_castor.py.
+    Fully hash-oracled since r5: the DuckDB oracle replays the recurrence
+    with a recursive CTE carrying the flagged-index list; value behavior
+    additionally pinned in tests/test_castor.py.
     """
     pct = min(sensitivity / 15.0, 0.9)
 

@@ -840,6 +840,7 @@ PRIORITY: tuple[str, ...] = (
     "curate_cluster_representative",  # best-quality member per dup cluster
     "curate_length_bucket_batches",  # per-bucket batch dealing, no global sort
     "curate_holdout_exact_dedup",  # doc-level train/holdout anti-join
+    "castor_sigma_anomaly",  # NEW recursive-CTE oracle (was rows-only)
     # -- the 33 entries whose newest driver verdict is r2-era --
     "agg_percentile_approx",
     "agg_sample_hash",
@@ -885,7 +886,6 @@ PRIORITY: tuple[str, ...] = (
     "scan_filter_project",
     "window_tumbling_agg",
     "agg_basic",
-    "similarity_cosine_topk",
     "influxql_window_agg_fill",
 )
 

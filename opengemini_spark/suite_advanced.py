@@ -136,11 +136,95 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "castor_sigma_anomaly",
     # the reference's shipped sigma_sliding_window detector
-    # (python/ts-udf/server/udf/sudden_increase_STL3.py:146) — the rolling
-    # baseline EXCLUDES previously-flagged points, a sequential dependence
-    # no SQL can express → rows-only driver check; value behavior is pinned
-    # by tests/test_castor.py.
-    None,
+    # (python/ts-udf/server/udf/sudden_increase_STL3.py:146). The rolling
+    # baseline EXCLUDES previously-flagged points — a sequential
+    # dependence replayed here (r5, was rows-only) by a recursive CTE
+    # whose working row carries the flagged-index LIST: each step filters
+    # the 20-point window against the flags, recomputes mean / population
+    # std (floored at 5% of the mean, exactly as the UDF), flags
+    # t = i + 20 at ±3σ, and appends to the list. The final
+    # max-score·0.2 keep-filter is the post-pass, as in the UDF.
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), ser AS (
+      SELECT user_id, list(value ORDER BY rn) AS vals,
+             count(*) AS n
+      FROM ordered GROUP BY user_id
+    ), rec AS (
+      SELECT user_id, vals, n, -1 AS i,
+             CAST([] AS BIGINT[]) AS flags,
+             list_avg(vals[1:20]) AS m,
+             sqrt(list_avg(list_transform(vals[1:20],
+               v -> (v - list_avg(vals[1:20])) * (v - list_avg(vals[1:20])))))
+               AS s,
+             CAST(NULL AS BIGINT) AS t,
+             CAST(NULL AS DOUBLE) AS upd,
+             CAST(NULL AS DOUBLE) AS sc
+      FROM ser
+      UNION ALL
+      SELECT user_id, vals, n, inew,
+             CASE WHEN up OR dn THEN list_append(flags, inew + 20)
+                  ELSE flags END,
+             m2, s2,
+             CASE WHEN up OR dn THEN inew + 20 END,
+             CASE WHEN up THEN 1.0 WHEN dn THEN -1.0 END,
+             CASE WHEN up THEN (v - m2) / (s2 + 1)
+                  WHEN dn THEN (m2 - v) / (s2 + 1) END
+      FROM (
+        SELECT *,
+               v > m2 + 3.0 * s2 AS up,
+               v < m2 - 3.0 * s2 AS dn
+        FROM (
+          SELECT *,
+                 CASE WHEN wlen > 0 AND s1 < m1 * 0.05 THEN m1 * 0.05
+                      ELSE s1 END AS s2,
+                 m1 AS m2,
+                 vals[inew + 21] AS v
+          FROM (
+            SELECT *,
+                   CASE WHEN wlen > 0
+                        THEN sqrt(list_avg(list_transform(w,
+                               x -> (x - m1) * (x - m1))))
+                        ELSE s END AS s1
+            FROM (
+              SELECT *,
+                     CASE WHEN wlen > 0 THEN list_avg(w) ELSE m END AS m1
+              FROM (
+                SELECT user_id, vals, n, i + 1 AS inew, flags, m, s, w,
+                       len(w) AS wlen
+                FROM (
+                  SELECT *,
+                         list_transform(
+                           list_filter(range(i + 1, i + 21),
+                                       j -> NOT list_contains(flags, j)),
+                           j -> vals[j + 1]) AS w
+                  FROM rec WHERE i + 1 <= n - 21
+                )
+              )
+            )
+          )
+        )
+      )
+    ), ev AS (
+      SELECT user_id, t, upd, sc FROM rec WHERE t IS NOT NULL
+    ), mx AS (
+      SELECT user_id, max(sc) AS overall FROM ev GROUP BY user_id
+    ), kept AS (
+      SELECT e.user_id, e.t, e.upd, e.sc
+      FROM ev e JOIN mx x ON x.user_id = e.user_id
+      WHERE e.sc >= x.overall * 0.2
+    )
+    SELECT o.user_id, o.rn,
+           CASE WHEN k.t IS NOT NULL THEN 1.0 ELSE 0.0 END AS anomaly,
+           coalesce(k.upd, 0.0) AS updown,
+           round(coalesce(k.sc, 0.0), 6) AS score
+    FROM ordered o
+    LEFT JOIN kept k ON k.user_id = o.user_id AND k.t = o.rn - 1
+    """,
 )
 def q_sigma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir)

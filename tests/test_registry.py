@@ -49,13 +49,11 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     # weak (no-oracle) entries are the deliberate, documented ones only:
     # the percentile sketch is engine-specific by nature and the castor
-    # sigma/STL detectors exclude prior anomalies from their rolling
-    # baselines — sequential-stateful shapes SQL cannot replay
-    # (rows-only gate).
-    # (The holt_winters forecast moved OFF this list in round 4: its
-    # deterministic fit is pinned and the oracle replays the recurrence.)
+    # STL detector runs a loess decomposition no SQL can replay.
+    # (holt_winters moved OFF this list in round 4 via pinned-fit replay;
+    # castor_sigma moved off in round 5 — a recursive CTE carries the
+    # flagged-index list and replays the baseline-exclusion recurrence.)
     assert set(qs) - set(os_) == {
         "agg_percentile_approx",
-        "castor_sigma_anomaly",
         "castor_stl_anomaly",
     }
