@@ -76,6 +76,7 @@ HEADLINE = [
     "curate_holdout_exact_dedup",
     "multimodal_audio_frame_features",
     "multimodal_image_tile_stats",
+    "similarity_quantize_int8",
 ]
 
 

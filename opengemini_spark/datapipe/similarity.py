@@ -589,3 +589,41 @@ def ivf_topk_kmeans(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving prep
+    step before shipping an embedding corpus to an ANN index: scale =
+    max|x|/127 (1.0 for the all-zero vector), q_i = round(x_i / scale).
+
+    → ``(vec_id, pos, q, scale)`` exploded to one row per dimension so
+    the int8 codes hash exactly; ``scale`` is rounded to 9 dp for the
+    comparison only.
+
+    Scale: pure JVM expressions (aggregate fold for the max-abs, one
+    posexplode) — no UDF, no shuffle beyond the scan.
+    """
+    s = (
+        F.expr(
+            f"aggregate({emb_col}, 0D, (a, x) -> greatest(a, abs(cast(x as double))))"
+        )
+        / F.lit(127.0)
+    )
+    src = df.select(
+        F.col(id_col),
+        F.col(emb_col).alias("__e"),
+        F.when(s == 0.0, F.lit(1.0)).otherwise(s).alias("__scale"),
+    )
+    return src.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                "transform(__e, x -> cast(round(cast(x as double) / __scale) as bigint))"
+            )
+        ).alias("pos", "q"),
+        F.round("__scale", 9).alias("scale"),
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "q", "scale")

@@ -841,6 +841,7 @@ PRIORITY: tuple[str, ...] = (
     "curate_length_bucket_batches",  # per-bucket batch dealing, no global sort
     "curate_holdout_exact_dedup",  # doc-level train/holdout anti-join
     "castor_sigma_anomaly",  # NEW recursive-CTE oracle (was rows-only)
+    "similarity_quantize_int8",  # per-vector int8 quantization (ANN prep)
     # -- the 33 entries whose newest driver verdict is r2-era --
     "agg_percentile_approx",
     "agg_sample_hash",
@@ -885,7 +886,6 @@ PRIORITY: tuple[str, ...] = (
     "curate_contamination",
     "scan_filter_project",
     "window_tumbling_agg",
-    "agg_basic",
     "influxql_window_agg_fill",
 )
 

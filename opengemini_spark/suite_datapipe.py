@@ -1229,3 +1229,30 @@ def q_holdout_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.holdout_exact_dedup(
         load_table(spark, sf_dir, "documents"), holdout_source="src0"
     )
+
+
+@register(
+    "similarity_quantize_int8",
+    # per-vector symmetric int8 quantization (ANN serving prep): scale =
+    # max|x|/127, codes = round(x/scale); exploded per dimension so the
+    # int codes hash exactly
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS m
+        FROM embeddings
+      )
+    )
+    SELECT vec_id,
+           CAST(p AS BIGINT) AS pos,
+           CAST(round(CAST(embedding[p + 1] AS DOUBLE) / scale) AS BIGINT) AS q,
+           round(scale, 9) AS scale
+    FROM s, LATERAL (SELECT unnest(range(0, len(embedding))) AS p)
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))

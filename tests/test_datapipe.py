@@ -256,3 +256,22 @@ def test_quality_percentile_filter_drops_bottom_decile(spark, sf_dir):
     import math
     for lang, n in by_lang_total.items():
         assert by_lang_kept.get(lang, 0) == n - math.ceil(n * 0.1), lang
+
+
+def test_quantize_embeddings_scale_and_codes(spark):
+    from opengemini_spark.datapipe.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, -2.54, 1.27]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r["vec_id"], r["pos"]): r
+            for r in quantize_embeddings(df).collect()}
+    # vec 1: scale = 2.54/127 = 0.02; codes 0, -127, 63.5 -> 64 (half-up)
+    assert rows[(1, 0)]["q"] == 0
+    assert rows[(1, 1)]["q"] == -127
+    assert rows[(1, 2)]["q"] == 64
+    assert abs(rows[(1, 0)]["scale"] - 0.02) < 1e-9
+    # all-zero vector: scale falls back to 1.0, codes all 0
+    assert rows[(2, 0)]["scale"] == 1.0
+    assert all(rows[(2, p)]["q"] == 0 for p in range(3))
