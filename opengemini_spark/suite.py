@@ -825,13 +825,14 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-4 post-gate multimodal entries; the local gate (tools/oracle_check.py)
 # runs the identical comparison at HEAD for everything else.
 #
-# ROUND-5 ROTATION (VERDICT r4 next #1): (a) the two entries that have never
-# had a driver row (landed after the r4 gate) go first; (b) all 33 entries
-# whose newest driver verdict is r2-era — after this window every registered
-# entry's newest verdict is r3+; (c) the remaining 15 slots re-verify r3-era
-# entries on code paths this round touches (LSH rerank bucketing, multimodal
-# vectorization, recursive-family oracle rework) plus the heaviest bench
-# shapes.
+# ROUND-5 ROTATION (VERDICT r4 next #1): (a) entries with no driver hash
+# verdict go first — the two r4 post-gate multimodal ops, the four operators
+# added this round, and castor_sigma_anomaly whose oracle is new this round;
+# (b) all 33 entries whose newest driver verdict is r2-era — after this
+# window every registered entry's newest verdict is r3+; (c) the remaining
+# slots re-verify r3-era entries on code paths this round touches (LSH
+# rerank restructure, multimodal vectorization, recursive-family oracle
+# rewrite) plus the heaviest bench shapes.
 PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-4 post-gate commits) --
     "multimodal_audio_frame_features",
