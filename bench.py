@@ -77,6 +77,7 @@ HEADLINE = [
     "multimodal_audio_frame_features",
     "multimodal_image_tile_stats",
     "similarity_quantize_int8",
+    "similarity_random_projection",
 ]
 
 

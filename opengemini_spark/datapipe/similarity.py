@@ -627,3 +627,51 @@ def quantize_embeddings(
         ).alias("pos", "q"),
         F.round("__scale", 9).alias("scale"),
     ).select(id_col, F.col("pos").cast("long").alias("pos"), "q", "scale")
+
+
+RP_SEED = 0xD1CE
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = RP_SEED,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Seeded Gaussian random projection to ``out_dim`` dimensions — the
+    Johnson–Lindenstrauss dimensionality reduction an embedding pipeline
+    runs before ANN indexing (distances preserved within ~1/√out_dim).
+
+    → ``(vec_id, pos, v)``, one row per output dimension, v rounded to
+    6 dp. The plane matrix is ``RandomState(seed)`` Gaussian scaled by
+    1/√out_dim, embedded as literals in the plan, so the projection is
+    reproducible everywhere (and the oracle replays it term by term).
+
+    Scale: ``out_dim`` whole-stage-codegen'd aggregate/zip_with folds per
+    row — embarrassingly parallel, no shuffle, no UDF. For out_dim×dim
+    large enough that literal plans get unwieldy, the pandas-UDF matmul
+    used by ``lsh_near_dups``'s signature stage is the alternative.
+    """
+    planes = (
+        np.random.RandomState(seed).standard_normal((out_dim, dim))
+        / np.sqrt(out_dim)
+    )
+    outs = []
+    for j in range(out_dim):
+        lits = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in planes[j])
+        outs.append(
+            F.expr(
+                f"aggregate(zip_with({emb_col}, array({lits}),"
+                " (x, y) -> cast(x as double) * y),"
+                " 0D, (acc, v) -> acc + v)"
+            )
+        )
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*outs)).alias("pos", "v")
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.round("v", 6).alias("v"),
+    )

@@ -843,6 +843,7 @@ PRIORITY: tuple[str, ...] = (
     "curate_holdout_exact_dedup",  # doc-level train/holdout anti-join
     "castor_sigma_anomaly",  # NEW recursive-CTE oracle (was rows-only)
     "similarity_quantize_int8",  # per-vector int8 quantization (ANN prep)
+    "similarity_random_projection",  # seeded JL projection (literal planes)
     # -- the 33 entries whose newest driver verdict is r2-era --
     "agg_percentile_approx",
     "agg_sample_hash",
@@ -883,7 +884,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_wav_real_decode",
     "transform_ema",
     "transform_triple_ema",
-    "transform_rsi",
     "curate_contamination",
     "scan_filter_project",
     "window_tumbling_agg",

@@ -1256,3 +1256,32 @@ def q_holdout_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def _random_projection_oracle() -> str:
+    """Replays the seeded projection: the SAME RandomState matrix, each
+    output dim an explicit left-assoc 64-term sum (Spark's aggregate fold
+    order), literals via repr (shortest round-trip decimal -> identical
+    float64 on both engines)."""
+    import numpy as np
+
+    planes = (
+        np.random.RandomState(similarity.RP_SEED).standard_normal((16, 64))
+        / np.sqrt(16)
+    )
+    parts = []
+    for j in range(16):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * CAST({float(planes[j][i])!r} AS DOUBLE)"
+            for i in range(64)
+        )
+        parts.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS pos,"
+            f" round({terms}, 6) AS v FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("similarity_random_projection", _random_projection_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection(load_table(spark, sf_dir, "embeddings"))
