@@ -78,6 +78,8 @@ HEADLINE = [
     "multimodal_image_tile_stats",
     "similarity_quantize_int8",
     "similarity_random_projection",
+    "session_assign",
+    "session_stats",
 ]
 
 

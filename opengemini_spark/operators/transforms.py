@@ -142,3 +142,56 @@ def spread(
 ) -> DataFrame:
     """max - min per series (agg_functions.go:197)."""
     return df.groupBy(*dims).agg((F.max(value_col) - F.min(value_col)).alias(out_col))
+
+
+def sessionize(
+    df: DataFrame,
+    gap_ns: int,
+    dims: Sequence[str],
+    time_col: str = "time_ns",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: within each series (user), a new session
+    starts at the first event and whenever the time since the previous
+    event exceeds ``gap_ns``. Adds ``session_idx`` (1-based per series).
+
+    The standard event-stream prep before per-session feature extraction;
+    two window passes (lag + running sum), both over the same per-series
+    partitioning — one shuffle total, session counts never leave the
+    executor. Skew is bounded by the largest single series.
+    """
+    w = Window.partitionBy(*dims).orderBy(time_col, *order_cols)
+    starts = F.when(
+        F.lag(time_col).over(w).isNull()
+        | ((F.col(time_col) - F.lag(time_col).over(w)) > gap_ns),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_idx", F.sum(starts).over(w).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_ns: int,
+    dims: Sequence[str],
+    time_col: str = "time_ns",
+    order_cols: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize` output: event count,
+    start/end time, duration — plus sum(value) when ``value_col`` is
+    given. One additional hash aggregation on (dims, session_idx); the
+    partial aggregation collapses map-side because sessionize's window
+    already co-partitioned the data by the same keys.
+    """
+    s = sessionize(df, gap_ns, dims, time_col, order_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("start_ns"),
+        F.max(time_col).alias("end_ns"),
+        (F.max(time_col) - F.min(time_col)).alias("duration_ns"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return s.groupBy(*dims, "session_idx").agg(*aggs)

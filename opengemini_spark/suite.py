@@ -844,6 +844,8 @@ PRIORITY: tuple[str, ...] = (
     "castor_sigma_anomaly",  # NEW recursive-CTE oracle (was rows-only)
     "similarity_quantize_int8",  # per-vector int8 quantization (ANN prep)
     "similarity_random_projection",  # seeded JL projection (literal planes)
+    "session_assign",  # gap-based sessionization (two-window, one shuffle)
+    "session_stats",  # per-session aggregates on the same assignment
     # -- the 33 entries whose newest driver verdict is r2-era --
     "agg_percentile_approx",
     "agg_sample_hash",
@@ -883,10 +885,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_png_real_decode",
     "multimodal_wav_real_decode",
     "transform_ema",
-    "transform_triple_ema",
     "curate_contamination",
     "scan_filter_project",
-    "window_tumbling_agg",
     "influxql_window_agg_fill",
 )
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from opengemini_spark.catalog import load_table
 from opengemini_spark.operators import recursive as rec
+from opengemini_spark.operators import transforms as tr
 from opengemini_spark.suite import register
 
 EMA_ALPHA = 0.25        # 1-α = 0.75, both exact binary fractions
@@ -616,4 +617,78 @@ def q_inc_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
+    )
+
+
+SESSION_GAP_NS = 2 * 3600 * 10**9   # 2h inactivity gap
+
+
+@register(
+    "session_assign",
+    # gap-based sessionization: session_idx = running count of gap-starts
+    # per user in (time, event_id) order
+    f"""
+    WITH d AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                       > {SESSION_GAP_NS} THEN 1 ELSE 0 END AS start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(start) OVER (PARTITION BY user_id
+                                 ORDER BY tns, event_id) AS BIGINT)
+             AS session_idx
+    FROM d
+    """,
+)
+def q_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tr.sessionize(
+        ev, SESSION_GAP_NS, ["user_id"], "time_ns", ["event_id"]
+    )
+    return out.select("user_id", "event_id", "session_idx")
+
+
+@register(
+    "session_stats",
+    # per-session aggregates on the same assignment (count, bounds,
+    # duration, value sum) -- time exposed at us (DuckDB reads ns at us)
+    f"""
+    WITH d AS (
+      SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                       > {SESSION_GAP_NS} THEN 1 ELSE 0 END AS start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), s AS (
+      SELECT user_id, value, tns,
+             sum(start) OVER (PARTITION BY user_id
+                              ORDER BY tns, event_id) AS session_idx
+      FROM d
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(tns) // 1000 AS start_us,
+           max(tns) // 1000 AS end_us,
+           (max(tns) - min(tns)) // 1000 AS duration_us,
+           round(CAST(sum(value) AS DOUBLE), 4) AS value_sum
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tr.session_stats(
+        ev, SESSION_GAP_NS, ["user_id"], "time_ns", ["event_id"], "value"
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.expr("start_ns div 1000").alias("start_us"),
+        F.expr("end_ns div 1000").alias("end_us"),
+        F.expr("duration_ns div 1000").alias("duration_us"),
+        F.round("value_sum", 4).alias("value_sum"),
     )

@@ -191,3 +191,29 @@ def test_recurrence_null_series_key_batch_boundary(spark):
         (r for r in out if r["tag"] is None), key=lambda r: r["rn"]
     )]
     assert got == exp
+
+
+def test_sessionize_gap_boundary(spark):
+    from opengemini_spark.operators.transforms import session_stats, sessionize
+
+    gap = 100
+    rows = [
+        # user 1: gaps of exactly 100 (same session), 101 (new session)
+        (1, 1, 0), (1, 2, 100), (1, 3, 201),
+        # user 2: single event
+        (2, 4, 50),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, time_ns long")
+    out = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap, ["user_id"], "time_ns",
+                               ["event_id"]).collect()}
+    assert out[1] == 1 and out[2] == 1   # delta == gap -> same session
+    assert out[3] == 2                   # delta > gap -> new session
+    assert out[4] == 1
+
+    st = {(r["user_id"], r["session_idx"]): r
+          for r in session_stats(df, gap, ["user_id"], "time_ns",
+                                 ["event_id"]).collect()}
+    assert st[(1, 1)]["n_events"] == 2
+    assert st[(1, 1)]["duration_ns"] == 100
+    assert st[(1, 2)]["n_events"] == 1 and st[(1, 2)]["duration_ns"] == 0
