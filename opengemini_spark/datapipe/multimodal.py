@@ -292,6 +292,12 @@ def frame_feature_arrays(
     """
     s = samples.astype(np.int64)
     n = len(s)
+    if n == 0:
+        # a valid zero-sample WAV has no frames; the flips spine below
+        # would otherwise be length 1 and break the (0, frame) reshape
+        empty = np.array([], dtype=np.int64)
+        return {k: empty for k in
+                ("frame_id", "n", "energy_sum", "zcr", "peak")}
     sign = np.where(s >= 0, 1, -1)
     flips = np.concatenate(([0], (sign[1:] != sign[:-1]).astype(np.int64)))
     n_fr = (n + frame - 1) // frame

@@ -26,6 +26,29 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 
+# Bounded registry of signature frames persisted by lsh_near_dups: each
+# call caches one id-partitioned signature DataFrame that its (lazy)
+# result plan reads several times. Keeping every handle alive for the
+# Spark app's lifetime leaks cache across repeated invocations (ADVICE
+# r5), so new calls evict the oldest entries. Unpersisting a frame a
+# still-lazy result depends on is safe — Spark just recomputes it.
+_LSH_SIG_CACHE: list[DataFrame] = []
+_LSH_SIG_CACHE_MAX = 2
+
+
+def _lsh_cache_register(sig: DataFrame) -> None:
+    _LSH_SIG_CACHE.append(sig)
+    while len(_LSH_SIG_CACHE) > _LSH_SIG_CACHE_MAX:
+        _LSH_SIG_CACHE.pop(0).unpersist()
+
+
+def unpersist_lsh_caches() -> None:
+    """Drop every signature frame still cached by prior
+    :func:`lsh_near_dups` calls (callers done consuming results)."""
+    while _LSH_SIG_CACHE:
+        _LSH_SIG_CACHE.pop().unpersist()
+
+
 def _dot(a: str, b: str) -> F.Column:
     """Index-ordered double-precision dot product of two array columns."""
     return F.expr(
@@ -322,6 +345,7 @@ def lsh_near_dups(
             "__pre", F.expr(f"slice(emb, 1, {prefilter_dims})")
         ).withColumn("__rnrm", F.sqrt(_dot(rest, rest)))
     sig = sig.repartition(F.col("id")).persist()
+    _lsh_cache_register(sig)
     buckets = sig.select(
         "id", F.posexplode("__keys").alias("band", "key")
     )

@@ -900,18 +900,40 @@ class DDLExecutor:
         with the reference's error text."""
         key, target = m.group(1).upper(), m.group(2)
         parts = target.split(".")
+        if len(parts) > 3:
+            raise ValueError("error parsing query")
         name = parts[-1]
-        if len(parts) >= 3 and parts[0]:
-            db = parts[0]
-            if (
-                db not in self.meta.databases
-                or name not in self.meta.databases[db].measurements
+        # sql.y target forms: mst | db.rp.mst | db..mst | .rp.mst | ..mst;
+        # a single-dot 2-part form is off-grammar in the reference — the
+        # nearest production is .rp.mst, so treat it as rp.mst
+        db = parts[0] or None if len(parts) == 3 else None
+        rp = (parts[1] if len(parts) == 3 else
+              parts[0] if len(parts) == 2 else "") or None
+
+        def _mst_rp(d_) -> str:
+            return d_.measurement_info.get(name, {}).get("rp", "autogen")
+
+        if db is not None:
+            if db not in self.meta.databases:
+                # e.MetaClient.Database(stmt.Database) errors first
+                raise ValueError("database not found")
+            d = self.meta.databases[db]
+            if rp is not None and rp not in d.retention_policies:
+                raise ValueError("rp not found")
+            # rp.MstVersions[stmt.Measurement] lookup: the measurement
+            # must live in the resolved RP (statement_executor.go:1321)
+            if name not in d.measurements or (
+                rp is not None and _mst_rp(d) != rp
             ):
                 raise ValueError("measurement not found")
         else:
+            # no session database on this executor: resolve the bare (or
+            # rp-qualified) name across databases; with an explicit rp the
+            # measurement must be recorded under that RP
             db = next(
                 (dn for dn, d_ in self.meta.databases.items()
-                 if name in d_.measurements),
+                 if name in d_.measurements
+                 and (rp is None or _mst_rp(d_) == rp)),
                 None,
             )
             if db is None:

@@ -563,8 +563,23 @@ def test_show_measurement_keys(ddl):
     assert q["values"] == [[["t1"], "hash", 0]]
     with pytest.raises(ValueError, match="measurement not found"):
         ddl.execute("SHOW SHARDKEY FROM nosuch")
-    with pytest.raises(ValueError, match="measurement not found"):
+    # MetaClient.Database(stmt.Database) errors before the mst lookup
+    with pytest.raises(ValueError, match="database not found"):
         ddl.execute("SHOW SHARDKEY FROM otherdb.autogen.ts1")
+    # rp.MstVersions resolution (statement_executor.go:1315-1324): a
+    # wrong RP segment errors instead of falling back to a bare search
+    with pytest.raises(ValueError, match="rp not found"):
+        ddl.execute("SHOW SHARDKEY FROM mydb.wrongrp.ts1")
+    ddl.execute(
+        "CREATE RETENTION POLICY rp2 ON mydb DURATION 1d REPLICATION 1"
+    )
+    with pytest.raises(ValueError, match="measurement not found"):
+        ddl.execute("SHOW SHARDKEY FROM mydb.rp2.ts1")
+    # 2-part target resolves as rp.mst, not a bare all-db search
+    q2 = ddl.execute("SHOW SHARDKEY FROM autogen.ts1")["series"][0]
+    assert q2["values"] == [[["t1"], "hash", 0]]
+    with pytest.raises(ValueError, match="measurement not found"):
+        ddl.execute("SHOW SHARDKEY FROM rp2.ts1")
 
 
 def test_show_measurement_keys_field_index(ddl):
