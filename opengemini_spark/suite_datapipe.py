@@ -1188,6 +1188,61 @@ def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(load_table(spark, sf_dir, "documents"))
 
 
+# drop-list variant of _REP_TAIL: same CTE spine, but emit the NON-
+# representative members with a pointer at the copy that replaces them
+_REP_DROP_TAIL = _REP_TAIL[: _REP_TAIL.rindex("SELECT component")] + """
+    SELECT r.doc_id, r.component,
+           rep.doc_id AS rep_doc_id
+    FROM ranked r
+    JOIN (SELECT component, doc_id FROM ranked WHERE rn = 1) rep
+      ON rep.component = r.component
+    WHERE r.rn > 1
+    """
+
+
+@register(
+    "curate_dedup_drop_best",
+    # composed dedup pipeline (VERDICT r5 wrong #2): LSH pairs ->
+    # connected components -> cluster_representatives(components=...) —
+    # the CC result is computed ONCE and shared by the representative
+    # choice and the drop-list join, so the representative step costs a
+    # window + two doc-keyed joins on top of the dedup, not a second LSH
+    _minhash_oracle().replace(
+        """SELECT i.id_a, i.id_b,
+           round(i.c / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.c / (sa.n + sb.n - i.c), 4) >= 0.8
+    """,
+        _REP_DROP_TAIL,
+    ).replace("    WITH docs AS (", "    WITH RECURSIVE docs AS (")
+    .replace(
+        "SELECT doc_id, {t} AS toks FROM documents".format(t=tokens_sql("text")),
+        "SELECT doc_id, text, {t} AS toks FROM documents".format(
+            t=tokens_sql("text")
+        ),
+    )
+    .replace(
+        "__stoplist",
+        "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]",
+    ),
+)
+def q_dedup_drop_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.cluster import connected_components
+    from opengemini_spark.datapipe.curate import cluster_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.8)
+    comps = connected_components(pairs)  # localCheckpointed — reused below
+    reps = cluster_representatives(docs, components=comps)
+    return (
+        comps.join(reps.select("component", "rep_doc_id"), "component")
+        .filter(F.col("doc_id") != F.col("rep_doc_id"))
+        .select("doc_id", "component", "rep_doc_id")
+    )
+
+
 @register(
     "curate_length_bucket_batches",
     # length-bucketed training batches: bucket = n_tokens div 32, batches
@@ -1255,7 +1310,15 @@ def q_holdout_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    # the operator returns the packed serving shape (vec_id, codes,
+    # scale); the explode lives HERE so the driver hashes each int8 code
+    packed = similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return packed.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(codes, c -> cast(c as bigint))"))
+        .alias("pos", "q"),
+        F.round("scale", 9).alias("scale"),
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "q", "scale")
 
 
 def _random_projection_oracle() -> str:
@@ -1284,4 +1347,13 @@ def _random_projection_oracle() -> str:
 
 @register("similarity_random_projection", _random_projection_oracle())
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.random_projection(load_table(spark, sf_dir, "embeddings"))
+    # packed (vec_id, proj) from the operator; explode + 6 dp rounding
+    # here so the driver hashes per-dimension values
+    packed = similarity.random_projection(load_table(spark, sf_dir, "embeddings"))
+    return packed.select(
+        "vec_id", F.posexplode("proj").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("v", 6).alias("v"),
+    )

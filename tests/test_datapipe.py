@@ -265,13 +265,14 @@ def test_quantize_embeddings_scale_and_codes(spark):
         [(1, [0.0, -2.54, 1.27]), (2, [0.0, 0.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    rows = {(r["vec_id"], r["pos"]): r
-            for r in quantize_embeddings(df).collect()}
+    out = quantize_embeddings(df)
+    # packed serving shape: one row per vector, codes are real tinyints
+    assert dict(out.dtypes)["codes"] == "array<tinyint>"
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 2
     # vec 1: scale = 2.54/127 = 0.02; codes 0, -127, 63.5 -> 64 (half-up)
-    assert rows[(1, 0)]["q"] == 0
-    assert rows[(1, 1)]["q"] == -127
-    assert rows[(1, 2)]["q"] == 64
-    assert abs(rows[(1, 0)]["scale"] - 0.02) < 1e-9
+    assert rows[1]["codes"] == [0, -127, 64]
+    assert abs(rows[1]["scale"] - 0.02) < 1e-9
     # all-zero vector: scale falls back to 1.0, codes all 0
-    assert rows[(2, 0)]["scale"] == 1.0
-    assert all(rows[(2, p)]["q"] == 0 for p in range(3))
+    assert rows[2]["scale"] == 1.0
+    assert rows[2]["codes"] == [0, 0, 0]
