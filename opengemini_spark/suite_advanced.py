@@ -237,6 +237,157 @@ def q_sigma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _stl_oracle() -> str:
+    """Pinned-replay oracle for castor_stl_anomaly (VERDICT r5 next #1b,
+    the holt_winters pin pattern): the loess decomposition itself is the
+    only non-SQL-expressible piece, so its per-series trend/seasonal
+    arrays — a deterministic function of the sf0.01 fixture, regenerated
+    by tools/gen_stl_pins.py — enter as literal pins, and EVERYTHING
+    downstream is independently recomputed in DuckDB: residuals from the
+    raw parquet values minus pins, the three candidate screens
+    (residual mean±2σ, trend mean±3σ, second-half vs first-half ±3σ),
+    the candidate-excluding rolling confirmation (a recursive CTE per
+    side carrying (mean, std) across candidates — the carry matters when
+    a window is fully candidate-masked), and the max-score·0.2 keep
+    filter. Scores round to 6dp to absorb summation-order ulp."""
+    from opengemini_spark.stl_pins import STL_PINS
+
+    pins_rows = ",\n      ".join(
+        "('{et}', [{t}], [{s}])".format(
+            et=et,
+            t=", ".join(repr(x) for x in p["trend"]),
+            s=", ".join(repr(x) for x in p["seasonal"]),
+        )
+        for et, p in sorted(STL_PINS.items())
+    )
+    conf_body = """
+      SELECT event_type, vals, cnd, cands, k + 1,
+             CASE WHEN wlen > 0 THEN m2 ELSE m END,
+             CASE WHEN wlen > 0 THEN s2 ELSE sd END,
+             CASE WHEN {hit} THEN t0 END,
+             CASE WHEN {hit} THEN {score} END
+      FROM (
+        SELECT *,
+               CASE WHEN wlen > 0 THEN m2 ELSE m END AS meff,
+               CASE WHEN wlen > 0 THEN s2 ELSE sd END AS seff
+        FROM (
+          SELECT *,
+                 CASE WHEN wlen > 0 AND s1 < m2 * 0.05 THEN m2 * 0.05
+                      ELSE s1 END AS s2
+          FROM (
+            SELECT *,
+                   list_avg(w) AS m2,
+                   sqrt(list_avg(list_transform(w,
+                     x -> (x - list_avg(w)) * (x - list_avg(w))))) AS s1
+            FROM (
+              SELECT event_type, vals, cnd, cands, k, m, sd,
+                     cands[k + 1] AS t0,
+                     vals[cands[k + 1] + 1] AS v,
+                     list_transform(
+                       list_filter(range(greatest(cands[k + 1] - 20, 0),
+                                         cands[k + 1]),
+                                   j -> NOT list_contains(cnd, j)),
+                       j -> vals[j + 1]) AS w,
+                     len(list_filter(range(greatest(cands[k + 1] - 20, 0),
+                                           cands[k + 1]),
+                                     j -> NOT list_contains(cnd, j))) AS wlen
+              FROM {src} WHERE k < len(cands)
+            )
+          )
+        )
+      )"""
+    up_step = conf_body.format(
+        hit="v > meff + 3.0 * seff", score="(v - meff) / (seff + 1)",
+        src="conf_up",
+    )
+    dn_step = conf_body.format(
+        hit="v < meff - 3.0 * seff", score="(meff - v) / (seff + 1)",
+        src="conf_dn",
+    )
+    return f"""
+    WITH RECURSIVE ordered AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), ser AS (
+      SELECT event_type, list(value ORDER BY rn) AS vals, count(*) AS n
+      FROM ordered GROUP BY event_type
+    ), pins(event_type, ptrend, pseas) AS (
+      VALUES {pins_rows}
+    ), comp AS (
+      SELECT s.event_type, s.vals, s.n, p.ptrend AS trend,
+             list_transform(range(1, s.n + 1),
+                            i -> s.vals[i] - p.ptrend[i] - p.pseas[i]) AS resid,
+             CAST(CASE WHEN s.n > 60 THEN s.n // 2 ELSE s.n - 30 END
+                  AS BIGINT) AS strt
+      FROM ser s JOIN pins p USING (event_type)
+    ), stats AS (
+      SELECT event_type, vals, n, trend, resid, strt,
+             list_avg(resid) AS rmean,
+             sqrt(list_avg(list_transform(resid,
+               x -> (x - list_avg(resid)) * (x - list_avg(resid))))) AS rstd,
+             list_avg(trend) AS tmean,
+             sqrt(list_avg(list_transform(trend,
+               x -> (x - list_avg(trend)) * (x - list_avg(trend))))) AS tstd,
+             list_avg(vals[1:strt]) AS hmean,
+             sqrt(list_avg(list_transform(vals[1:strt],
+               x -> (x - list_avg(vals[1:strt]))
+                    * (x - list_avg(vals[1:strt]))))) AS hstd
+      FROM comp
+    ), cand AS (
+      SELECT event_type, vals, n, strt, hmean, hstd,
+             list_sort(list_filter(range(0, n),
+               i -> resid[i + 1] > rmean + 2.0 * rstd
+                    OR trend[i + 1] > tmean + 3.0 * tstd
+                    OR (i >= strt AND vals[i + 1] > hmean + 3.0 * hstd)))
+               AS up_cand,
+             list_sort(list_filter(range(0, n),
+               i -> resid[i + 1] < rmean - 2.0 * rstd
+                    OR trend[i + 1] < tmean - 3.0 * tstd
+                    OR (i >= strt AND vals[i + 1] < hmean - 3.0 * hstd)))
+               AS dn_cand
+      FROM stats
+    ), allc AS (
+      SELECT event_type, vals, strt, hmean, hstd, up_cand, dn_cand,
+             list_sort(list_distinct(list_concat(up_cand, dn_cand))) AS cnd,
+             list_filter(up_cand, t -> t >= strt) AS upc,
+             list_filter(dn_cand, t -> t >= strt) AS dnc
+      FROM cand
+    ), conf_up AS (
+      SELECT event_type, vals, cnd, upc AS cands, 0 AS k,
+             hmean AS m, hstd AS sd,
+             CAST(NULL AS BIGINT) AS t, CAST(NULL AS DOUBLE) AS sc
+      FROM allc
+      UNION ALL
+      {up_step}
+    ), conf_dn AS (
+      SELECT event_type, vals, cnd, dnc AS cands, 0 AS k,
+             hmean AS m, hstd AS sd,
+             CAST(NULL AS BIGINT) AS t, CAST(NULL AS DOUBLE) AS sc
+      FROM allc
+      UNION ALL
+      {dn_step}
+    ), evs AS (
+      SELECT event_type, t, 1.0 AS upd, sc FROM conf_up WHERE t IS NOT NULL
+      UNION ALL
+      SELECT event_type, t, -1.0, sc FROM conf_dn WHERE t IS NOT NULL
+    ), mx AS (
+      SELECT event_type, max(sc) AS overall FROM evs GROUP BY event_type
+    ), kept AS (
+      SELECT e.event_type, e.t, e.upd, e.sc
+      FROM evs e JOIN mx x USING (event_type)
+      WHERE e.sc >= x.overall * 0.2
+    )
+    SELECT o.event_type, o.rn,
+           CASE WHEN k.t IS NOT NULL THEN 1.0 ELSE 0.0 END AS anomaly,
+           coalesce(k.upd, 0.0) AS updown,
+           round(coalesce(k.sc, 0.0), 6) AS score
+    FROM ordered o
+    LEFT JOIN kept k ON k.event_type = o.event_type AND k.t = o.rn - 1
+    """
+
+
 @register(
     "castor_stl_anomaly",
     # the reference's shipped single_metric_anomaly_STL detector
@@ -244,10 +395,12 @@ def q_sigma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate indices (residual/trend/raw-half outliers) confirmed
     # against a candidate-excluding rolling baseline. statsmodels is
     # absent, so the decomposition is the in-repo Cleveland-1990 STL
-    # (operators/stl.py) — algorithm-level parity, and the detector's
-    # sequential baseline exclusion is non-SQL → rows-only driver check;
-    # value behavior pinned by tests/test_castor.py.
-    None,
+    # (operators/stl.py). Since r6 the driver check is a full hash
+    # oracle: pinned trend/seasonal components (tools/gen_stl_pins.py)
+    # + complete SQL replay of candidates/confirmation/keep-filter —
+    # see _stl_oracle. Value behavior additionally pinned by
+    # tests/test_castor.py.
+    _stl_oracle(),
 )
 def q_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir)
@@ -416,11 +569,85 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx", None)  # sketch differs per engine: rows-only
+@register(
+    "agg_percentile_approx",
+    # bounded-error semantic oracle (VERDICT r5 next #1a): the GK sketch's
+    # exact value is engine-specific, but its CONTRACT is checkable — with
+    # accuracy a the returned value's rank is within ⌈n/a⌉ of the target
+    # rank. Both sides compute the exact values at ranks
+    # [floor(p·n)−⌈n/a⌉, ceil(p·n)+⌈n/a⌉+1] per group; the oracle asserts
+    # membership by emitting within=1, Spark emits the real containment
+    # test of its sketch output — a broken sketch hash-mismatches.
+    """
+    WITH ranked AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), b AS (
+      SELECT event_type, n,
+             greatest(1, CAST(floor(0.95 * n) AS BIGINT)
+                         - CAST(ceil(n / 1000.0) AS BIGINT)) AS r_lo,
+             least(n, CAST(ceil(0.95 * n) AS BIGINT)
+                      + CAST(ceil(n / 1000.0) AS BIGINT) + 1) AS r_hi
+      FROM (SELECT DISTINCT event_type, n FROM ranked)
+    )
+    SELECT b.event_type,
+           round(lo.value, 4) AS lo,
+           round(hi.value, 4) AS hi,
+           CAST(1 AS BIGINT) AS within,
+           CAST(b.n AS BIGINT) AS n
+    FROM b
+    JOIN ranked lo ON lo.event_type = b.event_type AND lo.rn = b.r_lo
+    JOIN ranked hi ON hi.event_type = b.event_type AND hi.rn = b.r_hi
+    """,
+)
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile_approx("value", 0.95, 1000), 4).alias("p95_approx")
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value")
+        )
+    )
+    b = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.95, 1000).alias("pa"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type", "pa", "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(0.95) * F.col("n")).cast("long")
+            - F.ceil(F.col("n") / F.lit(1000.0)).cast("long"),
+        ).alias("r_lo"),
+        F.least(
+            F.col("n"),
+            F.ceil(F.lit(0.95) * F.col("n")).cast("long")
+            + F.ceil(F.col("n") / F.lit(1000.0)).cast("long") + 1,
+        ).alias("r_hi"),
+    )
+    j = ranked.join(F.broadcast(b), "event_type").filter(
+        (F.col("rn") == F.col("r_lo")) | (F.col("rn") == F.col("r_hi"))
+    )
+    return (
+        j.groupBy("event_type", "pa", "n")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("r_lo"), F.col("value"))).alias("lo_x"),
+            F.min(F.when(F.col("rn") == F.col("r_hi"), F.col("value"))).alias("hi_x"),
+        )
+        .select(
+            "event_type",
+            F.round("lo_x", 4).alias("lo"),
+            F.round("hi_x", 4).alias("hi"),
+            F.when(
+                (F.col("pa") >= F.col("lo_x")) & (F.col("pa") <= F.col("hi_x")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("within"),
+            F.col("n").cast("long").alias("n"),
+        )
     )
 
 
