@@ -1040,6 +1040,228 @@ def handle_otlp_metrics_write(
     return {"written": written}
 
 
+# otel_context.go:70-78: the reference configures otel2influx's logs
+# converter with LogRecordDimensions = [service.name, span.name] — those
+# attribute keys become tags, everything else a field
+OTLP_LOG_DIMENSIONS = ("service.name", "span.name")
+
+
+def handle_otlp_logs_wire(
+    spark: SparkSession, body: bytes, data_root: str
+) -> dict:
+    """``POST /api/v1/otlp/logs`` with the REAL wire body: an
+    ExportLogsServiceRequest protobuf (handler_otlp.go:113-115 →
+    writeLogs → plogotlp unmarshal), decoded by the pure-Python codec
+    (sources/otlp_pb.py)."""
+    from opengemini_spark.sources import otlp_pb
+
+    return handle_otlp_logs_write(
+        spark, otlp_pb.decode_export_logs_request(body), data_root
+    )
+
+
+def handle_otlp_logs_write(
+    spark: SparkSession,
+    resource_logs: list[dict],
+    data_root: str,
+) -> dict:
+    """``POST /api/v1/otlp/logs`` (handler_otlp.go:113 → writeLogs →
+    otel2influx NewOtelLogsToLineProtocol as configured by
+    otel_context.go:70-78): every log record lands in the ``logs``
+    measurement —
+
+    - tags: ``trace_id``/``span_id`` (hex, when present) plus any
+      LogRecordDimensions key (service.name, span.name) found in the
+      merged resource + record attributes;
+    - fields: ``severity_number`` (int), ``severity_text``, ``body``
+      (typed AnyValue), every remaining attribute under its own name
+      with its native type, and ``dropped_attributes_count`` when > 0;
+    - time: ``time_unix_nano``, falling back to
+      ``observed_time_unix_nano``; a record with neither is a 400
+      (otel2influx rejects timestamp-less records).
+
+    Numeric fields are stored as double, booleans as double 0/1, the
+    rest as string — one schema per write batch, string tags, like the
+    metrics path above.
+    """
+    rows: list[tuple[dict, int, dict]] = []
+    tag_keys: set[str] = set()
+    field_types: dict[str, str] = {}
+    for rl in resource_logs:
+        res_attrs = dict(rl.get("resource", {}))
+        for rec in rl["logs"]:
+            t = int(rec.get("time_ns") or 0) or int(
+                rec.get("observed_time_ns") or 0
+            )
+            if t == 0:
+                raise ValueError("OTLP: log record has no time stamp")
+            merged = {**res_attrs, **rec.get("attrs", {})}
+            tags: dict[str, str] = {}
+            for d in OTLP_LOG_DIMENSIONS:
+                if d in merged:
+                    tags[d] = str(merged.pop(d))
+            for k in ("trace_id", "span_id"):
+                if rec.get(k):
+                    tags[k] = rec[k]
+            fields: dict[str, object] = {}
+            if rec.get("severity_number"):
+                fields["severity_number"] = float(rec["severity_number"])
+            if rec.get("severity_text"):
+                fields["severity_text"] = rec["severity_text"]
+            if rec.get("body") is not None:
+                body = rec["body"]
+                fields["body"] = (
+                    float(body) if isinstance(body, (int, float))
+                    and not isinstance(body, bool) else str(body)
+                )
+            for k, v in merged.items():
+                if isinstance(v, bool):
+                    fields[k] = 1.0 if v else 0.0
+                elif isinstance(v, (int, float)):
+                    fields[k] = float(v)
+                else:
+                    fields[k] = str(v)
+            if rec.get("dropped_attributes_count"):
+                fields["dropped_attributes_count"] = float(
+                    rec["dropped_attributes_count"]
+                )
+            rows.append((tags, t, fields))
+            tag_keys.update(tags)
+            for fk, fv in fields.items():
+                ft = "double" if isinstance(fv, float) else "string"
+                prev = field_types.get(fk)
+                # mixed types across records degrade to string
+                field_types[fk] = ft if prev in (None, ft) else "string"
+    if not rows:
+        return {"written": {}}
+    tks = sorted(tag_keys)
+    fks = sorted(field_types)
+    data = [
+        tuple(tags.get(k) for k in tks)
+        + (t,)
+        + tuple(
+            (str(fields[f]) if field_types[f] == "string"
+             and fields.get(f) is not None else fields.get(f))
+            for f in fks
+        )
+        for tags, t, fields in rows
+    ]
+    schema = ", ".join(
+        [f"`{k}` string" for k in tks]
+        + ["time_ns long"]
+        + [f"`{f}` {field_types[f]}" for f in fks]
+    )
+    df = spark.createDataFrame(data, schema)
+    storage.write_measurement(df, f"{data_root}/logs")
+    return {"written": {"logs": len(rows)}}
+
+
+def handle_otlp_traces_wire(
+    spark: SparkSession, body: bytes, data_root: str
+) -> dict:
+    """``POST /api/v1/otlp/traces`` with the REAL wire body: an
+    ExportTraceServiceRequest protobuf (handler_otlp.go:103-105 →
+    writeTraces → ptraceotlp unmarshal)."""
+    from opengemini_spark.sources import otlp_pb
+
+    return handle_otlp_traces_write(
+        spark, otlp_pb.decode_export_trace_request(body), data_root
+    )
+
+
+def handle_otlp_traces_write(
+    spark: SparkSession,
+    resource_spans: list[dict],
+    data_root: str,
+) -> dict:
+    """``POST /api/v1/otlp/traces`` (handler_otlp.go:103 → writeTraces →
+    otel2influx NewOtelTracesToLineProtocol as configured by
+    otel_context.go:58-66, SpanDimensions = [service.name, span.name]):
+    every span lands in the ``spans`` measurement —
+
+    - tags: ``trace_id``/``span_id`` plus the dimensions — the span's
+      own name fills ``span.name``, ``service.name`` comes from the
+      merged resource + span attributes;
+    - fields: ``duration_ns`` (end − start), ``end_time_unix_nano``,
+      ``kind``, ``parent_span_id`` (when set), ``otel.status_code`` /
+      ``otel.status_description`` (when set), every remaining attribute,
+      and ``dropped_attributes_count`` when > 0;
+    - time: ``start_time_unix_nano``; a span without it is a 400.
+    """
+    rows: list[tuple[dict, int, dict]] = []
+    tag_keys: set[str] = set()
+    field_types: dict[str, str] = {}
+    for rs in resource_spans:
+        res_attrs = dict(rs.get("resource", {}))
+        for sp in rs["spans"]:
+            t = int(sp.get("start_time_ns") or 0)
+            if t == 0:
+                raise ValueError("OTLP: span has no start time stamp")
+            merged = {**res_attrs, **sp.get("attrs", {})}
+            if sp.get("name"):
+                merged.setdefault("span.name", sp["name"])
+            tags: dict[str, str] = {}
+            for d in OTLP_LOG_DIMENSIONS:      # same dimension keys
+                if d in merged:
+                    tags[d] = str(merged.pop(d))
+            for k in ("trace_id", "span_id"):
+                if sp.get(k):
+                    tags[k] = sp[k]
+            fields: dict[str, object] = {
+                "duration_ns": float(
+                    int(sp.get("end_time_ns") or 0) - t
+                    if sp.get("end_time_ns") else 0
+                ),
+                "end_time_unix_nano": float(sp.get("end_time_ns") or 0),
+                "kind": float(sp.get("kind") or 0),
+            }
+            if sp.get("parent_span_id"):
+                fields["parent_span_id"] = sp["parent_span_id"]
+            if sp.get("status_code"):
+                fields["otel.status_code"] = float(sp["status_code"])
+            if sp.get("status_message"):
+                fields["otel.status_description"] = sp["status_message"]
+            for k, v in merged.items():
+                if isinstance(v, bool):
+                    fields[k] = 1.0 if v else 0.0
+                elif isinstance(v, (int, float)):
+                    fields[k] = float(v)
+                else:
+                    fields[k] = str(v)
+            if sp.get("dropped_attributes_count"):
+                fields["dropped_attributes_count"] = float(
+                    sp["dropped_attributes_count"]
+                )
+            rows.append((tags, t, fields))
+            tag_keys.update(tags)
+            for fk, fv in fields.items():
+                ft = "double" if isinstance(fv, float) else "string"
+                prev = field_types.get(fk)
+                field_types[fk] = ft if prev in (None, ft) else "string"
+    if not rows:
+        return {"written": {}}
+    tks = sorted(tag_keys)
+    fks = sorted(field_types)
+    data = [
+        tuple(tags.get(k) for k in tks)
+        + (t,)
+        + tuple(
+            (str(fields[f]) if field_types[f] == "string"
+             and fields.get(f) is not None else fields.get(f))
+            for f in fks
+        )
+        for tags, t, fields in rows
+    ]
+    schema = ", ".join(
+        [f"`{k}` string" for k in tks]
+        + ["time_ns long"]
+        + [f"`{f}` {field_types[f]}" for f in fks]
+    )
+    df = spark.createDataFrame(data, schema)
+    storage.write_measurement(df, f"{data_root}/spans")
+    return {"written": {"spans": len(rows)}}
+
+
 def _parse_match(match: str):
     """``match[]`` parameter → (metric, matchers) via the PromQL parser."""
     from opengemini_spark.promql.parser import parse_promql

@@ -152,9 +152,11 @@ def read_measurement(spark: SparkSession, root: str) -> DataFrame:
         # part of the series identity, so expanded rows never collapse
         # into plain-tag points of the same (tags, time)
         akey = ["__akey"] if "__akey" in df.columns else []
-        w = Window.partitionBy("time_ns", *key_tags, *akey).orderBy(
-            F.col(SEQ_COL).desc_nulls_last()
-        )
+        # backtick-quote: OTLP tag keys contain dots (service.name) which
+        # bare strings would parse as nested field references
+        w = Window.partitionBy(
+            F.col("time_ns"), *[F.col(f"`{c}`") for c in (*key_tags, *akey)]
+        ).orderBy(F.col(SEQ_COL).desc_nulls_last())
         if "__ln" in df.columns:
             # older batches may predate the write-order column: fall back
             # to the batch stamp so cross-batch order still holds

@@ -68,6 +68,81 @@ def _countmin_oracle_sql() -> str:
     FROM events GROUP BY event_type
     """,
 )
+@register(
+    "otlp_logs_ingest_agg",
+    # OTLP logs ingest e2e (handler_otlp.go:113 writeLogs + the
+    # otel2influx log schema of otel_context.go:70-78): the Spark query
+    # maps 400 deterministic events rows into ExportLogsServiceRequest
+    # WIRE BYTES, pushes them through the protobuf decode → 'logs'
+    # measurement write → __seq-dedup read-back, and aggregates per
+    # service tag; the oracle computes the same aggregate straight from
+    # the source rows, proving the whole encode/decode/map/write/read
+    # pipeline is lossless
+    """
+    WITH src AS (
+      SELECT event_id, event_type, user_id, value
+      FROM events ORDER BY event_id LIMIT 400
+    )
+    SELECT event_type AS service, count(*) AS n,
+           CAST(sum(event_id % 24 + 1) AS BIGINT) AS sev_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           round(sum(value), 4) AS val_sum
+    FROM src GROUP BY event_type
+    """,
+)
+def q_otlp_logs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from opengemini_spark import storage
+    from opengemini_spark.api import handle_otlp_logs_wire
+    from opengemini_spark.sources import otlp_pb
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id", "value", "time_ns")
+        .orderBy("event_id")
+        .limit(400)
+        .collect()
+    )
+    rls = [{
+        "resource": {"host": "bench"},
+        "logs": [
+            {
+                "time_ns": int(r["time_ns"]),
+                "observed_time_ns": 0,
+                "severity_number": int(r["event_id"]) % 24 + 1,
+                "severity_text": "INFO",
+                "body": f"evt {r['event_id']}",
+                "attrs": {
+                    "service.name": r["event_type"],
+                    "user": int(r["user_id"]),
+                    "value": float(r["value"]),
+                },
+                "dropped_attributes_count": 0,
+                "trace_id": "",
+                "span_id": "",
+            }
+            for r in rows
+        ],
+    }]
+    body = otlp_pb.encode_export_logs_request(rls)
+    dst = os.path.join(
+        tempfile.gettempdir(), f"og_spark_otlp_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(dst, ignore_errors=True)   # write_measurement appends
+    handle_otlp_logs_wire(spark, body, dst)
+    logs = storage.read_measurement(spark, f"{dst}/logs")
+    return (
+        logs.groupBy(F.col("`service.name`").alias("service"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("severity_number").cast("long").alias("sev_sum"),
+            F.sum("user").cast("long").alias("user_sum"),
+            F.round(F.sum("value"), 4).alias("val_sum"),
+        )
+    )
+
+
 def q_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(
         tempfile.gettempdir(), f"og_spark_into_{os.path.basename(sf_dir)}"

@@ -369,6 +369,124 @@ def test_otlp_metrics_wire_roundtrip(spark, tmp_path):
     assert g["service"] == "checkout" and g["core"] == "0"
 
 
+def test_otlp_logs_wire_roundtrip(spark, tmp_path):
+    """OTLP logs over REAL wire bytes: ExportLogsServiceRequest encode →
+    decode inverse → the otel2influx log schema (handler_otlp.go:113,
+    otel_context.go:70-78): 'logs' measurement, dimension/trace/span
+    tags, typed severity/body/attribute fields."""
+    from opengemini_spark.api import handle_otlp_logs_wire
+    from opengemini_spark.sources import otlp_pb
+
+    root = str(tmp_path / "otlp_logs")
+    rls = [{
+        "resource": {"service.name": "checkout", "host": "h1"},
+        "logs": [
+            {"time_ns": 10**18, "observed_time_ns": 0,
+             "severity_number": 9, "severity_text": "INFO",
+             "body": "payment accepted", "attrs": {"amount": 12.5},
+             "dropped_attributes_count": 0,
+             "trace_id": "0102030405060708090a0b0c0d0e0f10",
+             "span_id": "0102030405060708"},
+            {"time_ns": 0, "observed_time_ns": 10**18 + 5,
+             "severity_number": 17, "severity_text": "ERROR",
+             "body": "card declined", "attrs": {"retries": 3},
+             "dropped_attributes_count": 2,
+             "trace_id": "", "span_id": ""},
+        ],
+    }]
+    body = otlp_pb.encode_export_logs_request(rls)
+    assert isinstance(body, bytes) and len(body) > 60
+    assert otlp_pb.decode_export_logs_request(body) == rls
+
+    out = handle_otlp_logs_wire(spark, body, root)
+    assert out["written"] == {"logs": 2}
+    from opengemini_spark import storage
+    rows = sorted(
+        storage.read_measurement(spark, f"{root}/logs").collect(),
+        key=lambda r: r["time_ns"],
+    )
+    r0, r1 = rows
+    # dimension tag from resource attrs; non-dimension resource attr is a field
+    assert r0["service.name"] == "checkout" and r0["host"] == "h1"
+    assert r0["trace_id"] == "0102030405060708090a0b0c0d0e0f10"
+    assert r0["span_id"] == "0102030405060708"
+    assert r0["severity_number"] == 9.0 and r0["severity_text"] == "INFO"
+    assert r0["body"] == "payment accepted" and r0["amount"] == 12.5
+    # second record: observed-time fallback, dropped count surfaces
+    assert r1["time_ns"] == 10**18 + 5
+    assert r1["trace_id"] is None and r1["dropped_attributes_count"] == 2.0
+    assert r1["retries"] == 3.0
+
+    # a record with neither timestamp is a 400
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no time"):
+        handle_otlp_logs_wire(spark, otlp_pb.encode_export_logs_request(
+            [{"resource": {}, "logs": [{"time_ns": 0, "observed_time_ns": 0,
+                                        "severity_number": 1,
+                                        "severity_text": "", "body": "x",
+                                        "attrs": {},
+                                        "dropped_attributes_count": 0,
+                                        "trace_id": "", "span_id": ""}]}]
+        ), root)
+
+
+def test_otlp_traces_wire_roundtrip(spark, tmp_path):
+    """OTLP traces over REAL wire bytes → 'spans' measurement
+    (handler_otlp.go:103, otel_context.go:58-66 SpanDimensions): span
+    name + service.name dimension tags, duration/kind/status fields."""
+    from opengemini_spark.api import handle_otlp_traces_wire
+    from opengemini_spark.sources import otlp_pb
+
+    root = str(tmp_path / "otlp_traces")
+    rss = [{
+        "resource": {"service.name": "checkout"},
+        "spans": [
+            {"trace_id": "0102030405060708090a0b0c0d0e0f10",
+             "span_id": "0102030405060708",
+             "parent_span_id": "",
+             "name": "charge_card", "kind": 2,
+             "start_time_ns": 10**18, "end_time_ns": 10**18 + 2_000_000,
+             "attrs": {"http.status_code": 200},
+             "dropped_attributes_count": 0,
+             "status_code": 1, "status_message": ""},
+            {"trace_id": "0102030405060708090a0b0c0d0e0f10",
+             "span_id": "1112131415161718",
+             "parent_span_id": "0102030405060708",
+             "name": "db_write", "kind": 3,
+             "start_time_ns": 10**18 + 100, "end_time_ns": 10**18 + 500_100,
+             "attrs": {}, "dropped_attributes_count": 0,
+             "status_code": 2, "status_message": "deadline exceeded"},
+        ],
+    }]
+    body = otlp_pb.encode_export_trace_request(rss)
+    assert otlp_pb.decode_export_trace_request(body) == rss
+
+    out = handle_otlp_traces_wire(spark, body, root)
+    assert out["written"] == {"spans": 2}
+    from opengemini_spark import storage
+    rows = {r["span.name"]: r for r in
+            storage.read_measurement(spark, f"{root}/spans").collect()}
+    c = rows["charge_card"]
+    assert c["service.name"] == "checkout"
+    assert c["duration_ns"] == 2_000_000.0 and c["kind"] == 2.0
+    assert c["http.status_code"] == 200.0 and c["otel.status_code"] == 1.0
+    d = rows["db_write"]
+    assert d["parent_span_id"] == "0102030405060708"
+    assert d["otel.status_description"] == "deadline exceeded"
+    assert d["duration_ns"] == 500_000.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no start time"):
+        handle_otlp_traces_wire(spark, otlp_pb.encode_export_trace_request(
+            [{"resource": {}, "spans": [{
+                "trace_id": "00" * 16, "span_id": "00" * 8,
+                "parent_span_id": "", "name": "x", "kind": 1,
+                "start_time_ns": 0, "end_time_ns": 0, "attrs": {},
+                "dropped_attributes_count": 0,
+                "status_code": 0, "status_message": ""}]}]
+        ), root)
+
+
 def _events_registry():
     from opengemini_spark.catalog import load_table
     from opengemini_spark.promql import MetricRegistry
