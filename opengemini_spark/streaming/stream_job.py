@@ -172,3 +172,49 @@ def stream_dedup(
     return d.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_sessionize(
+    src_stream: DataFrame,
+    gap: str,
+    dims: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming sessionization: the continuous counterpart of the batch
+    ``operators.transforms.sessionize`` — per-``dims`` gap-based sessions
+    with per-session aggregates, emitted as sessions CLOSE (watermark
+    passes the session end + gap).
+
+    Spark-native: ``F.session_window(ts, gap)`` groupBy — the state store
+    merges overlapping windows per key, so session state is bounded by
+    the number of OPEN sessions, not stream history; ``delay`` is the
+    allowed lateness (the reference's stream DELAY knob). Emits
+    ``dims + (session_start, session_end, n_events, sum_v, min_v,
+    max_v)``; session_end − session_start includes the trailing gap,
+    exactly session_window's contract.
+
+    Works on batch frames too (unified model: the same groupBy runs as a
+    batch aggregation).
+    """
+    d = src_stream
+    if dict(d.dtypes).get(ts_col) == "timestamp_ntz":
+        d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if d.isStreaming:
+        d = d.withWatermark(ts_col, delay if delay != "0 seconds" else gap)
+    return (
+        d.groupBy(F.session_window(F.col(ts_col), gap), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .select(
+            *dims,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_v", "min_v", "max_v",
+        )
+    )
