@@ -249,6 +249,62 @@ def blocked_near_dups(
     )
 
 
+def adaptive_lsh_params(
+    n: int,
+    threshold: float,
+    recall_cosine: float | None = None,
+    delta: float = 1e-6,
+    rand_candidates_per_vec: float = 4.0,
+    min_bands: int = 8,
+    max_bands: int = 48,
+    min_rows: int = 2,
+    max_rows: int = 32,
+) -> tuple[int, int]:
+    """Corpus-size-aware (bands, rows_per_band) — the 1000× lever named
+    in SCALE100_r05: with FIXED banding, random collisions per vector
+    grow linearly in n (n·b/2^r), so a parameterization tuned at 2k
+    vectors produces ~1000× the candidate pairs at 2M. Growing the band
+    width r with log n cuts random collisions exponentially while
+    near-identical dups keep (near-)identical signatures at any r.
+
+    Solves the (b, r) fixpoint of two constraints:
+
+    - budget: expected random candidates per vector ≈ n·b/2^r ≤
+      ``rand_candidates_per_vec``  →  r = ⌈log2(n·b / budget)⌉;
+    - recall: a pair at cosine ``recall_cosine`` (default midway between
+      the threshold and 1.0 — the planted-near-dup regime) misses every
+      band with probability (1 − p^r)^b ≤ ``delta``, where p = 1 −
+      arccos(c)/π is the per-hyperplane sign-agreement probability  →
+      b = ⌈ln δ / ln(1 − p^r)⌉.
+
+    Pairs at exactly the threshold get a weaker (but computable) recall;
+    the rerank keeps precision exact regardless. Converges in 2-3
+    iterations; clamped to [min_bands, max_bands] × [min_rows, max_rows].
+    """
+    import math
+
+    if recall_cosine is None:
+        recall_cosine = (1.0 + threshold) / 2.0
+    p = 1.0 - math.acos(min(max(recall_cosine, -1.0), 1.0)) / math.pi
+    b = min_bands
+    r = min_rows
+    for _ in range(8):
+        r = max(min_rows, min(max_rows, math.ceil(
+            math.log2(max(2.0, n * b / rand_candidates_per_vec))
+        )))
+        hit = p ** r
+        if hit >= 1.0:
+            b_new = min_bands
+        else:
+            b_new = max(min_bands, min(max_bands, math.ceil(
+                math.log(delta) / math.log(1.0 - hit)
+            )))
+        if b_new == b:
+            break
+        b = b_new
+    return b, r
+
+
 def lsh_near_dups(
     df: DataFrame,
     threshold: float,
@@ -259,6 +315,8 @@ def lsh_near_dups(
     emb_col: str = "embedding",
     dim: int | None = None,
     prefilter_dims: int | None = None,
+    adaptive_n: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane (sign) LSH + exact rerank.
 
@@ -305,6 +363,10 @@ def lsh_near_dups(
         # Fallback probe (one limit-1 driver round trip); callers that know
         # the embedding width should pass ``dim`` (VERDICT r2 wrong #5).
         dim = len(df.select(F.col(emb_col).alias("e")).first()["e"])
+    if adaptive_n is not None:
+        # corpus-size-aware banding (see adaptive_lsh_params): overrides
+        # the fixed (bands, rows_per_band)
+        bands, rows_per_band = adaptive_lsh_params(adaptive_n, threshold)
     n_planes = bands * rows_per_band
     planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
     r = rows_per_band
@@ -383,6 +445,12 @@ def lsh_near_dups(
             .filter(bound >= threshold - 1e-4)
             .select("id_a", "id_b")
         )
+    if stats_out is not None:
+        # instrumentation hook (scale runs): the post-prefilter candidate
+        # frame, countable without materializing the rerank
+        stats_out["candidates"] = cand
+        stats_out["bands"] = bands
+        stats_out["rows_per_band"] = rows_per_band
     ea = sig.select(
         F.col("id").alias("id_a"), F.col("emb").alias("ea"),
         F.col("__nrm").alias("na"),

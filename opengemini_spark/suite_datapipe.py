@@ -816,8 +816,13 @@ def q_dedup_embedding_lsh_highthr(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(copy)
+    # corpus-size-aware banding (r6, the 1000x lever): r grows with
+    # log n so random collisions stay ~constant per vector at any scale;
+    # the planted cosine-1.0 pairs have identical signatures at any r,
+    # so the oracle (exactly the planted pairs) holds for every n
+    n = 2 * emb.count()
     return similarity.lsh_near_dups(
-        corpus, threshold=0.99, bands=8, rows_per_band=16, dim=EMB_DIM
+        corpus, threshold=0.99, dim=EMB_DIM, adaptive_n=n
     )
 
 

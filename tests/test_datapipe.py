@@ -258,6 +258,33 @@ def test_quality_percentile_filter_drops_bottom_decile(spark, sf_dir):
         assert by_lang_kept.get(lang, 0) == n - math.ceil(n * 0.1), lang
 
 
+def test_adaptive_lsh_params_scaling():
+    """adaptive_lsh_params (the SCALE100_r05 1000x lever): band width r
+    grows with log n, the random-collision budget n*b/2^r stays within
+    the requested bound, and the recall-regime miss probability stays
+    under delta."""
+    import math
+
+    from opengemini_spark.datapipe.similarity import adaptive_lsh_params
+
+    prev_r = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000, 4_000_000):
+        b, r = adaptive_lsh_params(n, 0.99)
+        assert r >= prev_r, "r must be monotone in n"
+        prev_r = r
+        # budget: expected random candidates per vector
+        assert n * b / 2**r <= 4.0 + 1e-9
+        # recall at the default recall_cosine (midway to 1.0)
+        p = 1.0 - math.acos((1.0 + 0.99) / 2.0) / math.pi
+        assert (1.0 - p**r) ** b <= 1e-6 * 1.01
+
+    # near-identical pairs keep near-identical signatures at any r:
+    # a planted cosine-1.0 pair always collides (identical bits), which
+    # is why the highthr oracle is banding-independent
+    b, r = adaptive_lsh_params(4_000_000, 0.99, recall_cosine=1.0)
+    assert b == 8  # min_bands: miss probability is exactly 0
+
+
 def test_quantize_embeddings_scale_and_codes(spark):
     from opengemini_spark.datapipe.similarity import quantize_embeddings
 

@@ -1,0 +1,99 @@
+"""Scale point for the adaptive-banding LSH lever (SCALE100_r05's named
+1000× lever; VERDICT r5 next #5).
+
+Runs dedup_embedding_lsh_highthr's shape (planted cosine-1.0 copy of the
+corpus, threshold 0.99) against a factor-R replication of the sf0.1
+embeddings table (tools/make_scale.py semantics: per-replica seeded QR
+rotation, disjoint key spaces), with
+
+- ADAPTIVE banding (bands/rows-per-band from adaptive_lsh_params —
+  r grows with log n), and optionally
+- the old FIXED banding (8 bands × 16 bits) for comparison,
+
+and reports wall, result rows, candidate-pair count (post-prefilter,
+pre-rerank) and shuffle bytes from the Spark REST API.
+
+Usage: python tools/run_scale_lsh.py <emb_dir> [--fixed]
+  <emb_dir> must contain embeddings.parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def shuffle_mb(ui_base: str) -> tuple[float, float]:
+    apps = json.load(urllib.request.urlopen(f"{ui_base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui_base}/api/v1/applications/{app_id}/stages")
+    )
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6
+    return round(r, 1), round(w, 1)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from opengemini_spark.datapipe import similarity
+
+    emb_dir = sys.argv[1]
+    fixed = "--fixed" in sys.argv
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "96g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4049")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{emb_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = emb.count()
+    copy = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copy)
+    n = 2 * n_base
+
+    kwargs: dict = {"threshold": 0.99, "dim": 64}
+    if fixed:
+        kwargs |= {"bands": 8, "rows_per_band": 16}
+    else:
+        kwargs |= {"adaptive_n": n}
+    stats: dict = {}
+    t0 = time.time()
+    out = similarity.lsh_near_dups(corpus, stats_out=stats, **kwargs)
+    rows = out.count()
+    wall = time.time() - t0
+    t1 = time.time()
+    cand = stats["candidates"].count()
+    cand_wall = time.time() - t1
+    sr, sw = shuffle_mb("http://localhost:4049")
+    print(json.dumps({
+        "mode": "fixed(8x16)" if fixed else
+                f"adaptive({stats['bands']}x{stats['rows_per_band']})",
+        "corpus": n,
+        "result_rows": rows,
+        "candidate_pairs": cand,
+        "cand_per_true_dup": round(cand / max(rows, 1), 3),
+        "wall_sec": round(wall, 1),
+        "cand_recount_sec": round(cand_wall, 1),
+        "shuffle_read_mb": sr,
+        "shuffle_write_mb": sw,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
