@@ -80,6 +80,16 @@ HEADLINE = [
     "similarity_random_projection",
     "session_assign",
     "session_stats",
+    # r6 additions: the full-lifecycle front-end shapes (multi-statement
+    # /query JSON emission, chunked emission, query_range through the
+    # results cache cold+warm — VERDICT r5 next #7), the composed
+    # LSH->CC->representatives drop-list (pairs/components computed once),
+    # and the OTLP logs ingest e2e (wire encode/decode + write + read-back)
+    "e2e_http_query_multi",
+    "e2e_http_query_chunked",
+    "e2e_promql_range_cached",
+    "curate_dedup_drop_best",
+    "otlp_logs_ingest_agg",
 ]
 
 

@@ -920,6 +920,7 @@ def _load_extensions() -> None:
     from opengemini_spark import suite_prom  # noqa: F401
     from opengemini_spark import suite_promql  # noqa: F401
     from opengemini_spark import suite_scalars  # noqa: F401
+    from opengemini_spark import suite_e2e  # noqa: F401
 
 
 @register(
