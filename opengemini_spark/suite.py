@@ -821,73 +821,71 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries only.
-# Rounds 1-4 covered every registered entry at least once except the two
-# round-4 post-gate multimodal entries; the local gate (tools/oracle_check.py)
-# runs the identical comparison at HEAD for everything else.
+# Rounds 1-5 covered every registered entry; the local gate
+# (tools/oracle_check.py) runs the identical comparison at HEAD for
+# everything outside the window.
 #
-# ROUND-5 ROTATION (VERDICT r4 next #1): (a) entries with no driver hash
-# verdict go first — the two r4 post-gate multimodal ops, the four operators
-# added this round, and castor_sigma_anomaly whose oracle is new this round;
-# (b) all 33 entries whose newest driver verdict is r2-era — after this
-# window every registered entry's newest verdict is r3+; (c) the remaining
-# slots re-verify r3-era entries on code paths this round touches (LSH
-# rerank restructure, multimodal vectorization, recursive-family oracle
-# rewrite) plus the heaviest bench shapes.
+# ROUND-6 ROTATION (VERDICT r5 next #6): (a) entries whose oracle or code
+# path is NEW this round go first — the two formerly rows-only entries
+# upgraded to semantic oracles (bounded-error percentile_approx, pinned
+# STL replay), the composed dedup drop-list, the OTLP logs ingest e2e,
+# the three full-lifecycle front-end shapes, the adaptive-banding LSH
+# rerun, and the two packed-output-shape entries; (b) the 40 entries
+# whose newest driver verdict is r3-era — after this window every
+# registered entry's newest verdict is r4+.
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (round-4 post-gate commits) --
-    "multimodal_audio_frame_features",
-    "multimodal_image_tile_stats",
-    # -- new in round 5 (first driver verdicts) --
-    "curate_cluster_representative",  # best-quality member per dup cluster
-    "curate_length_bucket_batches",  # per-bucket batch dealing, no global sort
-    "curate_holdout_exact_dedup",  # doc-level train/holdout anti-join
-    "castor_sigma_anomaly",  # NEW recursive-CTE oracle (was rows-only)
-    "similarity_quantize_int8",  # per-vector int8 quantization (ANN prep)
-    "similarity_random_projection",  # seeded JL projection (literal planes)
-    "session_assign",  # gap-based sessionization (two-window, one shuffle)
-    "session_stats",  # per-session aggregates on the same assignment
-    # -- the 33 entries whose newest driver verdict is r2-era --
-    "agg_percentile_approx",
-    "agg_sample_hash",
-    "compare_timeshift",
-    "dedup_embedding_lsh",
-    "filter_fulltext_match",
-    "graph_multihop_edges",
-    "influxql_func_rate_irate",
-    "influxql_func_sample",
-    "influxql_raw_filter",
-    "influxql_regex_where",
-    "influxql_selector_companion",
-    "influxql_show_tag_values",
-    "influxql_subquery_inherit",
-    "prom_absent_over_time",
-    "prom_binop_ratio",
-    "prom_binop_unless",
-    "prom_delta_gauge",
-    "prom_histogram_quantile",
-    "prom_increase_extrapolated",
-    "prom_irate_idelta",
-    "prom_over_time",
-    "prom_quantile_over_time",
-    "prom_rate_extrapolated",
-    "scalar_json",
-    "scalar_network_ip",
-    "scalar_string",
-    "scalar_time_prom",
-    "scalar_url",
-    "sketch_countmin_topn",
-    "sort_multi_column",
-    "table_function_rca",
-    "transform_double_ema",  # oracle rewritten this round (single carried recursion)
-    "window_sliding_count",
-    # -- r3-era entries on round-5-touched code paths / heaviest bench shapes --
-    "dedup_embedding_lsh_highthr",  # rerank join bucketed this round
-    "multimodal_png_real_decode",
-    "multimodal_wav_real_decode",
-    "transform_ema",
-    "curate_contamination",
-    "scan_filter_project",
-    "influxql_window_agg_fill",
+    # -- new or changed in round 6 (first verdicts on the new semantics) --
+    "agg_percentile_approx",     # NEW bounded-error oracle (was no_oracle)
+    "castor_stl_anomaly",        # NEW pinned-replay hash oracle (was rows-only)
+    "curate_dedup_drop_best",    # composed LSH->CC->representatives drop-list
+    "otlp_logs_ingest_agg",      # OTLP logs wire->write->read-back e2e
+    "e2e_http_query_multi",      # multi-statement /query JSON emission
+    "e2e_http_query_chunked",    # chunked emission reassembly
+    "e2e_promql_range_cached",   # query_range through the results cache
+    "dedup_embedding_lsh_highthr",  # corpus-size-adaptive banding this round
+    "similarity_quantize_int8",  # packed array<tinyint> output shape
+    "similarity_random_projection",  # packed array<double> output shape
+    # -- the 40 entries whose newest driver verdict is r3-era --
+    "agg_basic",
+    "agg_regr_slope",
+    "curate_chunk_documents",
+    "curate_pack_sequences",
+    "curate_pii_redaction",
+    "curate_stratified_sample",
+    "dedup_embedding_cosine",
+    "graph_multihop_nodes",
+    "inc_window_agg",
+    "influxql_func_elapsed",
+    "influxql_func_ema",
+    "influxql_func_holt_winters",
+    "influxql_func_integral",
+    "influxql_func_mode_percentile",
+    "influxql_join_full_stmt",
+    "influxql_join_stmt",
+    "influxql_union_stmt",
+    "join_full_outer",
+    "join_inner",
+    "prom_deriv",
+    "prom_holt_winters",
+    "prom_predict_linear",
+    "promql_changes_e2e",
+    "promql_instant_e2e",
+    "promql_quantile_agg_e2e",
+    "promql_subquery_e2e",
+    "scalar_math",
+    "show_cardinality",
+    "similarity_cosine_topk",
+    "similarity_ivf_kmeans_topk",
+    "sink_select_into",
+    "slimit_series",
+    "sort_limit_global",
+    "transform_derivative",
+    "transform_holt_winters",
+    "transform_rate",
+    "transform_rsi",
+    "transform_triple_ema",
+    "transform_trix",
+    "window_tumbling_agg",
 )
 
 
