@@ -147,3 +147,39 @@ def cluster_representatives(
             F.col("quality_bp").alias("rep_quality_bp"),
         )
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the C4/Dolma-style over-representation
+    guard): keep at most ``cap`` documents per ``group_col`` (domain /
+    source / crawl host), preferring the highest-quality copies — a
+    giant domain cannot dominate the training mix.
+
+    → ``(doc_id, group, quality_bp, rn)`` for the KEPT docs; rn is the
+    1-based quality rank within the domain ((quality desc, doc_id asc)
+    ties, same deterministic order as ``cluster_representatives``).
+
+    Scale: one quality pass (integer-exact, codegen'd) + one window over
+    the domain key. Domains are the natural skew axis — a pathological
+    single-domain corpus degrades to one sorted partition; salt by
+    quality-bucket and re-rank if a domain exceeds executor memory.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(docs, id_col=id_col)
+    joined = docs.select(F.col(id_col), F.col(group_col).alias("grp")).join(
+        q, id_col
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("quality_bp").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= cap)
+        .select(id_col, F.col("grp").alias(group_col), "quality_bp", "rn")
+    )

@@ -1362,3 +1362,139 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.round("v", 6).alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 retrieval / LM-scoring / domain-cap operators
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "join", "window", "hash"]
+BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    """Replays BM25 term by term: stats and tf/df counts are integer-
+    exact; the float pipeline (idf = ln(1 + (N-df+.5)/(df+.5)), the
+    Lucene tf normalization, the fixed-order per-term sum) follows the
+    Spark expression's operation order literally, and both sides round
+    to 6 dp BEFORE ranking so rank keys are identical doubles."""
+    terms_lst = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    sub_cols = ",\n             ".join(
+        f"max(CASE WHEN term = '{t}' THEN sub END) AS s{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    chain = "CAST(0.0 AS DOUBLE)"
+    for i in range(len(BM25_TERMS)):
+        chain = f"({chain} + coalesce(s{i}, CAST(0.0 AS DOUBLE)))"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+      WHERE list_contains({terms_lst}, term)
+      GROUP BY doc_id, dl, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), sub AS (
+      SELECT t.doc_id, t.term,
+             (ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+              * (t.tf * 2.2))
+             / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+               AS sub
+      FROM tf t JOIN dfq q USING (term), stats s
+    ), agg AS (
+      SELECT doc_id,
+             {sub_cols}
+      FROM sub GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, round({chain}, 6) AS score
+      FROM agg
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM ranked
+    QUALIFY rank <= {BM25_K}
+    """
+
+
+@register("retrieval_bm25_topk", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.retrieval import bm25_search
+
+    return bm25_search(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "retrieval_lm_perplexity",
+    # self-trained bigram LM with add-one smoothing: counts are integer-
+    # exact, ln terms fold in position order on both sides (left fold
+    # from 0.0), final mean NLL rounded to 6 dp to absorb libm ulp
+    f"""
+    WITH d AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ), big AS (
+      SELECT doc_id, i AS pos, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM d, LATERAL (SELECT unnest(range(0, len(toks) - 1)) AS i)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(toks) AS t FROM d)
+    ), lnp AS (
+      SELECT b.doc_id, b.pos,
+             ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lnp
+      FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ), s AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(lnp ORDER BY pos)),
+               (a, x) -> a + x) AS sm
+      FROM lnp GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, round(-sm / n_bigrams, 6) AS nll FROM s
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.retrieval import lm_perplexity
+
+    return lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+DOMAIN_CAP = 40
+
+
+@register(
+    "curate_domain_cap",
+    # per-domain keep-at-most-N by quality (C4/Dolma over-representation
+    # guard); the oracle replays the integer-exact quality score and the
+    # identical (quality desc, doc_id asc) window
+    f"""
+    WITH q AS ({{QUALITY}}),
+    j AS (
+      SELECT doc.doc_id, doc.source, q.quality_bp
+      FROM documents doc JOIN q ON doc.doc_id = q.doc_id
+    ), r AS (
+      SELECT doc_id, source, quality_bp,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality_bp DESC, doc_id ASC)
+                  AS BIGINT) AS rn
+      FROM j
+    )
+    SELECT doc_id, source, quality_bp, rn FROM r WHERE rn <= {DOMAIN_CAP}
+    """.replace("{QUALITY}", _quality_oracle()),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.curate import domain_cap
+
+    return domain_cap(load_table(spark, sf_dir, "documents"), DOMAIN_CAP)

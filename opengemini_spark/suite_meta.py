@@ -59,16 +59,6 @@ def _countmin_oracle_sql() -> str:
 
 
 @register(
-    "sink_select_into",
-    # SELECT …INTO dst (target_transform.go:150 writeTarget): the Spark query
-    # writes the result to a parquet target and returns the read-back — the
-    # oracle recomputes the aggregate directly, proving write/read fidelity.
-    """
-    SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
-    FROM events GROUP BY event_type
-    """,
-)
-@register(
     "otlp_logs_ingest_agg",
     # OTLP logs ingest e2e (handler_otlp.go:113 writeLogs + the
     # otel2influx log schema of otel_context.go:70-78): the Spark query
@@ -143,6 +133,16 @@ def q_otlp_logs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_select_into",
+    # SELECT …INTO dst (target_transform.go:150 writeTarget): the Spark query
+    # writes the result to a parquet target and returns the read-back — the
+    # oracle recomputes the aggregate directly, proving write/read fidelity.
+    """
+    SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
 def q_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(
         tempfile.gettempdir(), f"og_spark_into_{os.path.basename(sf_dir)}"
