@@ -303,3 +303,79 @@ def test_quantize_embeddings_scale_and_codes(spark):
     # all-zero vector: scale falls back to 1.0, codes all 0
     assert rows[2]["scale"] == 1.0
     assert rows[2]["codes"] == [0, 0, 0]
+
+
+def test_bm25_search_exact(spark):
+    """BM25 on a constructed 3-doc corpus: hand-computed Okapi scores
+    (Lucene idf), rank ties broken by doc_id."""
+    import math
+
+    from opengemini_spark.datapipe.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark"),          # tf(spark)=2, dl=3
+            (2, "join window"),               # tf(join)=1, dl=2
+            (3, "nothing here at all"),       # no hits, dl=4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_search(docs, ["spark", "join"], k=3).collect()}
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    k1, b = 1.2, 0.75
+
+    def score(tf, df, dl):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(score(2, 1, 3) + score(1, 2, 3), 6)   # spark + join
+    exp2 = round(score(1, 2, 2), 6)                    # join only
+    assert abs(out[1]["score"] - exp1) < 1e-9 and out[1]["rank"] == 1
+    assert abs(out[2]["score"] - exp2) < 1e-9 and out[2]["rank"] == 2
+    assert 3 not in out  # no query term -> no row
+
+
+def test_lm_perplexity_exact(spark):
+    """Bigram-LM NLL on a constructed corpus: add-one smoothing over
+    self-trained counts, hand-computed."""
+    import math
+
+    from opengemini_spark.datapipe.retrieval import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: doc1: ab, ba, ab; doc2: ab, bc -> C(a,b)=3, C(b,a)=1,
+    # C(b,c)=1; heads: C1(a)=3, C1(b)=2; V = {a,b,c,x} = 4
+    out = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    p_ab = (3 + 1) / (3 + 4)
+    p_ba = (1 + 1) / (2 + 4)
+    p_bc = (1 + 1) / (2 + 4)
+    exp1 = round(-(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3, 6)
+    exp2 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    assert out[1]["n_bigrams"] == 3 and abs(out[1]["nll"] - exp1) < 1e-9
+    assert out[2]["n_bigrams"] == 2 and abs(out[2]["nll"] - exp2) < 1e-9
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_domain_cap_keeps_best_per_source(spark):
+    """domain_cap: at most N per source, highest quality first, rn is the
+    within-source quality rank."""
+    from opengemini_spark.datapipe.curate import domain_cap
+    from opengemini_spark.datapipe.text import quality_score
+
+    rows = [
+        (1, "short", "s1"),
+        (2, "a much longer document with several reasonable words inside", "s1"),
+        (3, "medium length doc with words", "s1"),
+        (4, "only doc in its source", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in domain_cap(docs, 2).collect()}
+    q = {r["doc_id"]: r["quality_bp"] for r in quality_score(docs).collect()}
+    # s1 keeps its two best by quality; s2 keeps its only doc
+    s1_sorted = sorted([1, 2, 3], key=lambda d: (-q[d], d))
+    assert set(out) == set(s1_sorted[:2]) | {4}
+    assert out[s1_sorted[0]]["rn"] == 1 and out[s1_sorted[1]]["rn"] == 2
+    assert out[4]["rn"] == 1

@@ -35,6 +35,8 @@ CROSS_ALLOWED = {
     "dedup_embedding_cosine",       # broadcast 36-row block-pair map
     "dedup_embedding_lsh",          # broadcast probe map in rerank
     "dedup_embedding_lsh_highthr",
+    "retrieval_bm25_topk",          # broadcast ONE-ROW corpus stats (N, Σdl)
+    "retrieval_lm_perplexity",      # broadcast ONE-ROW vocab size
 }
 
 
