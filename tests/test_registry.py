@@ -16,30 +16,28 @@ def test_priority_window_is_exactly_50_unique_registered_names():
     assert len(qs) == len(set(qs))
 
 
-def test_priority_window_matches_round5_rotation():
-    """The r5 window: the never-driver-checked entries first (r4's two
-    post-gate multimodal ops + this round's three new pipeline ops), then
-    ALL 33 entries whose newest driver verdict is r2-era, then r3-era
-    entries on round-5-touched code paths (suite.PRIORITY docstring)."""
+def test_priority_window_matches_round6_rotation():
+    """The r6 window: new-or-changed-semantics entries first (the two
+    formerly rows-only oracle upgrades, the five new r6 entries, the
+    adaptive-banding LSH rerun, the two packed-shape entries), then ALL
+    40 entries whose newest driver verdict is r3-era (suite.PRIORITY
+    docstring)."""
     window = set(suite.PRIORITY)
-    # never driver-checked → must be in the window
+    assert len(suite.PRIORITY) == 50 == len(window)
+    # new or changed this round → must be in the window
     for name in (
-        "multimodal_audio_frame_features", "multimodal_image_tile_stats",
-        "curate_cluster_representative", "curate_length_bucket_batches",
-        "curate_holdout_exact_dedup",
+        "agg_percentile_approx", "castor_stl_anomaly",
+        "curate_dedup_drop_best", "otlp_logs_ingest_agg",
+        "e2e_http_query_multi", "e2e_http_query_chunked",
+        "e2e_promql_range_cached", "dedup_embedding_lsh_highthr",
+        "similarity_quantize_int8", "similarity_random_projection",
     ):
         assert name in window, name
-    # r2-era staleness tail samples (full list in PRIORITY)
+    # r3-era staleness tail samples (full 40-name list in PRIORITY)
     for name in (
-        "agg_percentile_approx", "compare_timeshift", "dedup_embedding_lsh",
-        "prom_histogram_quantile", "scalar_json", "sketch_countmin_topn",
-        "transform_double_ema", "window_sliding_count", "table_function_rca",
-    ):
-        assert name in window, name
-    # round-5-touched code paths
-    for name in (
-        "dedup_embedding_lsh_highthr", "multimodal_png_real_decode",
-        "multimodal_wav_real_decode",
+        "agg_basic", "dedup_embedding_cosine", "influxql_join_stmt",
+        "promql_subquery_e2e", "show_cardinality", "sink_select_into",
+        "transform_trix", "window_tumbling_agg",
     ):
         assert name in window, name
 
@@ -47,13 +45,11 @@ def test_priority_window_matches_round5_rotation():
 def test_oracle_keys_subset_of_queries():
     qs, os_ = suite.queries(), suite.oracle_sql()
     assert set(os_) <= set(qs)
-    # weak (no-oracle) entries are the deliberate, documented ones only:
-    # the percentile sketch is engine-specific by nature and the castor
-    # STL detector runs a loess decomposition no SQL can replay.
-    # (holt_winters moved OFF this list in round 4 via pinned-fit replay;
-    # castor_sigma moved off in round 5 — a recursive CTE carries the
-    # flagged-index list and replays the baseline-exclusion recurrence.)
-    assert set(qs) - set(os_) == {
-        "agg_percentile_approx",
-        "castor_stl_anomaly",
-    }
+    # since round 6 EVERY registered entry has a driver oracle: the
+    # percentile sketch got a bounded-error interval oracle (the GK
+    # rank-error contract checked against exact rank values), and the
+    # castor STL detector got a pinned-component replay (tools/
+    # gen_stl_pins.py) — the loess is pinned, everything downstream is
+    # independently recomputed in SQL. (holt_winters moved off the weak
+    # list in r4, castor_sigma in r5, these two in r6.)
+    assert set(qs) - set(os_) == set()
