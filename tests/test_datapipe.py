@@ -379,3 +379,27 @@ def test_domain_cap_keeps_best_per_source(spark):
     assert set(out) == set(s1_sorted[:2]) | {4}
     assert out[s1_sorted[0]]["rn"] == 1 and out[s1_sorted[1]]["rn"] == 2
     assert out[4]["rn"] == 1
+
+
+def test_lsh_sig_cache_bounded(spark):
+    """ADVICE r5: lsh_near_dups must not leak one persisted signature
+    frame per call — the registry evicts beyond the bound, and explicit
+    unpersist_lsh_caches() empties it."""
+    from opengemini_spark.datapipe import similarity
+    from opengemini_spark.datapipe.similarity import (
+        _LSH_SIG_CACHE, _LSH_SIG_CACHE_MAX, unpersist_lsh_caches,
+    )
+
+    unpersist_lsh_caches()
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, float(i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    for _ in range(_LSH_SIG_CACHE_MAX + 2):
+        similarity.lsh_near_dups(emb, 0.99, bands=4, rows_per_band=4,
+                                 dim=4).count()
+    assert len(_LSH_SIG_CACHE) <= _LSH_SIG_CACHE_MAX
+    # (identical plans share one CacheManager entry, so per-handle
+    # storageLevel is not a reliable probe — the bound is the contract)
+    unpersist_lsh_caches()
+    assert not _LSH_SIG_CACHE
