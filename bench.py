@@ -90,6 +90,14 @@ HEADLINE = [
     "e2e_promql_range_cached",
     "curate_dedup_drop_best",
     "otlp_logs_ingest_agg",
+    # r6 late additions: ingest front-end e2e (line-protocol text ->
+    # /write -> read-back), BM25 retrieval, bigram-LM perplexity scoring,
+    # weighted sampling, per-domain caps
+    "e2e_http_write_lp",
+    "retrieval_bm25_topk",
+    "retrieval_lm_perplexity",
+    "curate_weighted_sample",
+    "curate_domain_cap",
 ]
 
 

@@ -356,3 +356,96 @@ def holdout_exact_dedup(
         .join(held, "__h", "left_anti")
         .select(id_col, source_col)
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "quality_bp",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0xA11CE,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): per group, draw the ``k`` docs with the largest key
+    u^(1/w) where u is a seeded hash-uniform in (0,1) and w the weight —
+    selection probability proportional to weight, reproducible across
+    runs and engines (no rand()).
+
+    Ranking uses the monotone-equivalent ln(u)/w (avoids pow), rounded
+    to 9 dp BEFORE the window so both engines order identical doubles;
+    ties break by id. → ``(doc_id, group, weight, rank)``.
+
+    Scale: one hash + one ln per row, one per-group top-k window — the
+    same shape as stratified_sample but weight-aware; group sizes bound
+    the sort.
+    """
+    from pyspark.sql import Window
+
+    from opengemini_spark.datapipe.hashing import h60_seeded
+
+    u = (h60_seeded(F.col(id_col).cast("string"), seed) + F.lit(1.0)) / F.lit(
+        float(2**60 + 1)
+    )
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.round(F.log(u) / F.col(weight_col).cast("double"), 9).alias("__key"),
+    ).filter(F.col("w") > 0)
+    win = Window.partitionBy("grp").orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("grp").alias(group_col),
+                F.col("w").cast("long").alias("weight"), "rank")
+    )
+
+
+def mixing_weights(
+    docs: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+) -> DataFrame:
+    """Data-mixing plan: given target fractions per source, compute the
+    largest downsampled corpus that achieves the mix WITHOUT upsampling
+    and each source's keep probability.
+
+    N_out = min_s floor(n_s / target_s) (the binding source keeps 100%);
+    keep_prob_s = target_s · N_out / n_s; expected_docs = round(target_s
+    · N_out). → ``(source, n_docs, target_frac, keep_prob, expected_docs)``
+    — the planning pass a pipeline runs before materializing a mixture;
+    the tiny per-source result then drives a hash-threshold sample.
+
+    Scale: one count per source (map-side partial agg), output rows =
+    number of sources.
+    """
+    rows = docs.groupBy(F.col(group_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(f)) for s, f in sorted(target.items())],
+        "src string, target_frac double",
+    )
+    j = rows.join(F.broadcast(tgt), "src")
+    # N_out = min over sources of floor(n_s / target_s): a 1-row agg
+    n_out = j.agg(
+        F.min(F.floor(F.col("n_docs") / F.col("target_frac")))
+        .cast("long").alias("n_out")
+    )
+    return (
+        j.crossJoin(F.broadcast(n_out))
+        .select(
+            F.col("src").alias(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("target_frac"),
+            F.round(
+                F.col("target_frac") * F.col("n_out") / F.col("n_docs"), 9
+            ).alias("keep_prob"),
+            F.round(F.col("target_frac") * F.col("n_out"), 0)
+            .cast("long").alias("expected_docs"),
+        )
+    )

@@ -1498,3 +1498,73 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengemini_spark.datapipe.curate import domain_cap
 
     return domain_cap(load_table(spark, sf_dir, "documents"), DOMAIN_CAP)
+
+
+WS_SEED = 0xA11CE
+WS_K = 30
+
+
+@register(
+    "curate_weighted_sample",
+    # Efraimidis-Spirakis weighted sampling: seeded hash-uniform u,
+    # rank key ln(u)/weight rounded to 9dp before the per-language
+    # window; weight = the integer-exact quality score
+    f"""
+    WITH q AS ({{QUALITY}}),
+    keyed AS (
+      SELECT d.doc_id, d.lang, q.quality_bp,
+             round(ln(({h60_seeded_sql("d.doc_id::VARCHAR", 0xA11CE)} + 1.0)
+                      / {float(2**60 + 1)!r})
+                   / CAST(q.quality_bp AS DOUBLE), 9) AS k
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      WHERE q.quality_bp > 0
+    )
+    SELECT doc_id, lang, CAST(quality_bp AS BIGINT) AS weight,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY k DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM keyed
+    QUALIFY rank <= {WS_K}
+    """.replace("{QUALITY}", _quality_oracle()),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.corpus import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        text.quality_score(docs), "doc_id"
+    )
+    return weighted_sample(scored, WS_K, seed=WS_SEED)
+
+
+MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@register(
+    "curate_mixing_weights",
+    # data-mixing plan: largest no-upsampling corpus hitting the target
+    # mix; N_out = min_s floor(n_s / target_s), keep_prob = t*N_out/n_s
+    f"""
+    WITH counts AS (
+      SELECT source AS src, count(*) AS n_docs FROM documents GROUP BY source
+    ), tgt(src, target_frac) AS (
+      VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+             ('src2', 0.2::DOUBLE)
+    ), j AS (
+      SELECT c.src, c.n_docs, t.target_frac FROM counts c JOIN tgt t USING (src)
+    ), n_out AS (
+      SELECT CAST(min(CAST(floor(n_docs / target_frac) AS BIGINT))
+                  AS BIGINT) AS n_out FROM j
+    )
+    SELECT j.src AS source, CAST(j.n_docs AS BIGINT) AS n_docs,
+           j.target_frac,
+           round(j.target_frac * n_out.n_out / j.n_docs, 9) AS keep_prob,
+           CAST(round(j.target_frac * n_out.n_out, 0) AS BIGINT)
+             AS expected_docs
+    FROM j, n_out
+    """,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.corpus import mixing_weights
+
+    return mixing_weights(load_table(spark, sf_dir, "documents"), MIX_TARGET)

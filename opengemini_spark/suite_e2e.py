@@ -157,3 +157,58 @@ def q_e2e_prom_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t_s, val in series["values"]:
             rows.append((et, int(t_s) * 10**6, round(float(val), 6)))
     return spark.createDataFrame(rows, "event_type string, t long, value double")
+
+
+@register(
+    "e2e_http_write_lp",
+    # the ingest front-end e2e: 300 events rows rendered as line-protocol
+    # text -> POST /write (parse -> pivot -> partitioned append) ->
+    # __seq-dedup read-back -> per-tag aggregate; the oracle recomputes
+    # the aggregate straight from the source rows, so a parse/pivot/
+    # write/read defect anywhere in the path hash-mismatches
+    """
+    WITH src AS (
+      SELECT event_id, event_type, user_id, value, epoch_ns(ts) AS t
+      FROM events ORDER BY event_id LIMIT 300
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           round(sum(value), 4) AS val_sum,
+           CAST(min(t) AS BIGINT) AS t_min
+    FROM src GROUP BY event_type
+    """,
+)
+def q_e2e_write_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from opengemini_spark import storage
+    from opengemini_spark.api import handle_write
+    from opengemini_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id", "value", "time_ns")
+        .orderBy("event_id")
+        .limit(300)
+        .collect()
+    )
+    lines = [
+        f"lpbench,event_type={r['event_type']} "
+        f"value={float(r['value'])!r},user={int(r['user_id'])}i "
+        f"{int(r['time_ns'])}"
+        for r in rows
+    ]
+    dst = os.path.join(
+        tempfile.gettempdir(), f"og_spark_lp_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(dst, ignore_errors=True)   # write_measurement appends
+    handle_write(spark, lines, dst)
+    m = storage.read_measurement(spark, f"{dst}/lpbench")
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user").cast("long").alias("user_sum"),
+        F.round(F.sum("value"), 4).alias("val_sum"),
+        F.min("time_ns").cast("long").alias("t_min"),
+    )

@@ -178,3 +178,42 @@ def test_cluster_representatives_picks_best_quality(spark):
     assert r["rep_quality_bp"] == q[3]
     # sanity: the pair really was a near-dup pair
     assert minhash_lsh_dedup(docs, threshold=0.8).count() == 1
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-ES weighted sampling: reproducible across runs, exactly k per
+    group, and heavily-weighted docs are selected far more often."""
+    from opengemini_spark.datapipe.corpus import weighted_sample
+
+    rows = [(i, "g", 1000 if i < 20 else 1) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, quality_bp long")
+    a = weighted_sample(docs, 10)
+    got = sorted((r["doc_id"], r["rank"]) for r in a.collect())
+    again = sorted((r["doc_id"], r["rank"]) for r in weighted_sample(docs, 10).collect())
+    assert got == again and len(got) == 10
+    # weight 1000 vs 1: essentially all picks land in the heavy 10%
+    heavy = sum(1 for d, _ in got if d < 20)
+    assert heavy >= 8
+    # zero/negative weights are excluded
+    z = spark.createDataFrame([(1, "g", 0)], "doc_id long, lang string, quality_bp long")
+    assert weighted_sample(z, 5).count() == 0
+
+
+def test_mixing_weights_plan(spark):
+    """Mixing plan: the binding source keeps ~100%, keep_prob respects
+    the target mix, no source is upsampled."""
+    from opengemini_spark.datapipe.corpus import mixing_weights
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i + 1000, "b") for i in range(300)]
+        + [(i + 2000, "c") for i in range(600)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           mixing_weights(docs, {"a": 0.25, "b": 0.25, "c": 0.5}).collect()}
+    # N_out = min(100/.25, 300/.25, 600/.5) = 400 -> a keeps 100%
+    assert out["a"]["keep_prob"] == 1.0 and out["a"]["expected_docs"] == 100
+    assert abs(out["b"]["keep_prob"] - 100 / 300) < 1e-9
+    assert out["c"]["expected_docs"] == 200
+    assert all(r["keep_prob"] <= 1.0 for r in out.values())

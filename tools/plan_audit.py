@@ -37,6 +37,7 @@ CROSS_ALLOWED = {
     "dedup_embedding_lsh_highthr",
     "retrieval_bm25_topk",          # broadcast ONE-ROW corpus stats (N, Σdl)
     "retrieval_lm_perplexity",      # broadcast ONE-ROW vocab size
+    "curate_mixing_weights",        # broadcast ONE-ROW N_out against ≤|sources| rows
 }
 
 
