@@ -1568,3 +1568,34 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengemini_spark.datapipe.corpus import mixing_weights
 
     return mixing_weights(load_table(spark, sf_dir, "documents"), MIX_TARGET)
+
+
+@register(
+    "multimodal_image_resize",
+    # thumbnail normalization over the REAL PNG decode: nearest-neighbor
+    # resize to a fixed 8x8 grid, source index = (out*src)//out_extent —
+    # integer-exact, the oracle replays the fixture's closed-form pixels
+    # at the mapped coordinates
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {multimodal.PNG_BASE_W} + doc_id % {multimodal.PNG_SPAN_W} AS w,
+             {multimodal.PNG_BASE_H} + doc_id % {multimodal.PNG_SPAN_H} AS h
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+           CAST((doc_id * 7 + ((y * h) // {multimodal.RESIZE_H}) * 31
+                 + ((x * w) // {multimodal.RESIZE_W}) * 17) % 256
+                AS BIGINT) AS p
+    FROM d,
+         LATERAL (SELECT unnest(generate_series(0, {multimodal.RESIZE_H} - 1)) AS y),
+         LATERAL (SELECT unnest(generate_series(0, {multimodal.RESIZE_W} - 1)) AS x)
+    """,
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    return multimodal.image_resize(multimodal.synth_png(docs))

@@ -247,3 +247,39 @@ def test_megapixel_tile_stats_fast():
     multimodal.tile_stat_arrays(decoded[:, :, 0], 4)
     tile_only = time.time() - t0
     assert tile_only < 0.2, f"megapixel tiling alone took {tile_only:.2f}s"
+
+
+@pytest.mark.parametrize("shape,out", [((5, 6), (8, 8)), ((16, 12), (8, 8)),
+                                       ((3, 3), (4, 4)), ((20, 20), (5, 7))])
+def test_resize_nn_array_matches_naive(shape, out):
+    """Vectorized NN resize == the per-pixel integer mapping for
+    downscale, upscale, and non-square grids."""
+    from opengemini_spark.datapipe import multimodal
+
+    h, w = shape
+    oh, ow = out
+    rng = np.random.RandomState(h * 31 + w)
+    img = rng.randint(0, 256, size=shape).astype(np.int64)
+    got = multimodal.resize_nn_array(img, oh, ow)
+    assert got.shape == (oh, ow)
+    for y in range(oh):
+        for x in range(ow):
+            assert got[y, x] == img[(y * h) // oh, (x * w) // ow]
+
+
+def test_image_resize_e2e(spark):
+    """image_resize over a real encoded PNG: constant 8x8 output grid per
+    image, pixels match the closed-form mapping."""
+    from opengemini_spark.datapipe import codecs, multimodal
+
+    h, w = 5, 6
+    y, x = np.mgrid[0:h, 0:w]
+    img = ((y * 10 + x) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(3, bytearray(codecs.encode_png(img)))], "doc_id long, payload binary"
+    )
+    rows = {(r["y"], r["x"]): r["p"] for r in
+            multimodal.image_resize(df).collect()}
+    assert len(rows) == 64
+    for (yy, xx), p in rows.items():
+        assert p == int(img[(yy * h) // 8, (xx * w) // 8])
