@@ -98,6 +98,8 @@ HEADLINE = [
     "retrieval_lm_perplexity",
     "curate_weighted_sample",
     "curate_domain_cap",
+    "multimodal_image_resize",
+    "curate_holdout_fuzzy_dedup",
 ]
 
 

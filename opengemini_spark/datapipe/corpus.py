@@ -449,3 +449,91 @@ def mixing_weights(
             .cast("long").alias("expected_docs"),
         )
     )
+
+
+def holdout_fuzzy_dedup(
+    df: DataFrame,
+    holdout_source: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fuzzy cross-corpus decontamination: drop every training document
+    whose bigram-shingle Jaccard against ANY held-out document reaches
+    ``threshold`` — the near-duplicate leakage the exact md5 pass
+    (:func:`holdout_exact_dedup`) misses (reformatted copies, trailing
+    whitespace, light paraphrase).
+
+    Bipartite MinHash-LSH: both corpora share the signature pipeline;
+    candidates are (train, holdout) band collisions ONLY (train×train
+    pairs never form — unlike the self-join dedup); the exact
+    shingle-set verification touches candidates alone. → the KEPT
+    training docs ``(doc_id, source)``.
+
+    Scale: signature stage is one explode + hash-agg min per corpus (a
+    single shared scan — the split is a filter); the band join shuffles
+    compact (band, key) rows; the anti-join key is the flagged train-doc
+    id. Work is collision-proportional, never |train|×|holdout|.
+    """
+    from opengemini_spark.datapipe.dedup import (
+        SHINGLE_K,
+        doc_shingles_raw,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    tagged = df.select(
+        F.col(id_col), F.col(source_col), F.col(text_col)
+    )
+    raw = doc_shingles_raw(tagged, SHINGLE_K, text_col, id_col)
+    bands = lsh_band_keys(minhash_signatures(raw, id_col), id_col)
+    side = tagged.select(
+        F.col(id_col), (F.col(source_col) == holdout_source).alias("__held")
+    )
+    bands = bands.join(side, id_col)
+    train_b = bands.filter(~F.col("__held")).select(
+        F.col(id_col).alias("id_t"), "band", "key"
+    )
+    held_b = bands.filter(F.col("__held")).select(
+        F.col(id_col).alias("id_h"), "band", "key"
+    )
+    cand = (
+        train_b.join(held_b, ["band", "key"])
+        .select("id_t", "id_h")
+        .distinct()
+    )
+    cand_ids = cand.select(F.col("id_t").alias(id_col)).union(
+        cand.select(F.col("id_h").alias(id_col))
+    )
+    arrays = (
+        doc_shingles_raw(
+            tagged.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            SHINGLE_K, text_col, id_col,
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("__shs"))
+    )
+    t = arrays.select(
+        F.col(id_col).alias("id_t"), F.col("__shs").alias("__st"),
+        F.size("__shs").alias("__nt"),
+    )
+    h = arrays.select(
+        F.col(id_col).alias("id_h"), F.col("__shs").alias("__sh2"),
+        F.size("__shs").alias("__nh"),
+    )
+    c = F.size(F.array_intersect(F.col("__st"), F.col("__sh2")))
+    contaminated = (
+        cand.join(t, "id_t").join(h, "id_h")
+        .withColumn(
+            "jaccard", F.round(c / (F.col("__nt") + F.col("__nh") - c), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_t").alias(id_col))
+        .distinct()
+    )
+    return (
+        tagged.filter(F.col(source_col) != holdout_source)
+        .join(contaminated, id_col, "left_anti")
+        .select(id_col, source_col)
+    )

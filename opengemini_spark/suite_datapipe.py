@@ -1599,3 +1599,68 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return multimodal.image_resize(multimodal.synth_png(docs))
+
+
+def _holdout_fuzzy_oracle() -> str:
+    """Bipartite variant of _minhash_oracle: candidates are (train,
+    holdout) band collisions, contaminated train docs verified at
+    jaccard >= 0.8 are dropped; output = the kept train docs."""
+    base = f"(sh % {dedup.MINHASH_P})"
+    mins = ",\n           ".join(
+        f"min(({a} * {base} + {b}) % {dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_AB)
+    )
+    band_selects = []
+    for b in range(dedup.NUM_BANDS):
+        cols = ", ".join(
+            f"mh{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig"
+        )
+    bands = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, {tokens_sql('text')} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {h60_sql('s')} AS sh FROM (
+        SELECT doc_id, unnest({shingles_sql('toks', dedup.SHINGLE_K)}) AS s FROM docs)
+    ), sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT t.doc_id AS id_t, h.doc_id AS id_h
+      FROM bands t JOIN bands h ON t.band = h.band AND t.key = h.key
+      JOIN docs dt ON dt.doc_id = t.doc_id AND dt.source != 'src0'
+      JOIN docs dh ON dh.doc_id = h.doc_id AND dh.source = 'src0'
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_t, c.id_h, count(*) AS c
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_t
+      JOIN sh y ON y.doc_id = c.id_h AND y.sh = x.sh
+      GROUP BY c.id_t, c.id_h
+    ), dropped AS (
+      SELECT DISTINCT i.id_t AS doc_id
+      FROM inter i
+      JOIN sizes st ON st.doc_id = i.id_t
+      JOIN sizes sh2 ON sh2.doc_id = i.id_h
+      WHERE round(i.c / (st.n + sh2.n - i.c), 4) >= 0.8
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source != 'src0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@register("curate_holdout_fuzzy_dedup", _holdout_fuzzy_oracle())
+def q_holdout_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.corpus import holdout_fuzzy_dedup
+
+    return holdout_fuzzy_dedup(
+        load_table(spark, sf_dir, "documents"), "src0", threshold=0.8
+    )

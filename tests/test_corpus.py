@@ -217,3 +217,24 @@ def test_mixing_weights_plan(spark):
     assert abs(out["b"]["keep_prob"] - 100 / 300) < 1e-9
     assert out["c"]["expected_docs"] == 200
     assert all(r["keep_prob"] <= 1.0 for r in out.values())
+
+
+def test_holdout_fuzzy_dedup_drops_near_copies(spark):
+    """Fuzzy decontamination: a lightly-edited copy of a held-out doc is
+    dropped from training; unrelated docs survive; exact-dup also caught."""
+    from opengemini_spark.datapipe.corpus import holdout_fuzzy_dedup
+
+    held = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, held, "eval"),
+        (2, held, "train"),                                # exact copy
+        (3, held.replace("dog", "cat"), "train"),          # near copy
+        (4, "completely different text with other words entirely here now",
+         "train"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r["doc_id"] for r in
+            holdout_fuzzy_dedup(docs, "eval", threshold=0.5).collect()}
+    assert kept == {4}
+    # held-out docs never appear in the training keep-list
+    assert 1 not in kept
