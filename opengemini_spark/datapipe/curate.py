@@ -154,6 +154,7 @@ def domain_cap(
     cap: int,
     group_col: str = "source",
     id_col: str = "doc_id",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Per-domain document cap (the C4/Dolma-style over-representation
     guard): keep at most ``cap`` documents per ``group_col`` (domain /
@@ -166,15 +167,30 @@ def domain_cap(
 
     Scale: one quality pass (integer-exact, codegen'd) + one window over
     the domain key. Domains are the natural skew axis — a pathological
-    single-domain corpus degrades to one sorted partition; salt by
-    quality-bucket and re-rank if a domain exceeds executor memory.
+    single-domain (or few-domain) corpus degrades to one sorted
+    partition. ``salt_buckets > 0`` enables the two-phase variant: a
+    pre-window over (domain, id-hash salt) keeps each salt's local
+    top-``cap``, so the final per-domain window sorts at most
+    ``salt_buckets·cap`` survivors instead of the whole domain —
+    parallelism ``domains × salt_buckets``, IDENTICAL output (the global
+    top-cap of a domain is contained in the union of its per-salt
+    top-caps).
     """
     from pyspark.sql import Window
+
+    from opengemini_spark.datapipe.hashing import h60
 
     q = quality_score(docs, id_col=id_col)
     joined = docs.select(F.col(id_col), F.col(group_col).alias("grp")).join(
         q, id_col
     )
+    if salt_buckets > 0:
+        pre = Window.partitionBy(
+            "grp", F.pmod(h60(F.col(id_col).cast("string")), salt_buckets)
+        ).orderBy(F.col("quality_bp").desc(), F.col(id_col).asc())
+        joined = joined.withColumn("__pr", F.row_number().over(pre)).filter(
+            F.col("__pr") <= cap
+        ).drop("__pr")
     w = Window.partitionBy("grp").orderBy(
         F.col("quality_bp").desc(), F.col(id_col).asc()
     )

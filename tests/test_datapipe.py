@@ -403,3 +403,17 @@ def test_lsh_sig_cache_bounded(spark):
     # storageLevel is not a reliable probe — the bound is the contract)
     unpersist_lsh_caches()
     assert not _LSH_SIG_CACHE
+
+
+def test_domain_cap_salted_identical(spark):
+    """The two-phase salted domain cap must produce EXACTLY the unsalted
+    result (the global top-cap is contained in the union of per-salt
+    top-caps)."""
+    from opengemini_spark.datapipe.curate import domain_cap
+
+    rows = [(i, f"w{'x' * (i % 37)} text here", f"s{i % 3}")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plain = sorted(tuple(r) for r in domain_cap(docs, 15).collect())
+    salted = sorted(tuple(r) for r in domain_cap(docs, 15, salt_buckets=8).collect())
+    assert plain == salted and len(plain) == 45
