@@ -100,6 +100,7 @@ HEADLINE = [
     "curate_domain_cap",
     "multimodal_image_resize",
     "curate_holdout_fuzzy_dedup",
+    "retrieval_tfidf_keywords",
 ]
 
 

@@ -174,3 +174,52 @@ def lm_perplexity(
             F.round(-F.col("__sum") / F.col("n_bigrams"), 6).alias("nll"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the cheap corpus-audit /
+    topic-tagging pass (what is each document about, corpus-relatively).
+
+    score(t, d) = tf(t, d) · ln(N / df(t)); → ``(doc_id, term, score,
+    rank)`` with score rounded to 6 dp BEFORE ranking and (score desc,
+    term asc) ties, so both engines rank identical keys. Corpus-wide
+    terms (df = N, idf = 0) can still surface when a doc has nothing
+    rarer — rank order stays total.
+
+    Scale: one explode → (doc, term) count → term-keyed df aggregate →
+    per-doc top-k window. All codegen'd; the window input is one row per
+    distinct (doc, term).
+    """
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )

@@ -1664,3 +1664,37 @@ def q_holdout_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holdout_fuzzy_dedup(
         load_table(spark, sf_dir, "documents"), "src0", threshold=0.8
     )
+
+
+@register(
+    "retrieval_tfidf_keywords",
+    # per-doc TF-IDF top-3: integer tf/df counts, score = tf*ln(N/df)
+    # rounded to 6dp before the (score desc, term asc) rank window
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM toks
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfq.df), 6) AS score
+      FROM tf JOIN dfq USING (term), nd
+    )
+    SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.retrieval import tfidf_keywords
+
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)

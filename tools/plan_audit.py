@@ -38,6 +38,7 @@ CROSS_ALLOWED = {
     "retrieval_bm25_topk",          # broadcast ONE-ROW corpus stats (N, Σdl)
     "retrieval_lm_perplexity",      # broadcast ONE-ROW vocab size
     "curate_mixing_weights",        # broadcast ONE-ROW N_out against ≤|sources| rows
+    "retrieval_tfidf_keywords",     # broadcast ONE-ROW corpus doc count
 }
 
 
