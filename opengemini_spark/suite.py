@@ -832,7 +832,11 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the three full-lifecycle front-end shapes, the adaptive-banding LSH
 # rerun, and the two packed-output-shape entries; (b) the 40 entries
 # whose newest driver verdict is r3-era — after this window every
-# registered entry's newest verdict is r4+.
+# registered entry's newest verdict is r4+. Entries registered after
+# this window froze (e.g. r6-late `e2e_kafka_consume`) are covered by
+# the bit-exact local gate at HEAD and rotate into the r7 window for
+# their first driver verdicts — same precedent as the r4-late
+# multimodal ops that led r5's window.
 PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 6 (first verdicts on the new semantics) --
     "agg_percentile_approx",     # NEW bounded-error oracle (was no_oracle)

@@ -212,3 +212,45 @@ def q_e2e_write_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("val_sum"),
         F.min("time_ns").cast("long").alias("t_min"),
     )
+
+
+@register(
+    "e2e_kafka_consume",
+    # Kafka-protocol consume e2e: topic IS an InfluxQL query
+    # (consume/fetch.go:68-71); rows stream out over the loopback wire
+    # one record batch per fetch and are lifted back into a DataFrame.
+    # The oracle recomputes the topic query directly.
+    """
+    SELECT epoch_ns(ts) AS time_ns, value,
+           CAST(user_id AS BIGINT) AS user_id
+    FROM events WHERE value > 180 AND event_type = 'click'
+    """,
+)
+def q_e2e_kafka_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.sources.kafka_consume import (
+        ConsumeClient,
+        ConsumeServer,
+    )
+
+    srv = ConsumeServer(spark, sf_dir, batch_rows=64).open()
+    try:
+        client = ConsumeClient("127.0.0.1", srv.port)
+        try:
+            client.api_versions()
+            client.metadata(["consume"])
+            batches = client.consume_all(
+                "SELECT value, user_id FROM events "
+                "WHERE value > 180 AND event_type = 'click'"
+            )
+        finally:
+            client.close()
+    finally:
+        srv.close()
+    rows = [
+        (int(d["time"]), float(d["value"]), int(d["user_id"]))
+        for b in batches
+        for d in (dict(zip(b["columns"], v)) for v in b["values"])
+    ]
+    return spark.createDataFrame(
+        rows, "time_ns long, value double, user_id long"
+    )
