@@ -770,3 +770,71 @@ def random_projection(
             )
         )
     return df.select(F.col(id_col), F.array(*outs).alias("proj"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic deduplication over embeddings
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540 — public paper).
+
+    The point of the method is that semantic duplicates are *not*
+    near-identical texts (MinHash misses them) but they do land in the
+    same embedding-space cluster, so the quadratic pair search can be
+    scoped per cluster: k-means first, pairwise cosine only within each
+    cell. Deterministic keep rule (cross-engine reproducible): a vector
+    is dropped iff some LOWER-ID vector in the same cell has cosine ≥
+    ``threshold`` to it — the lowest-id member of every above-threshold
+    within-cell neighborhood survives. (The paper keeps the example
+    farthest from the centroid; any fixed per-cell rule works — lowest
+    id is the one an independent oracle can replay bit-exactly.)
+
+    Returns one row per input vector: ``(id_col, cell int, kept bool)``.
+
+    Scale shape: clustering is the broadcast k-means of
+    :func:`kmeans_cells` (centroids k×dim, one shuffle per iteration);
+    the pair stage shuffles each vector once on its cell id and does
+    Σ c_i² dot products. The SemDeDup scale contract is k ∝ n (the
+    paper runs 50k clusters for LAION-440M): cells stay O(n/k) = O(1)
+    rows, so the per-cell quadratic term is bounded and the whole pair
+    stage is embarrassingly cell-parallel. Skewed cells are the risk at
+    100 TB — mitigate with a cell-size cap + recursive split (same
+    salting lever as operators/scale.py) before the self-join.
+    """
+    assign, _ = kmeans_cells(df, k=k, n_iter=n_iter,
+                             id_col=id_col, emb_col=emb_col)
+    cells = (
+        df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
+        .join(assign.withColumnRenamed(id_col, "vid"), "vid")
+    )
+    v = with_norm(cells, "e")
+    a = v.select(F.col("vid").alias("id_a"), F.col("cell"),
+                 F.col("e").alias("ea"), F.col("norm").alias("na"))
+    b = v.select(F.col("vid").alias("id_b"), F.col("cell"),
+                 F.col("e").alias("eb"), F.col("norm").alias("nb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -830,11 +830,14 @@ KM_K = 8
 KM_ITERS = 2
 
 
-def _ivf_kmeans_oracle() -> str:
+def _kmeans_replay_sql() -> tuple[str, str]:
     """Replays the deterministic Lloyd iterations: seeded at vec_id < k,
     cosine-argmax assignment (cell-asc tie-break), centroid coordinate =
     round(sum, 9)/count — the round-the-sum-before-divide pattern makes
-    the centroids bit-identical, so every assignment matches."""
+    the centroids bit-identical, so every assignment matches. Returns
+    ``(with_prefix, final_centroids_cte)``; the prefix defines ``e``
+    (the corpus), ``af`` (final assignments with embedding + cell), and
+    the centroid CTEs. Shared by the IVF-kmeans and SemDeDup oracles."""
 
     def assign_cte(name: str, cents: str) -> str:
         return f"""
@@ -872,6 +875,11 @@ def _ivf_kmeans_oracle() -> str:
         body += recompute_cte(f"p{it}", f"c{it}", f"a{it}")
         cents = f"c{it}"
     body += assign_cte("af", cents)
+    return body, cents
+
+
+def _ivf_kmeans_oracle() -> str:
+    body, cents = _kmeans_replay_sql()
     return body + f"""
     , q AS (
       SELECT vec_id AS query_id, embedding AS qe FROM e
@@ -909,6 +917,43 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_kmeans(
         emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
         nlist=KM_K, nprobe=IVF_NPROBE, n_iter=KM_ITERS,
+    )
+
+
+SEMDEDUP_T = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """Independent replay of SemDeDup: the shared k-means replay gives
+    the final cell assignments; a vector is dropped iff a lower-id
+    vector in the same cell has round-4 cosine >= the threshold."""
+    body, _ = _kmeans_replay_sql()
+    # MATERIALIZED: afm is referenced three times below; without it
+    # DuckDB inlines the whole Lloyd-replay chain (a ~40 KB expression
+    # tree) per reference and the planner blows the memory budget when
+    # sharing the process with the Spark JVM.
+    return body + f"""
+    , afm AS MATERIALIZED (SELECT * FROM af)
+    , pairs AS (
+      SELECT b.vec_id AS id_b
+      FROM afm a JOIN afm b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(({_dot_sql('a.embedding', 'b.embedding')})
+                  / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}),
+                  4) >= {SEMDEDUP_T}
+    )
+    SELECT v.vec_id, CAST(v.cell AS INT) AS cell,
+           (d.id_b IS NULL) AS kept
+    FROM afm v LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d
+      ON v.vec_id = d.id_b
+    """
+
+
+@register("dedup_semantic_semdedup", _semdedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KM_K, n_iter=KM_ITERS, threshold=SEMDEDUP_T,
     )
 
 

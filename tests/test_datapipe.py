@@ -417,3 +417,34 @@ def test_domain_cap_salted_identical(spark):
     plain = sorted(tuple(r) for r in domain_cap(docs, 15).collect())
     salted = sorted(tuple(r) for r in domain_cap(docs, 15, salt_buckets=8).collect())
     assert plain == salted and len(plain) == 45
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two tight semantic clusters + isolated vectors: within each
+    above-threshold neighborhood only the lowest id survives; vectors
+    without a lower-id close neighbor are kept."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        # ids 0..2 are the k-means seeds (lowest ids) — one per direction
+        (0, unit(0.00)),                  # seed, cluster A
+        (1, unit(math.pi / 2)),           # seed, cluster B
+        (2, [0.0, 0.0, 1.0, 0.0]),        # seed, isolated
+        # cluster A members: near-identical to id 0
+        (3, unit(0.01)), (4, unit(0.02)),
+        # cluster B member: near-identical to id 1
+        (5, unit(math.pi / 2 + 0.01)),
+        # orthogonal to everything — lands in some cell but below thr
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, k=3, n_iter=2, threshold=0.95)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert kept == {0: True, 1: True, 2: True,
+                    3: False, 4: False, 5: False, 6: True}
+    # every vector appears exactly once with a cell assignment
+    assert out.count() == 7
+    assert out.filter(F.col("cell").isNull()).count() == 0
