@@ -329,3 +329,96 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact deduplication: remove every repeated k-token
+    span from the corpus except its first occurrence.
+
+    The operator from "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022, arXiv:2107.06499 — public paper):
+    doc-level dedup misses boilerplate and quotations that repeat
+    INSIDE otherwise-unique documents, so the dedup unit is the
+    repeated token span itself. Lee et al. find ≥50-token exact
+    substrings with a suffix array; the distributed re-expression is
+    shingle-granularity — every k-token window that occurs more than
+    once (across docs or within one) is removed at all but its first
+    occurrence, where "first" = smallest (doc_id, position).
+    Overlapping repeated spans union their covered token ranges, so a
+    long repeated passage disappears wholesale (its windows chain).
+
+    Returns one row per input document:
+    ``(id_col, clean_text string, n_removed bigint)`` — ``clean_text``
+    is the surviving tokens re-joined in order (token-normalized space,
+    like the reference pipelines dedup in tokenizer space).
+
+    Scale shape: the span census is one groupBy on the 60-bit shingle
+    hash (~n_tokens rows of (long, long) — same shuffle family as the
+    contamination check); covered-position explode is k× the duplicate
+    occurrences only; the rebuild shuffles each token once on doc_id.
+    All JVM expressions, no UDF. Hash keys are uniform, so no skew
+    salting is needed; at 100 TB the census shuffle dominates and
+    partitions by hash evenly.
+    """
+    toks = (
+        parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    )
+    occ = toks.select(
+        id_col,
+        F.posexplode(F.expr(shingles_expr("__toks", k))).alias("j", "__s"),
+    ).select(id_col, "j", h60(F.col("__s")).alias("sh"))
+
+    firsts = (
+        occ.groupBy("sh")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("j"))).alias("__first"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") >= 2)
+    )
+    dup_occ = occ.join(firsts, "sh").filter(
+        ~(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("j") == F.col("__first.j"))
+        )
+    )
+    covered = (
+        dup_occ.select(
+            id_col,
+            F.explode(F.sequence(F.col("j"), F.col("j") + (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    tokpos = toks.select(
+        id_col, F.posexplode("__toks").alias("pos", "tok")
+    )
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        toks.select(id_col, F.size("__toks").alias("__n_tok"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__n_tok") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -920,6 +920,63 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K = 13
+
+
+def _span_dedup_oracle() -> str:
+    """Independent replay of span-level dedup: shingle census with
+    (doc_id, position) windows, first occurrence wins, covered token
+    positions removed, text rebuilt in position order."""
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, p AS j,
+             {h60_sql(f"array_to_string(toks[p+1 : p+{SPAN_K}], ' ')")} AS sh
+      FROM t, unnest(generate_series(0, len(toks) - {SPAN_K})) AS u(p)
+    ),
+    ranked AS (
+      SELECT doc_id, j,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, j) AS rn,
+             count(*) OVER (PARTITION BY sh) AS cnt
+      FROM occ
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, j + u.o AS pos
+      FROM ranked, unnest(generate_series(0, {SPAN_K - 1})) AS u(o)
+      WHERE cnt >= 2 AND rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, p - 1 AS pos, toks[p] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) AS u(p)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN covered
+        ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+      WHERE covered.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """
+
+
+@register("dedup_span_exact", _span_dedup_oracle())
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_dedup(
+        load_table(spark, sf_dir, "documents"), k=SPAN_K
+    )
+
+
 SEMDEDUP_T = 0.4
 
 

@@ -448,3 +448,26 @@ def test_semantic_dedup_planted_clusters(spark):
     # every vector appears exactly once with a cell assignment
     assert out.count() == 7
     assert out.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_span_dedup_planted_spans(spark):
+    """Keep-first semantics at span granularity: cross-doc repeated
+    span removed from the later doc only; a full-copy doc empties out;
+    sub-k docs untouched; within-doc repeats keep the first window."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),            # owner of "a b c d"
+            (1, "x x a b c d y"),          # repeats it at pos 2
+            (2, "a b c d e f"),            # full copy -> all removed
+            (3, "short one"),              # < k tokens, no windows
+            (4, "p q r s p q r s"),        # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.span_dedup(docs, k=4).collect()}
+    assert out[0] == ("a b c d e f", 0)
+    assert out[1] == ("x x y", 4)
+    assert out[2] == ("", 6)
+    assert out[3] == ("short one", 0)
+    assert out[4] == ("p q r s", 4)
