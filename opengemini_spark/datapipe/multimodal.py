@@ -474,3 +474,101 @@ def image_resize(
             )
 
     return src.mapInPandas(extract, IMAGE_RESIZE_SCHEMA)
+
+
+DHASH_H, DHASH_W = 8, 9  # classic dHash grid: 8 rows of 8 gradient bits
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of every image over the REAL
+    PNG decode → ``(doc_id, dhash long)``.
+
+    The standard image near-dup fingerprint (public algorithm: resize
+    to a 9×8 gray grid, bit j = [pixel(y, x+1) > pixel(y, x)], j = y·8
+    + x): brightness-shift tolerant, alignment-stable, and 64 bits per
+    image regardless of resolution — the image analogue of simhash.
+    Uses the integer nearest-neighbor resize (:func:`resize_nn_array`)
+    so the whole hash is exactly replayable by the SQL oracle; the
+    packed value is the two's-complement int64 of the 64-bit pattern.
+
+    Scale: one Arrow ``mapInPandas`` over the image bytes (decode +
+    two-gather resize + one vectorized compare per image); output is 16
+    bytes/image. Everything downstream (band join, hamming verify)
+    operates on the hash only — the pixels never shuffle.
+    """
+    from opengemini_spark.datapipe import codecs
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _meta, img = codecs.decode_png(bytes(payload))
+                r = resize_nn_array(img[:, :, 0].astype(np.int64),
+                                    DHASH_H, DHASH_W)
+                bits = (r[:, 1:] > r[:, :-1]).ravel().astype(np.uint64)
+                v = np.uint64(bits @ weights)
+                ids.append(int(doc_id))
+                hashes.append(int(v.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "dhash": pd.Series(hashes, dtype="int64")})
+
+    return src.mapInPandas(extract, "doc_id long, dhash long")
+
+
+def image_dhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash: ``(id_a, id_b, hamming)``
+    for every pair with hamming distance ≤ ``max_hamming``.
+
+    Candidate generation is the simhash pigeonhole trick on the 64-bit
+    hash: split into four 16-bit bands — any pair within hamming ≤ 3
+    must agree on at least one whole band, so the self-join runs per
+    (band_index, band_value) bucket and the exact hamming check only
+    prices candidate pairs. No pixel data and no O(n²) pair space ever
+    shuffles; at 100 TB the band buckets are the parallelism unit
+    (uniform unless the corpus is degenerate — a constant-image corpus
+    collapses to one bucket, the documented skew caveat shared with
+    simhash).
+    """
+    hashes = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    bands = hashes.select(
+        "doc_id", "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("dhash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band", "b.val")
+    a = bands.select(F.col("doc_id").alias("id_a"),
+                     F.col("dhash").alias("ha"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("id_b"),
+                     F.col("dhash").alias("hb"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -920,6 +920,61 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DHASH_MAX_HAMMING = 2
+
+
+def _image_dhash_oracle() -> str:
+    """Closed-form replay of the dHash pipeline: the synth fixture's
+    pixel p(x,y) = (id·7 + y·31 + x·17) mod 256 is sampled at the
+    integer nearest-neighbor grid (src = (out·extent)//out_extent),
+    gradient bits pack into a two's-complement int64, and the pair leg
+    is the exact O(n²) hamming check (the Spark side must produce the
+    identical pair set through its banded join)."""
+    w = f"({multimodal.PNG_BASE_W} + doc_id % {multimodal.PNG_SPAN_W})"
+    h = f"({multimodal.PNG_BASE_H} + doc_id % {multimodal.PNG_SPAN_H})"
+    px = (f"((doc_id * 7 + (((j // 8) * {h}) // 8) * 31"
+          " + ((({X}) * {W}) // 9) * 17) % 256)")
+
+    def pixel(x_expr: str) -> str:
+        return px.replace("{X}", x_expr).replace("{W}", w)
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN {pixel('j % 8 + 1')} > {pixel('j % 8')}
+                  THEN 1 ELSE 0 END AS bit
+      FROM d, unnest(generate_series(0, 63)) AS u(j)
+    ),
+    hs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN j = 63
+                      THEN CASE WHEN bit = 1
+                                THEN -9223372036854775807 - 1 ELSE 0 END
+                      ELSE bit * (1::BIGINT << j) END)::BIGINT AS dhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+    """
+
+
+@register("dedup_image_dhash", _image_dhash_oracle())
+def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    return multimodal.image_dhash_near_dups(
+        multimodal.synth_png(docs), max_hamming=DHASH_MAX_HAMMING
+    )
+
+
 SPAN_K = 13
 
 

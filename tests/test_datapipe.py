@@ -471,3 +471,29 @@ def test_span_dedup_planted_spans(spark):
     assert out[2] == ("", 6)
     assert out[3] == ("short one", 0)
     assert out[4] == ("p q r s", 4)
+
+
+def test_image_dhash_banded_matches_brute_force(spark):
+    """dHash pairs from the 16-bit-band pigeonhole join must equal the
+    exact all-pairs hamming computation; identical images hash equal."""
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 120, 3)], "doc_id long"
+    )
+    imgs = multimodal.synth_png(ids)
+    hashes = {r["doc_id"]: r["dhash"]
+              for r in multimodal.image_dhash(imgs).collect()}
+    assert len(hashes) == 40
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 2
+    }
+    got = {tuple(r) for r in
+           multimodal.image_dhash_near_dups(imgs, max_hamming=2).collect()}
+    assert got == want and want  # non-vacuous
+    # same id twice -> identical PNG bytes -> identical hash
+    dup = multimodal.synth_png(
+        spark.createDataFrame([(9,), (9,)], "doc_id long")
+    )
+    hs = [r["dhash"] for r in multimodal.image_dhash(dup).collect()]
+    assert hs[0] == hs[1]
