@@ -975,6 +975,54 @@ def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFP_MAX_HAMMING = 2
+
+
+def _audio_fp_oracle() -> str:
+    """Closed-form replay of the audio contour fingerprint: frame
+    energies from the synth signal s(k) = (id·MUL + k·STEP) mod 2¹⁶ −
+    2¹⁵, 47 sign-of-difference bits, exact O(n²) hamming pair check."""
+    frame, nfr = multimodal.AFP_FRAME, multimodal.AFP_FRAMES
+    s = (f"((doc_id * {multimodal.WAV_MUL} + k * {multimodal.WAV_STEP})"
+         " % 65536 - 32768)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ),
+    e AS (
+      SELECT doc_id, k // {frame} AS i, SUM({s} * {s}) AS energy
+      FROM d, unnest(generate_series(0, {frame * nfr - 1})) AS u(k)
+      GROUP BY doc_id, k // {frame}
+    ),
+    bits AS (
+      SELECT a.doc_id, a.i AS j,
+             CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    hs AS (
+      SELECT doc_id,
+             SUM(bit * (1::BIGINT << j))::BIGINT AS afp
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}
+    """
+
+
+@register("dedup_audio_fingerprint", _audio_fp_oracle())
+def q_audio_fp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    return multimodal.audio_fingerprint_near_dups(
+        multimodal.synth_wav(docs), max_hamming=AFP_MAX_HAMMING
+    )
+
+
 SPAN_K = 13
 
 

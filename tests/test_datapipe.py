@@ -497,3 +497,32 @@ def test_image_dhash_banded_matches_brute_force(spark):
     )
     hs = [r["dhash"] for r in multimodal.image_dhash(dup).collect()]
     assert hs[0] == hs[1]
+
+
+def test_audio_fingerprint_banded_matches_brute_force(spark):
+    """Contour fingerprint pairs from the 12-bit-band pigeonhole join
+    equal exact all-pairs hamming; identical clips hash equal; a short
+    clip still hashes (fewer bits) without crashing."""
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 5)], "doc_id long"
+    )
+    clips = multimodal.synth_wav(ids)
+    fps = {r["doc_id"]: r["afp"]
+           for r in multimodal.audio_fingerprint(clips).collect()}
+    assert len(fps) == 40
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 2
+    }
+    got = {tuple(r) for r in
+           multimodal.audio_fingerprint_near_dups(
+               clips, max_hamming=2).collect()}
+    assert got == want and want
+    # n_frames > available full frames: hash over what exists
+    short = multimodal.audio_fingerprint(
+        multimodal.synth_wav(
+            spark.createDataFrame([(3,)], "doc_id long")),
+        frame=64, n_frames=48,
+    ).collect()
+    assert len(short) == 1 and short[0]["afp"] >= 0
