@@ -101,6 +101,15 @@ HEADLINE = [
     "multimodal_image_resize",
     "curate_holdout_fuzzy_dedup",
     "retrieval_tfidf_keywords",
+    # r6 final additions: span-level exact dedup (shingle census +
+    # position rebuild), SemDeDup cluster-scoped semantic dedup,
+    # perceptual-hash image/audio near-dup joins over the real codecs,
+    # and the Kafka-protocol consume e2e (query -> wire -> DataFrame)
+    "dedup_span_exact",
+    "dedup_semantic_semdedup",
+    "dedup_image_dhash",
+    "dedup_audio_fingerprint",
+    "e2e_kafka_consume",
 ]
 
 

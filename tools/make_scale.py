@@ -95,11 +95,14 @@ def scale_table(name: str, src: str, dst: str, factor: int) -> int:
 def main() -> None:
     src_dir, dst_dir = sys.argv[1], sys.argv[2]
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst_dir, exist_ok=True)
     for fn in sorted(os.listdir(src_dir)):
         if not fn.endswith(".parquet"):
             continue
         name = fn[: -len(".parquet")]
+        if only is not None and name not in only:
+            continue
         n = scale_table(
             name, os.path.join(src_dir, fn), os.path.join(dst_dir, fn), factor
         )
