@@ -919,3 +919,51 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("duration_ns div 1000").alias("duration_us"),
         F.round("value_sum", 4).alias("value_sum"),
     )
+
+
+HLL_RSD = 0.02   # approx_count_distinct relative standard deviation
+HLL_K = 5        # containment band = ±K·rsd (≈5σ — a broken sketch
+                 # mismatches, an honest one never does)
+
+
+@register(
+    "agg_distinct_sketch_hll",
+    # bounded-error semantic oracle, same contract family as
+    # agg_percentile_approx: the HLL++ estimate is engine-specific, but
+    # it must land within ±K·rsd of the true distinct count. Both sides
+    # emit the exact count and the band; Spark's `within` is the real
+    # containment test of its sketch output, the oracle's is 1.
+    f"""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(floor(count(DISTINCT user_id)
+                      * (1 - {HLL_K} * {HLL_RSD})) AS BIGINT) AS lo,
+           CAST(ceil(count(DISTINCT user_id)
+                     * (1 + {HLL_K} * {HLL_RSD})) AS BIGINT) AS hi,
+           CAST(1 AS BIGINT) AS within
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", HLL_RSD).alias("est"),
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.floor(F.col("n_exact") * (1 - HLL_K * HLL_RSD))
+            .cast("long").alias("lo"),
+            F.ceil(F.col("n_exact") * (1 + HLL_K * HLL_RSD))
+            .cast("long").alias("hi"),
+            (
+                (F.col("est") >= F.floor(F.col("n_exact")
+                                         * (1 - HLL_K * HLL_RSD)))
+                & (F.col("est") <= F.ceil(F.col("n_exact")
+                                          * (1 + HLL_K * HLL_RSD)))
+            ).cast("long").alias("within"),
+        )
+    )
