@@ -671,3 +671,104 @@ def audio_fingerprint_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+VID_BASE_FRAMES, VID_SPAN_FRAMES = 3, 4
+VID_FRAME_STEP = 11       # per-frame pixel increment in the synth fixture
+VID_KEY_MEAN_DIFF = 20    # mean |Δpixel| vs previous frame ⇒ keyframe
+
+
+def synth_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id → a REAL parseable video container: ``3 + id%4`` PNG frames,
+    each length-prefixed (4-byte big-endian size + encoded PNG bytes).
+    Frame f's pixels are p(x,y,f) = (id·7 + f·11 + y·31 + x·17) mod 256
+    at the same (8+id%9)×(5+id%7) geometry as :func:`synth_png`, so
+    every frame decode exercises the full unfilter matrix and the
+    oracle can replay pixels in closed form.
+
+    MP4/H.264 stay the declared external-lib boundary (SURVEY §7.3);
+    this container is the real-bytes stand-in that keeps the Spark-side
+    plumbing — schema, per-clip batching, container walk, per-frame
+    decode — genuinely exercised end-to-end.
+    """
+
+    @F.pandas_udf(BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            d = int(doc_id)
+            w = PNG_BASE_W + d % PNG_SPAN_W
+            h = PNG_BASE_H + d % PNG_SPAN_H
+            n = VID_BASE_FRAMES + d % VID_SPAN_FRAMES
+            y, x = np.mgrid[0:h, 0:w]
+            buf = bytearray()
+            for f in range(n):
+                img = ((d * 7 + f * VID_FRAME_STEP + y * 31 + x * 17)
+                       % 256).astype(np.uint8)
+                png = codecs.encode_png(img)
+                buf += len(png).to_bytes(4, "big") + png
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), make(F.col(id_col)).alias("payload")
+    )
+
+
+def video_keyframes(
+    df: DataFrame,
+    key_mean_diff: int = VID_KEY_MEAN_DIFF,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Keyframe selection over a length-prefixed PNG-frame container →
+    ``(doc_id, frame_id, content_sum, diff_sum, is_key)``.
+
+    The frame-sampling pass of a video training pipeline (public
+    technique: pick frames whose content changed, drop near-static
+    runs): walk the container, decode every frame (real zlib/unfilter
+    PNG decode), and flag frame 0 plus every frame whose summed
+    absolute pixel delta vs the previous frame exceeds
+    ``key_mean_diff``·n_pixels. All int64-exact, so the SQL oracle
+    replays the decision from the fixture formula.
+
+    Scale: one Arrow ``mapInPandas`` over clips — embarrassingly
+    parallel, bytes stay on executors, output is rows-per-frame (tiny).
+    Uneven clip lengths skew task sizes only within a batch; a
+    salt-repartition on clip id is the lever if a corpus mixes shorts
+    with hour-long clips.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+    schema = ("doc_id long, frame_id long, content_sum long, "
+              "diff_sum long, is_key boolean")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                pos = 0
+                prev: np.ndarray | None = None
+                fid = 0
+                while pos + 4 <= len(blob):
+                    ln = int.from_bytes(blob[pos:pos + 4], "big")
+                    pos += 4
+                    _, img = codecs.decode_png(blob[pos:pos + ln])
+                    pos += ln
+                    plane = img[:, :, 0].astype(np.int64)
+                    csum = int(plane.sum())
+                    if prev is None:
+                        dsum, key = 0, True
+                    else:
+                        dsum = int(np.abs(plane - prev).sum())
+                        key = dsum > key_mean_diff * plane.size
+                    rows.append((int(doc_id), fid, csum, dsum, key))
+                    prev = plane
+                    fid += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "content_sum",
+                               "diff_sum", "is_key"]
+            )
+
+    return src.mapInPandas(extract, schema)

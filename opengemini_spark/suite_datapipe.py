@@ -975,6 +975,57 @@ def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_keyframe_oracle() -> str:
+    """Closed-form replay of the keyframe pass: per (doc, frame, pixel)
+    the fixture value and its |Δ| vs the previous frame ((c+11) mod 256
+    jumps by 11 unless the byte wraps, then by 245), aggregated to the
+    same content/diff sums and threshold decision."""
+    base_w, span_w = multimodal.PNG_BASE_W, multimodal.PNG_SPAN_W
+    base_h, span_h = multimodal.PNG_BASE_H, multimodal.PNG_SPAN_H
+    base_f, span_f = multimodal.VID_BASE_FRAMES, multimodal.VID_SPAN_FRAMES
+    step, thr = multimodal.VID_FRAME_STEP, multimodal.VID_KEY_MEAN_DIFF
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             {base_w} + doc_id % {span_w} AS w,
+             {base_h} + doc_id % {span_h} AS h,
+             {base_f} + doc_id % {span_f} AS n
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    fr AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS f FROM d
+    ),
+    px AS (
+      SELECT doc_id, w, h, f, unnest(generate_series(0, w * h - 1)) AS i
+      FROM fr
+    ),
+    vals AS (
+      SELECT doc_id, w, h, f,
+             (doc_id*7 + f*{step} + (i // w)*31 + (i % w)*17) % 256 AS v,
+             CASE WHEN f = 0 THEN 0
+                  WHEN (doc_id*7 + (f-1)*{step} + (i // w)*31
+                        + (i % w)*17) % 256 < 256 - {step}
+                  THEN {step} ELSE 256 - {step} END AS ad
+      FROM px
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+           CAST(SUM(v) AS BIGINT) AS content_sum,
+           CAST(SUM(ad) AS BIGINT) AS diff_sum,
+           (f = 0 OR SUM(ad) > {thr} * w * h) AS is_key
+    FROM vals GROUP BY doc_id, f, w, h
+    """
+
+
+@register("multimodal_video_keyframes", _video_keyframe_oracle())
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    return multimodal.video_keyframes(multimodal.synth_video(docs))
+
+
 AFP_MAX_HAMMING = 2
 
 

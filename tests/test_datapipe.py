@@ -526,3 +526,30 @@ def test_audio_fingerprint_banded_matches_brute_force(spark):
         frame=64, n_frames=48,
     ).collect()
     assert len(short) == 1 and short[0]["afp"] >= 0
+
+
+def test_video_container_walk_and_keyframes(spark):
+    """The synth container is a REAL parseable stream: every frame
+    round-trips through the PNG decode; frame 0 is always a keyframe,
+    diff sums match a direct numpy recomputation."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(0,), (13,), (40,)], "doc_id long")
+    out = multimodal.video_keyframes(multimodal.synth_video(ids)).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["frame_id"])
+        assert len(rows) == 3 + d % 4
+        assert rows[0]["is_key"] and rows[0]["diff_sum"] == 0
+        w, h = 8 + d % 9, 5 + d % 7
+        y, x = np.mgrid[0:h, 0:w]
+        prev = None
+        for r in rows:
+            img = (d * 7 + r["frame_id"] * 11 + y * 31 + x * 17) % 256
+            assert r["content_sum"] == int(img.sum())
+            if prev is not None:
+                assert r["diff_sum"] == int(np.abs(img - prev).sum())
+                assert r["is_key"] == (r["diff_sum"] > 20 * w * h)
+            prev = img
