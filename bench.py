@@ -110,6 +110,8 @@ HEADLINE = [
     "dedup_image_dhash",
     "dedup_audio_fingerprint",
     "e2e_kafka_consume",
+    "multimodal_video_keyframes",
+    "agg_distinct_sketch_hll",
 ]
 
 

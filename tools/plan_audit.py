@@ -32,6 +32,7 @@ CROSS_ALLOWED = {
     "similarity_cosine_topk",       # broadcast query side (queries ≪ corpus)
     "similarity_ivf_topk",          # broadcast centroid routing
     "similarity_ivf_kmeans_topk",   # broadcast centroid routing (k-means)
+    "dedup_semantic_semdedup",      # broadcast k-centroid assignment (k-means)
     "dedup_embedding_cosine",       # broadcast 36-row block-pair map
     "dedup_embedding_lsh",          # broadcast probe map in rerank
     "dedup_embedding_lsh_highthr",
