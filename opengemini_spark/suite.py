@@ -825,31 +825,54 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/oracle_check.py) runs the identical comparison at HEAD for
 # everything outside the window.
 #
-# ROUND-6 ROTATION (VERDICT r5 next #6): (a) entries whose oracle or code
-# path is NEW this round go first — the two formerly rows-only entries
+# ROUND-6 ROTATION (VERDICT r5 next #6, r4 precedent "never-checked
+# first"): (a) ALL 21 entries that have never had a driver verdict —
+# every operator registered this round (retrieval, sampling/mixing,
+# modality dedup, OTLP logs, Kafka consume, the full-lifecycle front-end
+# shapes, HLL sketch, video keyframes); (b) the 7 entries whose oracle
+# or code path changed this round and whose last verdict therefore
+# predates the current semantics — the two formerly rows-only entries
 # upgraded to semantic oracles (bounded-error percentile_approx, pinned
-# STL replay), the composed dedup drop-list, the OTLP logs ingest e2e,
-# the three full-lifecycle front-end shapes, the adaptive-banding LSH
-# rerun, and the two packed-output-shape entries; (b) the 40 entries
-# whose newest driver verdict is r3-era — after this window every
-# registered entry's newest verdict is r4+. Entries registered after
-# this window froze (e.g. r6-late `e2e_kafka_consume`) are covered by
-# the bit-exact local gate at HEAD and rotate into the r7 window for
-# their first driver verdicts — same precedent as the r4-late
-# multimodal ops that led r5's window.
+# STL replay), the adaptive-banding + partition-local-band LSH pair, the
+# two packed-output-shape entries, and the composable representative
+# selection; (c) 22 of the 40 entries whose newest driver verdict is
+# r3-era. The remaining 18 r3-era verdicts (promql_changes_e2e ..
+# window_tumbling_agg in the r5-window ordering) are covered by the
+# bit-exact local gate at HEAD and lead the r7 window — with 161
+# registered entries and 50 slots, first-verdicts and changed-semantics
+# re-verdicts outrank freshness rotation.
 PRIORITY: tuple[str, ...] = (
-    # -- new or changed in round 6 (first verdicts on the new semantics) --
-    "agg_percentile_approx",     # NEW bounded-error oracle (was no_oracle)
-    "castor_stl_anomaly",        # NEW pinned-replay hash oracle (was rows-only)
+    # -- (a) first driver verdicts: everything registered in round 6 --
     "curate_dedup_drop_best",    # composed LSH->CC->representatives drop-list
     "otlp_logs_ingest_agg",      # OTLP logs wire->write->read-back e2e
     "e2e_http_query_multi",      # multi-statement /query JSON emission
     "e2e_http_query_chunked",    # chunked emission reassembly
     "e2e_promql_range_cached",   # query_range through the results cache
+    "e2e_http_write_lp",         # line-protocol /write -> storage -> /query
+    "e2e_kafka_consume",         # Kafka-compatible consume wire fetch
+    "retrieval_bm25_topk",       # BM25 ranked retrieval
+    "retrieval_tfidf_keywords",  # per-doc top-k TF-IDF terms
+    "retrieval_lm_perplexity",   # bigram-LM perplexity scoring
+    "curate_domain_cap",         # per-domain document caps (salted 2-phase)
+    "curate_weighted_sample",    # deterministic weighted sampling
+    "curate_mixing_weights",     # data-mixing plan solve
+    "curate_holdout_fuzzy_dedup",  # bipartite MinHash-LSH decontamination
+    "dedup_span_exact",          # repeated k-token span removal
+    "dedup_semantic_semdedup",   # cluster-scoped semantic dedup
+    "dedup_image_dhash",         # perceptual dHash over real PNG decode
+    "dedup_audio_fingerprint",   # energy-contour hash over real PCM decode
+    "multimodal_image_resize",   # nearest-neighbor thumbnail pass
+    "multimodal_video_keyframes",  # keyframe selection over frame container
+    "agg_distinct_sketch_hll",   # HLL++ distinct sketch, containment oracle
+    # -- (b) changed oracle/code this round: re-verdict on new semantics --
+    "agg_percentile_approx",     # NEW bounded-error oracle (was no_oracle)
+    "castor_stl_anomaly",        # NEW pinned-replay hash oracle (was rows-only)
+    "dedup_embedding_lsh",       # partition-local band join this round
     "dedup_embedding_lsh_highthr",  # corpus-size-adaptive banding this round
     "similarity_quantize_int8",  # packed array<tinyint> output shape
     "similarity_random_projection",  # packed array<double> output shape
-    # -- the 40 entries whose newest driver verdict is r3-era --
+    "curate_cluster_representative",  # composable pairs=/components= reuse
+    # -- (c) 22 of the 40 entries whose newest driver verdict is r3-era --
     "agg_basic",
     "agg_regr_slope",
     "curate_chunk_documents",
@@ -872,24 +895,6 @@ PRIORITY: tuple[str, ...] = (
     "prom_deriv",
     "prom_holt_winters",
     "prom_predict_linear",
-    "promql_changes_e2e",
-    "promql_instant_e2e",
-    "promql_quantile_agg_e2e",
-    "promql_subquery_e2e",
-    "scalar_math",
-    "show_cardinality",
-    "similarity_cosine_topk",
-    "similarity_ivf_kmeans_topk",
-    "sink_select_into",
-    "slimit_series",
-    "sort_limit_global",
-    "transform_derivative",
-    "transform_holt_winters",
-    "transform_rate",
-    "transform_rsi",
-    "transform_triple_ema",
-    "transform_trix",
-    "window_tumbling_agg",
 )
 
 

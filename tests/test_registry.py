@@ -17,27 +17,33 @@ def test_priority_window_is_exactly_50_unique_registered_names():
 
 
 def test_priority_window_matches_round6_rotation():
-    """The r6 window: new-or-changed-semantics entries first (the two
-    formerly rows-only oracle upgrades, the five new r6 entries, the
-    adaptive-banding LSH rerun, the two packed-shape entries), then ALL
-    40 entries whose newest driver verdict is r3-era (suite.PRIORITY
+    """The r6 window: ALL entries that have never had a driver verdict
+    first (everything registered this round), then changed-semantics
+    re-verdicts, then 22 of the 40 r3-era verdicts (suite.PRIORITY
     docstring)."""
+    import json, pathlib
+
     window = set(suite.PRIORITY)
     assert len(suite.PRIORITY) == 50 == len(window)
-    # new or changed this round → must be in the window
+    # every registered entry with NO driver verdict in any CORRECTNESS
+    # file must be in the window — first verdicts outrank rotation
+    seen = set()
+    for f in pathlib.Path("/root/repo").glob("CORRECTNESS_r0*.json"):
+        seen |= set(json.loads(f.read_text()))
+    never = set(suite.queries()) - seen
+    assert never <= window, sorted(never - window)
+    # changed oracle/code this round → must be re-verdicted
     for name in (
         "agg_percentile_approx", "castor_stl_anomaly",
-        "curate_dedup_drop_best", "otlp_logs_ingest_agg",
-        "e2e_http_query_multi", "e2e_http_query_chunked",
-        "e2e_promql_range_cached", "dedup_embedding_lsh_highthr",
+        "dedup_embedding_lsh", "dedup_embedding_lsh_highthr",
         "similarity_quantize_int8", "similarity_random_projection",
+        "curate_cluster_representative",
     ):
         assert name in window, name
-    # r3-era staleness tail samples (full 40-name list in PRIORITY)
+    # r3-era staleness tail samples (22-name list in PRIORITY part c)
     for name in (
         "agg_basic", "dedup_embedding_cosine", "influxql_join_stmt",
-        "promql_subquery_e2e", "show_cardinality", "sink_select_into",
-        "transform_trix", "window_tumbling_agg",
+        "join_full_outer", "prom_deriv", "curate_pack_sequences",
     ):
         assert name in window, name
 
