@@ -103,15 +103,23 @@ def bm25_search(
     score = F.lit(0.0)
     for i in range(len(query_terms)):
         score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
-    ranked = agg.select(
-        F.col(id_col), F.round(score, 6).alias("score")
-    ).withColumn(
+    # two-phase top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heap + driver merge of k rows each), so the scored
+    # frame — one row per MATCHING doc, unbounded for common terms at
+    # scale — never funnels through a single unpartitioned WindowExec;
+    # only the k survivors get ranked. Total order (score, id) keeps the
+    # limit deterministic.
+    top = (
+        agg.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return top.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
         ),
     )
-    return ranked.filter(F.col("rank") <= k)
 
 
 def lm_perplexity(

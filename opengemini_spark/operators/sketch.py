@@ -71,9 +71,12 @@ def countmin_topn(df: DataFrame, key_col: str, n: int) -> DataFrame:
         .groupBy("key")
         .agg(F.min("c").alias("est"))
     )
+    # two-phase top-n: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heap + driver merge), so the est frame — one row per
+    # DISTINCT key, unbounded at scale — never funnels through a single
+    # unpartitioned WindowExec; only the n survivors get ranked.
+    top = est.orderBy(F.col("est").desc(), F.col("key").asc()).limit(n)
     w = Window.orderBy(F.col("est").desc(), F.col("key").asc())
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
-        .select("key", "est", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "key", "est", "rank"
     )
