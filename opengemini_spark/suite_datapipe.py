@@ -1954,3 +1954,71 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengemini_spark.datapipe.retrieval import tfidf_keywords
 
     return tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# round-6 late: model-based quality filtering (hashed-NB classifier)
+# ---------------------------------------------------------------------------
+
+
+def _nb_classifier_oracle() -> str:
+    """Replays train+score end to end: per-bucket class counts and the
+    per-doc accumulation are integer-exact (weights are milli-nat
+    log-odds rounded to int64 at train time, so the score sum is an
+    order-free integer SUM); the two float ops — one ln per bucket, one
+    sigmoid per doc — are rounded at fixed precision on both engines."""
+    from opengemini_spark.datapipe import models
+
+    dim = models.QC_DIM
+    return f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS y, {tokens_sql('text')} AS t
+      FROM documents
+    ), f AS (
+      SELECT doc_id, y,
+             ({h60_seeded_sql('u', models.QC_SEED)}) % {dim} AS bucket
+      FROM (SELECT doc_id, y,
+                   unnest(list_concat(t, {shingles_sql('t', 2)})) AS u
+            FROM d)
+    ), c AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_c
+      FROM f GROUP BY bucket
+    ), tt AS (
+      SELECT sum(pos_c) AS pos_tok, sum(neg_c) AS neg_tok FROM c
+    ), w AS (
+      SELECT bucket,
+             CAST(round(1000.0 * ln(
+               ((pos_c + 1.0) * (neg_tok + {dim}.0))
+               / ((neg_c + 1.0) * (pos_tok + {dim}.0)))) AS BIGINT) AS w_milli
+      FROM c, tt
+    ), pr AS (
+      SELECT CAST(round(1000.0 * ln(
+               (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+               / (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1.0))) AS BIGINT)
+               AS bias_milli
+      FROM d
+    ), s AS (
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.w_milli) AS BIGINT) AS w_sum
+      FROM f JOIN w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT s.doc_id, s.n_feats,
+           (s.w_sum + pr.bias_milli) AS raw_milli,
+           round(1.0 / (1.0 + exp(-(
+             (s.w_sum + pr.bias_milli)
+             / (1000.0 * greatest(s.n_feats, 1))))), 6) AS score,
+           (s.w_sum + pr.bias_milli) > 0 AS predicted
+    FROM s, pr
+    """
+
+
+@register("curate_quality_classifier", _nb_classifier_oracle())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe import models
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__en", F.col("lang") == "en"
+    )
+    return models.quality_classifier(docs, "__en")

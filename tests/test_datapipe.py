@@ -553,3 +553,36 @@ def test_video_container_walk_and_keyframes(spark):
                 assert r["diff_sum"] == int(np.abs(img - prev).sum())
                 assert r["is_key"] == (r["diff_sum"] > 20 * w * h)
             prev = img
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    """Two trivially separable vocabularies: the self-trained hashed-NB
+    model must predict the training labels perfectly, and the split
+    train/apply form must score an unseen doc onto the right side."""
+    from opengemini_spark.datapipe import models
+
+    pos = ["alpha beta gamma delta alpha beta", "beta gamma alpha delta beta"]
+    neg = ["omega psi chi phi omega psi", "psi chi omega phi chi psi"]
+    rows = [(i, t, True) for i, t in enumerate(pos)] + [
+        (i + 10, t, False) for i, t in enumerate(neg)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_good"])
+
+    out = {
+        r["doc_id"]: r
+        for r in models.quality_classifier(docs, "is_good").collect()
+    }
+    assert len(out) == 4
+    for i in (0, 1):
+        assert out[i]["predicted"] and out[i]["score"] > 0.5
+    for i in (10, 11):
+        assert not out[i]["predicted"] and out[i]["score"] < 0.5
+    # raw_milli is the integer milli-nat sum: exact, order-free
+    assert all(isinstance(r["raw_milli"], int) for r in out.values())
+
+    weights, prior = models.nb_train(docs, "is_good")
+    unseen = spark.createDataFrame(
+        [(99, "gamma alpha beta gamma", True)], ["doc_id", "text", "is_good"]
+    )
+    scored = models.nb_score(unseen, weights, prior, "is_good").collect()
+    assert scored[0]["predicted"] and scored[0]["score"] > 0.5
