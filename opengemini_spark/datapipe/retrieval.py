@@ -231,3 +231,49 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (the standard hybrid-
+    retrieval combiner for sparse+dense candidates): score(d) =
+    Σ_lists 1/(k0 + rank_i(d)) over the lists that retrieved ``d``.
+
+    Each input needs ``(id_col, rank)``. → ``(id_col, score, rank)``,
+    score rounded to 6 dp BEFORE ranking, (score desc, id asc) ties.
+    The per-document sum is a fixed-order coalesce chain (list order),
+    so an oracle reproduces the doubles exactly.
+
+    Scale: the inputs are already top-N candidate lists (bounded by
+    N·lists rows total), so the outer-join cascade and the final top-k
+    never touch corpus-sized data — fusion cost is independent of the
+    collection size behind the retrievers.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    merged = None
+    for i, df in enumerate(ranked):
+        part = df.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        merged = part if merged is None else merged.join(
+            part, id_col, "full_outer"
+        )
+    score = F.lit(0.0)
+    for i in range(len(ranked)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+    top = (
+        merged.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        ),
+    )

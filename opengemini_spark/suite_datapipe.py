@@ -1628,7 +1628,7 @@ BM25_TERMS = ["spark", "join", "window", "hash"]
 BM25_K = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = BM25_K) -> str:
     """Replays BM25 term by term: stats and tf/df counts are integer-
     exact; the float pipeline (idf = ln(1 + (N-df+.5)/(df+.5)), the
     Lucene tf normalization, the fixed-order per-term sum) follows the
@@ -1676,7 +1676,7 @@ def _bm25_oracle() -> str:
            CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                 AS BIGINT) AS rank
     FROM ranked
-    QUALIFY rank <= {BM25_K}
+    QUALIFY rank <= {k}
     """
 
 
@@ -2022,3 +2022,64 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__en", F.col("lang") == "en"
     )
     return models.quality_classifier(docs, "__en")
+
+
+# ---------------------------------------------------------------------------
+# round-6 late: hybrid retrieval fusion (RRF over sparse + dense lists)
+# ---------------------------------------------------------------------------
+
+RRF_QV = 3          # dense-query vector: embedding of vec_id 3
+RRF_LIST_K = 20     # candidate depth per retriever
+RRF_K = 10          # fused output depth
+
+
+def _rrf_oracle() -> str:
+    """Replays both retrievers and the fusion: the BM25 leg is the
+    shared parameterized replay at depth 20; the dense leg re-ranks by
+    the 4 dp-rounded cosine (identical keys both engines); the fused
+    score is the fixed-order two-term chain 0 + 1/(60+r_bm25) +
+    1/(60+r_cos), rounded to 6 dp before the final rank."""
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, rank FROM ({_bm25_oracle(RRF_LIST_K)})
+    ), q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QV}
+    ), cosr AS (
+      SELECT vec_id AS doc_id, rank FROM (
+        SELECT e.vec_id,
+               CAST(row_number() OVER (ORDER BY
+                 round(({_dot_sql('q.qe', 'e.embedding')})
+                       / ({_norm_sql('q.qe')} * {_norm_sql('e.embedding')}), 4)
+                   DESC, e.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings e, q WHERE e.vec_id != {RRF_QV})
+      WHERE rank <= {RRF_LIST_K}
+    ), fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             round(0.0 + coalesce(1.0 / (60.0 + b.rank), 0.0)
+                       + coalesce(1.0 / (60.0 + c.rank), 0.0), 6) AS score
+      FROM bm b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= {RRF_K}
+    """
+
+
+@register("retrieval_rrf_fusion", _rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.retrieval import bm25_search, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_search(docs, BM25_TERMS, k=RRF_LIST_K).select("doc_id", "rank")
+    dense = (
+        similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == RRF_QV), RRF_LIST_K
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([sparse, dense], k=RRF_K).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

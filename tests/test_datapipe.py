@@ -586,3 +586,21 @@ def test_nb_classifier_separates_planted_classes(spark):
     )
     scored = models.nb_score(unseen, weights, prior, "is_good").collect()
     assert scored[0]["predicted"] and scored[0]["score"] > 0.5
+
+
+def test_rrf_fusion_rewards_cross_list_agreement(spark):
+    """A doc ranked mid-list by BOTH retrievers must outscore a doc
+    that only one retriever ranked first: 1/62+1/62 > 1/61."""
+    from opengemini_spark.datapipe.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(9, 1), (2, 2), (4, 3)], ["doc_id", "rank"])
+    out = rrf_fuse([a, b], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert ranks[2] == 1                       # in both lists → wins
+    assert abs(scores[2] - 2 / 62) < 1e-6
+    assert abs(scores[1] - 1 / 61) < 1e-6      # single-list rank 1
+    assert set(ranks) == {1, 2, 3, 4, 9}
+    # deterministic tie-break: docs 1 and 9 tie (rank 1 each) → id asc
+    assert ranks[1] < ranks[9]
