@@ -853,3 +853,205 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the billion-scale memory-bound regime)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (M * DSUB = 64)
+PQ_KSUB = 4     # centroids per subspace codebook
+PQ_ITER = 1     # Lloyd iterations per codebook
+
+
+def _l2sq(a: str, b: str) -> F.Column:
+    """Index-ordered squared-L2 fold of two array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITER,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks: an L2 Lloyd k-means per subspace,
+    ALL subspaces trained in one frame (subspace id is a column, not a
+    loop — one shuffle per iteration covers every codebook).
+
+    Deterministic for cross-engine replay, same pins as
+    :func:`kmeans_cells`: seeds are the ``ksub`` lowest-id vectors'
+    subvectors, assignment is squared-L2 argmin with code-ascending
+    tie-break (the fold order is fixed, so the doubles are bit-identical
+    in any engine), and centroid coordinates are ``round(sum, 9)/count``.
+
+    Returns ``(codes, codebooks)``: ``codes`` = ``(vid, m, code)`` — the
+    M-byte-per-vector compressed representation; ``codebooks`` =
+    ``(m, code, cent array<double>)`` (m·ksub rows — always broadcast).
+
+    Scale: the recompute aggregate has m·ksub·dsub keys (256 here) —
+    map-side combine collapses it regardless of corpus size; the
+    assignment is a broadcast join + a row_number over (vid, m) groups
+    of ksub rows. ``localCheckpoint`` bounds lineage across iterations.
+    """
+    subs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" i -> slice({emb_col}, i * {dsub} + 1, {dsub}))"
+            )
+        ).alias("m", "sub"),
+    )
+    cents = subs.filter(F.col("vid") < ksub).select(
+        "m",
+        F.col("vid").cast("int").alias("code"),
+        F.expr("transform(sub, x -> cast(x as double))").alias("cent"),
+    )
+
+    def assign(cts: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cts), "m").withColumn(
+            "d2", _l2sq("sub", "cent")
+        )
+        w = Window.partitionBy("vid", "m").orderBy(
+            F.col("d2").asc(), F.col("code").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("vid", "m", "sub", "code")
+        )
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        per_pos = (
+            a.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                (F.round(F.sum(F.col("v").cast("double")), 9)
+                 / F.count(F.lit(1))).alias("c")
+            )
+        )
+        cents = (
+            per_pos.groupBy("m", "code")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "m", "code", F.expr("transform(pc, s -> s.c)").alias("cent")
+            )
+            .localCheckpoint()
+        )
+    codes = assign(cents).select("vid", "m", "code")
+    return codes, cents
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 8,
+    nprobe: int = 2,
+    coarse_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the memory-bound ANN
+    regime: candidates are scored from their ``PQ_M``-byte PQ codes via
+    asymmetric distance computation (ADC), never touching the original
+    vectors, so the scan side of a 100 TB index holds M bytes + 1 cell
+    id per vector.
+
+    Routing reuses the cosine IVF (:func:`kmeans_cells` + nprobe probe
+    cells); scoring approximates cosine(q, v) ≈ (Σ_m q_m·c_{m,code}) /
+    (‖q‖ · sqrt(Σ_m ‖c_{m,code}‖²)) with the per-(query, subspace, code)
+    partials computed ONCE into a broadcastable lookup table (queries ×
+    m × ksub rows). Both Σ_m folds are fixed-order literal chains over
+    pivoted subspace columns (no engine-ordered float SUM), the score is
+    rounded to 6 dp before ranking, ties break id-ascending.
+
+    → ``(query_id, vec_id, ascore, rank)``, rank ≤ k per query.
+    """
+    m, ksub = PQ_M, PQ_KSUB
+    assign, cents = kmeans_cells(
+        corpus, k=nlist, n_iter=coarse_iter, id_col=id_col, emb_col=emb_col
+    )
+    codes, books = pq_codebooks(corpus, id_col=id_col, emb_col=emb_col)
+    c_n = with_norm(cents, "centroid").withColumnRenamed("norm", "cent_norm")
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        ),
+        "q_emb",
+    ).withColumnRenamed("norm", "q_norm")
+    routed = q.crossJoin(F.broadcast(c_n)).withColumn(
+        "cent_cos",
+        _dot("q_emb", "centroid") / (F.col("q_norm") * F.col("cent_norm")),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        routed.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cell")
+    )
+
+    # ADC lookup table: (query_id, m, code) -> partial dot + cent norm²
+    q_subs = q.select(
+        "query_id", "q_norm",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" i -> slice(q_emb, i * {PQ_DSUB} + 1, {PQ_DSUB}))"
+            )
+        ).alias("m", "qsub"),
+    )
+    lut = q_subs.join(F.broadcast(books), "m").select(
+        "query_id", "q_norm", "m", "code",
+        _dot("qsub", "cent").alias("pdot"),
+        _dot("cent", "cent").alias("csq"),
+    )
+
+    # candidates: codes of vectors in the probed cells, one row per
+    # (query, vid, m); the per-m partials pivot into fixed columns so
+    # the Σ_m runs as a literal left-to-right chain
+    cand = (
+        codes.join(assign.withColumnRenamed(id_col, "vid"), "vid")
+        .join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .filter(F.col("query_id") != F.col("vid"))
+    )
+    joined = cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+    per_m = [
+        F.max(F.when(F.col("m") == i, F.col(c))).alias(f"__{c}{i}")
+        for i in range(m)
+        for c in ("pdot", "csq")
+    ]
+    agg = joined.groupBy("query_id", "vid").agg(
+        F.max("q_norm").alias("q_norm"), *per_m
+    )
+    adot = F.lit(0.0)
+    asq = F.lit(0.0)
+    for i in range(m):
+        adot = adot + F.col(f"__pdot{i}")
+        asq = asq + F.col(f"__csq{i}")
+    scored = agg.select(
+        "query_id",
+        F.col("vid").alias(id_col),
+        F.round(adot / (F.col("q_norm") * F.sqrt(asq)), 6).alias("ascore"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "ascore", "rank")
+    )

@@ -2083,3 +2083,139 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k=RRF_K).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 late: IVF-PQ ANN (product quantization + ADC scoring)
+# ---------------------------------------------------------------------------
+
+
+def _dot8_sql(a: str, b: str) -> str:
+    """Left-assoc 8-term dot product over subvector lists."""
+    return " + ".join(
+        f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, 9)
+    )
+
+
+def _l2sq8_sql(a: str, b: str) -> str:
+    """Left-assoc 8-term squared-L2 — same fold order as the Spark
+    aggregate, so the doubles are bit-identical for the argmin."""
+    return " + ".join(
+        f"({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE)"
+        f" * ({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE)"
+        for i in range(1, 9)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Replays the whole IVF-PQ pipeline: the shared coarse-kmeans
+    replay (e / af / centroids), the per-subspace L2 Lloyd iteration
+    (seeded at vid < ksub, round(sum,9)/count means), the PQ encoding,
+    and the ADC scoring with the same fixed-order pivoted Σ_m chains."""
+    from opengemini_spark.datapipe import similarity as sim
+
+    m, dsub, ksub = sim.PQ_M, sim.PQ_DSUB, sim.PQ_KSUB
+    body, cents = _kmeans_replay_sql()
+
+    pdot_cols = ",\n             ".join(
+        f"max(CASE WHEN m = {i} THEN pdot END) AS p{i}" for i in range(m)
+    )
+    csq_cols = ",\n             ".join(
+        f"max(CASE WHEN m = {i} THEN csq END) AS c{i}" for i in range(m)
+    )
+    adot = "0.0"
+    asq = "0.0"
+    for i in range(m):
+        adot = f"({adot} + p{i})"
+        asq = f"({asq} + c{i})"
+
+    return body + f"""
+    , pidx AS (SELECT unnest(generate_series(0, {m - 1})) AS m)
+    , didx AS (SELECT unnest(generate_series(1, {dsub})) AS i)
+    , subs AS (
+      SELECT vec_id AS vid, m,
+             embedding[m * {dsub} + 1 : m * {dsub} + {dsub}] AS sub
+      FROM e, pidx
+    ), pc0 AS (
+      SELECT m, CAST(vid AS INT) AS code,
+             list_transform(sub, x -> x::DOUBLE) AS cent
+      FROM subs WHERE vid < {ksub}
+    ), pa1 AS (
+      SELECT vid, m, sub, code FROM (
+        SELECT s.vid, s.m, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vid, s.m ORDER BY
+                 ({_l2sq8_sql('s.sub', 'c.cent')}) ASC, c.code ASC) AS r
+        FROM subs s JOIN pc0 c ON c.m = s.m)
+      WHERE r = 1
+    ), pp1 AS (
+      SELECT m, code, i, round(sum(sub[i]::DOUBLE), 9) / count(*) AS c
+      FROM pa1 CROSS JOIN didx GROUP BY m, code, i
+    ), pc1 AS (
+      SELECT m, code, list(c ORDER BY i) AS cent FROM pp1 GROUP BY m, code
+    ), paf AS (
+      SELECT vid, m, code FROM (
+        SELECT s.vid, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vid, s.m ORDER BY
+                 ({_l2sq8_sql('s.sub', 'c.cent')}) ASC, c.code ASC) AS r
+        FROM subs s JOIN pc1 c ON c.m = s.m)
+      WHERE r = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_norm_sql('embedding')} AS q_norm
+      FROM e WHERE vec_id < {TOPK_QUERIES}
+    ), routed AS (
+      SELECT q.query_id, q.qe, q.q_norm, c.cell,
+             (({_dot_sql('q.qe', 'c.centroid')})
+              / (q.q_norm * {_norm_sql('c.centroid')})) AS cent_cos
+      FROM q CROSS JOIN {cents} c
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cent_cos DESC, cell ASC) AS r
+        FROM routed)
+      WHERE r <= {IVF_NPROBE}
+    ), qsubs AS (
+      SELECT query_id, q_norm, m,
+             qe[m * {dsub} + 1 : m * {dsub} + {dsub}] AS qsub
+      FROM q, pidx
+    ), lut AS (
+      SELECT s.query_id, s.q_norm, b.m, b.code,
+             ({_dot8_sql('s.qsub', 'b.cent')}) AS pdot,
+             ({_dot8_sql('b.cent', 'b.cent')}) AS csq
+      FROM qsubs s JOIN pc1 b ON b.m = s.m
+    ), candv AS (
+      SELECT p.query_id, a.vec_id AS vid
+      FROM probes p JOIN af a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    ), percode AS (
+      SELECT c.query_id, c.vid, pf.m, l.pdot, l.csq, l.q_norm
+      FROM candv c
+      JOIN paf pf ON pf.vid = c.vid
+      JOIN lut l ON l.query_id = c.query_id AND l.m = pf.m
+                AND l.code = pf.code
+    ), pivoted AS (
+      SELECT query_id, vid, max(q_norm) AS q_norm,
+             {pdot_cols},
+             {csq_cols}
+      FROM percode GROUP BY query_id, vid
+    ), scored AS (
+      SELECT query_id, vid AS vec_id,
+             round({adot} / (q_norm * sqrt({asq})), 6) AS ascore
+      FROM pivoted
+    )
+    SELECT query_id, vec_id, ascore, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY ascore DESC, vec_id ASC) AS BIGINT)
+        AS rank
+      FROM scored)
+    WHERE rank <= {TOPK_K}
+    """
+
+
+@register("similarity_ivfpq_topk", _ivfpq_oracle())
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
+        nlist=KM_K, nprobe=IVF_NPROBE, coarse_iter=KM_ITERS,
+    ).withColumn("rank", F.col("rank").cast("long"))

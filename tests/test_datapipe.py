@@ -604,3 +604,35 @@ def test_rrf_fusion_rewards_cross_list_agreement(spark):
     assert set(ranks) == {1, 2, 3, 4, 9}
     # deterministic tie-break: docs 1 and 9 tie (rank 1 each) → id asc
     assert ranks[1] < ranks[9]
+
+
+def test_ivfpq_codes_shape_and_recall(spark):
+    """PQ encoding must emit exactly M codes per vector (each < ksub),
+    and ADC top-k must recover a solid share of the exact cosine top-k
+    on clusterable synthetic data."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((4, 64)) * 3
+    rows = []
+    for vid in range(80):
+        v = centers[vid % 4] + rng.standard_normal(64) * 0.3
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    codes, books = similarity.pq_codebooks(emb)
+    per_vec = codes.groupBy("vid").count().collect()
+    assert all(r["count"] == similarity.PQ_M for r in per_vec)
+    assert codes.filter(
+        (F.col("code") < 0) | (F.col("code") >= similarity.PQ_KSUB)
+    ).count() == 0
+    assert books.count() == similarity.PQ_M * similarity.PQ_KSUB
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    approx = similarity.ivfpq_topk(emb, queries, 10, nlist=4, nprobe=2)
+    exact = similarity.cosine_topk(emb, queries, 10)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    # 4-cell / 2-probe routing over 4 planted clusters: the true
+    # neighbors live in the probed cells, ADC ranks them close enough
+    assert len(a & e) / len(e) >= 0.5
