@@ -98,8 +98,19 @@ from hypothesis import strategies as pst
 
 from opengemini_spark.promql import parser as PP
 
-_plabel = pst.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
-_pmetric = pst.from_regex(r"[a-z][a-z0-9_:]{0,8}", fullmatch=True)
+# words that are not bare metric names in PromQL (the lexer reads
+# inf/nan as number literals and the rest as operators/modifiers —
+# same as the reference's promql-go lexer)
+_PROMQL_RESERVED = {
+    "nan", "inf", "and", "or", "unless", "by", "without", "on",
+    "ignoring", "group_left", "group_right", "offset", "bool", "atan2",
+}
+_plabel = pst.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True).filter(
+    lambda s: s not in _PROMQL_RESERVED
+)
+_pmetric = pst.from_regex(r"[a-z][a-z0-9_:]{0,8}", fullmatch=True).filter(
+    lambda s: s not in _PROMQL_RESERVED
+)
 
 
 @st.composite
