@@ -112,6 +112,11 @@ HEADLINE = [
     "e2e_kafka_consume",
     "multimodal_video_keyframes",
     "agg_distinct_sketch_hll",
+    # r6 late additions: model-based quality filtering, hybrid retrieval
+    # fusion, and the product-quantized ANN regime
+    "curate_quality_classifier",
+    "retrieval_rrf_fusion",
+    "similarity_ivfpq_topk",
 ]
 
 

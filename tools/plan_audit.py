@@ -40,6 +40,9 @@ CROSS_ALLOWED = {
     "retrieval_lm_perplexity",      # broadcast ONE-ROW vocab size
     "curate_mixing_weights",        # broadcast ONE-ROW N_out against ≤|sources| rows
     "retrieval_tfidf_keywords",     # broadcast ONE-ROW corpus doc count
+    "curate_quality_classifier",    # broadcast ONE-ROW token totals + prior
+    "retrieval_rrf_fusion",         # BM25 stats row + broadcast dense query side
+    "similarity_ivfpq_topk",        # broadcast centroid routing + query subvectors
 }
 
 
