@@ -174,3 +174,81 @@ def quality_classifier(
     train/apply form a production pipeline composes."""
     weights, prior = nb_train(docs, label_col, id_col, text_col)
     return nb_score(docs, weights, prior, label_col, id_col, text_col)
+
+
+def nb_weights_array(
+    weights: DataFrame, prior: DataFrame
+) -> tuple[list[int], int]:
+    """Materialize a trained model as ``(dense_weights, bias_milli)`` —
+    the serving form: a length-``QC_DIM`` int list (missing buckets 0)
+    plus the prior. Bounded by construction: the weight table has at
+    most ``QC_DIM`` rows (it is keyed by ``bucket = hash % QC_DIM``).
+    """
+    rows = weights.limit(QC_DIM + 1).collect()
+    assert len(rows) <= QC_DIM, "weight table exceeds the bucket space"
+    arr = [0] * QC_DIM
+    for r in rows:
+        arr[r["bucket"]] = r["w_milli"]
+    bias = prior.limit(1).collect()[0]["bias_milli"]
+    return arr, bias
+
+
+def nb_score_stateless(
+    docs: DataFrame,
+    dense_weights: list[int],
+    bias_milli: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateless per-row scoring against a frozen model — the STREAMING
+    form of :func:`nb_score` (same output schema; identical values
+    whenever every feature's bucket is populated in the model, which
+    holds by construction when scoring the training corpus and with
+    near-certainty on any real corpus at 4096 buckets — an unpopulated
+    bucket contributes weight 0 here vs being dropped from ``n_feats``
+    by the batch inner join).
+
+    The model rides in the plan as a dense ``QC_DIM``-long int64 array
+    literal (~32 KB), so scoring is a pure projection: no explode-join,
+    no streaming aggregation, no state store — a docs ``readStream``
+    scores in append mode with unbounded-stream-safe semantics. Works on
+    batch frames too (unified model).
+
+    The per-doc fold sums int64 bucket weights in feature order — a sum
+    of integers, so any order gives the identical ``raw_milli`` as the
+    batch path's hash aggregate.
+    """
+    w_lit = "array(" + ",".join(str(int(w)) + "L" for w in dense_weights) + ")"
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')"
+    feats = (
+        f"transform(array(struct({toks} AS t)), s -> concat(s.t,"
+        f" {shingles_expr('s.t', 2)}))[0]"
+    )
+    bucket = (
+        f"f -> cast(conv(substr(md5(concat('{QC_SEED}|', f)), 1, 15), 16, 10)"
+        f" as bigint) % {QC_DIM}"
+    )
+    raw = (
+        f"aggregate(transform({feats}, {bucket}),"
+        f" cast({int(bias_milli)} as bigint),"
+        f" (acc, b) -> acc + element_at({w_lit}, cast(b + 1 as int)))"
+    )
+    n = f"size({feats})"
+    return docs.select(
+        F.col(id_col),
+        F.expr(n).cast("long").alias("n_feats"),
+        F.expr(raw).alias("raw_milli"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(F.expr(raw).cast("double"))
+                    / (F.lit(1000.0)
+                       * F.greatest(F.expr(n), F.lit(1)).cast("double"))
+                )
+            ),
+            6,
+        ).alias("score"),
+        (F.expr(raw) > 0).alias("predicted"),
+    )

@@ -267,3 +267,50 @@ def test_stream_dedup_drops_duplicate_deliveries(spark, tmp_path):
 
     # batch shortcut
     assert stream_dedup(df, ["host", "tu"]).count() == 3
+
+
+def test_stream_score_nb_classifier(spark, tmp_path):
+    """nb_score_stateless: a frozen hashed-NB model rides the plan as a
+    dense weight-array literal, so a docs readStream scores statelessly
+    in append mode; the streamed scores equal the batch nb_score output
+    row for row (training corpus — every bucket populated)."""
+    from opengemini_spark.datapipe import models
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", True),
+        (1, "beta gamma alpha delta beta", True),
+        (10, "omega psi chi phi omega psi", False),
+        (11, "psi chi omega phi chi psi", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    weights, prior = models.nb_train(docs, "y")
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["raw_milli"], r["score"], r["predicted"])
+        for r in models.nb_score(docs, weights, prior, "y").collect()
+    }
+
+    dense, bias = models.nb_weights_array(weights, prior)
+    assert len(dense) == models.QC_DIM
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    docs.drop("y").write.parquet(str(src_dir / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src_dir / "*")
+    )
+    scored = models.nb_score_stateless(stream, dense, bias)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_feats"], r["raw_milli"], r["score"], r["predicted"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert streamed == batch
