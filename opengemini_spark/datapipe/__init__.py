@@ -10,4 +10,4 @@ Every operator has a DuckDB-oracle twin generated from the SAME constants
 (see suite_datapipe.py) so the driver's correctness gate covers them.
 """
 
-from opengemini_spark.datapipe import dedup, similarity, text, multimodal  # noqa: F401
+from opengemini_spark.datapipe import dedup, models, similarity, text, multimodal  # noqa: F401
