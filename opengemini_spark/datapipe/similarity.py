@@ -979,7 +979,7 @@ def ivfpq_topk(
 
     → ``(query_id, vec_id, ascore, rank)``, rank ≤ k per query.
     """
-    m, ksub = PQ_M, PQ_KSUB
+    m = PQ_M
     assign, cents = kmeans_cells(
         corpus, k=nlist, n_iter=coarse_iter, id_col=id_col, emb_col=emb_col
     )
