@@ -953,6 +953,32 @@ def pq_codebooks(
     return codes, cents
 
 
+def ivfpq_build(
+    corpus: DataFrame,
+    nlist: int = 8,
+    coarse_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ serving index ONCE: ``(index, books, cents)``.
+
+    ``index`` is the single (vid, cell, m, code) frame — the vid-keyed
+    join of PQ codes with coarse-cell assignments, the one
+    corpus-shuffling step of the query path (314 MB at the 100x point,
+    SCALE100_r06). Amortizing it here means each :func:`ivfpq_topk`
+    call over the prebuilt index does only broadcast joins + a
+    candidate-proportional aggregate — the classic index-build /
+    query-serve split. Persist (or write bucketed by cell) in a real
+    deployment; callers own the lifecycle.
+    """
+    assign, cents = kmeans_cells(
+        corpus, k=nlist, n_iter=coarse_iter, id_col=id_col, emb_col=emb_col
+    )
+    codes, books = pq_codebooks(corpus, id_col=id_col, emb_col=emb_col)
+    index = codes.join(assign.withColumnRenamed(id_col, "vid"), "vid")
+    return index, books, cents
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -962,6 +988,9 @@ def ivfpq_topk(
     coarse_iter: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index: DataFrame | None = None,
+    books: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the memory-bound ANN
     regime: candidates are scored from their ``PQ_M``-byte PQ codes via
@@ -978,12 +1007,18 @@ def ivfpq_topk(
     rounded to 6 dp before ranking, ties break id-ascending.
 
     → ``(query_id, vec_id, ascore, rank)``, rank ≤ k per query.
+
+    Pass a prebuilt ``(index, books, cents)`` from :func:`ivfpq_build`
+    to amortize index construction across query batches (the serve
+    path then runs only broadcast joins + a candidate-proportional
+    aggregate); with the defaults the index is built inline.
     """
     m = PQ_M
-    assign, cents = kmeans_cells(
-        corpus, k=nlist, n_iter=coarse_iter, id_col=id_col, emb_col=emb_col
-    )
-    codes, books = pq_codebooks(corpus, id_col=id_col, emb_col=emb_col)
+    if index is None or books is None or cents is None:
+        index, books, cents = ivfpq_build(
+            corpus, nlist=nlist, coarse_iter=coarse_iter,
+            id_col=id_col, emb_col=emb_col,
+        )
     c_n = with_norm(cents, "centroid").withColumnRenamed("norm", "cent_norm")
     q = with_norm(
         queries.select(
@@ -1023,11 +1058,9 @@ def ivfpq_topk(
     # candidates: codes of vectors in the probed cells, one row per
     # (query, vid, m); the per-m partials pivot into fixed columns so
     # the Σ_m runs as a literal left-to-right chain
-    cand = (
-        codes.join(assign.withColumnRenamed(id_col, "vid"), "vid")
-        .join(F.broadcast(probes.select("query_id", "cell")), "cell")
-        .filter(F.col("query_id") != F.col("vid"))
-    )
+    cand = index.join(
+        F.broadcast(probes.select("query_id", "cell")), "cell"
+    ).filter(F.col("query_id") != F.col("vid"))
     joined = cand.join(F.broadcast(lut), ["query_id", "m", "code"])
     per_m = [
         F.max(F.when(F.col("m") == i, F.col(c))).alias(f"__{c}{i}")

@@ -636,3 +636,27 @@ def test_ivfpq_codes_shape_and_recall(spark):
     # 4-cell / 2-probe routing over 4 planted clusters: the true
     # neighbors live in the probed cells, ADC ranks them close enough
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_ivfpq_prebuilt_index_matches_inline(spark):
+    """ivfpq_build amortizes the one corpus-shuffling join: serving from
+    the prebuilt (index, books, cents) must return exactly the inline
+    result."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (vid, [float(x) for x in rng.standard_normal(64)]) for vid in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 2)
+
+    inline = similarity.ivfpq_topk(emb, queries, 5, nlist=4, nprobe=2)
+    index, books, cents = similarity.ivfpq_build(emb, nlist=4)
+    served = similarity.ivfpq_topk(
+        emb, queries, 5, nlist=4, nprobe=2,
+        index=index, books=books, cents=cents,
+    )
+    a = sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b
