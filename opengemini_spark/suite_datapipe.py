@@ -2219,3 +2219,20 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
         nlist=KM_K, nprobe=IVF_NPROBE, coarse_iter=KM_ITERS,
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("curate_quality_serving", _nb_classifier_oracle())
+def q_quality_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SERVING path: train once, freeze the model into its dense
+    # plan-literal form, score statelessly (the streaming-safe scorer,
+    # here run batch-mode — unified model). On the training corpus every
+    # feature bucket is populated, so the output is provably identical
+    # to the batch scorer's and the same oracle replays it.
+    from opengemini_spark.datapipe import models
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__en", F.col("lang") == "en"
+    )
+    weights, prior = models.nb_train(docs, "__en")
+    dense, bias = models.nb_weights_array(weights, prior)
+    return models.nb_score_stateless(docs, dense, bias)
