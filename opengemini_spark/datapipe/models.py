@@ -64,6 +64,7 @@ def nb_train(
     label_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    train_frac: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Multinomial Naive Bayes over hashed unigram+bigram features.
 
@@ -80,8 +81,17 @@ def nb_train(
 
     Scale: one bucket-keyed aggregate (≤ QC_DIM keys, map-side combine
     collapses it) + one corpus-total aggregate. The weight table is
-    ≤ QC_DIM rows — always broadcastable.
+    ≤ QC_DIM rows — always broadcastable. ``train_frac`` < 1 trains on a
+    deterministic hash-sample of documents (``h60(id) % 10000 <
+    frac·10000`` — reproducible, no rand()), the standard move at corpus
+    scale where a classifier saturates long before one epoch: the
+    scoring pass still covers everything, only the count pass shrinks.
     """
+    if train_frac < 1.0:
+        docs = docs.filter(
+            F.pmod(h60_seeded(F.col(id_col).cast("string"), QC_SEED), F.lit(10000))
+            < F.lit(int(train_frac * 10000))
+        )
     feats = _features(docs, id_col, text_col, label_col)
     pos1 = F.when(F.col("__y"), F.lit(1)).otherwise(F.lit(0))
     counts = feats.groupBy("bucket").agg(

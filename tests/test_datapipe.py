@@ -660,3 +660,30 @@ def test_ivfpq_prebuilt_index_matches_inline(spark):
     a = sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
     b = sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[3]))
     assert a == b
+
+
+def test_nb_train_frac_samples_deterministically(spark):
+    """train_frac trains on a reproducible hash-sample: same frac, same
+    weights; smaller frac, fewer (or equal) populated buckets; the model
+    still separates the planted vocabularies."""
+    from opengemini_spark.datapipe import models
+
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        text = ("alpha beta gamma delta " if good else "omega psi chi phi ") * 3
+        rows.append((i, text, good))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+
+    w_full, p_full = models.nb_train(docs, "y")
+    w_a, p_a = models.nb_train(docs, "y", train_frac=0.5)
+    w_b, p_b = models.nb_train(docs, "y", train_frac=0.5)
+    assert sorted(map(tuple, w_a.collect())) == sorted(map(tuple, w_b.collect()))
+    assert w_a.count() <= w_full.count()
+    assert 0 < p_a.collect()[0]["n_pos"] + p_a.collect()[0]["n_neg"] < 40
+
+    out = {
+        r["doc_id"]: r["predicted"]
+        for r in models.nb_score(docs, w_a, p_a, "y").collect()
+    }
+    assert all(out[i] == (i % 2 == 0) for i in out)
