@@ -248,3 +248,69 @@ def repetition_signals(
             F.lit(0.0),
         ).alias("top_bigram_char_frac"),
     )
+
+
+HE_SEED_BUCKET = 0xB0C4
+HE_SEED_SIGN = 0x51C9
+HE_DIM = 64
+
+
+def hash_embedding(
+    df: DataFrame,
+    dim: int = HE_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic document embeddings via the hashing trick — the
+    text→vector bridge that feeds the similarity stack (SemDeDup, ANN,
+    cosine dedup) without an external model: each token adds ±1 (sign
+    from a second hash) to one of ``dim`` buckets, and the signed count
+    vector is L2-normalized.
+
+    → ``(doc_id, emb array<double>)``, components rounded to 6 dp
+    (all-zero count vectors stay zero). Everything before the final
+    normalize is int64-exact and order-free (integer sums), so a DuckDB
+    oracle replays it bit-for-bit; the norm is a fixed-order fold over
+    integer squares — identical doubles everywhere.
+
+    Scale: one token explode, one (doc, bucket) integer aggregate
+    (doc-keyed, no skew beyond the longest doc), one per-doc map build.
+    No UDF, no shuffle beyond the doc-keyed aggregate.
+    """
+    from opengemini_spark.datapipe.hashing import h60_seeded, tokens_expr
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t")
+    )
+    signed = toks.select(
+        F.col(id_col),
+        F.pmod(h60_seeded("__t", HE_SEED_BUCKET), F.lit(dim)).alias("bucket"),
+        (F.pmod(h60_seeded("__t", HE_SEED_SIGN), F.lit(2)) * 2 - 1).alias("s"),
+    )
+    counts = signed.groupBy(id_col, "bucket").agg(
+        F.sum("s").cast("long").alias("c")
+    )
+    dense = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "c"))
+        ).alias("__mp")
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> coalesce(element_at(__mp, i), 0L))"
+        ).alias("__v"),
+    )
+    return dense.select(
+        F.col(id_col),
+        F.when(
+            F.expr("aggregate(__v, 0L, (a, x) -> a + abs(x))") == 0,
+            F.expr(f"transform(sequence(0, {dim - 1}), i -> cast(0.0 as double))"),
+        ).otherwise(
+            F.expr(
+                "transform(__v, x -> round(cast(x as double) /"
+                " sqrt(aggregate(__v, 0D, (acc, y) ->"
+                " acc + cast(y as double) * cast(y as double))), 6))"
+            )
+        ).alias("emb"),
+    )

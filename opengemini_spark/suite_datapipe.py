@@ -2236,3 +2236,59 @@ def q_quality_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, prior = models.nb_train(docs, "__en")
     dense, bias = models.nb_weights_array(weights, prior)
     return models.nb_score_stateless(docs, dense, bias)
+
+
+# ---------------------------------------------------------------------------
+# round-6 late: hashing-trick document embeddings (text -> vector bridge)
+# ---------------------------------------------------------------------------
+
+
+def _hash_embedding_oracle() -> str:
+    """Replays the hashing trick: bucket/sign hashes and the signed
+    count vector are int64-exact; the L2 norm is the same position-
+    ordered fold over integer squares (identical doubles), components
+    rounded to 6 dp on both sides."""
+    from opengemini_spark.datapipe import text as t
+
+    dim = t.HE_DIM
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS tk FROM documents
+    ), signed AS (
+      SELECT doc_id,
+             ({h60_seeded_sql('tk', t.HE_SEED_BUCKET)}) % {dim} AS bucket,
+             (({h60_seeded_sql('tk', t.HE_SEED_SIGN)}) % 2) * 2 - 1 AS s
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS c
+      FROM signed GROUP BY doc_id, bucket
+    ), idx AS (SELECT unnest(generate_series(0, {dim - 1})) AS i
+    ), dense AS (
+      SELECT d.doc_id, idx.i AS pos, coalesce(c.c, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM counts) d
+      CROSS JOIN idx
+      LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = idx.i
+    ), agg AS (
+      SELECT doc_id,
+             sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY pos)),
+               (a, x) -> a + x)) AS nrm,
+             CAST(sum(abs(v)) AS BIGINT) AS tot
+      FROM dense GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.pos AS BIGINT) AS pos,
+           CASE WHEN a.tot = 0 THEN 0.0
+                ELSE round(CAST(d.v AS DOUBLE) / a.nrm, 6) END AS v
+    FROM dense d JOIN agg a USING (doc_id)
+    """
+
+
+@register("text_hash_embedding", _hash_embedding_oracle())
+def q_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # packed (doc_id, emb) from the operator; posexplode here so the
+    # driver hashes each component (the quantize/projection pattern)
+    packed = text.hash_embedding(load_table(spark, sf_dir, "documents"))
+    return packed.select(
+        "doc_id", F.posexplode("emb").alias("pos", "v")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "v")

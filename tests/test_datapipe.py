@@ -687,3 +687,24 @@ def test_nb_train_frac_samples_deterministically(spark):
         for r in models.nb_score(docs, w_a, p_a, "y").collect()
     }
     assert all(out[i] == (i % 2 == 0) for i in out)
+
+
+def test_hash_embedding_unit_norm_and_similarity(spark):
+    """Hashing-trick embeddings: unit L2 norm, identical texts map to
+    identical vectors, disjoint vocabularies are (near-)orthogonal,
+    and the vectors compose with the similarity stack."""
+    from opengemini_spark.datapipe import text as t
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "omega psi chi phi upsilon tau"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    embs = {r["doc_id"]: r["emb"] for r in t.hash_embedding(df).collect()}
+    for v in embs.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4
+        assert len(v) == t.HE_DIM
+    assert embs[1] == embs[2]
+    cos13 = sum(a * b for a, b in zip(embs[1], embs[3]))
+    assert abs(cos13) < 0.5  # disjoint vocab → far from parallel
