@@ -117,6 +117,7 @@ HEADLINE = [
     "curate_quality_classifier",
     "retrieval_rrf_fusion",
     "similarity_ivfpq_topk",
+    "text_hash_embedding",
 ]
 
 
