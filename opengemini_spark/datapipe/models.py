@@ -228,6 +228,11 @@ def nb_score_stateless(
     of integers, so any order gives the identical ``raw_milli`` as the
     batch path's hash aggregate.
     """
+    if len(dense_weights) != QC_DIM:
+        raise ValueError(
+            f"dense_weights must have exactly {QC_DIM} entries "
+            f"(got {len(dense_weights)}) — use nb_weights_array()"
+        )
     w_lit = "array(" + ",".join(str(int(w)) + "L" for w in dense_weights) + ")"
     toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')"
     feats = (

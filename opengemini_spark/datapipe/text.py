@@ -268,7 +268,8 @@ def hash_embedding(
     vector is L2-normalized.
 
     → ``(doc_id, emb array<double>)``, components rounded to 6 dp
-    (all-zero count vectors stay zero). Everything before the final
+    (all-zero count vectors — possible when signs cancel — stay zero;
+    documents with no tokens at all produce no output row). Everything before the final
     normalize is int64-exact and order-free (integer sums), so a DuckDB
     oracle replays it bit-for-bit; the norm is a fixed-order fold over
     integer squares — identical doubles everywhere.
