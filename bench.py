@@ -118,6 +118,7 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "similarity_ivfpq_topk",
     "text_hash_embedding",
+    "similarity_ivfpq_rerank",
 ]
 
 

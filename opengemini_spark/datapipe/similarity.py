@@ -991,6 +991,7 @@ def ivfpq_topk(
     index: DataFrame | None = None,
     books: DataFrame | None = None,
     cents: DataFrame | None = None,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the memory-bound ANN
     regime: candidates are scored from their ``PQ_M``-byte PQ codes via
@@ -1012,6 +1013,15 @@ def ivfpq_topk(
     to amortize index construction across query batches (the serve
     path then runs only broadcast joins + a candidate-proportional
     aggregate); with the defaults the index is built inline.
+
+    ``rerank=R > 0`` adds the standard production second stage: the ADC
+    scores only build a per-query shortlist of R candidates, which are
+    then re-scored with EXACT cosine against their original vectors (an
+    id-keyed join fetching R·queries embeddings — shortlist-sized, not
+    corpus-sized) and the top-k comes from the exact scores (column
+    ``cosine``, 4 dp like :func:`cosine_topk`). ADC recall errors beyond
+    the shortlist boundary vanish; the scan side still never touches
+    raw vectors.
     """
     m = PQ_M
     if index is None or books is None or cents is None:
@@ -1083,8 +1093,37 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("ascore").desc(), F.col(id_col).asc()
     )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "ascore", "rank")
+        )
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", id_col)
+    )
+    c = with_norm(
+        corpus.select(F.col(id_col), F.col(emb_col).alias("c_emb")), "c_emb"
+    ).withColumnRenamed("norm", "c_norm")
+    exact = (
+        shortlist.join(c, id_col)
+        .join(
+            F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id"
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 4
+            ),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "ascore", "rank")
+        .select("query_id", id_col, "cosine", "rank")
     )

@@ -2292,3 +2292,46 @@ def q_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", F.posexplode("emb").alias("pos", "v")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "v")
+
+
+IVFPQ_RERANK = 10
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """The two-stage replay: the full ADC pipeline builds a per-query
+    shortlist of IVFPQ_RERANK candidates, then exact cosine against the
+    original vectors (same 4 dp rounding as the cosine_topk oracle)
+    produces the final top-k."""
+    base = _ivfpq_oracle()
+    head, tail = base.rsplit("SELECT query_id, vec_id, ascore, rank FROM (", 1)
+    return head + f""", shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY ascore DESC, vec_id ASC) AS r
+        FROM scored)
+      WHERE r <= {IVFPQ_RERANK}
+    ), exact AS (
+      SELECT s.query_id, s.vec_id,
+             round(({_dot_sql('q.qe', 'm.embedding')})
+                   / (q.q_norm * {_norm_sql('m.embedding')}), 4) AS cosine
+      FROM shortlist s
+      JOIN e m ON m.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+        AS rank
+      FROM exact)
+    WHERE rank <= {TOPK_K}
+    """
+
+
+@register("similarity_ivfpq_rerank", _ivfpq_rerank_oracle())
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
+        nlist=KM_K, nprobe=IVF_NPROBE, coarse_iter=KM_ITERS,
+        rerank=IVFPQ_RERANK,
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -708,3 +708,31 @@ def test_hash_embedding_unit_norm_and_similarity(spark):
     assert embs[1] == embs[2]
     cos13 = sum(a * b for a, b in zip(embs[1], embs[3]))
     assert abs(cos13) < 0.5  # disjoint vocab → far from parallel
+
+
+def test_ivfpq_rerank_converges_to_exact_ivf(spark, sf_dir):
+    """With an exhaustive shortlist the ADC stage only selects
+    candidates, so two-stage IVF-PQ must equal ivf_topk_kmeans exactly
+    (same cells, same probes, same 4 dp cosine and tie-breaks); with a
+    small shortlist it still returns k exact-scored rows."""
+    from opengemini_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 2)
+
+    exact_ivf = similarity.ivf_topk_kmeans(
+        emb, queries, 5, nlist=4, nprobe=2, n_iter=1
+    )
+    two_stage = similarity.ivfpq_topk(
+        emb, queries, 5, nlist=4, nprobe=2, coarse_iter=1, rerank=10_000
+    )
+    a = sorted(map(tuple, exact_ivf.collect()))
+    b = sorted(map(tuple, two_stage.collect()))
+    assert a == b and a
+
+    small = similarity.ivfpq_topk(
+        emb, queries, 5, nlist=4, nprobe=2, coarse_iter=1, rerank=8
+    )
+    rows = small.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(r["rank"] <= 5 for r in rows)

@@ -43,6 +43,7 @@ CROSS_ALLOWED = {
     "curate_quality_classifier",    # broadcast ONE-ROW token totals + prior
     "retrieval_rrf_fusion",         # BM25 stats row + broadcast dense query side
     "similarity_ivfpq_topk",        # broadcast centroid routing + query subvectors
+    "similarity_ivfpq_rerank",      # same + broadcast query side in the rerank
 }
 
 
