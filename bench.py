@@ -119,6 +119,7 @@ HEADLINE = [
     "similarity_ivfpq_topk",
     "text_hash_embedding",
     "similarity_ivfpq_rerank",
+    "text_novelty_signals",
 ]
 
 

@@ -315,3 +315,64 @@ def hash_embedding(
             )
         ).alias("emb"),
     )
+
+
+NOVELTY_K = 3
+
+
+def novelty_signals(
+    df: DataFrame,
+    k: int = NOVELTY_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document novelty: how much of each document's k-gram
+    content appears nowhere else in the corpus — the boilerplate /
+    template detector (a navbar or license block shared by thousands of
+    pages drives novelty toward 0, original prose toward 1).
+
+    → ``(doc_id, n_shingles, n_novel, novelty)`` over DISTINCT k-token
+    shingles per doc: ``n_novel`` counts shingles whose corpus document
+    frequency is 1, ``novelty = round(n_novel / n_shingles, 6)``.
+    Documents shorter than ``k`` tokens produce no row (no shingles —
+    same contract as the contamination pass).
+
+    Scale: one shingle-hash census (``(hash) -> doc frequency``, the
+    decontamination shuffle shape — high-cardinality key, skew bounded
+    by the most-copied shingle) + one doc-keyed integer aggregate.
+    Everything is int64-exact except the final rounded ratio.
+    """
+    from opengemini_spark.datapipe.hashing import (
+        h60,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+    sh = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.expr(shingles_expr("__t", k))).alias("__s"),
+        )
+        .select(F.col(id_col), h60(F.col("__s")).alias("sh"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

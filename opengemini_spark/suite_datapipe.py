@@ -2335,3 +2335,30 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=KM_K, nprobe=IVF_NPROBE, coarse_iter=KM_ITERS,
         rerank=IVFPQ_RERANK,
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "text_novelty_signals",
+    # census replay: distinct shingle hashes per doc, corpus doc
+    # frequency, novel = df==1; integer-exact except the rounded ratio
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {h60_sql('s')} AS sh FROM (
+        SELECT doc_id, unnest({shingles_sql('t', 3)}) AS s FROM toks)
+    ), dfreq AS (
+      SELECT sh, count(*) AS df FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh s JOIN dfreq d USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def q_novelty_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.novelty_signals(load_table(spark, sf_dir, "documents"))

@@ -736,3 +736,24 @@ def test_ivfpq_rerank_converges_to_exact_ivf(spark, sf_dir):
     rows = small.collect()
     assert {r["query_id"] for r in rows} == {0, 1}
     assert all(r["rank"] <= 5 for r in rows)
+
+
+def test_novelty_signals_boilerplate_vs_original(spark):
+    """A shared template block drives novelty down; fully original prose
+    scores 1.0; sub-k docs produce no row."""
+    from opengemini_spark.datapipe import text as t
+
+    boiler = "all rights reserved contact us terms of service"
+    rows = [
+        (1, boiler + " page one content here"),
+        (2, boiler + " totally different body text"),
+        (3, "completely original prose nobody else wrote today"),
+        (4, "xy"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in t.novelty_signals(df).collect()}
+    assert 4 not in out                      # shorter than k tokens
+    assert out[3]["novelty"] == 1.0
+    assert out[1]["novelty"] < 1.0 and out[2]["novelty"] < 1.0
+    # the shared 8-token template contributes 6 non-novel shingles
+    assert out[1]["n_novel"] < out[1]["n_shingles"]
