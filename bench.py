@@ -120,6 +120,7 @@ HEADLINE = [
     "text_hash_embedding",
     "similarity_ivfpq_rerank",
     "text_novelty_signals",
+    "curate_span_decontaminate",
 ]
 
 

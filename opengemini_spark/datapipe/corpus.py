@@ -537,3 +537,80 @@ def holdout_fuzzy_dedup(
         .join(contaminated, id_col, "left_anti")
         .select(id_col, source_col)
     )
+
+
+def span_decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level benchmark decontamination: remove from every training
+    document the k-token spans that appear ANYWHERE in the held-out
+    corpus, keeping the rest of the document — the surgical alternative
+    to dropping whole documents (Lee et al. 2022 dedup machinery applied
+    cross-corpus: doc-level drops lose all the clean text around one
+    quoted benchmark item).
+
+    Overlapping contaminated spans union their covered token ranges, so
+    a long verbatim benchmark quote disappears wholesale. Returns one
+    row per training document: ``(id_col, clean_text, n_removed)`` —
+    surviving tokens re-joined in order (token-normalized space, same
+    contract as :func:`opengemini_spark.datapipe.dedup.span_dedup`).
+
+    Scale: the holdout shingle set is one distinct 60-bit-hash column
+    (benchmarks ≪ corpus — broadcastable); the train side pays one
+    shingle explode + semi join, a covered-position explode proportional
+    to the CONTAMINATED spans only, and the doc-keyed rebuild. No UDF.
+    """
+    from opengemini_spark.catalog import parallelize_scan
+
+    toks = (
+        parallelize_scan(train.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    )
+    occ = toks.select(
+        id_col,
+        F.posexplode(F.expr(shingles_expr("__toks", k))).alias("j", "__s"),
+    ).select(id_col, "j", h60(F.col("__s")).alias("sh"))
+
+    hold_sh = (
+        holdout.select(tokens_expr(text_col).alias("__ht"))
+        .select(F.explode(F.expr(shingles_expr("__ht", k))).alias("__s"))
+        .select(h60(F.col("__s")).alias("sh"))
+        .distinct()
+    )
+    bad_occ = occ.join(F.broadcast(hold_sh), "sh", "left_semi")
+    covered = (
+        bad_occ.select(
+            id_col,
+            F.explode(F.sequence(F.col("j"), F.col("j") + (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    tokpos = toks.select(id_col, F.posexplode("__toks").alias("pos", "tok"))
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        toks.select(id_col, F.size("__toks").alias("__n_tok"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__n_tok") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

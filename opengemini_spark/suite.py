@@ -826,7 +826,7 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything outside the window.
 #
 # ROUND-6 ROTATION (VERDICT r5 next #6, r4 precedent "never-checked
-# first"): (a) ALL 28 entries that have never had a driver verdict —
+# first"): (a) ALL 29 entries that have never had a driver verdict —
 # every operator registered this round (retrieval, sampling/mixing,
 # modality dedup, OTLP logs, Kafka consume, the full-lifecycle front-end
 # shapes, HLL sketch, video keyframes, the hashed-NB classifier, RRF
@@ -836,10 +836,10 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # upgraded to semantic oracles (bounded-error percentile_approx, pinned
 # STL replay), the adaptive-banding + partition-local-band LSH pair, the
 # two packed-output-shape entries, and the composable representative
-# selection; (c) 15 of the 40 entries whose newest driver verdict is
-# r3-era. The remaining 25 r3-era verdicts (join_full_outer, prom_deriv ..
+# selection; (c) 14 of the 40 entries whose newest driver verdict is
+# r3-era. The remaining 26 r3-era verdicts (join_full_outer, prom_deriv ..
 # window_tumbling_agg in the r5-window ordering) are covered by the
-# bit-exact local gate at HEAD and lead the r7 window — with 168
+# bit-exact local gate at HEAD and lead the r7 window — with 169
 # registered entries and 50 slots, first-verdicts and changed-semantics
 # re-verdicts outrank freshness rotation.
 PRIORITY: tuple[str, ...] = (
@@ -872,6 +872,7 @@ PRIORITY: tuple[str, ...] = (
     "text_hash_embedding",       # hashing-trick doc embeddings (text->vector)
     "similarity_ivfpq_rerank",   # ADC shortlist + exact rerank (two-stage)
     "text_novelty_signals",      # cross-doc k-gram novelty (boilerplate signal)
+    "curate_span_decontaminate", # surgical span-level benchmark decontamination
     # -- (b) changed oracle/code this round: re-verdict on new semantics --
     "agg_percentile_approx",     # NEW bounded-error oracle (was no_oracle)
     "castor_stl_anomaly",        # NEW pinned-replay hash oracle (was rows-only)
@@ -880,7 +881,7 @@ PRIORITY: tuple[str, ...] = (
     "similarity_quantize_int8",  # packed array<tinyint> output shape
     "similarity_random_projection",  # packed array<double> output shape
     "curate_cluster_representative",  # composable pairs=/components= reuse
-    # -- (c) 15 of the 40 entries whose newest driver verdict is r3-era --
+    # -- (c) 14 of the 40 entries whose newest driver verdict is r3-era --
     "agg_basic",
     "agg_regr_slope",
     "curate_chunk_documents",
@@ -893,7 +894,6 @@ PRIORITY: tuple[str, ...] = (
     "influxql_func_elapsed",
     "influxql_func_ema",
     "influxql_func_holt_winters",
-    "influxql_func_integral",
     "influxql_join_stmt",
     "join_inner",
 )

@@ -2362,3 +2362,63 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_novelty_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.novelty_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_span_decontaminate",
+    # replay: holdout (src0) distinct shingle hashes, every train span
+    # matching one is covered, covered positions removed, rebuild in
+    # position order — same census/rebuild contract as dedup_span_exact
+    f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+      WHERE source != 'src0'
+    ),
+    hold AS (
+      SELECT DISTINCT
+             {h60_sql(f"array_to_string(toks[p+1 : p+{SPAN_K}], ' ')")} AS sh
+      FROM (SELECT {tokens_sql('text')} AS toks FROM documents
+            WHERE source = 'src0') h,
+           unnest(generate_series(0, len(toks) - {SPAN_K})) AS u(p)
+    ),
+    occ AS (
+      SELECT doc_id, p AS j,
+             {h60_sql(f"array_to_string(toks[p+1 : p+{SPAN_K}], ' ')")} AS sh
+      FROM t, unnest(generate_series(0, len(toks) - {SPAN_K})) AS u(p)
+    ),
+    covered AS (
+      SELECT DISTINCT occ.doc_id, occ.j + u.o AS pos
+      FROM occ JOIN hold USING (sh),
+           unnest(generate_series(0, {SPAN_K - 1})) AS u(o)
+    ),
+    tok AS (
+      SELECT doc_id, p - 1 AS pos, toks[p] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) AS u(p)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN covered
+        ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+      WHERE covered.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def q_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengemini_spark.datapipe.corpus import span_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=SPAN_K,
+    )

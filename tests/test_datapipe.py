@@ -757,3 +757,29 @@ def test_novelty_signals_boilerplate_vs_original(spark):
     assert out[1]["novelty"] < 1.0 and out[2]["novelty"] < 1.0
     # the shared 8-token template contributes 6 non-novel shingles
     assert out[1]["n_novel"] < out[1]["n_shingles"]
+
+
+def test_span_decontaminate_removes_benchmark_quotes(spark):
+    """A verbatim benchmark quote inside a train doc is excised (its
+    overlapping spans chain) while surrounding original text survives;
+    clean docs pass through untouched."""
+    from opengemini_spark.datapipe.corpus import span_decontaminate
+
+    quote = "what is the capital of france the answer is paris"  # 10 toks
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + quote + " closing words here"),
+            (2, "totally clean document with original content only"),
+        ],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame([(100, quote)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in span_decontaminate(train, holdout, k=5).collect()
+    }
+    assert out[2]["n_removed"] == 0
+    assert "capital" not in out[1]["clean_text"]
+    assert out[1]["clean_text"].startswith("intro words here")
+    assert out[1]["clean_text"].endswith("closing words here")
+    assert out[1]["n_removed"] == 10

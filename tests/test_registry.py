@@ -40,7 +40,7 @@ def test_priority_window_matches_round6_rotation():
         "curate_cluster_representative",
     ):
         assert name in window, name
-    # r3-era staleness tail samples (15-name list in PRIORITY part c)
+    # r3-era staleness tail samples (14-name list in PRIORITY part c)
     for name in (
         "agg_basic", "dedup_embedding_cosine", "influxql_join_stmt",
         "join_inner", "curate_pack_sequences",
