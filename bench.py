@@ -148,6 +148,14 @@ def main() -> None:
     else:
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Per-query cache hygiene: operators may persist frames for their own
+    # plan reuse (e.g. the LSH signature cache) and those cached blocks
+    # accumulate executor memory pressure across a 60+-query batch session,
+    # inflating LATER queries' walls by 30-100% (the fresh-session re-measure
+    # effect recorded in SCALE100_r06). Each query is measured from a
+    # clean cache so its wall reflects the operator, not its predecessors.
+    from opengemini_spark.datapipe.similarity import unpersist_lsh_caches
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -161,6 +169,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        unpersist_lsh_caches()
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
