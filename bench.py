@@ -164,8 +164,13 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # time a noop-sink write, not count(): count() lets Catalyst
+        # prune expensive derived output columns (the span-rebuild
+        # entries measured 10-40x too fast that way), while the noop
+        # sink materializes every column the operator actually produces
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        n = df.count()
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)

@@ -58,13 +58,20 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         fn(spark, "/root/testdata/sf0.001").count()      # warm
+        # noop-sink timing: count() lets Catalyst prune expensive
+        # derived output columns (span-rebuild entries measured 10-40x
+        # too fast); the noop sink materializes the full output
         t0 = time.time()
-        n1 = fn(spark, "/root/testdata/sf0.1").count()
+        df1 = fn(spark, "/root/testdata/sf0.1")
+        df1.write.format("noop").mode("overwrite").save()
         w1 = time.time() - t0
+        n1 = df1.count()
         s0 = shuffle_bytes("http://localhost:4048")
         t0 = time.time()
-        n100 = fn(spark, "/tmp/sf10synth").count()
+        df100 = fn(spark, "/tmp/sf10synth")
+        df100.write.format("noop").mode("overwrite").save()
         w100 = time.time() - t0
+        n100 = df100.count()
         sh = (shuffle_bytes("http://localhost:4048") - s0) / 1e6
         out[name] = {
             "sf0.1_wall_sec": round(w1, 2), "sf0.1_rows": n1,
