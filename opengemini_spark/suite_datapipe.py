@@ -208,7 +208,7 @@ def _ivf_oracle() -> str:
       FROM e CROSS JOIN idx GROUP BY label, i
     ), cent AS (
       SELECT label, list(m ORDER BY i) AS centroid FROM centpos GROUP BY label
-    ), q AS (
+    ), q AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < {TOPK_QUERIES}
     ), routed AS (
       SELECT q.query_id, q.qe, cent.label,
@@ -216,7 +216,7 @@ def _ivf_oracle() -> str:
                    / ({_norm_sql('q.qe')} * {_norm_sql('cent.centroid')}), 6)
                AS cent_cos
       FROM q CROSS JOIN cent
-    ), probes AS (
+    ), probes AS MATERIALIZED (
       SELECT query_id, qe, label FROM (
         SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY cent_cos DESC, label ASC) AS r
@@ -841,7 +841,7 @@ def _kmeans_replay_sql() -> tuple[str, str]:
 
     def assign_cte(name: str, cents: str) -> str:
         return f"""
-    , {name} AS (
+    , {name} AS MATERIALIZED (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -881,7 +881,7 @@ def _kmeans_replay_sql() -> tuple[str, str]:
 def _ivf_kmeans_oracle() -> str:
     body, cents = _kmeans_replay_sql()
     return body + f"""
-    , q AS (
+    , q AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS qe FROM e
       WHERE vec_id < {TOPK_QUERIES}
     ), routed AS (
@@ -889,7 +889,7 @@ def _ivf_kmeans_oracle() -> str:
              (({_dot_sql('q.qe', 'c.centroid')})
               / ({_norm_sql('q.qe')} * {_norm_sql('c.centroid')})) AS cent_cos
       FROM q CROSS JOIN {cents} c
-    ), probes AS (
+    ), probes AS MATERIALIZED (
       SELECT query_id, qe, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cent_cos DESC, cell ASC) AS r
@@ -2042,7 +2042,7 @@ def _rrf_oracle() -> str:
     return f"""
     WITH bm AS (
       SELECT doc_id, rank FROM ({_bm25_oracle(RRF_LIST_K)})
-    ), q AS (
+    ), q AS MATERIALIZED (
       SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QV}
     ), cosr AS (
       SELECT vec_id AS doc_id, rank FROM (
@@ -2111,7 +2111,13 @@ def _ivfpq_oracle() -> str:
     """Replays the whole IVF-PQ pipeline: the shared coarse-kmeans
     replay (e / af / centroids), the per-subspace L2 Lloyd iteration
     (seeded at vid < ksub, round(sum,9)/count means), the PQ encoding,
-    and the ADC scoring with the same fixed-order pivoted Σ_m chains."""
+    and the ADC scoring with the same fixed-order pivoted Σ_m chains.
+
+    The multiply-referenced CTEs are marked MATERIALIZED: DuckDB inlines
+    plain CTEs per reference, and re-expanding the Lloyd replay under
+    both the encoding and the routing multiplies memory enough to OOM a
+    128 GB box mid-sweep (seen on the rerank variant, which references
+    the replay a third time)."""
     from opengemini_spark.datapipe import similarity as sim
 
     m, dsub, ksub = sim.PQ_M, sim.PQ_DSUB, sim.PQ_KSUB
@@ -2132,15 +2138,15 @@ def _ivfpq_oracle() -> str:
     return body + f"""
     , pidx AS (SELECT unnest(generate_series(0, {m - 1})) AS m)
     , didx AS (SELECT unnest(generate_series(1, {dsub})) AS i)
-    , subs AS (
+    , subs AS MATERIALIZED (
       SELECT vec_id AS vid, m,
              embedding[m * {dsub} + 1 : m * {dsub} + {dsub}] AS sub
       FROM e, pidx
-    ), pc0 AS (
+    ), pc0 AS MATERIALIZED (
       SELECT m, CAST(vid AS INT) AS code,
              list_transform(sub, x -> x::DOUBLE) AS cent
       FROM subs WHERE vid < {ksub}
-    ), pa1 AS (
+    ), pa1 AS MATERIALIZED (
       SELECT vid, m, sub, code FROM (
         SELECT s.vid, s.m, s.sub, c.code,
                row_number() OVER (PARTITION BY s.vid, s.m ORDER BY
@@ -2150,16 +2156,16 @@ def _ivfpq_oracle() -> str:
     ), pp1 AS (
       SELECT m, code, i, round(sum(sub[i]::DOUBLE), 9) / count(*) AS c
       FROM pa1 CROSS JOIN didx GROUP BY m, code, i
-    ), pc1 AS (
+    ), pc1 AS MATERIALIZED (
       SELECT m, code, list(c ORDER BY i) AS cent FROM pp1 GROUP BY m, code
-    ), paf AS (
+    ), paf AS MATERIALIZED (
       SELECT vid, m, code FROM (
         SELECT s.vid, s.m, c.code,
                row_number() OVER (PARTITION BY s.vid, s.m ORDER BY
                  ({_l2sq8_sql('s.sub', 'c.cent')}) ASC, c.code ASC) AS r
         FROM subs s JOIN pc1 c ON c.m = s.m)
       WHERE r = 1
-    ), q AS (
+    ), q AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS qe,
              {_norm_sql('embedding')} AS q_norm
       FROM e WHERE vec_id < {TOPK_QUERIES}
@@ -2168,7 +2174,7 @@ def _ivfpq_oracle() -> str:
              (({_dot_sql('q.qe', 'c.centroid')})
               / (q.q_norm * {_norm_sql('c.centroid')})) AS cent_cos
       FROM q CROSS JOIN {cents} c
-    ), probes AS (
+    ), probes AS MATERIALIZED (
       SELECT query_id, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cent_cos DESC, cell ASC) AS r
@@ -2178,12 +2184,12 @@ def _ivfpq_oracle() -> str:
       SELECT query_id, q_norm, m,
              qe[m * {dsub} + 1 : m * {dsub} + {dsub}] AS qsub
       FROM q, pidx
-    ), lut AS (
+    ), lut AS MATERIALIZED (
       SELECT s.query_id, s.q_norm, b.m, b.code,
              ({_dot8_sql('s.qsub', 'b.cent')}) AS pdot,
              ({_dot8_sql('b.cent', 'b.cent')}) AS csq
       FROM qsubs s JOIN pc1 b ON b.m = s.m
-    ), candv AS (
+    ), candv AS MATERIALIZED (
       SELECT p.query_id, a.vec_id AS vid
       FROM probes p JOIN af a ON a.cell = p.cell
       WHERE a.vec_id != p.query_id

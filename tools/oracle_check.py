@@ -174,9 +174,24 @@ def main() -> int:
         try:
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
-            continue
+            # a 169-oracle run accumulates DuckDB allocator state; a
+            # transient OOM on one of the giant replay oracles is a
+            # harness artifact, not a semantic failure — retry once on
+            # a fresh connection before declaring FAIL
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duck_con(sf_dir)
+            try:
+                ddf = con.execute(sql).fetchdf()
+            except Exception:
+                print(
+                    f"FAIL {name}: duckdb error: "
+                    f"{type(e).__name__}: {str(e)[:300]}"
+                )
+                n_fail += 1
+                continue
         ok, msg = values_match(sdf, ddf)
         status = "PASS" if ok else "FAIL"
         if ok:
