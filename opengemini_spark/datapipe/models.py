@@ -195,7 +195,11 @@ def nb_weights_array(
     most ``QC_DIM`` rows (it is keyed by ``bucket = hash % QC_DIM``).
     """
     rows = weights.limit(QC_DIM + 1).collect()
-    assert len(rows) <= QC_DIM, "weight table exceeds the bucket space"
+    if len(rows) > QC_DIM:
+        raise ValueError(
+            f"weight table exceeds the {QC_DIM}-bucket space — not a "
+            "nb_train() output (buckets are hash % QC_DIM by construction)"
+        )
     arr = [0] * QC_DIM
     for r in rows:
         arr[r["bucket"]] = r["w_milli"]
@@ -217,6 +221,12 @@ def nb_score_stateless(
     near-certainty on any real corpus at 4096 buckets — an unpopulated
     bucket contributes weight 0 here vs being dropped from ``n_feats``
     by the batch inner join).
+
+    Zero-token documents are dropped, matching the batch contract: the
+    batch path's explode + inner join emits no row for a document with
+    no features, so neither does this one (r6 advice — without the
+    filter the stateless scorer emitted ``raw=bias, n_feats=0`` rows
+    the batch oracle never produces).
 
     The model rides in the plan as a dense ``QC_DIM``-long int64 array
     literal (~32 KB), so scoring is a pure projection: no explode-join,
@@ -249,7 +259,7 @@ def nb_score_stateless(
         f" (acc, b) -> acc + element_at({w_lit}, cast(b + 1 as int)))"
     )
     n = f"size({feats})"
-    return docs.select(
+    return docs.where(F.expr(n) > 0).select(
         F.col(id_col),
         F.expr(n).cast("long").alias("n_feats"),
         F.expr(raw).alias("raw_milli"),

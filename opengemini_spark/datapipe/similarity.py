@@ -590,11 +590,15 @@ def kmeans_cells(
     """Deterministic spherical k-means: ``(assignments, centroids)``.
 
     Lloyd iterations with everything pinned for cross-engine parity:
-    seeds are the k lowest-id vectors, assignment is cosine argmax with
-    cell-ascending tie-break, and each centroid coordinate is
-    ``round(sum, 9)/count`` — rounding the SUM before the divide (the
-    suite's standard determinism pattern) so the oracle's different
-    summation order cannot flip a single assignment.
+    seeds are the k lowest-id vectors (cell = rank-1 in id order, NOT
+    the id value itself — so a filtered or re-keyed corpus whose ids are
+    not dense from 0 still seeds k real centroids; r6 advice), assignment
+    is cosine argmax with cell-ascending tie-break, and each centroid
+    coordinate is ``round(sum, 9)/count`` — rounding the SUM before the
+    divide (the suite's standard determinism pattern) so the oracle's
+    different summation order cannot flip a single assignment. On a
+    dense-0 id space rank-1 == id, so this is bit-identical to the
+    historical ``vid < k`` seeding.
 
     Scale shape: centroids are k×dim (broadcast); one shuffle per
     iteration for the (cell, pos) recompute; ``localCheckpoint`` bounds
@@ -602,8 +606,14 @@ def kmeans_cells(
     Replaces the label-cell stand-in flagged in VERDICT r1.
     """
     emb = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
-    cents = emb.filter(F.col("vid") < k).select(
-        F.col("vid").cast("int").alias("cell"), F.col("e").alias("centroid")
+    # seeds: the k lowest-id vectors, cell = rank-1. orderBy().limit(k)
+    # plans as TakeOrderedAndProject (no global sort shuffle); the rank
+    # window then runs over k rows only.
+    seeds = emb.orderBy("vid").limit(k)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy(F.col("vid").asc())) - 1)
+        .cast("int").alias("cell"),
+        F.col("e").alias("centroid"),
     )
 
     def assign(cts: DataFrame) -> DataFrame:
@@ -787,13 +797,38 @@ def random_projection(
     return df.select(F.col(id_col), F.array(*outs).alias("proj"))
 
 
+SEMDEDUP_TARGET_CELL = 40
+SEMDEDUP_K_MIN = 8
+
+
+def adaptive_kmeans_k(
+    n: int, target_cell: int = SEMDEDUP_TARGET_CELL, k_min: int = SEMDEDUP_K_MIN
+) -> int:
+    """Corpus-size-aware cluster count — the SemDeDup scale contract
+    (k ∝ n; the paper runs 50k clusters for LAION-440M). With FIXED k,
+    cells grow O(n/k) and the within-cell quadratic pair stage grows
+    O(n²/k) — the 19.0× wall at 10× rows recorded in SCALE_r06. Deriving
+    ``k = max(k_min, ceil(n / target_cell))`` keeps expected cell size
+    constant, so the pair stage does O(n · target_cell) cosines — linear
+    in the corpus. Mirrors :func:`adaptive_lsh_params` (the r6 LSH
+    lever); the SQL oracle computes the identical k from ``count(*)``.
+    """
+    import math
+
+    return max(k_min, math.ceil(n / max(1, target_cell)))
+
+
 def semantic_dedup(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    adaptive_n: int | None = None,
+    target_cell: int | None = None,
+    k_min: int = 8,
+    max_cell_task: int | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster-scoped semantic deduplication over embeddings
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -815,13 +850,28 @@ def semantic_dedup(
     Scale shape: clustering is the broadcast k-means of
     :func:`kmeans_cells` (centroids k×dim, one shuffle per iteration);
     the pair stage shuffles each vector once on its cell id and does
-    Σ c_i² dot products. The SemDeDup scale contract is k ∝ n (the
-    paper runs 50k clusters for LAION-440M): cells stay O(n/k) = O(1)
-    rows, so the per-cell quadratic term is bounded and the whole pair
-    stage is embarrassingly cell-parallel. Skewed cells are the risk at
-    100 TB — mitigate with a cell-size cap + recursive split (same
-    salting lever as operators/scale.py) before the self-join.
+    Σ c_i² dot products. The SemDeDup scale contract is k ∝ n — and it
+    is IMPLEMENTED here (r6 verdict #2): when ``k`` is None (the
+    default) it is derived as ``max(k_min, ceil(n / target_cell))``
+    from a corpus count (pass ``adaptive_n`` to skip the count action,
+    same convention as :func:`lsh_near_dups`), so expected cell size
+    stays ``target_cell`` at any corpus size and the pair stage does
+    O(n · target_cell) work — linear, not O(n²/k). Residual risk is
+    cell-size SKEW (Lloyd cells are not uniform): ``max_cell_task``
+    additionally splits each cell's pair join into deterministic
+    id-hash block pairs of ≤ that many vectors per side, bounding any
+    single task's memory/compute without changing the pair set (every
+    (a,b) pair lands in exactly one block pair) — the same
+    output-preserving salting lever as operators/scale.py. A truly
+    degenerate cell (≫ target_cell after capping) is re-clustered in
+    production by a recursive split; at the tested scales block-pairing
+    bounds the task without the recursion.
     """
+    if k is None:
+        n = adaptive_n if adaptive_n is not None else df.count()
+        k = adaptive_kmeans_k(
+            n, target_cell or SEMDEDUP_TARGET_CELL, k_min
+        )
     assign, _ = kmeans_cells(df, k=k, n_iter=n_iter,
                              id_col=id_col, emb_col=emb_col)
     cells = (
@@ -829,12 +879,41 @@ def semantic_dedup(
         .join(assign.withColumnRenamed(id_col, "vid"), "vid")
     )
     v = with_norm(cells, "e")
-    a = v.select(F.col("vid").alias("id_a"), F.col("cell"),
-                 F.col("e").alias("ea"), F.col("norm").alias("na"))
-    b = v.select(F.col("vid").alias("id_b"), F.col("cell"),
-                 F.col("e").alias("eb"), F.col("norm").alias("nb"))
+    if max_cell_task:
+        # Full block-pair decomposition of the within-cell self-join:
+        # each vector gets a deterministic block id (vid mod nb, nb =
+        # ceil(cell_size / max_cell_task)); side A is replicated across
+        # every partner block j, side B across every partner block i,
+        # and the join key is (cell, i, j) — so every unordered pair
+        # (a, b) is evaluated in exactly ONE (block_a, block_b) task of
+        # ≤ max_cell_task² comparisons. Output identical; a hot cell is
+        # spread over nb² tasks instead of sitting in one.
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
+        vb = v.join(F.broadcast(sizes), "cell").withColumn(
+            "__nb",
+            F.ceil(F.col("__c") / F.lit(max_cell_task)).cast("int"),
+        ).withColumn("__blk", F.pmod(F.col("vid"), F.col("__nb")).cast("int"))
+        a = vb.select(
+            F.col("vid").alias("id_a"), F.col("cell"),
+            F.col("e").alias("ea"), F.col("norm").alias("na"),
+            F.col("__blk").alias("__i"),
+            F.explode(F.expr("sequence(0, __nb - 1)")).alias("__j"),
+        )
+        b = vb.select(
+            F.col("vid").alias("id_b"), F.col("cell"),
+            F.col("e").alias("eb"), F.col("norm").alias("nb"),
+            F.explode(F.expr("sequence(0, __nb - 1)")).alias("__i"),
+            F.col("__blk").alias("__j"),
+        )
+        join_keys = ["cell", "__i", "__j"]
+    else:
+        a = v.select(F.col("vid").alias("id_a"), F.col("cell"),
+                     F.col("e").alias("ea"), F.col("norm").alias("na"))
+        b = v.select(F.col("vid").alias("id_b"), F.col("cell"),
+                     F.col("e").alias("eb"), F.col("norm").alias("nb"))
+        join_keys = ["cell"]
     dropped = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
@@ -890,9 +969,12 @@ def pq_codebooks(
 
     Deterministic for cross-engine replay, same pins as
     :func:`kmeans_cells`: seeds are the ``ksub`` lowest-id vectors'
-    subvectors, assignment is squared-L2 argmin with code-ascending
-    tie-break (the fold order is fixed, so the doubles are bit-identical
-    in any engine), and centroid coordinates are ``round(sum, 9)/count``.
+    subvectors with code = rank-1 in id order (not the id value — a
+    filtered / non-dense-id corpus still seeds ksub real codebook
+    entries; r6 advice), assignment is squared-L2 argmin with
+    code-ascending tie-break (the fold order is fixed, so the doubles
+    are bit-identical in any engine), and centroid coordinates are
+    ``round(sum, 9)/count``.
 
     Returns ``(codes, codebooks)``: ``codes`` = ``(vid, m, code)`` — the
     M-byte-per-vector compressed representation; ``codebooks`` =
@@ -912,9 +994,18 @@ def pq_codebooks(
             )
         ).alias("m", "sub"),
     )
-    cents = subs.filter(F.col("vid") < ksub).select(
+    seed_ids = (
+        corpus.select(F.col(id_col).alias("vid"))
+        .orderBy("vid").limit(ksub)
+        .select(
+            "vid",
+            (F.row_number().over(Window.orderBy(F.col("vid").asc())) - 1)
+            .cast("int").alias("code"),
+        )
+    )
+    cents = subs.join(F.broadcast(seed_ids), "vid").select(
         "m",
-        F.col("vid").cast("int").alias("code"),
+        "code",
         F.expr("transform(sub, x -> cast(x as double))").alias("cent"),
     )
 

@@ -830,14 +830,21 @@ KM_K = 8
 KM_ITERS = 2
 
 
-def _kmeans_replay_sql() -> tuple[str, str]:
-    """Replays the deterministic Lloyd iterations: seeded at vec_id < k,
-    cosine-argmax assignment (cell-asc tie-break), centroid coordinate =
-    round(sum, 9)/count — the round-the-sum-before-divide pattern makes
-    the centroids bit-identical, so every assignment matches. Returns
+def _kmeans_replay_sql(k_sql: str | None = None) -> tuple[str, str]:
+    """Replays the deterministic Lloyd iterations: seeds are the k
+    lowest-vec_id vectors with cell = rank-1 in id order (matching
+    kmeans_cells' rank-based seeding — identical to the historical
+    ``vec_id < k`` on the dense-0 test ids), cosine-argmax assignment
+    (cell-asc tie-break), centroid coordinate = round(sum, 9)/count —
+    the round-the-sum-before-divide pattern makes the centroids
+    bit-identical, so every assignment matches. ``k_sql`` is any SQL
+    expression for k (default the fixed ``KM_K``; SemDeDup passes the
+    adaptive ``ceil(count/target)`` scalar subquery). Returns
     ``(with_prefix, final_centroids_cte)``; the prefix defines ``e``
     (the corpus), ``af`` (final assignments with embedding + cell), and
     the centroid CTEs. Shared by the IVF-kmeans and SemDeDup oracles."""
+    if k_sql is None:
+        k_sql = str(KM_K)
 
     def assign_cte(name: str, cents: str) -> str:
         return f"""
@@ -866,8 +873,11 @@ def _kmeans_replay_sql() -> tuple[str, str]:
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     idx AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS i),
     c0 AS (
-      SELECT CAST(vec_id AS INT) AS cell, embedding AS centroid
-      FROM e WHERE vec_id < {KM_K}
+      SELECT CAST(rn - 1 AS INT) AS cell, centroid FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+               embedding AS centroid
+        FROM e)
+      WHERE rn <= ({k_sql})
     )"""
     cents = "c0"
     for it in range(1, KM_ITERS + 1):
@@ -1137,8 +1147,20 @@ SEMDEDUP_T = 0.4
 def _semdedup_oracle() -> str:
     """Independent replay of SemDeDup: the shared k-means replay gives
     the final cell assignments; a vector is dropped iff a lower-id
-    vector in the same cell has round-4 cosine >= the threshold."""
-    body, _ = _kmeans_replay_sql()
+    vector in the same cell has round-4 cosine >= the threshold.
+
+    k is the ADAPTIVE k∝n of similarity.adaptive_kmeans_k — computed
+    here from the same count(*) the Spark side counts, so the oracle
+    follows the scale configuration, not a pinned small-corpus one
+    (r6 verdict: 'the oracled entry is the non-scale configuration')."""
+    from opengemini_spark.datapipe import similarity as sim
+
+    k_sql = (
+        f"SELECT greatest({sim.SEMDEDUP_K_MIN}, "
+        f"CAST(ceil(count(*)::DOUBLE / {sim.SEMDEDUP_TARGET_CELL}) "
+        "AS BIGINT)) FROM e"
+    )
+    body, _ = _kmeans_replay_sql(k_sql)
     # MATERIALIZED: afm is referenced three times below; without it
     # DuckDB inlines the whole Lloyd-replay chain (a ~40 KB expression
     # tree) per reference and the planner blows the memory budget when
@@ -1162,9 +1184,13 @@ def _semdedup_oracle() -> str:
 
 @register("dedup_semantic_semdedup", _semdedup_oracle())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k is adaptive (k ∝ n, target cell size SEMDEDUP_TARGET_CELL) —
+    # the scale configuration IS the oracled configuration (r6 verdict
+    # #2); max_cell_task bounds any skewed cell's pair task.
     return similarity.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"),
-        k=KM_K, n_iter=KM_ITERS, threshold=SEMDEDUP_T,
+        n_iter=KM_ITERS, threshold=SEMDEDUP_T,
+        max_cell_task=4 * similarity.SEMDEDUP_TARGET_CELL,
     )
 
 
@@ -2110,7 +2136,8 @@ def _l2sq8_sql(a: str, b: str) -> str:
 def _ivfpq_oracle() -> str:
     """Replays the whole IVF-PQ pipeline: the shared coarse-kmeans
     replay (e / af / centroids), the per-subspace L2 Lloyd iteration
-    (seeded at vid < ksub, round(sum,9)/count means), the PQ encoding,
+    (seeded at the ksub lowest ids, code = rank-1 in id order,
+    round(sum,9)/count means), the PQ encoding,
     and the ADC scoring with the same fixed-order pivoted Σ_m chains.
 
     The multiply-referenced CTEs are marked MATERIALIZED: DuckDB inlines
@@ -2142,10 +2169,14 @@ def _ivfpq_oracle() -> str:
       SELECT vec_id AS vid, m,
              embedding[m * {dsub} + 1 : m * {dsub} + {dsub}] AS sub
       FROM e, pidx
+    ), pseed AS (
+      SELECT vec_id AS vid, CAST(rn - 1 AS INT) AS code FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+      WHERE rn <= {ksub}
     ), pc0 AS MATERIALIZED (
-      SELECT m, CAST(vid AS INT) AS code,
-             list_transform(sub, x -> x::DOUBLE) AS cent
-      FROM subs WHERE vid < {ksub}
+      SELECT s.m, p.code,
+             list_transform(s.sub, x -> x::DOUBLE) AS cent
+      FROM subs s JOIN pseed p ON s.vid = p.vid
     ), pa1 AS MATERIALIZED (
       SELECT vid, m, sub, code FROM (
         SELECT s.vid, s.m, s.sub, c.code,

@@ -450,6 +450,87 @@ def test_semantic_dedup_planted_clusters(spark):
     assert out.filter(F.col("cell").isNull()).count() == 0
 
 
+def test_adaptive_kmeans_k_scaling():
+    """adaptive_kmeans_k (SemDeDup k∝n, r6 verdict #2): cell size stays
+    ~target at any corpus size, so within-cell quadratic work is linear
+    in n; floor at k_min for small corpora."""
+    from opengemini_spark.datapipe.similarity import (
+        SEMDEDUP_TARGET_CELL, adaptive_kmeans_k,
+    )
+
+    assert adaptive_kmeans_k(10) == 8            # k_min floor
+    assert adaptive_kmeans_k(500) == 13          # ceil(500/40)
+    for n in (10_000, 1_000_000, 100_000_000):
+        k = adaptive_kmeans_k(n)
+        assert n / k <= SEMDEDUP_TARGET_CELL     # cells never exceed target
+        assert n / k > SEMDEDUP_TARGET_CELL / 2  # ...but don't collapse
+
+
+def test_semantic_dedup_non_dense_ids(spark):
+    """Seeding is rank-based (r6 advice): a corpus whose ids are NOT
+    dense from 0 (e.g. a filtered frame) still seeds k real centroids
+    and dedups correctly — with the old ``vid < k`` seeding this corpus
+    would have seeded zero centroids and returned garbage."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (1000, unit(0.00)), (1001, unit(0.01)), (1002, unit(0.02)),
+        (2000, unit(math.pi / 2)), (2001, unit(math.pi / 2 + 0.01)),
+        (3000, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, k=3, n_iter=2, threshold=0.95)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert kept == {1000: True, 1001: False, 1002: False,
+                    2000: True, 2001: False, 3000: True}
+
+
+def test_semantic_dedup_block_pairing_preserves_output(spark):
+    """max_cell_task splits each cell's pair join into block pairs —
+    the output must be IDENTICAL to the plain within-cell join (every
+    unordered pair evaluated in exactly one block-pair task)."""
+    import math
+
+    rows = [
+        (i, [math.cos(0.001 * i), math.sin(0.001 * i),
+             float((i * 7) % 5) / 5.0, 1.0])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = sorted(
+        tuple(r) for r in
+        similarity.semantic_dedup(df, k=4, n_iter=2, threshold=0.9).collect()
+    )
+    blocked = sorted(
+        tuple(r) for r in
+        similarity.semantic_dedup(
+            df, k=4, n_iter=2, threshold=0.9, max_cell_task=10
+        ).collect()
+    )
+    assert plain == blocked and len(plain) == 120
+
+
+def test_pq_codebooks_non_dense_ids(spark):
+    """pq_codebooks seeds code = rank-1 over id order (r6 advice): a
+    filtered corpus with no ids below ksub still yields ksub full
+    codebooks and every vector gets a code."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (10_000 + 13 * i, [rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, books = similarity.pq_codebooks(emb)
+    assert books.select("m", "code").distinct().count() == \
+        similarity.PQ_M * similarity.PQ_KSUB
+    assert codes.count() == 40 * similarity.PQ_M
+
+
 def test_span_dedup_planted_spans(spark):
     """Keep-first semantics at span granularity: cross-doc repeated
     span removed from the later doc only; a full-copy doc empties out;

@@ -19,7 +19,7 @@ def test_priority_window_is_exactly_50_unique_registered_names():
 def test_priority_window_matches_round6_rotation():
     """The r6 window: ALL entries that have never had a driver verdict
     first (everything registered this round), then changed-semantics
-    re-verdicts, then 22 of the 40 r3-era verdicts (suite.PRIORITY
+    re-verdicts, then 14 of the 40 r3-era verdicts (suite.PRIORITY
     docstring)."""
     import json, pathlib
 

@@ -185,6 +185,11 @@ def main() -> int:
             con = duck_con(sf_dir)
             try:
                 ddf = con.execute(sql).fetchdf()
+                print(
+                    f"RETRY {name}: first duckdb attempt failed "
+                    f"({type(e).__name__}: {str(e)[:200]}); fresh "
+                    "connection succeeded"
+                )
             except Exception:
                 print(
                     f"FAIL {name}: duckdb error: "
