@@ -8,7 +8,7 @@ column pruning (only ``text`` + ids are read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from opengemini_spark.datapipe.hashing import FP_MOD, h60, tokens_expr
 
@@ -376,3 +376,188 @@ def novelty_signals(
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate text extraction — the LLM-pipeline stage UPSTREAM of
+# every dedup/quality operator here: raw crawl HTML -> clean text. The
+# keep rules are the public jusText / trafilatura class of heuristics
+# (Pomikálek 2011): segment on block-level tags, score each block by
+# length and link density, keep content-like blocks. Thresholds are
+# integer-exact (milli-units) so an independent SQL engine replays every
+# keep decision bit-for-bit.
+#
+# Scale shape (100 TB of crawl): everything is per-document projection —
+# regexp_replace / split / explode, no UDF, no shuffle until the final
+# doc-keyed reassembly aggregate (and extract_blocks has no shuffle at
+# all beyond the explode). Blocks inherit the input partitioning; the
+# reassembly groupBy keys on doc_id (high cardinality, no skew).
+# ---------------------------------------------------------------------------
+
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|blockquote"
+    r"|section|article|aside|header|footer|nav|title|figure|main)\b[^>]*>"
+)
+HTML_TAG_RE = r"<[^>]*>"
+HTML_LINK_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+HTML_WS_RE = r"\s+"
+# (entity, replacement) in APPLICATION ORDER — &amp; must decode last so
+# '&amp;lt;' becomes '&lt;' (double-encoded stays encoded once), the
+# standard single-pass decode.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+)
+EXTRACT_MIN_CHARS = 25        # jusText length_low
+EXTRACT_MAX_LINK_MILLI = 330  # jusText max_link_density = 0.33
+
+
+def _decode_entities(col: F.Column) -> F.Column:
+    for ent, rep in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def _block_text(col: F.Column) -> F.Column:
+    """tag strip -> entity decode -> whitespace collapse -> trim."""
+    txt = F.regexp_replace(col, HTML_TAG_RE, " ")
+    txt = _decode_entities(txt)
+    return F.trim(F.regexp_replace(txt, HTML_WS_RE, " "))
+
+
+def extract_blocks(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Segment raw HTML into text blocks with keep/drop signals.
+
+    Per block: ``block_text`` (tags stripped, entities decoded,
+    whitespace collapsed), ``n_chars``, ``link_milli`` = ⌊1000 ·
+    anchor-text chars / total chars⌋, ``stopword_milli`` = ⌊1000 ·
+    stopword tokens / tokens⌋ (reported signal, not a gate — the
+    corpus under test is keyword soup), and ``kept`` = n_chars ≥
+    ``EXTRACT_MIN_CHARS`` AND link_milli ≤ ``EXTRACT_MAX_LINK_MILLI``.
+    Script/style/comment content is removed before segmentation (so a
+    ``<`` inside JavaScript never fakes a tag); empty blocks are
+    dropped and ``block_idx`` renumbers survivors in document order.
+    """
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in stop_all) + ")"
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(html_col), HTML_SCRIPT_RE, " "),
+            HTML_STYLE_RE, " ",
+        ),
+        HTML_COMMENT_RE, " ",
+    )
+    raw = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(cleaned, HTML_BLOCK_SPLIT_RE)).alias(
+            "__pos", "__blk"
+        ),
+    )
+    link_raw = F.array_join(
+        F.regexp_extract_all("__blk", F.lit(HTML_LINK_RE), F.lit(1)), " "
+    )
+    b = (
+        raw.withColumn("block_text", _block_text(F.col("__blk")))
+        .filter(F.col("block_text") != "")
+        .withColumn("n_chars", F.length("block_text").cast("long"))
+        .withColumn("__lc", F.length(_block_text(link_raw)).cast("long"))
+        .withColumn(
+            "__toks",
+            F.expr("filter(split(lower(block_text), '[^a-z0-9]+'), t -> t != '')"),
+        )
+        .withColumn(
+            "link_milli", F.expr("(1000 * __lc) div greatest(n_chars, 1L)")
+        )
+        .withColumn(
+            "stopword_milli",
+            F.expr(
+                f"(1000 * size(filter(__toks, t -> array_contains({stop_arr}, t))))"
+                " div greatest(size(__toks), 1)"
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__pos").asc())
+    return b.withColumn("block_idx", F.row_number().over(w).cast("int")).select(
+        F.col(id_col),
+        "block_idx",
+        "block_text",
+        "n_chars",
+        "link_milli",
+        "stopword_milli",
+        (
+            (F.col("n_chars") >= EXTRACT_MIN_CHARS)
+            & (F.col("link_milli") <= EXTRACT_MAX_LINK_MILLI)
+        ).alias("kept"),
+    )
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-level clean text: the kept blocks of
+    :func:`extract_blocks`, space-joined in document order, plus the
+    block census -> ``(doc_id, clean_text, n_blocks, n_kept,
+    clean_chars)``. A document whose blocks are ALL boilerplate comes
+    out with ``clean_text = ''`` (and is typically dropped by the
+    downstream quality gate)."""
+    blocks = extract_blocks(df, html_col=html_col, id_col=id_col)
+    return (
+        blocks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(filter(sort_array(collect_list("
+                    "struct(block_idx, kept, block_text))),"
+                    " s -> s.kept), s -> s.block_text)"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col(id_col),
+            "clean_text",
+            "n_blocks",
+            "n_kept",
+            F.length("clean_text").cast("long").alias("clean_chars"),
+        )
+    )
+
+
+def synth_html(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic crawl-page fixture from ``(doc_id, text)`` — the
+    same ingest-fixture convention as multimodal.synth_png: a nav bar
+    (link-only), a heading, the document text split into two real
+    paragraphs (the second with an inline anchor and an encoded
+    entity), a too-short block, and a link-heavy footer, wrapped with
+    <script>/<style> noise that contains a literal ``<``. The SQL twin
+    in the suite rebuilds the identical string, so every extraction
+    decision is independently replayable."""
+    half = f"CAST(ceil(length({text_col}) / 2.0) AS INT)"
+    html = F.expr(
+        "concat("
+        f"'<html><head><title>doc ', CAST({id_col} AS STRING), '</title>',"
+        "'<style>.x{color:red}</style>',"
+        "'<script>var x = 1 < 2; // <div> inside script</script>',"
+        "'</head><body>',"
+        "'<div id=\"nav\"><a href=\"/\">home</a> <a href=\"/a\">about</a>"
+        " <a href=\"/c\">contact</a></div>',"
+        f"'<h1>', substr({text_col}, 1, 24), '</h1>',"
+        "'<!-- boilerplate comment -->',"
+        f"'<p>', substr({text_col}, 1, {half}), ' tags &amp; text</p>',"
+        f"'<p>', substr({text_col}, {half} + 1),"
+        " ' <a href=\"/ref\">see also</a></p>',"
+        "'<p>ok</p>',"
+        "'<div class=\"footer\">copyright 2024 <a href=\"/p\">privacy</a>"
+        " <a href=\"/t\">terms</a></div>',"
+        "'</body></html>')"
+    )
+    return df.select(F.col(id_col), html.alias("html"))

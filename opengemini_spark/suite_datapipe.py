@@ -240,11 +240,16 @@ def _ivf_oracle() -> str:
 _STOP_ALL = sorted({w for ws in text.LANG_STOPWORDS.values() for w in ws})
 
 
-def _quality_oracle() -> str:
+def _quality_oracle(src: str = "documents", text_expr: str = "text",
+                    lead: str = "WITH") -> str:
+    """DuckDB twin of text.quality_score. ``src``/``text_expr`` let a
+    composed oracle score a derived corpus (e.g. the HTML-extraction
+    output); ``lead=','`` appends the CTEs to an existing WITH chain."""
     stop_list = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
     return f"""
-    WITH d AS (
-      SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+    {lead} d AS (
+      SELECT doc_id, {text_expr} AS text, {tokens_sql(text_expr)} AS toks
+      FROM {src}
     ), m AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS nc,
@@ -2459,3 +2464,152 @@ def q_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         k=SPAN_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate text extraction (r6 verdict #3): the SQL twin
+# rebuilds the synth_html fixture string and replays every extraction
+# decision — script/style/comment removal, block segmentation, tag
+# strip + entity decode, integer-milli link density, the jusText-class
+# keep rule — from the shared constants in datapipe/text.py.
+# ---------------------------------------------------------------------------
+
+
+def _synth_html_sql(text_col: str = "text") -> str:
+    """DuckDB twin of text.synth_html — byte-identical page string."""
+    half = f"CAST(ceil(length({text_col}) / 2.0) AS INT)"
+    return (
+        "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'"
+        " || '<style>.x{color:red}</style>'"
+        " || '<script>var x = 1 < 2; // <div> inside script</script>'"
+        " || '</head><body>'"
+        " || '<div id=\"nav\"><a href=\"/\">home</a> <a href=\"/a\">about</a>"
+        " <a href=\"/c\">contact</a></div>'"
+        f" || '<h1>' || substr({text_col}, 1, 24) || '</h1>'"
+        " || '<!-- boilerplate comment -->'"
+        f" || '<p>' || substr({text_col}, 1, {half}) || ' tags &amp; text</p>'"
+        f" || '<p>' || substr({text_col}, {half} + 1)"
+        " || ' <a href=\"/ref\">see also</a></p>'"
+        " || '<p>ok</p>'"
+        " || '<div class=\"footer\">copyright 2024 <a href=\"/p\">privacy</a>"
+        " <a href=\"/t\">terms</a></div>'"
+        " || '</body></html>'"
+    )
+
+
+def _html_entity_decode_sql(x: str) -> str:
+    for ent, rep in text.HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{rep_sql}')"
+    return x
+
+
+def _html_block_text_sql(x: str) -> str:
+    stripped = f"regexp_replace({x}, '{text.HTML_TAG_RE}', ' ', 'g')"
+    decoded = _html_entity_decode_sql(stripped)
+    return f"trim(regexp_replace({decoded}, '{text.HTML_WS_RE}', ' ', 'g'))"
+
+
+def _extract_blocks_prefix_sql() -> str:
+    """CTE chain ending in ``blocks`` = the extract_blocks output."""
+    stop_list = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
+    cleaned = (
+        f"regexp_replace(regexp_replace(regexp_replace(html,"
+        f" '{text.HTML_SCRIPT_RE}', ' ', 'g'),"
+        f" '{text.HTML_STYLE_RE}', ' ', 'g'),"
+        f" '{text.HTML_COMMENT_RE}', ' ', 'g')"
+    )
+    # coalesce: DuckDB's array_to_string returns NULL for an empty list
+    # (Spark's array_join returns ''), and NULL would poison link_milli
+    link_raw = (
+        "coalesce(array_to_string("
+        f"regexp_extract_all(blk, '{text.HTML_LINK_RE}', 1), ' '), '')"
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_synth_html_sql('text')} AS html FROM documents
+    ), split AS (
+      SELECT doc_id,
+             string_split_regex({cleaned}, '{text.HTML_BLOCK_SPLIT_RE}') AS arr
+      FROM pages
+    ), rawblk AS (
+      SELECT doc_id, p AS pos, arr[p] AS blk
+      FROM split, unnest(generate_series(1, len(arr))) AS u(p)
+    ), sig AS (
+      SELECT doc_id, pos,
+             {_html_block_text_sql('blk')} AS block_text,
+             CAST(length({_html_block_text_sql('blk')}) AS BIGINT) AS n_chars,
+             CAST(length({_html_block_text_sql(link_raw)}) AS BIGINT) AS lc
+      FROM rawblk
+    ), toks AS (
+      SELECT doc_id, pos, block_text, n_chars, lc,
+             {tokens_sql('block_text')} AS tk
+      FROM sig WHERE block_text <> ''
+    ), blocks AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS INT) AS block_idx,
+             block_text, n_chars,
+             (1000 * lc) // greatest(n_chars, 1) AS link_milli,
+             CAST((1000 * len(list_filter(tk, t -> list_contains({stop_list}, t))))
+                  // greatest(len(tk), 1) AS BIGINT) AS stopword_milli,
+             (n_chars >= {text.EXTRACT_MIN_CHARS}
+              AND (1000 * lc) // greatest(n_chars, 1)
+                  <= {text.EXTRACT_MAX_LINK_MILLI}) AS kept
+      FROM toks
+    )"""
+
+
+def _extract_clean_sql() -> str:
+    """``blocks`` -> per-document clean text (extract_text twin)."""
+    return _extract_blocks_prefix_sql() + """
+    , cleandoc AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(block_text, ' ' ORDER BY block_idx)
+                      FILTER (WHERE kept), '') AS clean_text
+      FROM blocks GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_extract_html_blocks",
+    _extract_blocks_prefix_sql() + """
+    SELECT doc_id, block_idx, block_text, n_chars, link_milli,
+           stopword_milli, kept
+    FROM blocks
+    """,
+)
+def q_extract_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.extract_blocks(
+        text.synth_html(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register(
+    "text_extract_html_clean",
+    _extract_clean_sql() + """
+    SELECT doc_id, clean_text, n_blocks, n_kept,
+           CAST(length(clean_text) AS BIGINT) AS clean_chars
+    FROM cleandoc
+    """,
+)
+def q_extract_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.extract_text(
+        text.synth_html(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register(
+    "text_extract_quality_e2e",
+    _extract_clean_sql()
+    + _quality_oracle(src="cleandoc", text_expr="clean_text", lead=","),
+)
+def q_extract_quality_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed crawl pipeline head: raw HTML -> clean text -> quality
+    # gate — extraction feeding the existing quality operator end-to-end
+    clean = text.extract_text(
+        text.synth_html(load_table(spark, sf_dir, "documents"))
+    )
+    return text.quality_score(clean, text_col="clean_text")

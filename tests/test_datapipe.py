@@ -864,3 +864,71 @@ def test_span_decontaminate_removes_benchmark_quotes(spark):
     assert out[1]["clean_text"].startswith("intro words here")
     assert out[1]["clean_text"].endswith("closing words here")
     assert out[1]["n_removed"] == 10
+
+
+def test_extract_blocks_crafted_html(spark):
+    """Crafted page: script with a literal '<', style, comments, mixed
+    case tags, entities, and a link-only nav — every keep decision
+    asserted by hand against the jusText-class rules."""
+    html = (
+        "<HTML><head><TITLE>t</TITLE>"
+        "<script type='x'>if (1 < 2) { alert('<p>not a block</p>'); }</script>"
+        "<style>p { margin: 0 }</style></head><body>"
+        "<DIV class='nav'><a href='/'>home</a> <a href='/x'>docs</a></DIV>"
+        "<!-- a comment with <p> inside -->"
+        "<P>This paragraph has enough characters to pass the length gate"
+        " and no links at all.</P>"
+        "<p>Entities: fish &amp; chips &lt;tag&gt; &quot;quoted&quot;"
+        " &#39;single&#39; and plenty of padding words to pass.</p>"
+        "<p>short one</p>"
+        "<div>A block whose text is long enough but which is mostly"
+        " anchor: <a href='/y'>this enormous link text takes up nearly"
+        " the whole block content of the div</a></div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = {r["block_idx"]: r for r in text.extract_blocks(df).collect()}
+    texts = {i: r["block_text"] for i, r in rows.items()}
+    # script/style/comment content never leaks into any block
+    assert not any("alert" in t or "margin" in t or "comment" in t
+                   for t in texts.values())
+    by_text = {r["block_text"]: r for r in rows.values()}
+    nav = by_text["home docs"]
+    assert nav["link_milli"] == 1000 and not nav["kept"]
+    para = by_text[
+        "This paragraph has enough characters to pass the length gate"
+        " and no links at all."
+    ]
+    assert para["kept"] and para["link_milli"] == 0
+    ent = next(t for t in texts.values() if "fish & chips" in t)
+    assert '<tag> "quoted" \'single\'' in ent
+    assert not by_text["short one"]["kept"]          # length gate
+    linky = next(r for t, r in by_text.items() if t.startswith("A block"))
+    assert linky["link_milli"] > 330 and not linky["kept"]
+
+
+def test_extract_text_all_boilerplate_doc(spark):
+    """A pure-boilerplate page yields clean_text='' with n_kept=0 (the
+    downstream quality gate drops it), not a missing row."""
+    html = ("<html><body><div><a href='/'>x</a> <a href='/y'>y</a></div>"
+            "<p>hi</p></body></html>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = text.extract_text(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["clean_text"] == "" and r["n_kept"] == 0 and r["n_blocks"] == 2
+    assert r["clean_chars"] == 0
+
+
+def test_extract_text_order_preserved(spark):
+    """Kept blocks concatenate in document order."""
+    html = ("<p>first paragraph with plenty of characters in it ok</p>"
+            "<p>no</p>"
+            "<p>second paragraph also has plenty of characters here</p>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = text.extract_text(df).collect()[0]
+    assert r["clean_text"] == (
+        "first paragraph with plenty of characters in it ok"
+        " second paragraph also has plenty of characters here"
+    )
+    assert r["n_blocks"] == 3 and r["n_kept"] == 2
