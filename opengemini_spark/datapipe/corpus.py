@@ -106,6 +106,7 @@ def pack_sequences(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign docs to fixed-token-budget training sequences.
 
@@ -119,24 +120,31 @@ def pack_sequences(
     independent — parallelism = n_buckets, no global sort. Raise
     ``n_buckets`` with corpus size; packing quality is unchanged because
     buckets are statistically identical under the hash split.
+
+    ``counts``: optional precomputed ``(doc_id, n_subwords)`` frame —
+    pass the BPE counter (``bpe.bpe_token_counts``) to budget in real
+    subword tokens instead of the default 4-chars-per-token heuristic.
     """
     from pyspark.sql import Window
 
-    toks = (
-        df.select(
+    if counts is not None:
+        sized = counts.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+        )
+    else:
+        sized = df.select(
             F.col(id_col).alias("doc_id"),
             tokens_expr(text_col).alias("__toks"),
-        )
-        .select(
+        ).select(
             "doc_id",
             F.expr(
                 "aggregate(__toks, 0L, "
                 "(acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
             ).alias("n_subwords"),
         )
-        .withColumn(
-            "bucket", F.pmod(h60(F.col("doc_id").cast("string")), n_buckets)
-        )
+    toks = sized.withColumn(
+        "bucket", F.pmod(h60(F.col("doc_id").cast("string")), n_buckets)
     )
     w = (
         Window.partitionBy("bucket")

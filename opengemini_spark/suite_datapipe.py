@@ -2613,3 +2613,156 @@ def q_extract_quality_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.synth_html(load_table(spark, sf_dir, "documents"))
     )
     return text.quality_score(clean, text_col="clean_text")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic BPE tokenizer (r6 verdict #4): the oracle replays the
+# full Sennrich trainer — N chained merge steps, each = pair-count
+# aggregate, pinned argmax (count DESC, a ASC, b ASC), and greedy
+# left-to-right application via the same run-parity window trick the
+# Spark side uses (datapipe/bpe.py module docstring). Every s{i} is
+# MATERIALIZED: each state is referenced twice by the next step and
+# plain-CTE inlining would re-expand the chain exponentially (the
+# DuckDB-OOM pitfall from the k-means replays).
+# ---------------------------------------------------------------------------
+
+from opengemini_spark.datapipe import bpe as bpe_mod
+
+
+def _bpe_replay_sql(n_merges: int = bpe_mod.BPE_MERGES) -> str:
+    """CTE chain ending in s{n} (final word states) and bst1..bstN
+    (the chosen merges)."""
+    body = f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT unnest({tokens_sql('text')}) AS word FROM documents)
+      GROUP BY word
+    ), s0 AS MATERIALIZED (
+      SELECT word, w, CAST(p AS INT) AS pos, substr(word, p, 1) AS sym
+      FROM words, unnest(generate_series(1, length(word))) AS u(p)
+    )"""
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        body += f"""
+    , pr{i} AS (
+      SELECT sym AS a, nxt AS b, CAST(sum(w) AS BIGINT) AS cnt FROM (
+        SELECT word, w, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM {prev})
+      WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ), bst{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pr{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), mt{i} AS (
+      SELECT s.word, s.w, s.pos, s.sym, t.a AS ba, t.b AS bb,
+             lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+      FROM {prev} s CROSS JOIN bst{i} t
+    ), gr{i} AS (
+      SELECT *, coalesce(sym = ba AND nxt = bb, FALSE) AS ism FROM mt{i}
+    ), gi{i} AS (
+      SELECT *, CASE WHEN ism THEN pos - row_number()
+                OVER (PARTITION BY word, ism ORDER BY pos) END AS grp
+      FROM gr{i}
+    ), mg{i} AS (
+      SELECT *, CASE WHEN NOT ism THEN FALSE
+                     WHEN ba <> bb THEN TRUE
+                     ELSE (row_number() OVER (PARTITION BY word, grp
+                           ORDER BY pos) % 2 = 1) END AS merged
+      FROM gi{i}
+    ), dp{i} AS (
+      SELECT *, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos),
+                         FALSE) AS dropped
+      FROM mg{i}
+    ), s{i} AS MATERIALIZED (
+      SELECT word, w,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                  AS INT) AS pos,
+             CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+      FROM dp{i} WHERE NOT dropped
+    )"""
+    return body
+
+
+def _bpe_wenc_sql(n_merges: int = bpe_mod.BPE_MERGES) -> str:
+    """...continue the replay with wenc (word -> subword encoding)."""
+    return _bpe_replay_sql(n_merges) + f"""
+    , wenc AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_sym,
+             string_agg(sym, ' ' ORDER BY pos) AS enc
+      FROM s{n_merges} GROUP BY word
+    )"""
+
+
+def _bpe_merges_oracle(n_merges: int = bpe_mod.BPE_MERGES) -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, cnt FROM bst{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_replay_sql(n_merges) + f" SELECT * FROM ({legs})"
+
+
+@register("text_bpe_merges", _bpe_merges_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_mod.bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_encode",
+    _bpe_wenc_sql() + f"""
+    , dt AS (
+      SELECT doc_id, p AS tpos, toks[p] AS word
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents) t,
+           unnest(generate_series(1, len(toks))) AS u(p)
+    )
+    SELECT d.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+           string_agg(e.enc, ' ' ORDER BY d.tpos) AS bpe_text
+    FROM dt d JOIN wenc e ON d.word = e.word
+    GROUP BY d.doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_mod.bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_pack_sequences_bpe",
+    # the packing entry re-expressed in REAL subword tokens: per-doc BPE
+    # token counts (0 for token-less docs) feed the same per-bucket
+    # running-sum layout
+    _bpe_wenc_sql() + f"""
+    , dt AS (
+      SELECT doc_id, toks[p] AS word
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents) t,
+           unnest(generate_series(1, len(toks))) AS u(p)
+    ), nbpe AS (
+      SELECT dt.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n_subwords
+      FROM dt JOIN wenc e ON dt.word = e.word
+      GROUP BY dt.doc_id
+    ), sized AS (
+      SELECT doc.doc_id,
+             coalesce(n.n_subwords, 0) AS n_subwords,
+             {h60_sql('doc.doc_id::VARCHAR')} % {PACK_BUCKETS} AS bucket
+      FROM documents doc LEFT JOIN nbpe n ON doc.doc_id = n.doc_id
+    ), prefix AS (
+      SELECT *,
+             coalesce(SUM(n_subwords) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre_sum
+      FROM sized
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 1000000000 + pre_sum // {PACK_BUDGET} AS BIGINT)
+             AS seq_id,
+           CAST(pre_sum % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+           CAST(n_subwords AS BIGINT) AS n_subwords
+    FROM prefix
+    """,
+)
+def q_curate_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_sequences(
+        docs,
+        budget=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+        counts=bpe_mod.bpe_token_counts(docs),
+    )

@@ -932,3 +932,63 @@ def test_extract_text_order_preserved(spark):
         " second paragraph also has plenty of characters here"
     )
     assert r["n_blocks"] == 3 and r["n_kept"] == 2
+
+
+def test_bpe_train_textbook_merges(spark):
+    """Sennrich's worked example shape: 'low'-family corpus learns
+    (l,o) -> (lo,w) -> (e,s) -> (es,t) in exactly that order."""
+    from opengemini_spark.datapipe import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest"
+             " widest widest")],
+        "doc_id long, text string",
+    )
+    merges = [(r["step"], r["a"], r["b"], r["cnt"])
+              for r in bpe.bpe_train(docs, n_merges=4).orderBy("step").collect()]
+    assert merges == [(1, "l", "o", 7), (2, "lo", "w", 7),
+                      (3, "e", "s", 5), (4, "es", "t", 5)]
+
+
+def test_bpe_greedy_run_parity(spark):
+    """Greedy left-to-right on equal-symbol runs: merging (a,a) over
+    'aaaa' gives 'aa aa', over 'aaa' gives 'aa a' — the run-parity
+    window must reproduce the sequential scan exactly."""
+    from opengemini_spark.datapipe import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa")], "doc_id long, text string"
+    )
+    out = bpe.bpe_encode(docs, n_merges=1).collect()[0]
+    assert out["bpe_text"] == "aa aa aa aa aa a"
+    assert out["n_bpe_tokens"] == 6
+
+
+def test_bpe_apply_merges_matches_train_on_self(spark, sf_dir):
+    """Serving form: freezing the trained merge list and re-applying it
+    reproduces the train-on-self encoding bit-for-bit (train/apply
+    split contract)."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import bpe
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    trained = bpe.bpe_encode(docs, n_merges=8)
+    merges = [(r["a"], r["b"]) for r in
+              bpe.bpe_train(docs, n_merges=8).orderBy("step").collect()]
+    assert len(merges) == 8
+    served = bpe.bpe_apply_merges(docs, merges)
+    assert sorted(map(tuple, trained.collect())) == \
+        sorted(map(tuple, served.collect()))
+
+
+def test_bpe_token_counts_keeps_empty_docs(spark):
+    """Packing must not lose docs: a token-free document gets count 0."""
+    from opengemini_spark.datapipe import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "!!! ...")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_subwords"]
+           for r in bpe.bpe_token_counts(docs, n_merges=2).collect()}
+    assert set(out) == {1, 2} and out[2] == 0 and out[1] > 0
