@@ -940,7 +940,11 @@ def semantic_dedup(
 
 PQ_M = 8        # subspaces
 PQ_DSUB = 8     # dims per subspace (M * DSUB = 64)
-PQ_KSUB = 4     # centroids per subspace codebook
+PQ_KSUB = 16    # centroids per subspace codebook (4 bits/code; raised from
+                # 4 in r7 — the recall@k measurement showed 4-centroid ADC
+                # too noisy to rank true neighbors into a 32-deep shortlist:
+                # recall@10 at nprobe=4/rerank=32 was 0.29, now 0.54 on the
+                # random-vector fixture whose IVF ceiling is 0.78)
 PQ_ITER = 1     # Lloyd iterations per codebook
 
 

@@ -992,3 +992,45 @@ def test_bpe_token_counts_keeps_empty_docs(spark):
     out = {r["doc_id"]: r["n_subwords"]
            for r in bpe.bpe_token_counts(docs, n_merges=2).collect()}
     assert set(out) == {1, 2} and out[2] == 0 and out[1] > 0
+
+
+def test_ann_recall_floors_at_production_settings(spark, sf_dir):
+    """Recall@10 vs brute-force ground truth at PRODUCTION settings
+    (small nprobe, small rerank) — the check bit-exact replay cannot do:
+    a silent pruning bug (wrong cell routed, shortlist truncated before
+    rerank) tanks recall while still replaying deterministically.
+
+    Floors are pinned against the sf0.01 fixture, whose embeddings are
+    RANDOM vectors — the worst case for ANN (no cluster structure, so
+    the IVF cell ceiling at nprobe=4/8 is itself ~0.78). Everything is
+    seeded/deterministic, so the floors sit just under the measured
+    values (0.784 / 0.544 / 0.703): a regression of more than ~0.03
+    absolute recall fails."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 32)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(emb, qs, 10).collect()
+    }
+
+    def recall(df) -> float:
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_ivf = recall(sim.ivf_topk_kmeans(emb, qs, 10, nlist=8, nprobe=4))
+    assert r_ivf >= 0.75, f"ivf_topk_kmeans(nprobe=4) recall@10={r_ivf}"
+    r_pq = recall(
+        sim.ivfpq_topk(emb, qs, 10, nlist=8, nprobe=4, rerank=32)
+    )
+    assert r_pq >= 0.50, f"ivfpq(nprobe=4, rerank=32) recall@10={r_pq}"
+    r_pq_deep = recall(
+        sim.ivfpq_topk(emb, qs, 10, nlist=8, nprobe=6, rerank=64)
+    )
+    assert r_pq_deep >= 0.65, (
+        f"ivfpq(nprobe=6, rerank=64) recall@10={r_pq_deep}"
+    )
+    # deeper probing/rerank must not hurt (monotonicity sanity)
+    assert r_pq_deep >= r_pq
