@@ -825,77 +825,73 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/oracle_check.py) runs the identical comparison at HEAD for
 # everything outside the window.
 #
-# ROUND-6 ROTATION (VERDICT r5 next #6, r4 precedent "never-checked
-# first"): (a) ALL 29 entries that have never had a driver verdict —
-# every operator registered this round (retrieval, sampling/mixing,
-# modality dedup, OTLP logs, Kafka consume, the full-lifecycle front-end
-# shapes, HLL sketch, video keyframes, the hashed-NB classifier, RRF
-# fusion, IVF-PQ); (b) the 7 entries whose oracle
-# or code path changed this round and whose last verdict therefore
-# predates the current semantics — the two formerly rows-only entries
-# upgraded to semantic oracles (bounded-error percentile_approx, pinned
-# STL replay), the adaptive-banding + partition-local-band LSH pair, the
-# two packed-output-shape entries, and the composable representative
-# selection; (c) 14 of the 40 entries whose newest driver verdict is
-# r3-era. The remaining 26 r3-era verdicts (join_full_outer, prom_deriv ..
-# window_tumbling_agg in the r5-window ordering) are covered by the
-# bit-exact local gate at HEAD and lead the r7 window — with 169
-# registered entries and 50 slots, first-verdicts and changed-semantics
-# re-verdicts outrank freshness rotation.
+# ROUND-7 ROTATION (VERDICT r6 next #1: "clear the driver-verdict
+# freshness tail, finally"): (a) ALL 6 entries that have never had a
+# driver verdict — the HTML-extraction trio and the BPE trio registered
+# this round; (b) the 6 entries whose code or oracle changed this round
+# and whose last verdict therefore predates the current semantics —
+# SemDeDup now runs adaptive k∝n, the two IVF-PQ entries moved to
+# 16-centroid codebooks + rank-based seeding, the serving scorer drops
+# zero-token docs, pack_sequences grew the counts= parameter, and the
+# quality oracle SQL was parameterized; (c) ALL 26 entries whose newest
+# driver verdict is r3-era (the complete freshness tail — after this
+# window every registered entry's newest verdict is r4+); (d) 12 of the
+# 49 r4-era verdicts as continued rotation. 6+6+26+12 = 50.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) first driver verdicts: everything registered in round 6 --
-    "curate_dedup_drop_best",    # composed LSH->CC->representatives drop-list
-    "otlp_logs_ingest_agg",      # OTLP logs wire->write->read-back e2e
-    "e2e_http_query_multi",      # multi-statement /query JSON emission
-    "e2e_http_query_chunked",    # chunked emission reassembly
-    "e2e_promql_range_cached",   # query_range through the results cache
-    "e2e_http_write_lp",         # line-protocol /write -> storage -> /query
-    "e2e_kafka_consume",         # Kafka-compatible consume wire fetch
-    "retrieval_bm25_topk",       # BM25 ranked retrieval
-    "retrieval_tfidf_keywords",  # per-doc top-k TF-IDF terms
-    "retrieval_lm_perplexity",   # bigram-LM perplexity scoring
-    "curate_domain_cap",         # per-domain document caps (salted 2-phase)
-    "curate_weighted_sample",    # deterministic weighted sampling
-    "curate_mixing_weights",     # data-mixing plan solve
-    "curate_holdout_fuzzy_dedup",  # bipartite MinHash-LSH decontamination
-    "dedup_span_exact",          # repeated k-token span removal
-    "dedup_semantic_semdedup",   # cluster-scoped semantic dedup
-    "dedup_image_dhash",         # perceptual dHash over real PNG decode
-    "dedup_audio_fingerprint",   # energy-contour hash over real PCM decode
-    "multimodal_image_resize",   # nearest-neighbor thumbnail pass
-    "multimodal_video_keyframes",  # keyframe selection over frame container
-    "agg_distinct_sketch_hll",   # HLL++ distinct sketch, containment oracle
-    "curate_quality_classifier",  # hashed-NB model-based filtering
-    "retrieval_rrf_fusion",      # sparse+dense reciprocal-rank fusion
-    "similarity_ivfpq_topk",     # product-quantized ANN, ADC scoring
-    "curate_quality_serving",    # frozen-model stateless serving scorer
-    "text_hash_embedding",       # hashing-trick doc embeddings (text->vector)
-    "similarity_ivfpq_rerank",   # ADC shortlist + exact rerank (two-stage)
-    "text_novelty_signals",      # cross-doc k-gram novelty (boilerplate signal)
-    "curate_span_decontaminate", # surgical span-level benchmark decontamination
+    # -- (a) first driver verdicts: everything registered in round 7 --
+    "text_extract_html_blocks",   # jusText-class block extraction signals
+    "text_extract_html_clean",    # doc-level clean text reassembly
+    "text_extract_quality_e2e",   # extraction feeding the quality gate
+    "text_bpe_merges",            # deterministic BPE trainer (merge table)
+    "text_bpe_encode",            # BPE corpus encoding (train-on-self)
+    "curate_pack_sequences_bpe",  # packing budgeted in real BPE tokens
     # -- (b) changed oracle/code this round: re-verdict on new semantics --
-    "agg_percentile_approx",     # NEW bounded-error oracle (was no_oracle)
-    "castor_stl_anomaly",        # NEW pinned-replay hash oracle (was rows-only)
-    "dedup_embedding_lsh",       # partition-local band join this round
-    "dedup_embedding_lsh_highthr",  # corpus-size-adaptive banding this round
-    "similarity_quantize_int8",  # packed array<tinyint> output shape
-    "similarity_random_projection",  # packed array<double> output shape
-    "curate_cluster_representative",  # composable pairs=/components= reuse
-    # -- (c) 14 of the 40 entries whose newest driver verdict is r3-era --
-    "agg_basic",
-    "agg_regr_slope",
-    "curate_chunk_documents",
-    "curate_pack_sequences",
-    "curate_pii_redaction",
-    "curate_stratified_sample",
-    "dedup_embedding_cosine",
-    "graph_multihop_nodes",
-    "inc_window_agg",
-    "influxql_func_elapsed",
-    "influxql_func_ema",
-    "influxql_func_holt_winters",
-    "influxql_join_stmt",
-    "join_inner",
+    "dedup_semantic_semdedup",    # adaptive k∝n is now the oracled config
+    "similarity_ivfpq_topk",      # 16-centroid codebooks + rank seeding
+    "similarity_ivfpq_rerank",    # same index change, exact second stage
+    "curate_quality_serving",     # stateless scorer drops zero-token docs
+    "curate_pack_sequences",      # counts= parameter refactor (same default)
+    "text_quality_score",         # _quality_oracle parameterization
+    # -- (c) the complete r3-era freshness tail (26 entries) --
+    "influxql_func_integral",
+    "influxql_func_mode_percentile",
+    "influxql_join_full_stmt",
+    "influxql_union_stmt",
+    "join_full_outer",
+    "prom_deriv",
+    "prom_holt_winters",
+    "prom_predict_linear",
+    "promql_changes_e2e",
+    "promql_instant_e2e",
+    "promql_quantile_agg_e2e",
+    "promql_subquery_e2e",
+    "scalar_math",
+    "show_cardinality",
+    "similarity_cosine_topk",
+    "similarity_ivf_kmeans_topk",
+    "sink_select_into",
+    "slimit_series",
+    "sort_limit_global",
+    "transform_derivative",
+    "transform_holt_winters",
+    "transform_rate",
+    "transform_rsi",
+    "transform_triple_ema",
+    "transform_trix",
+    "window_tumbling_agg",
+    # -- (d) 12 of the 49 r4-era verdicts: continued rotation --
+    "agg_distinct",
+    "agg_histogram",
+    "agg_mode",
+    "agg_percentile_exact",
+    "agg_stats",
+    "castor_mad_anomaly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "filter_blank",
+    "filter_regex_like",
+    "join_left_outer",
+    "selector_first_last",
 )
 
 

@@ -16,36 +16,35 @@ def test_priority_window_is_exactly_50_unique_registered_names():
     assert len(qs) == len(set(qs))
 
 
-def test_priority_window_matches_round6_rotation():
-    """The r6 window: ALL entries that have never had a driver verdict
-    first (everything registered this round), then changed-semantics
-    re-verdicts, then 14 of the 40 r3-era verdicts (suite.PRIORITY
-    docstring)."""
+def test_priority_window_matches_round7_rotation():
+    """The r7 window (VERDICT r6 next #1): never-driver-checked entries
+    first, then changed-semantics re-verdicts, then the COMPLETE r3-era
+    freshness tail — after this window every registered entry's newest
+    driver verdict is r4+ — then 12 r4-era rotation fills."""
     import json, pathlib
 
     window = set(suite.PRIORITY)
     assert len(suite.PRIORITY) == 50 == len(window)
     # every registered entry with NO driver verdict in any CORRECTNESS
     # file must be in the window — first verdicts outrank rotation
-    seen = set()
+    latest: dict[str, int] = {}
     for f in pathlib.Path("/root/repo").glob("CORRECTNESS_r0*.json"):
-        seen |= set(json.loads(f.read_text()))
-    never = set(suite.queries()) - seen
+        rnd = int(f.stem.split("_r0")[1])
+        for k in json.loads(f.read_text()):
+            latest[k] = max(latest.get(k, 0), rnd)
+    never = set(suite.queries()) - set(latest)
     assert never <= window, sorted(never - window)
     # changed oracle/code this round → must be re-verdicted
     for name in (
-        "agg_percentile_approx", "castor_stl_anomaly",
-        "dedup_embedding_lsh", "dedup_embedding_lsh_highthr",
-        "similarity_quantize_int8", "similarity_random_projection",
-        "curate_cluster_representative",
+        "dedup_semantic_semdedup", "similarity_ivfpq_topk",
+        "similarity_ivfpq_rerank", "curate_quality_serving",
+        "curate_pack_sequences", "text_quality_score",
     ):
         assert name in window, name
-    # r3-era staleness tail samples (14-name list in PRIORITY part c)
-    for name in (
-        "agg_basic", "dedup_embedding_cosine", "influxql_join_stmt",
-        "join_inner", "curate_pack_sequences",
-    ):
-        assert name in window, name
+    # the ENTIRE r3-era freshness tail is in the window (the r6 verdict's
+    # top ask): nothing whose newest verdict predates r4 may be left out
+    r3_tail = {k for k, r in latest.items() if r <= 3}
+    assert r3_tail <= window, sorted(r3_tail - window)
 
 
 def test_oracle_keys_subset_of_queries():
