@@ -121,6 +121,13 @@ HEADLINE = [
     "similarity_ivfpq_rerank",
     "text_novelty_signals",
     "curate_span_decontaminate",
+    # r7 additions: the crawl-extraction front stage, the deterministic
+    # BPE tokenizer (train+encode over the distinct-word frame), and
+    # packing budgeted in real BPE tokens
+    "text_extract_html_blocks",
+    "text_extract_quality_e2e",
+    "text_bpe_encode",
+    "curate_pack_sequences_bpe",
 ]
 
 
