@@ -617,18 +617,30 @@ def kmeans_cells(
     )
 
     def assign(cts: DataFrame) -> DataFrame:
+        # cosine argmax with cell-asc tie-break as a max_by AGGREGATE
+        # over struct(cos, -cell): the n·k candidate rows stream through
+        # codegen and collapse map-side to one row per vid — no sort of
+        # the n·k frame (the r6 window-argmax sorted it, which is what
+        # made adaptive-k assignments unaffordable at 100×)
         c = with_norm(cts, "centroid").withColumnRenamed("norm", "cn")
         v = with_norm(emb, "e").withColumnRenamed("norm", "vn")
-        scored = v.crossJoin(F.broadcast(c)).withColumn(
-            "cos", _dot("e", "centroid") / (F.col("vn") * F.col("cn"))
-        )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("cos").desc(), F.col("cell").asc()
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "vid", "e", "cell",
+            (_dot("e", "centroid") / (F.col("vn") * F.col("cn"))).alias("cos"),
         )
         return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("vid", "e", "cell")
+            scored.groupBy("vid")
+            .agg(
+                F.max_by(
+                    F.struct("e", "cell"),
+                    F.struct(F.col("cos"), (-F.col("cell")).alias("nc")),
+                ).alias("best")
+            )
+            .select(
+                "vid",
+                F.col("best.e").alias("e"),
+                F.col("best.cell").alias("cell"),
+            )
         )
 
     for _ in range(n_iter):
@@ -801,21 +813,26 @@ SEMDEDUP_TARGET_CELL = 40
 SEMDEDUP_K_MIN = 8
 
 
-def adaptive_kmeans_k(
-    n: int, target_cell: int = SEMDEDUP_TARGET_CELL, k_min: int = SEMDEDUP_K_MIN
-) -> int:
+def adaptive_kmeans_k(n: int, k_min: int = SEMDEDUP_K_MIN) -> int:
     """Corpus-size-aware cluster count — the SemDeDup scale contract
-    (k ∝ n; the paper runs 50k clusters for LAION-440M). With FIXED k,
-    cells grow O(n/k) and the within-cell quadratic pair stage grows
-    O(n²/k) — the 19.0× wall at 10× rows recorded in SCALE_r06. Deriving
-    ``k = max(k_min, ceil(n / target_cell))`` keeps expected cell size
-    constant, so the pair stage does O(n · target_cell) cosines — linear
-    in the corpus. Mirrors :func:`adaptive_lsh_params` (the r6 LSH
-    lever); the SQL oracle computes the identical k from ``count(*)``.
+    (growing k; the paper runs 50k clusters for LAION-440M). With FIXED
+    k, cells grow O(n/k) and the within-cell quadratic pair stage grows
+    O(n²/k) — the 19.0× wall at 10× rows recorded in SCALE_r06.
+
+    The BALANCED choice is ``k = ⌈√n⌉``, not k ∝ n: total work is the
+    coarse assignment (n·k comparisons) PLUS the within-cell pair scan
+    (n·(n/k) comparisons), minimized where the two terms meet — k = √n,
+    giving O(n^1.5) total with ~√n-row cells. k ∝ n (constant cell
+    size) would make the pair stage linear but the ASSIGNMENT quadratic
+    (n²/cell), which is strictly worse for n > cell². (Same public
+    guidance as FAISS's nlist ≈ √n for IVF training.) Mirrors
+    :func:`adaptive_lsh_params` (the r6 LSH lever); the SQL oracle
+    computes the identical k from ``count(*)`` with the same
+    double-precision ``ceil(sqrt(n))``.
     """
     import math
 
-    return max(k_min, math.ceil(n / max(1, target_cell)))
+    return max(k_min, math.ceil(math.sqrt(n)))
 
 
 def semantic_dedup(
@@ -826,8 +843,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     adaptive_n: int | None = None,
-    target_cell: int | None = None,
-    k_min: int = 8,
+    k_min: int = SEMDEDUP_K_MIN,
     max_cell_task: int | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster-scoped semantic deduplication over embeddings
@@ -848,30 +864,31 @@ def semantic_dedup(
     Returns one row per input vector: ``(id_col, cell int, kept bool)``.
 
     Scale shape: clustering is the broadcast k-means of
-    :func:`kmeans_cells` (centroids k×dim, one shuffle per iteration);
-    the pair stage shuffles each vector once on its cell id and does
-    Σ c_i² dot products. The SemDeDup scale contract is k ∝ n — and it
-    is IMPLEMENTED here (r6 verdict #2): when ``k`` is None (the
-    default) it is derived as ``max(k_min, ceil(n / target_cell))``
-    from a corpus count (pass ``adaptive_n`` to skip the count action,
-    same convention as :func:`lsh_near_dups`), so expected cell size
-    stays ``target_cell`` at any corpus size and the pair stage does
-    O(n · target_cell) work — linear, not O(n²/k). Residual risk is
-    cell-size SKEW (Lloyd cells are not uniform): ``max_cell_task``
-    additionally splits each cell's pair join into deterministic
-    id-hash block pairs of ≤ that many vectors per side, bounding any
-    single task's memory/compute without changing the pair set (every
-    (a,b) pair lands in exactly one block pair) — the same
+    :func:`kmeans_cells` (centroids k×dim, one shuffle per iteration;
+    assignment is a map-side ``max_by`` aggregate — the n·k candidate
+    rows stream through codegen without ever sorting); the pair stage
+    shuffles each vector once on its cell id and does Σ c_i² dot
+    products. The SCALE CONTRACT is adaptive k — IMPLEMENTED here (r6
+    verdict #2): when ``k`` is None (the default) it is derived as
+    ``max(k_min, ceil(√n))`` from a corpus count (pass ``adaptive_n``
+    to skip the count action, same convention as :func:`lsh_near_dups`),
+    the balanced point where coarse assignment (n·k) and within-cell
+    pair scan (n²/k) meet — O(n^1.5) total instead of the fixed-k
+    O(n²/k) recorded as 19.0× wall at 10× rows in SCALE_r06 (see
+    :func:`adaptive_kmeans_k` for why k ∝ n would be worse). Residual
+    risk is cell-size SKEW (Lloyd cells are not uniform):
+    ``max_cell_task`` additionally splits each cell's pair join into
+    deterministic id-hash block pairs of ≤ that many vectors per side,
+    bounding any single task's memory/compute without changing the pair
+    set (every (a,b) pair lands in exactly one block pair) — the same
     output-preserving salting lever as operators/scale.py. A truly
-    degenerate cell (≫ target_cell after capping) is re-clustered in
-    production by a recursive split; at the tested scales block-pairing
-    bounds the task without the recursion.
+    degenerate cell (≫ √n after capping) is re-clustered in production
+    by a recursive split; at the tested scales block-pairing bounds the
+    task without the recursion.
     """
     if k is None:
         n = adaptive_n if adaptive_n is not None else df.count()
-        k = adaptive_kmeans_k(
-            n, target_cell or SEMDEDUP_TARGET_CELL, k_min
-        )
+        k = adaptive_kmeans_k(n, k_min)
     assign, _ = kmeans_cells(df, k=k, n_iter=n_iter,
                              id_col=id_col, emb_col=emb_col)
     cells = (
@@ -1014,16 +1031,23 @@ def pq_codebooks(
     )
 
     def assign(cts: DataFrame) -> DataFrame:
+        # L2 argmin with code-asc tie-break as a min_by aggregate over
+        # struct(d2, code) — same no-sort shape as kmeans_cells.assign
         scored = subs.join(F.broadcast(cts), "m").withColumn(
             "d2", _l2sq("sub", "cent")
         )
-        w = Window.partitionBy("vid", "m").orderBy(
-            F.col("d2").asc(), F.col("code").asc()
-        )
         return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("vid", "m", "sub", "code")
+            scored.groupBy("vid", "m")
+            .agg(
+                F.min_by(
+                    F.struct("sub", "code"), F.struct("d2", "code")
+                ).alias("best")
+            )
+            .select(
+                "vid", "m",
+                F.col("best.sub").alias("sub"),
+                F.col("best.code").alias("code"),
+            )
         )
 
     for _ in range(n_iter):

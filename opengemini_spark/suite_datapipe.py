@@ -1154,16 +1154,16 @@ def _semdedup_oracle() -> str:
     the final cell assignments; a vector is dropped iff a lower-id
     vector in the same cell has round-4 cosine >= the threshold.
 
-    k is the ADAPTIVE k∝n of similarity.adaptive_kmeans_k — computed
-    here from the same count(*) the Spark side counts, so the oracle
-    follows the scale configuration, not a pinned small-corpus one
-    (r6 verdict: 'the oracled entry is the non-scale configuration')."""
+    k is the ADAPTIVE k = ⌈√n⌉ of similarity.adaptive_kmeans_k (the
+    balanced assign-vs-pair-scan point) — computed here from the same
+    count(*) the Spark side counts, so the oracle follows the scale
+    configuration, not a pinned small-corpus one (r6 verdict: 'the
+    oracled entry is the non-scale configuration')."""
     from opengemini_spark.datapipe import similarity as sim
 
     k_sql = (
         f"SELECT greatest({sim.SEMDEDUP_K_MIN}, "
-        f"CAST(ceil(count(*)::DOUBLE / {sim.SEMDEDUP_TARGET_CELL}) "
-        "AS BIGINT)) FROM e"
+        "CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)) FROM e"
     )
     body, _ = _kmeans_replay_sql(k_sql)
     # MATERIALIZED: afm is referenced three times below; without it
@@ -1189,7 +1189,7 @@ def _semdedup_oracle() -> str:
 
 @register("dedup_semantic_semdedup", _semdedup_oracle())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # k is adaptive (k ∝ n, target cell size SEMDEDUP_TARGET_CELL) —
+    # k is adaptive (k = ⌈√n⌉, the balanced assign/pair-scan point) —
     # the scale configuration IS the oracled configuration (r6 verdict
     # #2); max_cell_task bounds any skewed cell's pair task.
     return similarity.semantic_dedup(

@@ -451,19 +451,21 @@ def test_semantic_dedup_planted_clusters(spark):
 
 
 def test_adaptive_kmeans_k_scaling():
-    """adaptive_kmeans_k (SemDeDup k∝n, r6 verdict #2): cell size stays
-    ~target at any corpus size, so within-cell quadratic work is linear
-    in n; floor at k_min for small corpora."""
-    from opengemini_spark.datapipe.similarity import (
-        SEMDEDUP_TARGET_CELL, adaptive_kmeans_k,
-    )
+    """adaptive_kmeans_k (SemDeDup adaptive k, r6 verdict #2): k = ⌈√n⌉
+    balances the coarse assignment (n·k) against the within-cell pair
+    scan (n²/k) — both O(n^1.5); floor at k_min for small corpora."""
+    import math
+
+    from opengemini_spark.datapipe.similarity import adaptive_kmeans_k
 
     assert adaptive_kmeans_k(10) == 8            # k_min floor
-    assert adaptive_kmeans_k(500) == 13          # ceil(500/40)
+    assert adaptive_kmeans_k(500) == 23          # ceil(sqrt(500))
+    assert adaptive_kmeans_k(200_000) == 448     # the 100x point's k
     for n in (10_000, 1_000_000, 100_000_000):
         k = adaptive_kmeans_k(n)
-        assert n / k <= SEMDEDUP_TARGET_CELL     # cells never exceed target
-        assert n / k > SEMDEDUP_TARGET_CELL / 2  # ...but don't collapse
+        # assign and pair-scan work within 2x of each other = balanced
+        assert 0.5 <= (n * k) / (n * n / k) <= 2.01
+        assert k == math.ceil(math.sqrt(n))
 
 
 def test_semantic_dedup_non_dense_ids(spark):
