@@ -317,6 +317,8 @@ def lsh_near_dups(
     prefilter_dims: int | None = None,
     adaptive_n: int | None = None,
     stats_out: dict | None = None,
+    prefix_group_size: int = 1,
+    prefix_bits: int = 12,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane (sign) LSH + exact rerank.
 
@@ -345,6 +347,28 @@ def lsh_near_dups(
     join, not per colliding pair; the cosine expression keeps the exact
     dot/(√·√) operation order so results stay bitwise identical.
 
+    Prefix-shared banding (``prefix_group_size`` > 1 — the 10000× lever
+    named in SCALE1000_r06): bands are grouped, and every band in a
+    group shares the same ``prefix_bits`` leading signature bits; the
+    per-band key becomes (shared prefix, band-specific suffix). The
+    bucket explode then ships ONE row per (vector, group) — carrying the
+    group's suffix array — instead of one row per band, cutting the
+    explode exchange ``prefix_group_size``×; the per-band expansion
+    happens AFTER the (group, prefix) repartition, and the band
+    self-join runs exchange-free because HashPartitioning(group, prefix)
+    is a subset of the join key (ClusteredDistribution satisfied).
+    RECALL CONTRACT: sharing prefix bits correlates the bands in a
+    group (one prefix-bit disagreement kills the whole group), so this
+    mode is sound only for the (near-)identical-dup regime — at cosine
+    1.0 every bit agrees and recall is exactly 1 at ANY grouping;
+    otherwise the pair-miss probability becomes
+    (1 − pˢ·(1−(1−pʳ)^{b/g}))^g (s = prefix_bits, g = band groups)
+    instead of the independent-band (1−pʳ)^b. For general thresholds
+    keep the default ``prefix_group_size=1`` (independent bands, the
+    adaptive_lsh_params delta bound). The prefix bits are ADDITIONAL to
+    the ``rows_per_band`` suffix bits, so random collisions per band
+    only drop (each band key gains s bits of entropy).
+
     Lossless candidate prefilter (``prefilter_dims``): the one exchange
     exact rerank cannot avoid is a vector riding with each candidate
     pair from id_a-space to id_b-space. When the threshold is high, a
@@ -367,7 +391,11 @@ def lsh_near_dups(
         # corpus-size-aware banding (see adaptive_lsh_params): overrides
         # the fixed (bands, rows_per_band)
         bands, rows_per_band = adaptive_lsh_params(adaptive_n, threshold)
-    n_planes = bands * rows_per_band
+    g = -(-bands // prefix_group_size) if prefix_group_size > 1 else 1
+    # prefix planes (g * prefix_bits of them) are ADDITIONAL hyperplanes
+    # appended after the band planes; sign bits layout:
+    # [band0..band{b-1} suffix bits | group0..group{g-1} prefix bits]
+    n_planes = bands * rows_per_band + (g * prefix_bits if g > 1 else 0)
     planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
     r = rows_per_band
 
@@ -381,6 +409,18 @@ def lsh_near_dups(
             [bits[:, j * r : (j + 1) * r] @ weights for j in range(bands)],
             axis=1,
         )                                       # n × bands, values < 2^r
+        if g > 1:
+            base = bands * r
+            wp = 1 << np.arange(prefix_bits, dtype=np.int64)
+            pfx = np.stack(
+                [
+                    bits[:, base + gi * prefix_bits
+                         : base + (gi + 1) * prefix_bits] @ wp
+                    for gi in range(g)
+                ],
+                axis=1,
+            )                                   # n × g, values < 2^prefix_bits
+            keys = np.concatenate([pfx, keys], axis=1)
         for row in keys:
             out.append(row.tolist())
         return pd.Series(out)
@@ -420,25 +460,62 @@ def lsh_near_dups(
     # groupBy(band,key) + collect_list + lambda pair explode — was also
     # tried: same 635 MB shuffle but 1.9× wall; the nested lambda
     # evaluation costs more CPU than the join it saves.)
-    buckets = (
-        sig.select("id", F.posexplode("__keys").alias("band", "key"))
-        .repartition(F.col("band"), F.col("key"))
-        .persist()
-    )
-    _lsh_cache_register(buckets)
-    cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            on=[
-                F.col("x.band") == F.col("y.band"),
-                F.col("x.key") == F.col("y.key"),
-                F.col("x.id") < F.col("y.id"),
-            ],
+    if g > 1:
+        # prefix-shared banding: ship ONE row per (vector, group) —
+        # (grp, pfx, suffix array) — through the explode exchange; the
+        # per-band expansion runs AFTER the (grp, pfx) repartition and
+        # the self-join needs no further exchange (HashPartitioning on
+        # (grp, pfx) is a subset of the join key, so the clustered-
+        # distribution requirement is already satisfied).
+        gs = prefix_group_size
+        grouped = sig.select(
+            "id",
+            F.posexplode(F.slice("__keys", 1, g)).alias("grp", "pfx"),
+            F.slice("__keys", g + 1, bands).alias("__bk"),
+        ).select(
+            "id", "grp", "pfx",
+            F.slice(F.col("__bk"), F.col("grp") * gs + 1, gs).alias("__sfx"),
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+        buckets = grouped.repartition(F.col("grp"), F.col("pfx")).persist()
+        _lsh_cache_register(buckets)
+        bl = buckets.select(
+            "id", "grp", "pfx", F.posexplode("__sfx").alias("bix", "sfx")
+        )
+        cand = (
+            bl.alias("x")
+            .join(
+                bl.alias("y"),
+                on=[
+                    F.col("x.grp") == F.col("y.grp"),
+                    F.col("x.pfx") == F.col("y.pfx"),
+                    F.col("x.bix") == F.col("y.bix"),
+                    F.col("x.sfx") == F.col("y.sfx"),
+                    F.col("x.id") < F.col("y.id"),
+                ],
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        buckets = (
+            sig.select("id", F.posexplode("__keys").alias("band", "key"))
+            .repartition(F.col("band"), F.col("key"))
+            .persist()
+        )
+        _lsh_cache_register(buckets)
+        cand = (
+            buckets.alias("x")
+            .join(
+                buckets.alias("y"),
+                on=[
+                    F.col("x.band") == F.col("y.band"),
+                    F.col("x.key") == F.col("y.key"),
+                    F.col("x.id") < F.col("y.id"),
+                ],
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
     if use_pre:
         # ship only (prefix, rest-norm, norm) with each pair; pairs whose
         # Cauchy–Schwarz bound cannot reach the threshold never move a

@@ -1036,3 +1036,33 @@ def test_ann_recall_floors_at_production_settings(spark, sf_dir):
     )
     # deeper probing/rerank must not hurt (monotonicity sanity)
     assert r_pq_deep >= r_pq
+
+
+def test_lsh_prefix_shared_banding_exact_dup_regime(spark):
+    """Prefix-shared banding (the 10000x explode-shuffle lever): for
+    exact/near-identical dups every signature bit agrees, so the
+    grouped variant finds the identical pair set as independent bands
+    while shipping one bucket row per (vector, group) instead of one
+    per band."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(150):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, list(v)))  # exact copy -> cosine 1.0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = sorted(
+        tuple(r) for r in similarity.lsh_near_dups(
+            emb, 0.99, bands=14, rows_per_band=14, dim=64
+        ).collect()
+    )
+    pre = sorted(
+        tuple(r) for r in similarity.lsh_near_dups(
+            emb, 0.99, bands=14, rows_per_band=14, dim=64,
+            prefix_group_size=7, prefix_bits=12,
+        ).collect()
+    )
+    assert base == pre
+    assert len(base) == 150  # every planted pair found by both
