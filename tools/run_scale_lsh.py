@@ -13,8 +13,12 @@ rotation, disjoint key spaces), with
 and reports wall, result rows, candidate-pair count (post-prefilter,
 pre-rerank) and shuffle bytes from the Spark REST API.
 
-Usage: python tools/run_scale_lsh.py <emb_dir> [--fixed]
+Usage: python tools/run_scale_lsh.py <emb_dir> [--fixed] [--prefix[=G]]
   <emb_dir> must contain embeddings.parquet.
+  --prefix[=G]: adaptive banding PLUS prefix-shared band groups of size
+  G (default 6) with 12 additional shared prefix bits — the 10000×
+  explode-shuffle lever (one bucket row per vector per group). Exact on
+  the planted cosine-1.0 dups at any grouping.
 """
 
 from __future__ import annotations
@@ -66,11 +70,18 @@ def main() -> None:
     corpus = emb.unionByName(copy)
     n = 2 * n_base
 
+    prefix_g = 0
+    for a in sys.argv[2:]:
+        if a.startswith("--prefix"):
+            prefix_g = int(a.split("=")[1]) if "=" in a else 6
+
     kwargs: dict = {"threshold": 0.99, "dim": 64}
     if fixed:
         kwargs |= {"bands": 8, "rows_per_band": 16}
     else:
         kwargs |= {"adaptive_n": n}
+    if prefix_g:
+        kwargs |= {"prefix_group_size": prefix_g, "prefix_bits": 12}
     stats: dict = {}
     t0 = time.time()
     out = similarity.lsh_near_dups(corpus, stats_out=stats, **kwargs)
@@ -81,8 +92,9 @@ def main() -> None:
     cand_wall = time.time() - t1
     sr, sw = shuffle_mb("http://localhost:4049")
     print(json.dumps({
-        "mode": "fixed(8x16)" if fixed else
-                f"adaptive({stats['bands']}x{stats['rows_per_band']})",
+        "mode": ("fixed(8x16)" if fixed else
+                 f"adaptive({stats['bands']}x{stats['rows_per_band']})")
+                + (f"+prefix(g={prefix_g},s=12)" if prefix_g else ""),
         "corpus": n,
         "result_rows": rows,
         "candidate_pairs": cand,
