@@ -88,7 +88,13 @@ def scale_table(name: str, src: str, dst: str, factor: int) -> int:
             cols[field.name] = col
         replicas.append(pa.table(cols, schema=table.schema))
     out = pa.concat_tables(replicas)
-    pq.write_table(out, dst)
+    # bounded row groups: pyarrow's 1M-row default wrote the 200k-row
+    # 100x embeddings table as ONE row group, so a Spark scan had ONE
+    # non-empty split and every map-side-heavy operator (the kmeans
+    # cosine fold most of all) ran single-task regardless of byte-range
+    # splits — a harness artifact a real multi-file 100 TB layout never
+    # has. 16k-row groups give the scan real parallelism.
+    pq.write_table(out, dst, row_group_size=16384)
     return out.num_rows
 
 
