@@ -663,6 +663,7 @@ def kmeans_cells(
     n_iter: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    arrow_assign: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic spherical k-means: ``(assignments, centroids)``.
 
@@ -681,6 +682,18 @@ def kmeans_cells(
     iteration for the (cell, pos) recompute; ``localCheckpoint`` bounds
     lineage across iterations (same pattern as connected components).
     Replaces the label-cell stand-in flagged in VERDICT r1.
+
+    ``arrow_assign=True`` switches the n·k cosine argmax from the JVM
+    higher-order fold (ZipWith/ArrayAggregate are evaluated INTERPRETED
+    inside codegen — ~10 µs per 64-dim pair) to a BLAS-blocked
+    ``mapInPandas`` over the same ``_seq_cross_dots`` sequential-dim
+    accumulation used by blocked_near_dups — bit-identical doubles (the
+    fold order is the same left-to-right over dimensions), first-max
+    argmax = the cell-ascending tie-break, ~50× faster per pair. The
+    centroid table is collected to the driver per iteration (k rows —
+    the standard centroids-fit-in-memory k-means contract; FAISS makes
+    the same assumption). Use for adaptive-k corpora where n·k is
+    large; the default JVM path keeps small jobs collect-free.
     """
     emb = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
     # seeds: the k lowest-id vectors, cell = rank-1. orderBy().limit(k)
@@ -693,7 +706,33 @@ def kmeans_cells(
         F.col("e").alias("centroid"),
     )
 
+    def assign_arrow(cts: DataFrame) -> DataFrame:
+        rows = cts.orderBy("cell").limit(k + 1).collect()
+        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+        cn = _seq_norms(C)
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(pdf["e"].tolist(), dtype=np.float64)
+                S = _seq_cross_dots(M, C) / np.outer(_seq_norms(M), cn)
+                # first-occurrence argmax over cell-ascending columns ==
+                # the max_by(struct(cos, -cell)) tie-break
+                best = np.argmax(S, axis=1)
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "e": pdf["e"],
+                     "cell": cell_ids[best].astype("int32")}
+                )
+
+        vid_t = emb.schema["vid"].dataType.simpleString()
+        e_t = emb.schema["e"].dataType.simpleString()
+        return emb.mapInPandas(score, f"vid {vid_t}, e {e_t}, cell int")
+
     def assign(cts: DataFrame) -> DataFrame:
+        if arrow_assign:
+            return assign_arrow(cts)
         # cosine argmax with cell-asc tie-break as a max_by AGGREGATE
         # over struct(cos, -cell): the n·k candidate rows stream through
         # codegen and collapse map-side to one row per vid — no sort of
@@ -922,6 +961,7 @@ def semantic_dedup(
     adaptive_n: int | None = None,
     k_min: int = SEMDEDUP_K_MIN,
     max_cell_task: int | None = None,
+    arrow_assign: bool | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster-scoped semantic deduplication over embeddings
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -966,8 +1006,14 @@ def semantic_dedup(
     if k is None:
         n = adaptive_n if adaptive_n is not None else df.count()
         k = adaptive_kmeans_k(n, k_min)
+        if arrow_assign is None:
+            # the interpreted JVM fold is fine below ~2M n·k candidate
+            # pairs; beyond that the BLAS-blocked Arrow assignment is
+            # the same bits ~50× faster (see kmeans_cells docstring)
+            arrow_assign = n * k > 2_000_000
     assign, _ = kmeans_cells(df, k=k, n_iter=n_iter,
-                             id_col=id_col, emb_col=emb_col)
+                             id_col=id_col, emb_col=emb_col,
+                             arrow_assign=bool(arrow_assign))
     cells = (
         df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
         .join(assign.withColumnRenamed(id_col, "vid"), "vid")

@@ -1066,3 +1066,21 @@ def test_lsh_prefix_shared_banding_exact_dup_regime(spark):
     )
     assert base == pre
     assert len(base) == 150  # every planted pair found by both
+
+
+def test_kmeans_arrow_assign_bit_identical(spark, sf_dir):
+    """The BLAS-blocked Arrow assignment must reproduce the JVM fold's
+    assignments and centroids EXACTLY (same sequential-dim accumulation
+    -> same doubles -> same argmax), so switching paths by corpus size
+    can never flip an oracle."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a_j, c_j = similarity.kmeans_cells(emb, k=23, n_iter=2)
+    a_a, c_a = similarity.kmeans_cells(emb, k=23, n_iter=2,
+                                       arrow_assign=True)
+    assert sorted(map(tuple, a_j.collect())) == \
+        sorted(map(tuple, a_a.collect()))
+    assert sorted(map(tuple, c_j.collect())) == \
+        sorted(map(tuple, c_a.collect()))
