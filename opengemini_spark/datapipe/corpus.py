@@ -128,9 +128,25 @@ def pack_sequences(
     from pyspark.sql import Window
 
     if counts is not None:
-        sized = counts.select(
-            F.col(id_col).alias("doc_id"),
-            F.col("n_subwords").cast("long").alias("n_subwords"),
+        # left-join onto the doc frame so a counts frame that is missing
+        # doc_ids cannot silently DROP documents from the packing output
+        # (bpe_token_counts guarantees full coverage, a hand-rolled
+        # counts frame might not — r7 advice); absent docs count 0.
+        sized = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(
+                counts.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col("n_subwords").cast("long").alias("n_subwords"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_subwords"), F.lit(0))
+                .cast("long").alias("n_subwords"),
+            )
         )
     else:
         sized = df.select(

@@ -707,7 +707,15 @@ def kmeans_cells(
     )
 
     def assign_arrow(cts: DataFrame) -> DataFrame:
+        # collect k+1 so an invariant violation SURFACES: the centroid
+        # frame can never exceed k cells; a silent extra row would
+        # otherwise join the argmax and mask the bug (r7 advice).
         rows = cts.orderBy("cell").limit(k + 1).collect()
+        if len(rows) > k:
+            raise ValueError(
+                f"kmeans_cells: centroid frame has >{k} cells "
+                f"(got {len(rows)}) — ≤k-cells invariant broken"
+            )
         C = np.array([r["centroid"] for r in rows], dtype=np.float64)
         cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
         cn = _seq_norms(C)

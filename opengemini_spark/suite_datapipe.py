@@ -2504,8 +2504,15 @@ def _html_entity_decode_sql(x: str) -> str:
     return x
 
 
+def _rx(pat: str) -> str:
+    """Regex pattern -> single-quoted SQL literal. The quote-aware tag
+    regexes (text.HTML_ATTR_SPAN) contain literal single quotes, which
+    must double inside a DuckDB string literal."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
 def _html_block_text_sql(x: str) -> str:
-    stripped = f"regexp_replace({x}, '{text.HTML_TAG_RE}', ' ', 'g')"
+    stripped = f"regexp_replace({x}, {_rx(text.HTML_TAG_RE)}, ' ', 'g')"
     decoded = _html_entity_decode_sql(stripped)
     return f"trim(regexp_replace({decoded}, '{text.HTML_WS_RE}', ' ', 'g'))"
 
@@ -2515,22 +2522,22 @@ def _extract_blocks_prefix_sql() -> str:
     stop_list = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
     cleaned = (
         f"regexp_replace(regexp_replace(regexp_replace(html,"
-        f" '{text.HTML_SCRIPT_RE}', ' ', 'g'),"
-        f" '{text.HTML_STYLE_RE}', ' ', 'g'),"
+        f" {_rx(text.HTML_SCRIPT_RE)}, ' ', 'g'),"
+        f" {_rx(text.HTML_STYLE_RE)}, ' ', 'g'),"
         f" '{text.HTML_COMMENT_RE}', ' ', 'g')"
     )
     # coalesce: DuckDB's array_to_string returns NULL for an empty list
     # (Spark's array_join returns ''), and NULL would poison link_milli
     link_raw = (
         "coalesce(array_to_string("
-        f"regexp_extract_all(blk, '{text.HTML_LINK_RE}', 1), ' '), '')"
+        f"regexp_extract_all(blk, {_rx(text.HTML_LINK_RE)}, 1), ' '), '')"
     )
     return f"""
     WITH pages AS (
       SELECT doc_id, {_synth_html_sql('text')} AS html FROM documents
     ), split AS (
       SELECT doc_id,
-             string_split_regex({cleaned}, '{text.HTML_BLOCK_SPLIT_RE}') AS arr
+             string_split_regex({cleaned}, {_rx(text.HTML_BLOCK_SPLIT_RE)}) AS arr
       FROM pages
     ), rawblk AS (
       SELECT doc_id, p AS pos, arr[p] AS blk
@@ -2653,9 +2660,15 @@ def _bpe_replay_sql(n_merges: int = bpe_mod.BPE_MERGES) -> str:
     ), bst{i} AS MATERIALIZED (
       SELECT a, b, cnt FROM pr{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ), mt{i} AS (
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: if the vocabulary is fully
+      -- merged before the budget, bst{{i}} is EMPTY and a cross join
+      -- would wipe the state (s{{i}}..s{{N}} and wenc go empty) while
+      -- the Spark trainer early-stops and keeps the final state; with
+      -- the left join ba/bb are NULL, ism coalesces to FALSE and the
+      -- step is a no-op — the replay converges to the same fixpoint.
       SELECT s.word, s.w, s.pos, s.sym, t.a AS ba, t.b AS bb,
              lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
-      FROM {prev} s CROSS JOIN bst{i} t
+      FROM {prev} s LEFT JOIN bst{i} t ON TRUE
     ), gr{i} AS (
       SELECT *, coalesce(sym = ba AND nxt = bb, FALSE) AS ism FROM mt{i}
     ), gi{i} AS (

@@ -909,6 +909,38 @@ def test_extract_blocks_crafted_html(spark):
     assert linky["link_milli"] > 330 and not linky["kept"]
 
 
+def test_extract_blocks_quoted_attr_gt(spark):
+    """'>' inside a QUOTED attribute value must not truncate the tag
+    match (r7 verdict "what's wrong" #4): <a title="a>b"> used to shed
+    'b">' into the block text; same for double- and single-quoted
+    attributes on block tags, anchors, and script tags."""
+    html = (
+        '<html><body>'
+        '<script data-x="1 > 0">var y = 2 > 1;</script>'
+        '<p class="big>wide" id=\'x>y\'>This sentence is long enough to'
+        ' pass the keep gate with no attribute fragments leaking.</p>'
+        '<p>An anchor <a href="/q?a>b" title=\'c>d\'>link text</a> plus'
+        ' more than enough padding words to pass the length gate.</p>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(3, html)], "doc_id long, html string")
+    rows = text.extract_blocks(df).collect()
+    texts = [r["block_text"] for r in rows]
+    # no attribute fragments shed into any block, no script body leaks
+    joined = " ".join(texts)
+    assert 'b">' not in joined and "wide" not in joined
+    assert "x>y" not in joined and "c>d" not in joined
+    assert "var y" not in joined
+    first = next(t for t in texts if t.startswith("This sentence"))
+    assert first == (
+        "This sentence is long enough to pass the keep gate with no"
+        " attribute fragments leaking."
+    )
+    # the anchor's text still counts toward link density
+    anchor_blk = next(r for r in rows if "link text" in r["block_text"])
+    assert anchor_blk["link_milli"] > 0
+
+
 def test_extract_text_all_boilerplate_doc(spark):
     """A pure-boilerplate page yields clean_text='' with n_kept=0 (the
     downstream quality gate drops it), not a missing row."""

@@ -78,14 +78,19 @@ def main() -> None:
 
         s0 = shuffle_bytes()
         t0 = time.time()
+        # persist BEFORE the timed write so the row-count probe below
+        # reads the cache instead of recomputing the whole serve plan a
+        # second time (whose recompute shuffle would land in the NEXT
+        # label's snapshot only by luck of ordering — r7 advice)
         served = sim.ivfpq_topk(
             emb, queries, TOPK_K, nprobe=IVF_NPROBE,
             index=index, books=books, cents=cents,
-        )
+        ).persist()
         served.write.format("noop").mode("overwrite").save()
         serve_wall = time.time() - t0
         serve_sh = (shuffle_bytes() - s0) / 1e6
         n_served = served.count()
+        served.unpersist()
 
         out[label] = {
             "index_rows": n_index,
