@@ -2733,7 +2733,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_mod.bpe_encode(load_table(spark, sf_dir, "documents"))
+    # r8: the PRODUCTION train/apply split — merges train driver-locally
+    # over the one-aggregate distinct-word frame (pinned bit-equal to
+    # the distributed trainer, so the same full-replay oracle holds) and
+    # the corpus encodes through the broadcast word->subwords table that
+    # falls out of training, instead of 16 sequential trainer jobs
+    # (r7 verdict "what's wrong" #1)
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_mod.bpe_train_local_full(docs)
+    return bpe_mod.bpe_encode_vocab(docs, vocab)
 
 
 @register(
@@ -2772,10 +2780,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_curate_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: token counts via the broadcast trained-vocab table (bit-equal
+    # to train-on-self; same oracle) — see q_bpe_encode. Token-less
+    # docs get 0 from pack_sequences' internal coverage left-join.
     docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_mod.bpe_train_local_full(docs)
+    counts = bpe_mod.bpe_encode_vocab(docs, vocab).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_subwords")
+    )
     return corpus.pack_sequences(
-        docs,
-        budget=PACK_BUDGET,
-        n_buckets=PACK_BUCKETS,
-        counts=bpe_mod.bpe_token_counts(docs),
+        docs, budget=PACK_BUDGET, n_buckets=PACK_BUCKETS, counts=counts
     )

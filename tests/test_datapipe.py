@@ -1015,6 +1015,93 @@ def test_bpe_apply_merges_matches_train_on_self(spark, sf_dir):
         sorted(map(tuple, served.collect()))
 
 
+def test_bpe_local_trainer_equals_distributed(spark, sf_dir):
+    """The driver-local trainer (production merge budgets) is pinned
+    bit-equal to the distributed oracle-replay trainer: identical merge
+    list INCLUDING counts, on both the textbook corpus and the sf0.001
+    fixture, and at a deep budget that outruns the vocabulary (early
+    stop parity)."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import bpe
+
+    textbook = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest"
+             " widest widest")],
+        "doc_id long, text string",
+    )
+    for docs, budget in (
+        (textbook, 4),
+        (textbook, 500),  # budget >> vocabulary: early-stop parity
+        (load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60),
+         12),
+    ):
+        dist = [(r["a"], r["b"], r["cnt"]) for r in
+                bpe.bpe_train(docs, n_merges=budget).orderBy("step").collect()]
+        local = bpe.bpe_train_local(docs, n_merges=budget)
+        assert local == dist, (local[:5], dist[:5])
+
+
+def test_bpe_encode_frozen_local_merges_row_identical(spark, sf_dir):
+    """bpe_encode(merges=local) — the re-pointed suite path — is
+    row-identical to the train-on-self distributed encode."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import bpe
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    local = [(a, b) for a, b, _ in bpe.bpe_train_local(docs, n_merges=8)]
+    served = bpe.bpe_encode(docs, merges=local)
+    trained = bpe.bpe_encode(docs, n_merges=8)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, trained.collect()))
+
+
+def test_bpe_encode_vocab_row_identical(spark, sf_dir):
+    """The broadcast word->subwords serving table (the one-join
+    production encode the suite entries now run) is row-identical to
+    the distributed train-on-self encode."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import bpe
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    _, vocab = bpe.bpe_train_local_full(docs, n_merges=8)
+    via_vocab = bpe.bpe_encode_vocab(docs, vocab)
+    trained = bpe.bpe_encode(docs, n_merges=8)
+    assert sorted(map(tuple, via_vocab.collect())) == \
+        sorted(map(tuple, trained.collect()))
+
+
+def test_bpe_local_trainer_vocab_bound_raises(spark):
+    """The vocab collect is loudly bounded: exceeding max_vocab raises
+    instead of silently hauling a corpus-sized frame to the driver."""
+    import pytest
+
+    from opengemini_spark.datapipe import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe.bpe_train_local(docs, n_merges=2, max_vocab=3)
+
+
+def test_bpe_apply_merges_lazy_plan_no_jobs(spark):
+    """The frozen-merge apply chain must not launch Spark jobs at plan
+    time (the trainer's per-merge argmax probes were the 8.9 s bench
+    cost); only the caller's action executes."""
+    from opengemini_spark.datapipe import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower newest widest")], "doc_id long, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = bpe.bpe_apply_merges(docs, [("l", "o"), ("lo", "w"), ("e", "s")])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched Spark jobs"
+    out = {r["doc_id"]: r["bpe_text"] for r in df.collect()}
+    assert out[1] == "low low low e r n e w es t w i d es t"
+
+
 def test_bpe_token_counts_keeps_empty_docs(spark):
     """Packing must not lose docs: a token-free document gets count 0."""
     from opengemini_spark.datapipe import bpe
