@@ -312,6 +312,7 @@ def length_bucket_batches(
     batch_size: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Length-bucketed batch assignment: group documents of similar token
     count and deal each bucket into fixed-size batches — the standard
@@ -325,12 +326,35 @@ def length_bucket_batches(
     is a per-bucket window — buckets are the parallelism unit and no
     global sort exists. Bucket skew is bounded by the corpus length
     distribution; halve ``bucket_tokens`` to split a hot bucket.
+
+    ``counts``: optional precomputed ``(doc_id, n_subwords)`` frame
+    (same contract as :func:`pack_sequences` — pass the BPE counter to
+    bucket in real subword tokens); docs missing from it count 0 via
+    the coverage left-join, so batching never loses documents.
     """
     from pyspark.sql import Window
 
     from opengemini_spark.datapipe.text import token_stats
 
-    toks = token_stats(df, text_col=text_col, id_col=id_col)
+    if counts is not None:
+        toks = (
+            df.select(F.col(id_col))
+            .join(
+                counts.select(
+                    F.col(id_col),
+                    F.col("n_subwords").cast("long").alias("__nsw"),
+                ),
+                id_col,
+                "left",
+            )
+            .select(
+                id_col,
+                F.coalesce(F.col("__nsw"), F.lit(0))
+                .cast("long").alias("n_tokens"),
+            )
+        )
+    else:
+        toks = token_stats(df, text_col=text_col, id_col=id_col)
     b = toks.withColumn(
         "bucket", (F.col("n_tokens") / bucket_tokens).cast("long")
     )

@@ -35,7 +35,11 @@ SAMPLE_EVERY_N = 7
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents", text_expr: str = "text") -> str:
+    """Self-contained minhash near-dup replay. ``src``/``text_expr``
+    parameterize the corpus so a composed oracle can nest it as a
+    subquery over a derived CTE (defaults reproduce the standalone
+    form byte-identically)."""
     base = f"(sh % {dedup.MINHASH_P})"
     mins = ",\n           ".join(
         f"min(({a} * {base} + {b}) % {dedup.MINHASH_P}) AS mh{i}"
@@ -52,7 +56,7 @@ def _minhash_oracle() -> str:
     bands = "\n      UNION ALL ".join(band_selects)
     return f"""
     WITH docs AS (
-      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+      SELECT doc_id, {tokens_sql(text_expr)} AS toks FROM {src}
     ), sh AS (
       SELECT DISTINCT doc_id, {h60_sql('s')} AS sh FROM (
         SELECT doc_id, unnest({shingles_sql('toks', dedup.SHINGLE_K)}) AS s FROM docs)
@@ -2379,6 +2383,57 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+# -- serve-only IVF-PQ (r7 verdict next #3): similarity_ivfpq_topk's
+# bench number conflates index BUILD with serving, while the number a
+# deployment repeats per query batch is the serve path over a PREBUILT
+# index (near scale-free: 2.76->5.11 s at 100x data with zero shuffle,
+# SCALE100_r07). The index is built+persisted once per (session,
+# sf_dir) by _ivfpq_prebuilt — registered as a bench SETUP hook so the
+# timer starts after construction; the driver's correctness gate calls
+# the query fn directly and the build simply happens inline there
+# (identical results, the oracle replays build+serve end-to-end).
+
+_IVFPQ_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _ivfpq_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _IVFPQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        index, books, cents = similarity.ivfpq_build(
+            emb, nlist=KM_K, coarse_iter=KM_ITERS
+        )
+        index = index.persist()
+        books = books.persist()
+        cents = cents.persist()
+        index.count(), books.count(), cents.count()  # materialize now
+        _IVFPQ_CACHE[key] = (index, books, cents)
+    return _IVFPQ_CACHE[key]
+
+
+def _ivfpq_serve_setup(spark: SparkSession, sf_dir: str) -> None:
+    _IVFPQ_CACHE.clear()  # bench clearCache() between queries drops blocks
+    _ivfpq_prebuilt(spark, sf_dir)
+
+
+from opengemini_spark.suite import SETUP as _SETUP
+
+_SETUP["similarity_ivfpq_serve"] = _ivfpq_serve_setup
+
+
+@register("similarity_ivfpq_serve", _ivfpq_rerank_oracle())
+def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index, books, cents = _ivfpq_prebuilt(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERIES), TOPK_K,
+        nprobe=IVF_NPROBE, index=index, books=books, cents=cents,
+        rerank=IVFPQ_RERANK,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "text_novelty_signals",
     # census replay: distinct shingle hashes per doc, corpus doc
@@ -2636,13 +2691,20 @@ def q_extract_quality_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 from opengemini_spark.datapipe import bpe as bpe_mod
 
 
-def _bpe_replay_sql(n_merges: int = bpe_mod.BPE_MERGES) -> str:
+def _bpe_replay_sql(
+    n_merges: int = bpe_mod.BPE_MERGES,
+    src: str = "documents",
+    text_expr: str = "text",
+    lead: str = "WITH",
+) -> str:
     """CTE chain ending in s{n} (final word states) and bst1..bstN
-    (the chosen merges)."""
+    (the chosen merges). ``src``/``text_expr``/``lead`` let a composed
+    oracle train on a derived corpus mid-chain (defaults reproduce the
+    standalone form byte-identically)."""
     body = f"""
-    WITH words AS (
+    {lead} words AS (
       SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
-        SELECT unnest({tokens_sql('text')}) AS word FROM documents)
+        SELECT unnest({tokens_sql(text_expr)}) AS word FROM {src})
       GROUP BY word
     ), s0 AS MATERIALIZED (
       SELECT word, w, CAST(p AS INT) AS pos, substr(word, p, 1) AS sym
@@ -2695,9 +2757,14 @@ def _bpe_replay_sql(n_merges: int = bpe_mod.BPE_MERGES) -> str:
     return body
 
 
-def _bpe_wenc_sql(n_merges: int = bpe_mod.BPE_MERGES) -> str:
+def _bpe_wenc_sql(
+    n_merges: int = bpe_mod.BPE_MERGES,
+    src: str = "documents",
+    text_expr: str = "text",
+    lead: str = "WITH",
+) -> str:
     """...continue the replay with wenc (word -> subword encoding)."""
-    return _bpe_replay_sql(n_merges) + f"""
+    return _bpe_replay_sql(n_merges, src, text_expr, lead) + f"""
     , wenc AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS n_sym,
              string_agg(sym, ' ' ORDER BY pos) AS enc
@@ -2790,4 +2857,182 @@ def q_curate_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corpus.pack_sequences(
         docs, budget=PACK_BUDGET, n_buckets=PACK_BUCKETS, counts=counts
+    )
+
+
+@register(
+    "curate_chunk_documents_bpe",
+    # chunking in REAL subword tokens (r7 verdict missing #3): the
+    # per-doc BPE token sequence (flattened subword list in document
+    # order) feeds the same sliding-window replay as the whitespace
+    # chunker — chunk boundaries land between subwords, n_tokens counts
+    # subwords
+    _bpe_wenc_sql() + f"""
+    , dt AS (
+      SELECT doc_id, p AS tpos, toks[p] AS word
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents) t,
+           unnest(generate_series(1, len(toks))) AS u(p)
+    ), bdoc AS (
+      SELECT d.doc_id,
+             flatten(list(string_split(e.enc, ' ') ORDER BY d.tpos)) AS toks
+      FROM dt d JOIN wenc e ON d.word = e.word
+      GROUP BY d.doc_id
+    ), t AS (SELECT doc_id, toks, len(toks) AS n FROM bdoc WHERE len(toks) > 0),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(0,
+               CAST(ceil((n - {CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0) AS INT))))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+             chunk_id * {_CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT)
+             AS n_tokens
+    FROM c
+    """,
+)
+def q_curate_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compose: encode via the broadcast trained vocab, then chunk the
+    # subword sequence itself (bpe_text is space-joined lowercase-alnum
+    # subwords, so the chunker's tokenizer recovers it exactly)
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_mod.bpe_train_local_full(docs)
+    enc = bpe_mod.bpe_encode_vocab(docs, vocab)
+    return corpus.chunk_documents(
+        enc,
+        chunk_tokens=CHUNK_TOKENS,
+        overlap_tokens=CHUNK_OVERLAP,
+        text_col="bpe_text",
+    )
+
+
+@register(
+    "curate_length_bucket_bpe",
+    # length-bucketed batches budgeted in REAL subword tokens (r7
+    # verdict missing #3): same per-bucket dealing replay, n_tokens =
+    # BPE count with 0 for token-less docs (coverage left-join)
+    _bpe_wenc_sql() + f"""
+    , dt AS (
+      SELECT doc_id, toks[p] AS word
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents) t,
+           unnest(generate_series(1, len(toks))) AS u(p)
+    ), nbpe AS (
+      SELECT dt.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n_subwords
+      FROM dt JOIN wenc e ON dt.word = e.word
+      GROUP BY dt.doc_id
+    ), d AS (
+      SELECT doc.doc_id, coalesce(n.n_subwords, 0) AS n_tokens
+      FROM documents doc LEFT JOIN nbpe n ON doc.doc_id = n.doc_id
+    ), b AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             n_tokens // 32 AS bucket,
+             row_number() OVER (PARTITION BY n_tokens // 32
+                                ORDER BY n_tokens ASC, doc_id ASC) AS rn
+      FROM d
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST((rn - 1) // 16 AS BIGINT) AS batch_idx, n_tokens
+    FROM b
+    """,
+)
+def q_length_bucket_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_mod.bpe_train_local_full(docs)
+    counts = bpe_mod.bpe_encode_vocab(docs, vocab).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_subwords")
+    )
+    return corpus.length_bucket_batches(docs, counts=counts)
+
+
+# ---------------------------------------------------------------------------
+# r8: the full crawl->corpus pipeline composed end to end (r7 verdict
+# next #7): synth crawl HTML -> boilerplate extraction -> exact dedup ->
+# fuzzy (minhash) dedup -> quality gate -> BPE-budgeted sequence
+# packing. One oracled entry hashing the FINAL packed output — the
+# demonstration that the pipeline stages actually compose (each stage
+# is the already-oracled operator, re-sourced on the previous stage's
+# derived corpus). Keep-first dedup policy: the lower doc_id of every
+# verified near-dup pair survives.
+# ---------------------------------------------------------------------------
+
+CRAWL_QGATE = 5000  # quality_bp gate: drops ~15% of the sf0.01 corpus
+
+
+def _crawl_pack_oracle() -> str:
+    return _extract_clean_sql() + f"""
+    , c0 AS (
+      SELECT doc_id, clean_text AS text FROM cleandoc WHERE clean_text <> ''
+    ), exk AS (
+      SELECT min(doc_id) AS doc_id FROM c0 GROUP BY md5(text)
+    ), c1 AS MATERIALIZED (
+      SELECT c0.doc_id, c0.text FROM c0 JOIN exk USING (doc_id)
+    ), mhp AS MATERIALIZED ({_minhash_oracle(src='c1', text_expr='text')}
+    ), c2 AS MATERIALIZED (
+      SELECT * FROM c1 WHERE doc_id NOT IN (SELECT id_b FROM mhp)
+    ), qual AS ({_quality_oracle(src='c2', text_expr='text', lead='WITH')}
+    ), c3 AS MATERIALIZED (
+      SELECT c2.doc_id, c2.text FROM c2 JOIN qual USING (doc_id)
+      WHERE qual.quality_bp >= {CRAWL_QGATE}
+    ){_bpe_wenc_sql(src='c3', text_expr='text', lead=',')}
+    , dt AS (
+      SELECT doc_id, toks[p] AS word
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM c3) t,
+           unnest(generate_series(1, len(toks))) AS u(p)
+    ), nbpe AS (
+      SELECT dt.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n_subwords
+      FROM dt JOIN wenc e ON dt.word = e.word
+      GROUP BY dt.doc_id
+    ), sized AS (
+      SELECT c3.doc_id,
+             coalesce(n.n_subwords, 0) AS n_subwords,
+             {h60_sql('c3.doc_id::VARCHAR')} % {PACK_BUCKETS} AS bucket
+      FROM c3 LEFT JOIN nbpe n ON c3.doc_id = n.doc_id
+    ), prefix AS (
+      SELECT *,
+             coalesce(SUM(n_subwords) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre_sum
+      FROM sized
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 1000000000 + pre_sum // {PACK_BUDGET} AS BIGINT)
+             AS seq_id,
+           CAST(pre_sum % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+           CAST(n_subwords AS BIGINT) AS n_subwords
+    FROM prefix
+    """
+
+
+@register("e2e_crawl_corpus_pack", _crawl_pack_oracle())
+def q_crawl_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = text.extract_text(text.synth_html(docs)).filter(
+        F.col("clean_text") != ""
+    )
+    # exact dedup: keep the min doc_id per distinct clean text
+    keep = dedup.exact_dedup(clean, text_col="clean_text").select("doc_id")
+    c1 = clean.select("doc_id", F.col("clean_text").alias("text")).join(
+        keep, "doc_id"
+    )
+    # fuzzy dedup, keep-first: drop the higher id of every verified pair
+    pairs = dedup.minhash_lsh_dedup(c1, threshold=0.8)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    c2 = c1.join(drops, "doc_id", "left_anti")
+    # quality gate
+    kept = (
+        text.quality_score(c2)
+        .filter(F.col("quality_bp") >= CRAWL_QGATE)
+        .select("doc_id")
+    )
+    c3 = c2.join(kept, "doc_id")
+    # BPE-budgeted packing over the surviving corpus
+    _, vocab = bpe_mod.bpe_train_local_full(c3)
+    counts = bpe_mod.bpe_encode_vocab(c3, vocab).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_subwords")
+    )
+    return corpus.pack_sequences(
+        c3, budget=PACK_BUDGET, n_buckets=PACK_BUCKETS, counts=counts
     )
