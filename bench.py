@@ -128,6 +128,14 @@ HEADLINE = [
     "text_extract_quality_e2e",
     "text_bpe_encode",
     "curate_pack_sequences_bpe",
+    # r8 additions: BPE-exact chunking/length-bucket budgets, the
+    # serve-only IVF-PQ path over a prebuilt index (SETUP hook builds it
+    # before the timer — the per-query-batch number a deployment
+    # repeats), and the composed crawl->clean->dedup->quality->pack e2e
+    "curate_chunk_documents_bpe",
+    "curate_length_bucket_bpe",
+    "similarity_ivfpq_serve",
+    "e2e_crawl_corpus_pack",
 ]
 
 
@@ -169,6 +177,12 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
+        # build-once/serve-many entries: run the registered setup (index
+        # construction) OUTSIDE the timer — the headline number is the
+        # serve path; suite.SETUP documents the contract
+        setup = suite.SETUP.get(name)
+        if setup is not None:
+            setup(spark, sf_dir)
         t0 = time.time()
         df = fn(spark, sf_dir)
         # time a noop-sink write, not count(): count() lets Catalyst

@@ -835,73 +835,70 @@ def q_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/oracle_check.py) runs the identical comparison at HEAD for
 # everything outside the window.
 #
-# ROUND-7 ROTATION (VERDICT r6 next #1: "clear the driver-verdict
-# freshness tail, finally"): (a) ALL 6 entries that have never had a
-# driver verdict — the HTML-extraction trio and the BPE trio registered
-# this round; (b) the 6 entries whose code or oracle changed this round
-# and whose last verdict therefore predates the current semantics —
-# SemDeDup now runs adaptive k∝n, the two IVF-PQ entries moved to
-# 16-centroid codebooks + rank-based seeding, the serving scorer drops
-# zero-token docs, pack_sequences grew the counts= parameter, and the
-# quality oracle SQL was parameterized; (c) ALL 26 entries whose newest
-# driver verdict is r3-era (the complete freshness tail — after this
-# window every registered entry's newest verdict is r4+); (d) 12 of the
-# 49 r4-era verdicts as continued rotation. 6+6+26+12 = 50.
+# ROUND-8 ROTATION (VERDICT r7 next #1: "rotate onto the 36 r4-era
+# entries"): (a) the 4 entries registered this round (never driver-
+# checked); (b) the 10 entries whose code or oracle changed this round
+# — the quote-aware HTML tag regexes re-shape all three extraction
+# oracles, the BPE encode/pack entries re-pointed onto the local-train
+# + broadcast-vocab serving path, length_bucket_batches grew counts=,
+# and the RRF / LSH / SemDeDup entries carry this round's perf-lever
+# work; (c) ALL 36 entries whose newest driver verdict is r4-era (the
+# complete remaining freshness tail — after this window every
+# registered entry's newest verdict is r5+). 4+10+36 = 50.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) first driver verdicts: everything registered in round 7 --
-    "text_extract_html_blocks",   # jusText-class block extraction signals
-    "text_extract_html_clean",    # doc-level clean text reassembly
-    "text_extract_quality_e2e",   # extraction feeding the quality gate
-    "text_bpe_merges",            # deterministic BPE trainer (merge table)
-    "text_bpe_encode",            # BPE corpus encoding (train-on-self)
-    "curate_pack_sequences_bpe",  # packing budgeted in real BPE tokens
+    # -- (a) first driver verdicts: everything registered in round 8 --
+    "similarity_ivfpq_serve",        # serve path over a prebuilt index
+    "curate_chunk_documents_bpe",    # chunk boundaries in real subwords
+    "curate_length_bucket_bpe",      # batch dealing in real subwords
+    "e2e_crawl_corpus_pack",         # crawl->clean->dedup->quality->pack
     # -- (b) changed oracle/code this round: re-verdict on new semantics --
-    "dedup_semantic_semdedup",    # adaptive k∝n is now the oracled config
-    "similarity_ivfpq_topk",      # 16-centroid codebooks + rank seeding
-    "similarity_ivfpq_rerank",    # same index change, exact second stage
-    "curate_quality_serving",     # stateless scorer drops zero-token docs
-    "curate_pack_sequences",      # counts= parameter refactor (same default)
-    "text_quality_score",         # _quality_oracle parameterization
-    # -- (c) the complete r3-era freshness tail (26 entries) --
-    "influxql_func_integral",
-    "influxql_func_mode_percentile",
-    "influxql_join_full_stmt",
-    "influxql_union_stmt",
-    "join_full_outer",
-    "prom_deriv",
-    "prom_holt_winters",
-    "prom_predict_linear",
-    "promql_changes_e2e",
-    "promql_instant_e2e",
-    "promql_quantile_agg_e2e",
-    "promql_subquery_e2e",
-    "scalar_math",
-    "show_cardinality",
-    "similarity_cosine_topk",
-    "similarity_ivf_kmeans_topk",
-    "sink_select_into",
-    "slimit_series",
-    "sort_limit_global",
-    "transform_derivative",
-    "transform_holt_winters",
-    "transform_rate",
-    "transform_rsi",
-    "transform_triple_ema",
-    "transform_trix",
-    "window_tumbling_agg",
-    # -- (d) 12 of the 49 r4-era verdicts: continued rotation --
-    "agg_distinct",
-    "agg_histogram",
-    "agg_mode",
-    "agg_percentile_exact",
-    "agg_stats",
-    "castor_mad_anomaly",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "filter_blank",
-    "filter_regex_like",
-    "join_left_outer",
-    "selector_first_last",
+    "text_extract_html_blocks",      # quote-aware HTML_TAG/LINK/SPLIT regexes
+    "text_extract_html_clean",
+    "text_extract_quality_e2e",
+    "text_bpe_encode",               # local train + broadcast-vocab serving
+    "curate_pack_sequences_bpe",
+    "curate_length_bucket_batches",  # counts= parameter (same default path)
+    "retrieval_rrf_fusion",          # leg-side candidate bounding
+    "dedup_embedding_lsh",           # int8-codes rerank exchange lever
+    "dedup_embedding_lsh_highthr",
+    "dedup_semantic_semdedup",       # degenerate-cell recursion decision
+    # -- (c) the complete r4-era freshness tail (36 entries) --
+    "curate_keep_list",
+    "curate_quality_percentile_filter",
+    "dedup_connected_components",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "influxql_func_holt_winters_forecast",
+    "join_anti_not_in",
+    "join_semi_in_subquery",
+    "limit_per_series",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "prom_label_replace_join",
+    "promql_binop_cmp_filter",
+    "promql_count_over_time_matcher",
+    "promql_rate_e2e",
+    "selector_bottom_per_group",
+    "selector_top_per_group",
+    "similarity_ivf_topk",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_counts",
+    "text_repetition_signals",
+    "text_token_stats",
+    "transform_cmo",
+    "transform_cumulative_sum",
+    "transform_difference",
+    "transform_elapsed",
+    "transform_integral",
+    "transform_kama",
+    "transform_moving_average",
+    "transform_spread",
+    "union_all_by_name",
+    "window_fill_linear",
+    "window_fill_null",
+    "window_fill_previous",
+    "window_fill_value",
 )
 
 

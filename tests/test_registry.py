@@ -16,11 +16,11 @@ def test_priority_window_is_exactly_50_unique_registered_names():
     assert len(qs) == len(set(qs))
 
 
-def test_priority_window_matches_round7_rotation():
-    """The r7 window (VERDICT r6 next #1): never-driver-checked entries
-    first, then changed-semantics re-verdicts, then the COMPLETE r3-era
+def test_priority_window_matches_round8_rotation():
+    """The r8 window (VERDICT r7 next #1): never-driver-checked entries
+    first, then changed-semantics re-verdicts, then the COMPLETE r4-era
     freshness tail — after this window every registered entry's newest
-    driver verdict is r4+ — then 12 r4-era rotation fills."""
+    driver verdict is r5+."""
     import json, pathlib
 
     window = set(suite.PRIORITY)
@@ -36,15 +36,17 @@ def test_priority_window_matches_round7_rotation():
     assert never <= window, sorted(never - window)
     # changed oracle/code this round → must be re-verdicted
     for name in (
-        "dedup_semantic_semdedup", "similarity_ivfpq_topk",
-        "similarity_ivfpq_rerank", "curate_quality_serving",
-        "curate_pack_sequences", "text_quality_score",
+        "text_extract_html_blocks", "text_extract_html_clean",
+        "text_extract_quality_e2e", "text_bpe_encode",
+        "curate_pack_sequences_bpe", "curate_length_bucket_batches",
+        "retrieval_rrf_fusion", "dedup_embedding_lsh",
+        "dedup_embedding_lsh_highthr", "dedup_semantic_semdedup",
     ):
         assert name in window, name
-    # the ENTIRE r3-era freshness tail is in the window (the r6 verdict's
-    # top ask): nothing whose newest verdict predates r4 may be left out
-    r3_tail = {k for k, r in latest.items() if r <= 3}
-    assert r3_tail <= window, sorted(r3_tail - window)
+    # the ENTIRE r4-era freshness tail is in the window (the r7 verdict's
+    # top ask): nothing whose newest verdict predates r5 may be left out
+    r4_tail = {k for k, r in latest.items() if r <= 4}
+    assert r4_tail <= window, sorted(r4_tail - window)
 
 
 def test_oracle_keys_subset_of_queries():
