@@ -319,6 +319,7 @@ def lsh_near_dups(
     stats_out: dict | None = None,
     prefix_group_size: int = 1,
     prefix_bits: int = 12,
+    int8_rerank: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane (sign) LSH + exact rerank.
 
@@ -382,6 +383,27 @@ def lsh_near_dups(
     Default: auto-on at dim/4 prefix width for threshold ≥ 0.8 — below
     that, near-orthogonal pairs pass the bound anyway and the extra
     pass would be pure cost. Pass 0 to force off.
+
+    int8-codes rerank exchange (``int8_rerank`` — the 1000×/10000×
+    bytes lever named in SCALE1000_r06/r07): instead of the
+    Cauchy–Schwarz prefix (16 float64 = 128 B riding with every
+    candidate pair), ship each side's int8 code array + 3 scalars
+    (~70 B) and filter on the EXACT-int integer code dot plus a
+    rigorous quantization error bound: with aᵢ = caᵢ·s_a + eᵢ,
+    |eᵢ| ≤ s_a/2 (round-to-nearest, scale = max|x|/127),
+
+        |dot(a,b) − s_a·s_b·Σ caᵢ·cbᵢ|
+            ≤ s_a·s_b·(L1a/2 + L1b/2 + d/4),   L1 = Σ|caᵢ|,
+
+    so keeping pairs with (code_dot·s_a·s_b + E)/(‖a‖‖b‖) ≥ threshold −
+    1e-4 can never drop a qualifying pair and the exact-cosine rerank of
+    the (tiny) survivor set returns the IDENTICAL output frame. For unit
+    vectors E ≈ 1.3e-4, so survivors ≈ the true pair set — both a
+    smaller ride payload AND a far tighter filter than the prefix bound
+    (which keeps any pair whose rest-norms are large). Default: None =
+    auto-on for threshold ≥ 0.8 (same regime as the prefix filter,
+    which it replaces when on); the quantization never affects output,
+    only which pairs pay the exact rerank.
     """
     if dim is None:
         # Fallback probe (one limit-1 driver round trip); callers that know
@@ -425,9 +447,11 @@ def lsh_near_dups(
             out.append(row.tolist())
         return pd.Series(out)
 
+    if int8_rerank is None:
+        int8_rerank = threshold >= 0.8 and dim >= 8
     if prefilter_dims is None:
         prefilter_dims = dim // 4 if threshold >= 0.8 and dim >= 8 else 0
-    use_pre = 0 < prefilter_dims < dim
+    use_pre = 0 < prefilter_dims < dim and not int8_rerank
 
     # repartition-before-persist: every consumer (both band self-join
     # sides, both rerank vector lookups) reads ONE cached, id-partitioned
@@ -446,6 +470,29 @@ def lsh_near_dups(
         sig = sig.withColumn(
             "__pre", F.expr(f"slice(emb, 1, {prefilter_dims})")
         ).withColumn("__rnrm", F.sqrt(_dot(rest, rest)))
+    if int8_rerank:
+        # same let-binding trick as quantize_embeddings: the max-abs fold
+        # runs once per row; codes/scale/L1 are materialized into the
+        # persisted signature frame, so every consumer reads the cache
+        s_raw = (
+            "aggregate(emb, 0D,"
+            " (a, x) -> greatest(a, abs(cast(x as double)))) / 127.0D"
+        )
+        let = (
+            f"transform(array(CASE WHEN {s_raw} = 0.0D THEN 1.0D"
+            f" ELSE {s_raw} END), s -> struct("
+            "s AS scale,"
+            " transform(emb,"
+            " x -> cast(round(cast(x as double) / s) as tinyint)) AS codes"
+            "))[0]"
+        )
+        sig = sig.withColumn("__qz", F.expr(let)).withColumn(
+            "__l1",
+            F.expr(
+                "aggregate(__qz.codes, 0L,"
+                " (acc, c) -> acc + abs(cast(c as bigint)))"
+            ),
+        )
     sig = sig.repartition(F.col("id")).persist()
     _lsh_cache_register(sig)
     # partition-local band self-join (the 10000× lever named in
@@ -535,6 +582,41 @@ def lsh_near_dups(
             cand.join(pre_a, "id_a")
             .join(pre_b, "id_b")
             .filter(bound >= threshold - 1e-4)
+            .select("id_a", "id_b")
+        )
+    if int8_rerank:
+        # int8 codes + 3 scalars ride with each candidate pair instead
+        # of 16 prefix float64s; the integer code dot is exact and the
+        # error bound E (docstring) makes the filter lossless, so only
+        # the ~true-pair survivor set pays the full-vector exact rerank.
+        qa = sig.select(
+            F.col("id").alias("id_a"),
+            F.col("__qz.codes").alias("ca"),
+            F.col("__qz.scale").alias("sa"),
+            F.col("__l1").alias("la"), F.col("__nrm").alias("xa"),
+        )
+        qb = sig.select(
+            F.col("id").alias("id_b"),
+            F.col("__qz.codes").alias("cb"),
+            F.col("__qz.scale").alias("sb"),
+            F.col("__l1").alias("lb"), F.col("__nrm").alias("xb"),
+        )
+        code_dot = F.expr(
+            "aggregate(zip_with(ca, cb,"
+            " (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+            " 0L, (acc, v) -> acc + v)"
+        )
+        err = (
+            F.col("sa") * F.col("sb")
+            * ((F.col("la") + F.col("lb")) / F.lit(2.0) + F.lit(dim / 4.0))
+        )
+        bound8 = (
+            code_dot.cast("double") * F.col("sa") * F.col("sb") + err
+        ) / (F.col("xa") * F.col("xb"))
+        cand = (
+            cand.join(qa, "id_a")
+            .join(qb, "id_b")
+            .filter(bound8 >= threshold - 1e-4)
             .select("id_a", "id_b")
         )
     if stats_out is not None:
@@ -970,6 +1052,7 @@ def semantic_dedup(
     k_min: int = SEMDEDUP_K_MIN,
     max_cell_task: int | None = None,
     arrow_assign: bool | None = None,
+    split_cell_over: int | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster-scoped semantic deduplication over embeddings
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1006,10 +1089,24 @@ def semantic_dedup(
     deterministic id-hash block pairs of ≤ that many vectors per side,
     bounding any single task's memory/compute without changing the pair
     set (every (a,b) pair lands in exactly one block pair) — the same
-    output-preserving salting lever as operators/scale.py. A truly
-    degenerate cell (≫ √n after capping) is re-clustered in production
-    by a recursive split; at the tested scales block-pairing bounds the
-    task without the recursion.
+    output-preserving salting lever as operators/scale.py.
+    Block-pairing is the SHIPPED skew mitigation: it bounds any single
+    task's memory/compute, but total pair WORK for a cell of size c is
+    still c² — pathological for a one-hot-cluster corpus.
+
+    ``split_cell_over`` (opt-in, r7 verdict "what's wrong" #3): cells
+    larger than this get ONE level of recursive refinement — their
+    members are re-clustered jointly by a second :func:`kmeans_cells`
+    pass with k₂ = ⌈√n_hot⌉ (offset cell ids keep the two levels
+    disjoint), and the pair scan runs within the refined cells. This
+    CHANGES the kept set for hot-cell members (SemDeDup's "within
+    cluster" scope now means the refined cluster — the same semantics
+    the paper gets by raising k), so the driver-oracled suite
+    configuration keeps it OFF; it is the lever for corpora whose mass
+    concentrates in one Lloyd cell (seeded by vectors outside the
+    blob). One level is deliberate: a mass k-means cannot split at
+    level 2 (exactly identical vectors) belongs to exact dedup, not a
+    deeper recursion.
     """
     if k is None:
         n = adaptive_n if adaptive_n is not None else df.count()
@@ -1022,6 +1119,35 @@ def semantic_dedup(
     assign, _ = kmeans_cells(df, k=k, n_iter=n_iter,
                              id_col=id_col, emb_col=emb_col,
                              arrow_assign=bool(arrow_assign))
+    if split_cell_over:
+        # one-level recursive refinement of hot cells (docstring): the
+        # hot set is ≤ k cells (broadcastable); the hot MEMBERS are
+        # re-clustered jointly and get offset cell ids
+        hot = (
+            assign.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > split_cell_over)
+            .select("cell")
+        )
+        hot_assign = assign.join(F.broadcast(hot), "cell")
+        hot_members = df.join(
+            hot_assign.select(id_col), id_col
+        ).select(id_col, emb_col)
+        n_hot = hot_members.count()
+        if n_hot:
+            k2 = adaptive_kmeans_k(n_hot, k_min)
+            sub_assign, _ = kmeans_cells(
+                hot_members, k=k2, n_iter=n_iter,
+                id_col=id_col, emb_col=emb_col,
+                arrow_assign=bool(arrow_assign) or n_hot * k2 > 2_000_000,
+            )
+            cold = assign.join(F.broadcast(hot), "cell", "left_anti")
+            assign = cold.unionByName(
+                sub_assign.select(
+                    id_col,
+                    (F.col("cell") + F.lit(int(k))).cast("int").alias("cell"),
+                )
+            )
     cells = (
         df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
         .join(assign.withColumnRenamed(id_col, "vid"), "vid")

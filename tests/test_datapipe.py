@@ -178,6 +178,36 @@ def test_blocked_and_lsh_near_dups_match_brute_force(spark, sf_dir):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_int8_rerank_identical_output(spark, sf_dir):
+    """The int8-codes rerank exchange (1000x bytes lever) is LOSSLESS:
+    the quantization error bound only decides which candidate pairs pay
+    the exact rerank, never the output — identical frames (pairs AND
+    cosines) with the lever forced on and forced off, at a high
+    threshold (its design regime) and at a low one."""
+    from opengemini_spark.catalog import load_table
+    from opengemini_spark.datapipe import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant exact dups so the high-threshold pair set is non-empty
+    base = emb.filter(F.col("vec_id") < 100)
+    dup = base.withColumn("vec_id", F.col("vec_id") + 100000)
+    corpus = emb.unionByName(dup)
+    for thr in (0.85, 0.45):
+        off = {
+            tuple(r)
+            for r in similarity.lsh_near_dups(
+                corpus, thr, int8_rerank=False
+            ).collect()
+        }
+        on = {
+            tuple(r)
+            for r in similarity.lsh_near_dups(
+                corpus, thr, int8_rerank=True
+            ).collect()
+        }
+        assert on == off and off, thr
+
+
 def test_blocked_near_dups_block_count_invariance(spark, sf_dir):
     """Result is independent of the blocking factor."""
     from opengemini_spark.catalog import load_table
@@ -513,6 +543,54 @@ def test_semantic_dedup_block_pairing_preserves_output(spark):
         ).collect()
     )
     assert plain == blocked and len(plain) == 120
+
+
+def test_semantic_dedup_recursive_cell_split(spark):
+    """split_cell_over (opt-in one-level refinement): an adversarial
+    corpus whose low-id seeds sit OUTSIDE a tight high-id blob lands
+    the whole blob in one Lloyd cell; the refinement re-clusters the
+    hot mass so no refined cell stays pathological, every vector still
+    appears exactly once, and the planted near-identical dup structure
+    is still caught within the refined cells."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    # 60 scattered low-id vectors (these become the k-means seeds)
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+    # a tight 900-vector blob at high ids, far from every seed:
+    # base direction + small noise, plus planted exact dups
+    base = [5.0, 5.0, 5.0, 5.0, 0.1, 0.1, 0.1, 0.1]
+    for i in range(900):
+        v = [b + rng.gauss(0, 0.02) for b in base]
+        rows.append((1000 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    plain = similarity.semantic_dedup(df, k=30, n_iter=2, threshold=0.9999)
+    sizes = (
+        plain.groupBy("cell").count().orderBy(F.col("count").desc()).collect()
+    )
+    assert sizes[0]["count"] >= 900, "fixture not adversarial"
+
+    split = similarity.semantic_dedup(
+        df, k=30, n_iter=2, threshold=0.9999, split_cell_over=200
+    )
+    ssizes = (
+        split.groupBy("cell").count().orderBy(F.col("count").desc()).collect()
+    )
+    # the hot mass is spread over ~sqrt(900) refined cells
+    assert ssizes[0]["count"] < 300, ssizes[:3]
+    assert split.count() == 960
+    assert split.filter(F.col("cell").isNull()).count() == 0
+    # determinism: same inputs -> same refined assignment + kept set
+    again = similarity.semantic_dedup(
+        df, k=30, n_iter=2, threshold=0.9999, split_cell_over=200
+    )
+    assert sorted(map(tuple, split.collect())) == \
+        sorted(map(tuple, again.collect()))
 
 
 def test_pq_codebooks_non_dense_ids(spark):

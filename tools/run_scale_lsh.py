@@ -82,6 +82,8 @@ def main() -> None:
         kwargs |= {"adaptive_n": n}
     if prefix_g:
         kwargs |= {"prefix_group_size": prefix_g, "prefix_bits": 12}
+    if "--noint8" in sys.argv:  # A/B: CS-prefix rerank exchange instead
+        kwargs |= {"int8_rerank": False}
     stats: dict = {}
     t0 = time.time()
     out = similarity.lsh_near_dups(corpus, stats_out=stats, **kwargs)
@@ -94,7 +96,8 @@ def main() -> None:
     print(json.dumps({
         "mode": ("fixed(8x16)" if fixed else
                  f"adaptive({stats['bands']}x{stats['rows_per_band']})")
-                + (f"+prefix(g={prefix_g},s=12)" if prefix_g else ""),
+                + (f"+prefix(g={prefix_g},s=12)" if prefix_g else "")
+                + ("+cs_prefix" if "--noint8" in sys.argv else "+int8"),
         "corpus": n,
         "result_rows": rows,
         "candidate_pairs": cand,
