@@ -44,6 +44,7 @@ CROSS_ALLOWED = {
     "retrieval_rrf_fusion",         # BM25 stats row + broadcast dense query side
     "similarity_ivfpq_topk",        # broadcast centroid routing + query subvectors
     "similarity_ivfpq_rerank",      # same + broadcast query side in the rerank
+    "similarity_ivfpq_serve",       # same routing over the prebuilt index
 }
 
 
