@@ -400,10 +400,17 @@ def lsh_near_dups(
     the (tiny) survivor set returns the IDENTICAL output frame. For unit
     vectors E ≈ 1.3e-4, so survivors ≈ the true pair set — both a
     smaller ride payload AND a far tighter filter than the prefix bound
-    (which keeps any pair whose rest-norms are large). Default: None =
-    auto-on for threshold ≥ 0.8 (same regime as the prefix filter,
-    which it replaces when on); the quantization never affects output,
-    only which pairs pay the exact rerank.
+    (which keeps any pair whose rest-norms are large). A/B'd at 1000×
+    (SCALE1000_r08, 4M corpus, planted cosine-1.0 dups, adaptive
+    banding): shuffle +5.2% and the candidate-stage CPU 3.5× the
+    prefix filter's (the 64-dim code dot evaluates interpreted), wall
+    −18% but box-noise-dominated — because ADAPTIVE banding already
+    makes candidates ≈ true pairs, so in that regime ANY prefilter is
+    overhead and the cheaper 16-dim prefix wins. Default: None = OFF
+    (recorded MIXED). The lever's design regime is fixed/coarse banding
+    where candidates ≫ true pairs — there the lossless full-dim filter
+    collapses the exact-rerank ride; the quantization never affects
+    output, only which pairs pay the exact rerank.
     """
     if dim is None:
         # Fallback probe (one limit-1 driver round trip); callers that know
@@ -448,7 +455,7 @@ def lsh_near_dups(
         return pd.Series(out)
 
     if int8_rerank is None:
-        int8_rerank = threshold >= 0.8 and dim >= 8
+        int8_rerank = False  # opt-in: MIXED at 1000× (SCALE1000_r08)
     if prefilter_dims is None:
         prefilter_dims = dim // 4 if threshold >= 0.8 and dim >= 8 else 0
     use_pre = 0 < prefilter_dims < dim and not int8_rerank
