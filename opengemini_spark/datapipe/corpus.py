@@ -456,6 +456,8 @@ def mixing_weights(
     docs: DataFrame,
     target: dict[str, float],
     group_col: str = "source",
+    counts: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Data-mixing plan: given target fractions per source, compute the
     largest downsampled corpus that achieves the mix WITHOUT upsampling
@@ -467,12 +469,32 @@ def mixing_weights(
     — the planning pass a pipeline runs before materializing a mixture;
     the tiny per-source result then drives a hash-threshold sample.
 
-    Scale: one count per source (map-side partial agg), output rows =
-    number of sources.
+    ``counts``: optional ``(doc_id, n_subwords)`` frame (the BPE counter
+    — same contract as :func:`pack_sequences`): the plan is then
+    budgeted in TOKENS, n_s = Σ subwords per source (mixture fractions
+    for training are token fractions, not document fractions, when
+    document lengths differ across sources); docs missing from
+    ``counts`` contribute 0 via the coverage left-join.
+
+    Scale: one count/sum per source (map-side partial agg), output rows
+    = number of sources.
     """
-    rows = docs.groupBy(F.col(group_col).alias("src")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    if counts is not None:
+        sized = docs.select(F.col(group_col), F.col(id_col)).join(
+            counts.select(
+                F.col(id_col),
+                F.col("n_subwords").cast("long").alias("__nsw"),
+            ),
+            id_col,
+            "left",
+        )
+        rows = sized.groupBy(F.col(group_col).alias("src")).agg(
+            F.sum(F.coalesce(F.col("__nsw"), F.lit(0))).alias("n_docs")
+        )
+    else:
+        rows = docs.groupBy(F.col(group_col).alias("src")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
     spark = docs.sparkSession
     tgt = spark.createDataFrame(
         [(s, float(f)) for s, f in sorted(target.items())],

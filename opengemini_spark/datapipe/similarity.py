@@ -608,10 +608,17 @@ def lsh_near_dups(
             F.col("__qz.scale").alias("sb"),
             F.col("__l1").alias("lb"), F.col("__nrm").alias("xb"),
         )
+        # literal dim-term product chain, NOT aggregate(zip_with(...)):
+        # higher-order functions evaluate INTERPRETED (~3.5x the filter
+        # stage in the first 1000x A/B); an explicit expression tree
+        # whole-stage-codegens, and the integer dot is order-insensitive
+        # so there is no fold-order pin to preserve
         code_dot = F.expr(
-            "aggregate(zip_with(ca, cb,"
-            " (x, y) -> cast(x as bigint) * cast(y as bigint)),"
-            " 0L, (acc, v) -> acc + v)"
+            " + ".join(
+                f"(cast(element_at(ca, {i}) as bigint)"
+                f" * cast(element_at(cb, {i}) as bigint))"
+                for i in range(1, dim + 1)
+            )
         )
         err = (
             F.col("sa") * F.col("sb")

@@ -219,6 +219,35 @@ def test_mixing_weights_plan(spark):
     assert all(r["keep_prob"] <= 1.0 for r in out.values())
 
 
+def test_mixing_weights_token_budgeted(spark):
+    """counts= switches the mixing plan to TOKEN budgets: n_s = sum of
+    subword counts per source (the fraction that matters for training
+    mixtures when doc lengths differ), with 0 for docs missing from the
+    counts frame (coverage left-join)."""
+    from opengemini_spark.datapipe.corpus import mixing_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    # token counts: a = 100+300 = 400; b = 800+400 (+0 for doc 5) = 1200
+    counts = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 800), (4, 400)],
+        "doc_id long, n_subwords long",
+    )
+    out = {r["source"]: r for r in
+           mixing_weights(docs, {"a": 0.5, "b": 0.5}, counts=counts).collect()}
+    # N_out = min(400/.5, 1200/.5) = 800 tokens -> a binds at 100%
+    assert out["a"]["n_docs"] == 400 and out["b"]["n_docs"] == 1200
+    assert out["a"]["keep_prob"] == 1.0 and out["a"]["expected_docs"] == 400
+    assert abs(out["b"]["keep_prob"] - 400 / 1200) < 1e-9
+    assert out["b"]["expected_docs"] == 400
+    # doc-count plan unchanged by the new parameter's default
+    by_docs = {r["source"]: r for r in
+               mixing_weights(docs, {"a": 0.5, "b": 0.5}).collect()}
+    assert by_docs["a"]["n_docs"] == 2 and by_docs["b"]["n_docs"] == 3
+
+
 def test_holdout_fuzzy_dedup_drops_near_copies(spark):
     """Fuzzy decontamination: a lightly-edited copy of a held-out doc is
     dropped from training; unrelated docs survive; exact-dup also caught."""
