@@ -82,7 +82,11 @@ def main() -> None:
         kwargs |= {"adaptive_n": n}
     if prefix_g:
         kwargs |= {"prefix_group_size": prefix_g, "prefix_bits": 12}
-    if "--noint8" in sys.argv:  # A/B: CS-prefix rerank exchange instead
+    # int8 lever A/B: default (no flag) = the shipped default (off -> CS
+    # prefix); --int8 forces the int8-codes rerank exchange on
+    if "--int8" in sys.argv:
+        kwargs |= {"int8_rerank": True}
+    elif "--noint8" in sys.argv:
         kwargs |= {"int8_rerank": False}
     stats: dict = {}
     t0 = time.time()
@@ -97,7 +101,7 @@ def main() -> None:
         "mode": ("fixed(8x16)" if fixed else
                  f"adaptive({stats['bands']}x{stats['rows_per_band']})")
                 + (f"+prefix(g={prefix_g},s=12)" if prefix_g else "")
-                + ("+cs_prefix" if "--noint8" in sys.argv else "+int8"),
+                + ("+int8" if "--int8" in sys.argv else "+cs_prefix"),
         "corpus": n,
         "result_rows": rows,
         "candidate_pairs": cand,
