@@ -1180,6 +1180,32 @@ def test_bpe_apply_merges_lazy_plan_no_jobs(spark):
     assert out[1] == "low low low e r n e w es t w i d es t"
 
 
+def test_bpe_apply_merges_heldout_unseen_words(spark):
+    """Serving on HELD-OUT text: bpe_apply_merges encodes words never
+    seen in training by replaying the frozen merge rules (the contract
+    bpe_encode_vocab cannot serve — its lookup table only covers
+    training words and its inner join DROPS unseen words)."""
+    from opengemini_spark.datapipe import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    merges = [(a, b) for a, b, _ in bpe.bpe_train_local(train, n_merges=2)]
+    assert merges == [("l", "o"), ("lo", "w")]
+    # held-out doc: 'slow' and 'glow' contain the trained (l,o)/(lo,w)
+    # patterns inside UNSEEN words; 'held' shares no merge at all
+    held = spark.createDataFrame(
+        [(9, "slow glow held")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           bpe.bpe_apply_merges(held, merges).collect()}
+    assert out[9]["bpe_text"] == "s low g low h e l d"
+    assert out[9]["n_bpe_tokens"] == 8
+    # the vocab-table form drops the unseen words (documented contract)
+    _, vocab = bpe.bpe_train_local_full(train, n_merges=2)
+    assert bpe.bpe_encode_vocab(held, vocab).count() == 0
+
+
 def test_bpe_token_counts_keeps_empty_docs(spark):
     """Packing must not lose docs: a token-free document gets count 0."""
     from opengemini_spark.datapipe import bpe
