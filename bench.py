@@ -136,6 +136,15 @@ HEADLINE = [
     "curate_length_bucket_bpe",
     "similarity_ivfpq_serve",
     "e2e_crawl_corpus_pack",
+    # r8 late additions: crawl-front URL canonicalization+dedup (the
+    # cheapest dedup in the pipeline — pure projection + one hash agg),
+    # RefinedWeb-style paragraph boilerplate removal, deterministic
+    # text normalization (pure projection), and the deterministic
+    # global training shuffle (one hash-partition + per-shard sort)
+    "dedup_url_canonical",
+    "dedup_paragraph",
+    "text_normalize",
+    "curate_global_shuffle",
 ]
 
 

@@ -684,3 +684,46 @@ def span_decontaminate(
             .alias("n_removed"),
         )
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training-data pipelines need a reproducible random order over the
+    whole corpus before packing/serving (epoch shuffling): every doc
+    gets a pseudorandom rank derived only from ``(seed, doc_id)``, so
+    any run — and the oracle — produces the identical order. The key is
+    the shared 60-bit md5 primitive (``h60``); the shard is the key mod
+    ``n_shards``; ``shard_pos`` is the doc's position in its shard's
+    key order.
+
+    Returns ``(id_col, shuffle_key, shard_id, shard_pos)``.
+
+    Scale shape: ONE hash-partition shuffle on ``shard_id`` with a
+    per-shard sort (`row_number` window per shard = Spark's
+    repartition + sortWithinPartitions plan — no global ordering, no
+    range-exchange, no skew because md5 keys are uniform). Choose
+    ``n_shards`` so one shard ~ one output file (data_size / ~256 MB at
+    100 TB — hundreds of thousands of shards — so each sort fits one
+    task comfortably); the oracle-gated suite runs 64.
+    """
+    from pyspark.sql import Window
+
+    key = h60_seeded(F.col(id_col).cast("string"), seed)
+    out = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return out.select(
+        id_col,
+        "shuffle_key",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )

@@ -422,3 +422,67 @@ def span_dedup(
             .alias("n_removed"),
         )
     )
+
+
+PARA_SEP = "\n\n"
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    max_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level boilerplate removal: drop every paragraph that
+    occurs in more than ``max_docs`` distinct documents, from ALL of
+    them.
+
+    The RefinedWeb / CCNet line-dedup rule (Penedo et al. 2023,
+    arXiv:2306.01116; Wenzek et al. 2020, arXiv:1911.00359 — public
+    papers): repeated paragraphs across a crawl are navigation chrome,
+    cookie banners and share buttons, not content, so unlike span-level
+    dedup (first occurrence kept, see :func:`span_dedup`) the repeated
+    unit is removed everywhere. The structural unit is the
+    ``\\n\\n``-separated paragraph.
+
+    Returns one row per input document:
+    ``(id_col, clean_text, n_paras, n_removed)`` — surviving paragraphs
+    re-joined in document order.
+
+    Scale shape: the census is ONE groupBy on the 60-bit paragraph hash
+    with a distinct-doc count (uniform keys, partial aggregation
+    map-side); the rebuild shuffles each paragraph once on doc_id.
+    All JVM expressions, no UDF; only ``text`` + id are scanned.
+    """
+    paras = (
+        parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn("ph", h60(F.col("para")))
+    )
+    census = paras.groupBy("ph").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    flagged = paras.join(census, "ph").select(
+        id_col,
+        "pos",
+        "para",
+        (F.col("__ndocs") <= max_docs).alias("keep"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.expr(
+                "transform(filter(sort_array(collect_list("
+                "struct(pos, keep, para))), s -> s.keep), s -> s.para)"
+            ),
+            PARA_SEP,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+    )

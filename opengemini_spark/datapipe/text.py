@@ -578,3 +578,131 @@ def synth_html(
         "'</body></html>')"
     )
     return df.select(F.col(id_col), html.alias("html"))
+
+
+# shared boilerplate paragraphs injected by synth_paragraph_docs and
+# quoted verbatim by the paragraph-dedup oracle
+BOILERPLATE: tuple[str, str, str] = (
+    "subscribe to our newsletter for weekly updates",
+    "share this article on your favorite network",
+    "copyright the site all rights reserved",
+)
+COOKIE_LINE = "this site uses cookies accept to continue"
+
+
+def synth_paragraph_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic paragraph-structured fixture from ``(doc_id, text)``
+    — the crawl-page convention of :func:`synth_html`: the document text
+    split into two content paragraphs, with shared boilerplate
+    paragraphs interleaved (a rotating share/subscribe/copyright line by
+    ``doc_id % 3``, plus a cookie banner on even ids). The boilerplate
+    lines repeat across thousands of documents while the content
+    paragraphs stay unique — exactly the shape paragraph-level dedup
+    exists to clean. The SQL twin rebuilds the identical strings."""
+    boiler = (
+        F.when(F.pmod(F.col(id_col), F.lit(3)) == 0, F.lit(BOILERPLATE[0]))
+        .when(F.pmod(F.col(id_col), F.lit(3)) == 1, F.lit(BOILERPLATE[1]))
+        .otherwise(F.lit(BOILERPLATE[2]))
+    )
+    half = F.ceil(F.length(text_col) / 2).cast("int")
+    head = F.col(text_col).substr(F.lit(1), half)
+    tail = F.col(text_col).substr(half + F.lit(1), F.length(text_col))
+    text = F.concat(
+        head, F.lit("\n\n"), boiler, F.lit("\n\n"), tail,
+        F.when(F.pmod(F.col(id_col), F.lit(2)) == 0,
+               F.lit("\n\n" + COOKIE_LINE))
+        .otherwise(F.lit("")),
+    )
+    return df.select(F.col(id_col), text.alias(text_col))
+
+
+# --- unicode/whitespace normalization --------------------------------------
+
+# UTF-8-read-as-Windows-1252 mojibake pairs fixed by normalize_text: the
+# smart-quote/dash family (ftfy's most common fixes — public heuristic).
+# Pairs are (broken, fixed); applied via replace(), no regex. ASCII-escaped
+# so the source stays printable: "\u00e2\u20ac\u2122" is the 3-char mojibake
+# of the right single quote U+2019, etc.
+MOJIBAKE_FIXES: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "\u2019"),   # a-circ euro quote  -> \u2019
+    ("\u00e2\u20ac\u0153", "\u201c"),   # a-circ euro oe     -> \u201c
+    ("\u00e2\u20ac\u201c", "–"),   # a-circ euro dquote -> – (en dash)
+    ("\u00c2\u00a0", " "),              # A-circ NBSP        -> space
+)
+# C0 control characters stripped (tab/newline kept); NBSP mapped to space.
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+NBSP = "\u00a0"
+# rotating dirty tokens injected by synth_noisy_docs (mojibake of
+# "it's", quoted-open, en-dashed a-b, and a clean control) — shared with
+# the oracle so fixture and replay cannot diverge
+MOJI_TOKENS: tuple[str, str, str, str] = (
+    "it\u00e2\u20ac\u2122s",
+    "\u00e2\u20ac\u0153quoted",
+    "a\u00e2\u20ac\u201cb",
+    "clean",
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic text normalization: mojibake repair (the fixed
+    smart-quote family above), NBSP -> space, C0-control stripping
+    (tab/newline kept), horizontal-whitespace collapse, and trim.
+
+    The cleanup stage every public corpus pipeline runs before
+    tokenization (C4, CCNet, RefinedWeb all normalize whitespace and
+    strip control noise; ftfy is the reference mojibake fixer). Full
+    ICU NFC/NFKC normalization needs a unicode-tables library and is
+    the declared external-lib boundary (same policy as the JPEG/Opus
+    codecs in multimodal.py) — the fixed mojibake table and character
+    classes here ARE the deterministic, oracle-replayable subset.
+
+    Returns ``(id_col, norm_text, raw_chars, norm_chars)``.
+
+    Scale shape: a pure projection — chained ``replace``/``regexp``
+    expressions inside whole-stage codegen, no UDF, no shuffle.
+    """
+    c = F.col(text_col)
+    for broken, fixed in MOJIBAKE_FIXES:
+        c = F.replace(c, F.lit(broken), F.lit(fixed))
+    c = F.replace(c, F.lit(NBSP), F.lit(" "))
+    c = F.regexp_replace(c, CONTROL_RE, "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.trim(c)
+    return df.select(
+        F.col(id_col),
+        c.alias("norm_text"),
+        F.length(text_col).cast("long").alias("raw_chars"),
+        F.length(c).cast("long").alias("norm_chars"),
+    )
+
+
+def synth_noisy_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic dirty-text fixture: wraps each document with the
+    noise classes :func:`normalize_text` removes — leading/trailing
+    blanks, doubled inner spaces, a BEL control char, an NBSP, and a
+    rotating mojibake token by ``doc_id % 4`` (one of the smart-quote
+    family, or clean for %4==3). The SQL twin rebuilds the identical
+    strings via chr()/concat, so every fix is independently
+    replayable."""
+    moji = (
+        F.when(F.pmod(F.col(id_col), F.lit(4)) == 0, F.lit(MOJI_TOKENS[0]))
+        .when(F.pmod(F.col(id_col), F.lit(4)) == 1, F.lit(MOJI_TOKENS[1]))
+        .when(F.pmod(F.col(id_col), F.lit(4)) == 2, F.lit(MOJI_TOKENS[2]))
+        .otherwise(F.lit(MOJI_TOKENS[3]))
+    )
+    half = F.ceil(F.length(text_col) / 2).cast("int")
+    head = F.col(text_col).substr(F.lit(1), half)
+    tail = F.col(text_col).substr(half + F.lit(1), F.length(text_col))
+    noisy = F.concat(
+        F.lit("  "), head,
+        F.lit("  "), moji, F.lit(" "),
+        F.expr("chr(7)"), F.lit("x"), F.lit(NBSP),
+        tail, F.lit(" \t"),
+    )
+    return df.select(F.col(id_col), noisy.alias(text_col))

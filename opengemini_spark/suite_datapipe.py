@@ -3043,3 +3043,228 @@ def q_crawl_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(
         c3, budget=PACK_BUDGET, n_buckets=PACK_BUCKETS, counts=counts
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 late additions: crawl-front URL dedup, paragraph-level boilerplate
+# removal, deterministic text normalization, global training shuffle
+# ---------------------------------------------------------------------------
+
+from opengemini_spark.datapipe import web  # noqa: E402
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB expression rebuilding ``s`` exactly: printable-ASCII runs as
+    quoted literals, everything else as chr(codepoint) — so the oracle SQL
+    stays printable while replaying control/unicode bytes bit-exactly."""
+    parts: list[str] = []
+    run: list[str] = []
+
+    def flush() -> None:
+        if run:
+            parts.append("'" + "".join(run).replace("'", "''") + "'")
+            run.clear()
+
+    for ch in s:
+        if " " <= ch <= "~":
+            run.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+def _url_dedup_oracle() -> str:
+    """Independent replay of synth_urls + canonicalize + dedup: the
+    fixture variants are rebuilt by CASE arm, then fragment-stripped,
+    case/port-normalized, tracking-param-filtered, param-sorted, and
+    grouped — the same steps in the same order as web.canonicalize_urls."""
+    return """
+    WITH g AS (
+      SELECT doc_id, doc_id // 4 AS g, (doc_id // 4) % 7 AS site
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://site' || site || '.example.com/arts/item'
+                      || g || '?id=' || g || '&lang=en'
+          WHEN 1 THEN 'HTTPS://SITE' || site || '.Example.COM:443/arts/item'
+                      || g || '?id=' || g || '&lang=en#frag'
+          WHEN 2 THEN 'https://site' || site || '.example.com/arts/item'
+                      || g || '/?lang=en&id=' || g || '&utm_source=feed'
+          ELSE 'https://site' || site || '.example.com/arts/item'
+               || g || '?id=' || g || '&fbclid=x' || g || '&lang=en&ref=rss'
+        END AS url
+      FROM g
+    ),
+    nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u
+    ),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+        regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+      FROM nofrag
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://'
+        || (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END)
+        || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '')
+        || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, hostport, rest,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                      OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')
+                      OR p = ''))), '&') AS kept
+        FROM parts
+      )
+    )
+    SELECT min(doc_id) AS doc_id, canonical_url,
+           count(*) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@register("dedup_url_canonical", _url_dedup_oracle())
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web.url_dedup(
+        web.synth_urls(load_table(spark, sf_dir, "documents"))
+    )
+
+
+PARA_MAX_DOCS = 2
+_PARA_SEP_SQL = "chr(10) || chr(10)"
+
+
+def _paragraph_fixture_sql() -> str:
+    """SQL twin of text.synth_paragraph_docs."""
+    b0, b1, b2 = (_sql_str(b) for b in text.BOILERPLATE)
+    cookie = _sql_str(text.COOKIE_LINE)
+    return f"""
+      SELECT doc_id,
+        substr(text, 1, h) || {_PARA_SEP_SQL}
+        || (CASE doc_id % 3 WHEN 0 THEN {b0} WHEN 1 THEN {b1} ELSE {b2} END)
+        || {_PARA_SEP_SQL} || substr(text, h + 1)
+        || (CASE WHEN doc_id % 2 = 0
+                 THEN {_PARA_SEP_SQL} || {cookie} ELSE '' END) AS text
+      FROM (SELECT doc_id, text,
+                   CAST(ceil(length(text) / 2.0) AS INT) AS h
+            FROM documents)
+    """
+
+
+def _paragraph_dedup_oracle() -> str:
+    """Independent replay of paragraph dedup over the fixture: split on
+    the blank-line separator, census by paragraph string (the engine
+    groups on h60(para) — identical partitions for distinct strings),
+    drop paragraphs in more than PARA_MAX_DOCS distinct docs, rebuild."""
+    return f"""
+    WITH p AS MATERIALIZED ({_paragraph_fixture_sql()}),
+    split AS (
+      SELECT doc_id, string_split(text, {_PARA_SEP_SQL}) AS l FROM p
+    ),
+    paras AS MATERIALIZED (
+      SELECT doc_id, u.i - 1 AS pos, l[u.i] AS para
+      FROM split, unnest(generate_series(1, len(l))) AS u(i)
+    ),
+    census AS (
+      SELECT para, count(DISTINCT doc_id) AS nd FROM paras GROUP BY para
+    )
+    SELECT doc_id,
+      coalesce(string_agg(para, {_PARA_SEP_SQL} ORDER BY pos)
+               FILTER (WHERE nd <= {PARA_MAX_DOCS}), '') AS clean_text,
+      count(*) AS n_paras,
+      CAST(sum(CASE WHEN nd <= {PARA_MAX_DOCS} THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_removed
+    FROM paras JOIN census USING (para)
+    GROUP BY doc_id
+    """
+
+
+@register("dedup_paragraph", _paragraph_dedup_oracle())
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.paragraph_dedup(
+        text.synth_paragraph_docs(load_table(spark, sf_dir, "documents")),
+        max_docs=PARA_MAX_DOCS,
+    )
+
+
+def _normalize_oracle() -> str:
+    """Independent replay of synth_noisy_docs + normalize_text: the noisy
+    fixture is rebuilt with chr()/concat, then the SAME replace chain (in
+    the same order — a later pattern contains an earlier pattern's
+    output), control strip, whitespace collapse, trim."""
+    m0, m1, m2 = (_sql_str(m) for m in text.MOJI_TOKENS[:3])
+    noisy = f"""
+      SELECT doc_id,
+        '  ' || substr(text, 1, h) || '  '
+        || (CASE doc_id % 4 WHEN 0 THEN {m0} WHEN 1 THEN {m1}
+                            WHEN 2 THEN {m2} ELSE 'clean' END)
+        || ' ' || chr(7) || 'x' || chr(160)
+        || substr(text, h + 1) || ' ' || chr(9) AS text
+      FROM (SELECT doc_id, text,
+                   CAST(ceil(length(text) / 2.0) AS INT) AS h
+            FROM documents)
+    """
+    fix = "text"
+    for broken, fixed in text.MOJIBAKE_FIXES:
+        fix = f"replace({fix}, {_sql_str(broken)}, {_sql_str(fixed)})"
+    fix = f"replace({fix}, chr(160), ' ')"
+    fix = (
+        f"regexp_replace({fix},"
+        " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+    )
+    fix = f"trim(regexp_replace({fix}, '[ \\t]+', ' ', 'g'))"
+    return f"""
+    WITH noisy AS MATERIALIZED ({noisy})
+    SELECT doc_id,
+           {fix} AS norm_text,
+           CAST(length(text) AS BIGINT) AS raw_chars,
+           CAST(length({fix}) AS BIGINT) AS norm_chars
+    FROM noisy
+    """
+
+
+@register("text_normalize", _normalize_oracle())
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.normalize_text(
+        text.synth_noisy_docs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+SHUFFLE_SHARDS = 64
+SHUFFLE_SEED = 7
+
+
+def _global_shuffle_oracle() -> str:
+    """Independent replay of the deterministic shard shuffle: the same
+    seeded 60-bit md5 key, mod-shard, and per-shard rank."""
+    key = h60_seeded_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_SEED)
+    return f"""
+    WITH k AS (
+      SELECT doc_id, {key} AS shuffle_key FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % {SHUFFLE_SHARDS} AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY shuffle_key % {SHUFFLE_SHARDS}
+             ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos
+    FROM k
+    """
+
+
+@register("curate_global_shuffle", _global_shuffle_oracle())
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.global_shuffle(
+        load_table(spark, sf_dir, "documents"),
+        n_shards=SHUFFLE_SHARDS,
+        seed=SHUFFLE_SEED,
+    )

@@ -1307,3 +1307,133 @@ def test_kmeans_arrow_assign_bit_identical(spark, sf_dir):
         sorted(map(tuple, a_a.collect()))
     assert sorted(map(tuple, c_j.collect())) == \
         sorted(map(tuple, c_a.collect()))
+
+
+# --- r8 late additions: URL dedup, paragraph dedup, normalize, shuffle -----
+
+
+def test_url_canonicalize_merges_crawl_variants(spark):
+    from opengemini_spark.datapipe import web
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(8)], ["doc_id"]
+    )
+    canon = web.canonicalize_urls(web.synth_urls(base)).collect()
+    by_group = {}
+    for r in canon:
+        by_group.setdefault(r["doc_id"] // 4, set()).add(r["canonical_url"])
+    # all four variants of each group collapse to ONE canonical form
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    # distinct groups stay distinct
+    assert len({next(iter(s)) for s in by_group.values()}) == 2
+    c = next(iter(by_group[0]))
+    assert c == "https://site0.example.com/arts/item0?id=0&lang=en"
+
+
+def test_url_canonicalize_rules(spark):
+    from opengemini_spark.datapipe import web
+
+    rows = [
+        (1, "HTTP://Host.COM:80/a/b#frag"),
+        (2, "http://host.com/a/b"),
+        (3, "https://h.io/p/?b=2&a=1&utm_campaign=x&gclid=z"),
+        (4, "https://h.io/p?a=1&b=2"),
+        (5, "ftp://h.io:443/f"),  # non-http scheme: port kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r["canonical_url"]
+           for r in web.canonicalize_urls(df).collect()}
+    assert out[1] == out[2] == "http://host.com/a/b"
+    assert out[3] == out[4] == "https://h.io/p?a=1&b=2"
+    assert out[5] == "ftp://h.io:443/f"
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from opengemini_spark.datapipe import web
+
+    base = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    out = web.url_dedup(web.synth_urls(base)).collect()
+    assert len(out) == 3
+    assert sorted(r["doc_id"] for r in out) == [0, 4, 8]
+    assert all(r["n_variants"] == 4 for r in out)
+
+
+def test_paragraph_dedup_removes_boilerplate_keeps_content(spark):
+    rows = [
+        (1, "alpha beta\n\nshared boiler line\n\ngamma delta"),
+        (2, "epsilon zeta\n\nshared boiler line\n\neta theta"),
+        (3, "iota kappa\n\nshared boiler line\n\nlambda mu"),
+        (4, "unique only paragraph"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df, max_docs=2).collect()}
+    # the 3-doc boilerplate is removed from ALL docs (not first-kept)
+    assert out[1]["clean_text"] == "alpha beta\n\ngamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta\n\neta theta"
+    assert out[1]["n_removed"] == 1 and out[1]["n_paras"] == 3
+    # unique content untouched
+    assert out[4]["clean_text"] == "unique only paragraph"
+    assert out[4]["n_removed"] == 0
+
+
+def test_paragraph_dedup_all_boiler_doc_empties(spark):
+    rows = [(i, "the same line") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.paragraph_dedup(df, max_docs=2).collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_normalize_text_fixes_each_noise_class(spark):
+    nbsp = " "
+    rows = [
+        (1, "a  b"),                        # doubled space
+        (2, " lead and trail "),            # trim
+        (3, "bell\x07here"),                # control stripped
+        (4, f"nb{nbsp}sp"),                 # NBSP -> space
+        (5, "itâ€™s fine"),  # mojibake right-quote
+        (6, "keep\nnewline"),               # newline preserved
+        (7, "tab\tin"),                     # tab collapsed to space
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["norm_text"]
+           for r in text.normalize_text(df).collect()}
+    assert out[1] == "a b"
+    assert out[2] == "lead and trail"
+    assert out[3] == "bellhere"
+    assert out[4] == "nb sp"
+    assert out[5] == "it’s fine"
+    assert out[6] == "keep\nnewline"
+    assert out[7] == "tab in"
+
+
+def test_normalize_char_counts(spark):
+    df = spark.createDataFrame([(1, "  x  ")], ["doc_id", "text"])
+    r = text.normalize_text(df).collect()[0]
+    assert r["raw_chars"] == 5 and r["norm_chars"] == 1
+
+
+def test_global_shuffle_deterministic_and_balanced(spark):
+    from opengemini_spark.datapipe import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    a = corpus.global_shuffle(df, n_shards=16, seed=3).collect()
+    b = corpus.global_shuffle(df, n_shards=16, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert len(by_shard) == 16
+    sizes = [len(v) for v in by_shard.values()]
+    # md5 keys are uniform: no shard more than 2x the mean
+    assert max(sizes) < 2 * (2000 / 16)
+    # positions are a dense 1..n rank within each shard, ordered by key
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["shard_pos"])
+        assert [r["shard_pos"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys)
+    # a different seed produces a different order
+    c = corpus.global_shuffle(df, n_shards=16, seed=4).collect()
+    assert {(r["doc_id"], r["shard_id"]) for r in c} != {
+        (r["doc_id"], r["shard_id"]) for r in a
+    }
