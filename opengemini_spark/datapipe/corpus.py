@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from opengemini_spark.datapipe.hashing import (
+    FP_MOD,
     h60,
     h60_seeded,
     shingles_expr,
@@ -726,4 +727,51 @@ def global_shuffle(
         "shuffle_key",
         "shard_id",
         F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard content manifest for the deterministic shuffle: one row
+    per shard with ``(shard_id, n_docs, min_pos, max_pos, content_sum)``
+    where ``content_sum`` is the order-insensitive sum of the docs'
+    60-bit content hashes mod FP_MOD.
+
+    The integrity record a petabyte-scale pipeline writes next to every
+    shard: re-running the shuffle (any cluster size, any partitioning)
+    must reproduce the same manifest, and a reader can verify a shard
+    without trusting the writer. Order-insensitive by construction so
+    the check is independent of task scheduling; positions are covered
+    separately by the dense min/max (1..n_docs from
+    :func:`global_shuffle`).
+
+    Scale shape: the same single hash-partition shuffle as
+    :func:`global_shuffle` plus a 64-row aggregate — the manifest adds
+    nothing data-proportional. The content hash rides the shuffle-key
+    projection (no join back to the input: one shuffle total).
+    """
+    from pyspark.sql import Window
+
+    key = h60_seeded(F.col(id_col).cast("string"), seed)
+    base = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard_id"),
+        (h60(F.col(text_col)) % F.lit(FP_MOD)).alias("__ch"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return (
+        base.withColumn("shard_pos", F.row_number().over(w))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("shard_pos").cast("long").alias("min_pos"),
+            F.max("shard_pos").cast("long").alias("max_pos"),
+            (F.sum("__ch") % F.lit(FP_MOD)).cast("long").alias("content_sum"),
+        )
     )

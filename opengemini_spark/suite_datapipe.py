@@ -3268,3 +3268,40 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=SHUFFLE_SHARDS,
         seed=SHUFFLE_SEED,
     )
+
+
+def _shard_manifest_oracle() -> str:
+    """Independent replay of the shard manifest: same seeded key, same
+    mod-shard, same per-shard rank bounds and mod-FP_MOD content sum."""
+    key = h60_seeded_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_SEED)
+    ch = h60_sql("text")
+    return f"""
+    WITH k AS (
+      SELECT doc_id, {key} AS shuffle_key,
+             {ch} % {FP_MOD} AS ch
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ch,
+             shuffle_key % {SHUFFLE_SHARDS} AS shard_id,
+             row_number() OVER (
+               PARTITION BY shuffle_key % {SHUFFLE_SHARDS}
+               ORDER BY shuffle_key, doc_id) AS shard_pos
+      FROM k
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(min(shard_pos) AS BIGINT) AS min_pos,
+           CAST(max(shard_pos) AS BIGINT) AS max_pos,
+           CAST(sum(ch) % {FP_MOD} AS BIGINT) AS content_sum
+    FROM s GROUP BY shard_id
+    """
+
+
+@register("curate_shard_manifest", _shard_manifest_oracle())
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.shard_manifest(
+        load_table(spark, sf_dir, "documents"),
+        n_shards=SHUFFLE_SHARDS,
+        seed=SHUFFLE_SEED,
+    )

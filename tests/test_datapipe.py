@@ -1437,3 +1437,26 @@ def test_global_shuffle_deterministic_and_balanced(spark):
     assert {(r["doc_id"], r["shard_id"]) for r in c} != {
         (r["doc_id"], r["shard_id"]) for r in a
     }
+
+
+def test_shard_manifest_partitioning_invariant(spark):
+    """The manifest is identical regardless of input partitioning —
+    the property that makes it a cross-run integrity check."""
+    from opengemini_spark.datapipe import corpus
+
+    rows = [(i, f"doc number {i} body") for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text"])
+    df2 = df1.repartition(13)
+    m1 = sorted(map(tuple, corpus.shard_manifest(df1, n_shards=8).collect()))
+    m2 = sorted(map(tuple, corpus.shard_manifest(df2, n_shards=8).collect()))
+    assert m1 == m2
+    assert sum(r[1] for r in m1) == 300          # every doc in a shard
+    assert all(r[2] == 1 and r[3] == r[1] for r in m1)  # dense positions
+    # a changed doc body changes exactly that shard's content_sum
+    rows2 = rows[:]
+    rows2[7] = (7, "tampered body")
+    m3 = sorted(map(tuple, corpus.shard_manifest(
+        spark.createDataFrame(rows2, ["doc_id", "text"]), n_shards=8
+    ).collect()))
+    diff = [i for i, (a, b) in enumerate(zip(m1, m3)) if a != b]
+    assert len(diff) == 1

@@ -314,3 +314,65 @@ def test_stream_score_nb_classifier(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert streamed == batch
+
+
+def test_stream_url_canonicalize_normalize(spark, tmp_path):
+    """The r8 crawl-front operators are stream-safe: canonicalize_urls
+    and normalize_text are pure projections (no state), so a documents
+    readStream flows through both in append mode, and URL-level dedup
+    composes with dropDuplicates on the canonical key. Streamed output
+    equals the batch output row for row."""
+    from opengemini_spark.datapipe import text as dtext
+    from opengemini_spark.datapipe import web
+
+    rows = [(i, "alpha  beta\x07 gamma") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_urls = web.canonicalize_urls(web.synth_urls(docs))
+    batch_norm = dtext.normalize_text(docs)
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    docs.write.parquet(str(src_dir / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src_dir / "*")
+    )
+
+    canon = web.canonicalize_urls(web.synth_urls(stream))
+    assert canon.isStreaming
+    norm = dtext.normalize_text(stream)
+    assert norm.isStreaming
+
+    deduped = canon.dropDuplicates(["canonical_url"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # 8 docs = 2 canonical groups of 4 variants -> 2 survivors
+    assert out.count() == 2
+    assert set(r["canonical_url"] for r in out.collect()) == set(
+        r["canonical_url"] for r in batch_urls.collect()
+    )
+
+    q2 = (
+        norm.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r["norm_text"]
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert streamed == {
+        r["doc_id"]: r["norm_text"] for r in batch_norm.collect()
+    }
+    assert streamed[0] == "alpha beta gamma"
