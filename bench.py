@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_paragraph",
     "text_normalize",
     "curate_global_shuffle",
+    "curate_shard_manifest",
 ]
 
 
