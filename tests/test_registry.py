@@ -33,7 +33,14 @@ def test_priority_window_matches_round8_rotation():
         for k in json.loads(f.read_text()):
             latest[k] = max(latest.get(k, 0), rnd)
     never = set(suite.queries()) - set(latest)
-    assert never <= window, sorted(never - window)
+    # first verdicts outrank rotation — except entries registered AFTER
+    # the r8 window froze, which are declared in suite.R9_FIRST and lead
+    # the next round's window (they carry local gate + pytest meanwhile)
+    assert never <= window | set(suite.R9_FIRST), sorted(
+        never - window - set(suite.R9_FIRST)
+    )
+    assert not (set(suite.R9_FIRST) & window), "R9_FIRST entries must not double-book r8 slots"
+    assert set(suite.R9_FIRST) <= set(suite.queries())
     # changed oracle/code this round → must be re-verdicted
     for name in (
         "text_extract_html_blocks", "text_extract_html_clean",
