@@ -53,25 +53,31 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    def timed_noop(df, tag: str) -> tuple[float, int]:
+        """noop-sink timing (count() alone lets Catalyst prune expensive
+        derived output columns — span-rebuild entries measured 10-40x too
+        fast). The row count rides the write as an Observation: a count()
+        AFTER the write would re-execute the whole unpersisted plan inside
+        the shuffle snapshot window and ~2x-inflate the recorded shuffle
+        (the r8 paragraph-harness finding)."""
+        obs = Observation(tag)
+        t0 = time.time()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0, int(obs.get["rows"])
+
     qs = suite.queries()
     out: dict[str, dict] = {}
-    for name in names:
+    for i, name in enumerate(names):
         fn = qs[name]
         fn(spark, "/root/testdata/sf0.001").count()      # warm
-        # noop-sink timing: count() lets Catalyst prune expensive
-        # derived output columns (span-rebuild entries measured 10-40x
-        # too fast); the noop sink materializes the full output
-        t0 = time.time()
-        df1 = fn(spark, "/root/testdata/sf0.1")
-        df1.write.format("noop").mode("overwrite").save()
-        w1 = time.time() - t0
-        n1 = df1.count()
+        w1, n1 = timed_noop(fn(spark, "/root/testdata/sf0.1"), f"a{i}")
         s0 = shuffle_bytes("http://localhost:4048")
-        t0 = time.time()
-        df100 = fn(spark, "/tmp/sf10synth")
-        df100.write.format("noop").mode("overwrite").save()
-        w100 = time.time() - t0
-        n100 = df100.count()
+        w100, n100 = timed_noop(fn(spark, "/tmp/sf10synth"), f"b{i}")
         sh = (shuffle_bytes("http://localhost:4048") - s0) / 1e6
         out[name] = {
             "sf0.1_wall_sec": round(w1, 2), "sf0.1_rows": n1,
