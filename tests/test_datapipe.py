@@ -1460,3 +1460,45 @@ def test_shard_manifest_partitioning_invariant(spark):
     ).collect()))
     diff = [i for i, (a, b) in enumerate(zip(m1, m3)) if a != b]
     assert len(diff) == 1
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canonicalize(canonicalize(url)) == canonicalize(url): the canonical
+    form is a fixed point, so the op is safe to re-run mid-pipeline."""
+    from opengemini_spark.datapipe import web
+
+    rows = [(i,) for i in range(64)]
+    urls = web.synth_urls(spark.createDataFrame(rows, ["doc_id"]))
+    once = web.canonicalize_urls(urls).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = web.canonicalize_urls(once)
+    diff = twice.filter(F.col("canonical_url") != F.col("url")).count()
+    assert diff == 0
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) over every fixture noise
+    class — re-running the cleanup stage must be a no-op."""
+    base = spark.createDataFrame(
+        [(i, f"word{i} text body sample") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    noisy = text.synth_noisy_docs(base)
+    once = text.normalize_text(noisy).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    twice = text.normalize_text(once)
+    diff = twice.filter(F.col("norm_text") != F.col("text")).count()
+    assert diff == 0
+
+
+def test_paragraph_dedup_idempotent_when_clean(spark):
+    """A corpus with no over-threshold paragraphs passes through
+    unchanged (clean_text == text, n_removed == 0)."""
+    rows = [(i, f"unique alpha {i}\n\nunique beta {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.paragraph_dedup(df, max_docs=2)
+    joined = out.join(df, "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+    assert joined.filter(F.col("n_removed") != 0).count() == 0
