@@ -146,6 +146,7 @@ HEADLINE = [
     "text_normalize",
     "curate_global_shuffle",
     "curate_shard_manifest",
+    "curate_hash_split",
 ]
 
 

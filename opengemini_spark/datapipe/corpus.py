@@ -775,3 +775,50 @@ def shard_manifest(
             (F.sum("__ch") % F.lit(FP_MOD)).cast("long").alias("content_sum"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, int] | None = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    ``fractions`` maps split name -> basis points (must sum to 10000);
+    default ``{"train": 9800, "val": 100, "test": 100}``. A doc's
+    bucket is ``h60(seed|id) % 10000`` and splits own contiguous
+    bucket ranges in the dict's order.
+
+    The property that matters (and why this is not ``row_number() %
+    k``): a document's split depends ONLY on ``(seed, id)`` — never on
+    which other rows are present — so the assignment is stable under
+    corpus growth, re-sharding, and incremental ingest; yesterday's
+    val doc can never silently migrate into train. Integer basis
+    points make every boundary decision exact for the oracle replay.
+
+    Returns ``(id_col, bucket, split)``.
+
+    Scale shape: a pure projection (hash + range CASE), no shuffle —
+    the split column is free to compute at read time forever after.
+    """
+    if fractions is None:
+        fractions = {"train": 9800, "val": 100, "test": 100}
+    if sum(fractions.values()) != 10000:
+        raise ValueError(
+            f"fractions must sum to 10000 basis points, got {fractions}"
+        )
+    bucket = F.pmod(
+        h60_seeded(F.col(id_col).cast("string"), seed), F.lit(10000)
+    ).cast("long")
+    out = df.select(F.col(id_col), bucket.alias("bucket"))
+    expr = None
+    lo = 0
+    for name, bp in fractions.items():
+        hi = lo + bp
+        cond = (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+        lo = hi
+    return out.select(id_col, "bucket", expr.alias("split"))

@@ -905,14 +905,15 @@ PRIORITY: tuple[str, ...] = (
 # committed to first-verdicts + changed-semantics re-verdicts + the COMPLETE
 # r4-era freshness tail — the r7 verdict's top ask). These late additions
 # are covered by the local gate + pytest this round and are scheduled FIRST
-# in the r9 window (5 newcomers + the 44 r5-era-latest entries + 1 rotation
-# fill = 50). test_registry.py machine-checks this promise.
+# in the r9 window (6 newcomers + the 44 r5-era-latest entries = 50).
+# test_registry.py machine-checks this promise.
 R9_FIRST: tuple[str, ...] = (
     "dedup_url_canonical",
     "dedup_paragraph",
     "text_normalize",
     "curate_global_shuffle",
     "curate_shard_manifest",
+    "curate_hash_split",
 )
 
 

@@ -3305,3 +3305,34 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=SHUFFLE_SHARDS,
         seed=SHUFFLE_SEED,
     )
+
+
+SPLIT_FRACTIONS = (("train", 9800), ("val", 100), ("test", 100))
+
+
+def _hash_split_oracle() -> str:
+    """Independent replay of the hash split: same seeded bucket, same
+    contiguous basis-point ranges in declaration order."""
+    key = h60_seeded_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_SEED)
+    arms, lo = [], 0
+    for name, bp in SPLIT_FRACTIONS:
+        hi = lo + bp
+        arms.append(f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'")
+        lo = hi
+    case = "CASE " + " ".join(arms) + " END"
+    return f"""
+    WITH b AS (
+      SELECT doc_id, {key} % 10000 AS bucket FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, {case} AS split
+    FROM b
+    """
+
+
+@register("curate_hash_split", _hash_split_oracle())
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.hash_split(
+        load_table(spark, sf_dir, "documents"),
+        fractions=dict(SPLIT_FRACTIONS),
+        seed=SHUFFLE_SEED,
+    )

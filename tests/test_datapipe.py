@@ -1502,3 +1502,32 @@ def test_paragraph_dedup_idempotent_when_clean(spark):
     joined = out.join(df, "doc_id")
     assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
     assert joined.filter(F.col("n_removed") != 0).count() == 0
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A doc's split depends only on (seed, id): adding new docs never
+    migrates an existing doc between splits — the property row_number-
+    based splitting lacks."""
+    from opengemini_spark.datapipe import corpus
+
+    small = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    big = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    f = {"train": 9000, "val": 500, "test": 500}
+    a = {r["doc_id"]: r["split"]
+         for r in corpus.hash_split(small, f, seed=3).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in corpus.hash_split(big, f, seed=3).collect()}
+    assert all(b[i] == a[i] for i in a)          # no migration
+    from collections import Counter
+    c = Counter(b.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 8 * (c["val"] + c["test"])   # roughly proportional
+
+
+def test_hash_split_validates_fractions(spark):
+    from opengemini_spark.datapipe import corpus
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with _pytest.raises(ValueError):
+        corpus.hash_split(df, {"train": 5000, "val": 100})
