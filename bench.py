@@ -147,6 +147,7 @@ HEADLINE = [
     "curate_global_shuffle",
     "curate_shard_manifest",
     "curate_hash_split",
+    "curate_pack_shuffled",
 ]
 
 

@@ -822,3 +822,70 @@ def hash_split(
         )
         lo = hi
     return out.select(id_col, "bucket", expr.alias("split"))
+
+
+def pack_shuffled(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Sequence packing in DETERMINISTIC-SHUFFLE order — the actual
+    training layout: :func:`global_shuffle` fixes a reproducible random
+    order, then each shard packs contiguously by cumulative token count
+    (same budget rule as :func:`pack_sequences`, whose id-order layout
+    is the ingest-side form).
+
+    Output ``(doc_id, shard_id, seq_id, seq_offset, n_subwords)``;
+    ``seq_id`` is globally unique (shard-prefixed). ``counts`` as in
+    :func:`pack_sequences` (pass BPE counts for token-exact budgets).
+
+    Scale shape: ONE hash-partition shuffle on shard_id; the running
+    sum is a per-shard window in shuffle-key order (shards are the
+    parallelism unit — no global sort, uniform md5 keys, no skew).
+    """
+    from pyspark.sql import Window
+
+    shuffled = global_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    if counts is not None:
+        sized = counts.select(
+            F.col(id_col), F.col("n_subwords").cast("long").alias("n_subwords")
+        )
+    else:
+        sized = df.select(
+            F.col(id_col), tokens_expr(text_col).alias("__toks")
+        ).select(
+            id_col,
+            F.expr(
+                "aggregate(__toks, 0L, "
+                "(acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
+            ).alias("n_subwords"),
+        )
+    laid = shuffled.join(sized, id_col, "left").select(
+        id_col,
+        "shard_id",
+        "shuffle_key",
+        F.coalesce(F.col("n_subwords"), F.lit(0)).cast("long").alias(
+            "n_subwords"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = laid.withColumn(
+        "pre_sum", F.coalesce(F.sum("n_subwords").over(w), F.lit(0))
+    )
+    return pre.select(
+        id_col,
+        F.col("shard_id").cast("long").alias("shard_id"),
+        (F.col("shard_id") * 1_000_000_000 + F.floor(F.col("pre_sum") / budget))
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("pre_sum") % budget).cast("long").alias("seq_offset"),
+        "n_subwords",
+    )

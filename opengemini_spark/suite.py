@@ -905,7 +905,8 @@ PRIORITY: tuple[str, ...] = (
 # committed to first-verdicts + changed-semantics re-verdicts + the COMPLETE
 # r4-era freshness tail — the r7 verdict's top ask). These late additions
 # are covered by the local gate + pytest this round and are scheduled FIRST
-# in the r9 window (6 newcomers + the 44 r5-era-latest entries = 50).
+# in the r9 window (7 newcomers + 43 of the 44 r5-era-latest entries = 50;
+# the one deferred rotation slot carries to r10).
 # test_registry.py machine-checks this promise.
 R9_FIRST: tuple[str, ...] = (
     "dedup_url_canonical",
@@ -914,6 +915,7 @@ R9_FIRST: tuple[str, ...] = (
     "curate_global_shuffle",
     "curate_shard_manifest",
     "curate_hash_split",
+    "curate_pack_shuffled",
 )
 
 

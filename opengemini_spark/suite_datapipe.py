@@ -3336,3 +3336,45 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions=dict(SPLIT_FRACTIONS),
         seed=SHUFFLE_SEED,
     )
+
+
+def _pack_shuffled_oracle() -> str:
+    """Independent replay of shuffle-order packing: seeded key ->
+    shard -> running 4-chars-per-token subword sum in key order ->
+    budget boundaries. Uses the whitespace-token budget (the BPE
+    composition is covered by curate_pack_sequences_bpe)."""
+    key = h60_seeded_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_SEED)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {key} AS k,
+             {key} % {SHUFFLE_SHARDS} AS shard_id,
+             (SELECT coalesce(sum(CAST(ceil(length(t) / 4.0) AS BIGINT)), 0)
+              FROM unnest({tokens_sql('text')}) AS u(t)) AS n_subwords
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, shard_id, n_subwords,
+             coalesce(sum(n_subwords) OVER (
+               PARTITION BY shard_id ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre_sum
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(shard_id * 1000000000 + pre_sum // {PACK_BUDGET} AS BIGINT)
+             AS seq_id,
+           CAST(pre_sum % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+           CAST(n_subwords AS BIGINT) AS n_subwords
+    FROM pre
+    """
+
+
+@register("curate_pack_shuffled", _pack_shuffled_oracle())
+def q_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_shuffled(
+        load_table(spark, sf_dir, "documents"),
+        budget=PACK_BUDGET,
+        n_shards=SHUFFLE_SHARDS,
+        seed=SHUFFLE_SEED,
+    )

@@ -1531,3 +1531,37 @@ def test_hash_split_validates_fractions(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with _pytest.raises(ValueError):
         corpus.hash_split(df, {"train": 5000, "val": 100})
+
+
+def test_pack_shuffled_layout_properties(spark):
+    """Shuffle-order packing: offsets restart at budget boundaries in
+    shuffle-key order, every doc appears exactly once, and the layout
+    is reproducible."""
+    from opengemini_spark.datapipe import corpus
+
+    rows = [(i, "alpha beta gamma delta " * (1 + i % 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = corpus.pack_shuffled(df, budget=64, n_shards=8, seed=5).collect()
+    b = corpus.pack_shuffled(df, budget=64, n_shards=8, seed=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 400 and len({r["doc_id"] for r in a}) == 400
+    assert all(0 <= r["seq_offset"] < 64 for r in a)
+    # within a shard, seq_id is nondecreasing in shuffle order and the
+    # packing is contiguous: each doc's offset equals the previous
+    # doc's offset + count unless a budget boundary intervened
+    from opengemini_spark.datapipe.corpus import global_shuffle
+
+    order = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+             for r in global_shuffle(df, n_shards=8, seed=5).collect()}
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: order[r["doc_id"]][1])
+        run = 0
+        for r in rs:
+            assert r["seq_offset"] == run % 64 or r["seq_offset"] == 0
+            if r["seq_offset"] == 0 and run % 64 != 0:
+                run = 0           # budget boundary: sequence restarted
+            assert r["seq_id"] // 1_000_000_000 == shard
+            run += r["n_subwords"]
