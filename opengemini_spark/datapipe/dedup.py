@@ -88,7 +88,11 @@ def doc_shingles_raw(
     collision matches). No shuffle happens here.
     """
     return (
-        parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        # keyed by id: the signature groupBy(id) / per-doc distinct that
+        # every consumer runs next is satisfied by HashPartitioning(id),
+        # so the explode→hash→aggregate chain pipelines with no further
+        # exchange (local-split guard only — no-op at production scale)
+        parallelize_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(id_col, F.explode(F.expr(shingles_expr("__toks", k))).alias("__s"))
         .select(id_col, h60(F.col("__s")).alias("sh"))
@@ -271,7 +275,9 @@ def simhash(
     Bit i is set iff the token-frequency-weighted ±1 vote of hash-bit i is
     ≥ 0. One explode + one aggregate with 32 conditional sums.
     """
-    toks = parallelize_scan(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = parallelize_scan(
+        df.select(F.col(id_col), F.col(text_col)), by=id_col
+    ).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     ).withColumn("h", h60(F.col("tok")))
     votes = [

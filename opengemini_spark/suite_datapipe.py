@@ -2567,7 +2567,7 @@ def _rx(pat: str) -> str:
 
 
 def _html_block_text_sql(x: str) -> str:
-    stripped = f"regexp_replace({x}, {_rx(text.HTML_TAG_RE)}, ' ', 'g')"
+    stripped = f"regexp_replace({x}, {_rx(text.HTML_TAG_RE_RE2)}, ' ', 'g')"
     decoded = _html_entity_decode_sql(stripped)
     return f"trim(regexp_replace({decoded}, '{text.HTML_WS_RE}', ' ', 'g'))"
 
@@ -2577,22 +2577,22 @@ def _extract_blocks_prefix_sql() -> str:
     stop_list = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
     cleaned = (
         f"regexp_replace(regexp_replace(regexp_replace(html,"
-        f" {_rx(text.HTML_SCRIPT_RE)}, ' ', 'g'),"
-        f" {_rx(text.HTML_STYLE_RE)}, ' ', 'g'),"
+        f" {_rx(text.HTML_SCRIPT_RE_RE2)}, ' ', 'g'),"
+        f" {_rx(text.HTML_STYLE_RE_RE2)}, ' ', 'g'),"
         f" '{text.HTML_COMMENT_RE}', ' ', 'g')"
     )
     # coalesce: DuckDB's array_to_string returns NULL for an empty list
     # (Spark's array_join returns ''), and NULL would poison link_milli
     link_raw = (
         "coalesce(array_to_string("
-        f"regexp_extract_all(blk, {_rx(text.HTML_LINK_RE)}, 1), ' '), '')"
+        f"regexp_extract_all(blk, {_rx(text.HTML_LINK_RE_RE2)}, 1), ' '), '')"
     )
     return f"""
     WITH pages AS (
       SELECT doc_id, {_synth_html_sql('text')} AS html FROM documents
     ), split AS (
       SELECT doc_id,
-             string_split_regex({cleaned}, {_rx(text.HTML_BLOCK_SPLIT_RE)}) AS arr
+             string_split_regex({cleaned}, {_rx(text.HTML_BLOCK_SPLIT_RE_RE2)}) AS arr
       FROM pages
     ), rawblk AS (
       SELECT doc_id, p AS pos, arr[p] AS blk
