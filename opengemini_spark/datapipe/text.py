@@ -39,7 +39,13 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     divided by 4 rounded up per token (the classic ~4-chars-per-BPE-token
     heuristic), computed exactly so the oracle can reproduce it.
     """
-    return df.select(
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread (see quality_score): the per-token aggregate
+    # lambda is the cost; single-split local scans run it on one core
+    return parallelize_scan(
+        df.select(F.col(id_col), F.col(text_col)), by=id_col
+    ).select(
         F.col(id_col),
         tokens_expr(text_col).alias("__toks"),
     ).select(
@@ -63,11 +69,20 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     is bit-identical across engines/re-runs — no float rounding boundary
     can flip it, which matters for reproducible corpus curation.
     """
+    from opengemini_spark.catalog import parallelize_scan
+
     toks = tokens_expr(text_col)
     stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in stop_all) + ")"
+    # keyed scan spread: the score is a pure per-row projection, but the
+    # stopword filter + length lambdas are CPU-heavy and the single-split
+    # test parquet would run them on one core; keyed (not round-robin) so
+    # downstream doc_id joins/aggregates can reuse the partitioning and a
+    # keyless repartition's sort-before-repartition pass is avoided
     d = (
-        df.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
+        parallelize_scan(
+            df.select(F.col(id_col), F.col(text_col)), by=id_col
+        ).select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
         .withColumn("nc", F.length(text_col).cast("long"))
         .withColumn("nt", F.greatest(F.size("__toks"), F.lit(1)).cast("long"))
         .withColumn(
@@ -107,7 +122,13 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     hits everywhere → 'und'. (A production system would use char-n-gram
     profiles; the hit-count argmax structure is identical.)
     """
-    d = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread (see quality_score): per-row stopword filters per
+    # language are the cost; single-split local scans run them on one core
+    d = parallelize_scan(
+        df.select(F.col(id_col), F.col(text_col)), by=id_col
+    ).select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     for lang, words in LANG_STOPWORDS.items():
         arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
         d = d.withColumn(
@@ -513,7 +534,16 @@ def extract_blocks(
         ),
         HTML_COMMENT_RE, " ",
     )
-    raw = df.select(
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread: every downstream reduction is doc-keyed (the
+    # block_idx window partitions by id; extract_text's groupBy(id) too),
+    # so HashPartitioning(id) lets the whole regex-heavy strip → split →
+    # per-block signal chain pipeline into the window with no further
+    # exchange (local-split guard only — no-op at production scale)
+    raw = parallelize_scan(
+        df.select(F.col(id_col), F.col(html_col)), by=id_col
+    ).select(
         F.col(id_col),
         F.posexplode(F.split(cleaned, HTML_BLOCK_SPLIT_RE)).alias(
             "__pos", "__blk"

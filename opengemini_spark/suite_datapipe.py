@@ -3009,8 +3009,19 @@ def _crawl_pack_oracle() -> str:
 @register("e2e_crawl_corpus_pack", _crawl_pack_oracle())
 def q_crawl_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    clean = text.extract_text(text.synth_html(docs)).filter(
-        F.col("clean_text") != ""
+    # localCheckpoint: the regex-heavy extraction is the pipeline's most
+    # expensive map stage and EVERY later stage's lineage contains it —
+    # the exact-dedup self-join doubles it, the anti-join doubles that,
+    # and the quality join doubles that again, so the uncheckpointed plan
+    # re-executed extraction ~6x per run and carried 21 copies of its
+    # subtree (1.7 MB formatted plan, 1087 Exchange nodes — planning
+    # itself was a cost; guide §3.3). Materializing it once truncates
+    # lineage for every consumer. Within-run only: recomputed from
+    # parquet on every invocation.
+    clean = (
+        text.extract_text(text.synth_html(docs))
+        .filter(F.col("clean_text") != "")
+        .localCheckpoint()
     )
     # exact dedup: keep the min doc_id per distinct clean text
     keep = dedup.exact_dedup(clean, text_col="clean_text").select("doc_id")
@@ -3027,14 +3038,14 @@ def q_crawl_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_bp") >= CRAWL_QGATE)
         .select("doc_id")
     )
-    # persist the surviving corpus: THREE consumers follow (the BPE
+    # materialize the surviving corpus: THREE consumers follow (the BPE
     # trainer's vocab collect, the encode join, and the pack layout),
     # each of which would otherwise re-execute the whole extraction ->
-    # dedup -> quality lineage. Measured: neutral at sf0.1 (recompute
-    # is cheap at 5k docs), -32% wall at 10x (51.7 -> 35.0 s) and
-    # growing with scale — the standard materialization point between
-    # pipeline stages. The trainer's collect populates the cache.
-    c3 = c2.join(kept, "doc_id").persist()
+    # dedup -> quality lineage. r8 used persist() (-32% wall at 10x);
+    # r9 switches to localCheckpoint, which additionally TRUNCATES the
+    # lineage so the three consumers plan against a leaf instead of
+    # re-optimizing the full pipeline subtree each (guide §3.3).
+    c3 = c2.join(kept, "doc_id").localCheckpoint()
     # BPE-budgeted packing over the surviving corpus
     _, vocab = bpe_mod.bpe_train_local_full(c3)
     counts = bpe_mod.bpe_encode_vocab(c3, vocab).select(

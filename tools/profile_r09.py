@@ -30,6 +30,7 @@ def main() -> None:
     out_dir = "plans/r09"
     suffix = "before"
     n_rep = 3
+    out_path: str | None = None
     names: list[str] = []
     i = 0
     while i < len(args):
@@ -42,9 +43,21 @@ def main() -> None:
         elif args[i] == "--n":
             n_rep = int(args[i + 1])
             i += 2
+        elif args[i] == "--out":
+            # results file: stdout gets interleaved with the Spark console
+            # progress bar's \r frames, which can glue a result line onto
+            # spinner text and defeat line-oriented postprocessing
+            out_path = args[i + 1]
+            i += 2
         else:
             names.append(args[i])
             i += 1
+
+    def emit(line: str) -> None:
+        print(line)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(line + "\n")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile_r09")
@@ -98,7 +111,7 @@ def main() -> None:
                 unpersist_lsh_caches()
                 spark.catalog.clearCache()
             med = statistics.median(walls)
-            print(
+            emit(
                 f"{name}: median={med:.3f}s reps="
                 + ",".join(f"{w:.3f}" for w in walls)
             )
