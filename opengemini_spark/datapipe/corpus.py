@@ -45,10 +45,18 @@ from opengemini_spark.datapipe.hashing import (
 def _shingle_hashes(
     df: DataFrame, k: int, id_alias: str, text_col: str, id_col: str
 ) -> DataFrame:
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed by id (r9): the per-doc distinct clusters on (id, sh), which
+    # HashPartitioning(id) satisfies — the explode → hash → distinct
+    # chain pipelines after one keyed exchange of the compact rows
+    # (local-split guard only; no-op at production scale)
     return (
-        df.select(
-            F.col(id_col).alias(id_alias), tokens_expr(text_col).alias("__toks")
+        parallelize_scan(
+            df.select(F.col(id_col).alias(id_alias), F.col(text_col)),
+            by=id_alias,
         )
+        .select(id_alias, tokens_expr(text_col).alias("__toks"))
         .select(
             id_alias,
             F.explode(F.expr(shingles_expr("__toks", k))).alias("__s"),
@@ -637,8 +645,10 @@ def span_decontaminate(
     """
     from opengemini_spark.catalog import parallelize_scan
 
+    # keyed by id (r9): covered-distinct, anti-join, rebuild and the
+    # final size join are all (id, ...)-keyed — one keyed exchange total
     toks = (
-        parallelize_scan(train.select(F.col(id_col), F.col(text_col)))
+        parallelize_scan(train.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     )
     occ = toks.select(

@@ -371,8 +371,12 @@ def span_dedup(
     salting is needed; at 100 TB the census shuffle dominates and
     partitions by hash evenly.
     """
+    # keyed by id (r9): the covered-position distinct on (id, pos), the
+    # anti-join on (id, pos), the rebuild groupBy(id) and the final size
+    # join are ALL satisfied by HashPartitioning(id), so only the span
+    # census pays its own (unavoidable, uniform) sh-keyed shuffle
     toks = (
-        parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        parallelize_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     )
     occ = toks.select(
@@ -466,8 +470,11 @@ def paragraph_dedup(
     aggregates partial counts only, and the tiny census broadcasts back
     to the paragraph frame (100×: 5.3× wall, SCALE100_r08).
     """
+    # keyed by id (r9): the census broadcasts back (tiny), so with
+    # HashPartitioning(id) on the paragraph frame the final groupBy(id)
+    # rebuild needs no exchange of its own
     paras = (
-        parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        parallelize_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(
             id_col,
             F.posexplode(F.split(F.col(text_col), PARA_SEP)).alias(

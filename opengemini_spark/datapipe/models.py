@@ -43,7 +43,16 @@ def _features(
 ) -> DataFrame:
     """One row per feature occurrence: unigrams + word bigrams, hashed
     into ``QC_DIM`` buckets. Multiplicity is kept (multinomial model)."""
-    toks = docs.select(
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread (r9): the unigram+bigram explode and two md5
+    # hashes per feature are the map cost; scoring's per-doc aggregate is
+    # id-keyed (training's bucket aggregate collapses map-side whatever
+    # the partitioning). Local-split guard only; no-op at production scale.
+    toks = parallelize_scan(
+        docs.select(F.col(id_col), F.col(label_col), F.col(text_col)),
+        by=id_col,
+    ).select(
         F.col(id_col), F.col(label_col).alias("__y"),
         tokens_expr(text_col).alias("__t"),
     )

@@ -55,6 +55,11 @@ def bm25_search(
     a literal array prunes everything else scan-side; the final top-k is
     a tiny sorted window.
     """
+    # (r9 note: a keyed parallelize_scan here was A/B'd and REVERTED —
+    # bm25's tokenize is light and the tf aggregate runs on the tiny
+    # post-filter hit set, so the spread bought nothing and its exchange
+    # cost ~+0.4 s per call at sf0.1, visible as rrf_fusion's 4 legs
+    # going 1.67 -> 3.2 s)
     toks = docs.select(
         F.col(id_col), tokens_expr(text_col).alias("__toks")
     ).withColumn("dl", F.size("__toks").cast("long"))
@@ -141,7 +146,13 @@ def lm_perplexity(
     codegen — the classic "score 100 TB against its own LM" pass is
     three hash aggregates, no UDF.
     """
-    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread (r9): the bigram posexplode is the map cost and
+    # the final per-doc fold groups on id
+    toks = parallelize_scan(
+        docs.select(F.col(id_col), F.col(text_col)), by=id_col
+    ).select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     big = toks.select(
         F.col(id_col),
         F.posexplode(
@@ -152,6 +163,11 @@ def lm_perplexity(
         ).alias("pos", "bg"),
     ).select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # (r9 note: deriving C(w1) = Σ_w2 C(w1,w2) from c2 was A/B'd and
+    # REVERTED — without materializing c2 it re-runs the bigram explode
+    # AND adds a second aggregate, measured 2.34 -> 3.81 s at sf0.1;
+    # the direct head-keyed count below shares the scan via exchange
+    # reuse instead)
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.select(F.explode("__toks").alias("t")).agg(
         F.countDistinct("t").alias("v")
@@ -203,7 +219,12 @@ def tfidf_keywords(
     per-doc top-k window. All codegen'd; the window input is one row per
     distinct (doc, term).
     """
-    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread (r9): the tf aggregate clusters on (id, term)
+    toks = parallelize_scan(
+        docs.select(F.col(id_col), F.col(text_col)), by=id_col
+    ).select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     tf = (
         toks.select(F.col(id_col), F.explode("__toks").alias("term"))
         .groupBy(id_col, "term")

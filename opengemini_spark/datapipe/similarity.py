@@ -49,12 +49,58 @@ def unpersist_lsh_caches() -> None:
         _LSH_SIG_CACHE.pop().unpersist()
 
 
+# Literal-chain dot fast path, used ONLY at bulk pair-scan sites (the
+# SemDeDup within-cell scan and the LSH rerank): higher-order functions
+# (aggregate/zip_with) evaluate INTERPRETED inside whole-stage codegen
+# (~10 µs per 64-dim pair), while an explicit left-fold expression tree
+# codegens to straight-line double arithmetic. The chain
+# ((...(0D + t1) + t2)...) adds the same doubles in the same order as the
+# fold, so the result is bit-identical and every oracle replays
+# unchanged. The r9 A/B showed WHERE each form wins: the chain cut the
+# SemDeDup pair stage (~cell²·k rows amortize one codegen compile) but
+# REGRESSED IVF-PQ 2.5x and cosine_topk 2.4x at sf0.1 — those queries run
+# many small jobs (per-iteration checkpoints, LUT builds) and each job
+# re-pays analysis + janino compile of the ~140-term tree on tiny data
+# (plan text 25.7 KB -> 179 KB). So `_dot` stays the interpreted fold and
+# `_dot_chain` opts in per site where the row volume is pair-scan-shaped.
+# Dims: 64 = the embedding fixture; other lengths fall back to the fold,
+# so the operators stay dim-general.
+_DOT_CHAIN_DIMS = (64,)
+
+
+def _chain(terms) -> str:
+    out = "0D"
+    for t in terms:
+        out = f"({out} + {t})"
+    return out
+
+
 def _dot(a: str, b: str) -> F.Column:
     """Index-ordered double-precision dot product of two array columns."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
     )
+
+
+def _dot_chain(a: str, b: str) -> F.Column:
+    """Same value as :func:`_dot` (identical fold order → identical
+    doubles), codegen'd as a literal chain for bulk pair scans."""
+    fold = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    if not _DOT_CHAIN_DIMS:
+        return F.expr(fold)
+    branches = []
+    for d in _DOT_CHAIN_DIMS:
+        chain = _chain(
+            f"(cast(element_at({a}, {i}) as double)"
+            f" * cast(element_at({b}, {i}) as double))"
+            for i in range(1, d + 1)
+        )
+        branches.append(f"WHEN size({a}) = {d} AND size({b}) = {d} THEN {chain}")
+    return F.expr("CASE " + " ".join(branches) + f" ELSE {fold} END")
 
 
 def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
@@ -81,8 +127,17 @@ def cosine_topk(
         ),
         "q_emb",
     ).withColumnRenamed("norm", "q_norm")
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread: the n·q dot folds are the cost and run on the
+    # corpus scan's splits (one split on the local test parquet);
+    # keyed (not round-robin) so no sort-before-repartition pass
     c = with_norm(
-        corpus.select(F.col(id_col), F.col(emb_col).alias("c_emb")), "c_emb"
+        parallelize_scan(
+            corpus.select(F.col(id_col), F.col(emb_col).alias("c_emb")),
+            by=id_col,
+        ),
+        "c_emb",
     ).withColumnRenamed("norm", "c_norm")
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -651,9 +706,10 @@ def lsh_near_dups(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn(
+            # candidate-proportional rerank — the literal-chain site
             "cosine",
             F.round(
-                _dot("ea", "eb") / (F.col("na") * F.col("nb")),
+                _dot_chain("ea", "eb") / (F.col("na") * F.col("nb")),
                 4,
             ),
         )
@@ -791,7 +847,16 @@ def kmeans_cells(
     the same assumption). Use for adaptive-k corpora where n·k is
     large; the default JVM path keeps small jobs collect-free.
     """
-    emb = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread: the per-iteration n·k cosine argmax is the cost
+    # and groupBy("vid") in assign() is satisfied by HashPartitioning(vid)
+    # — one keyed exchange of the compact rows, none per aggregate
+    # (local-split guard only; no-op at production scale)
+    emb = parallelize_scan(
+        df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e")),
+        by="vid",
+    )
     # seeds: the k lowest-id vectors, cell = rank-1. orderBy().limit(k)
     # plans as TakeOrderedAndProject (no global sort shuffle); the rank
     # window then runs over k rows only.
@@ -1204,8 +1269,9 @@ def semantic_dedup(
         a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
+            # bulk pair scan (Σ c_i² rows) — the literal-chain site
             "cos",
-            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4),
+            F.round(_dot_chain("ea", "eb") / (F.col("na") * F.col("nb")), 4),
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("id_b").alias("vid"))
@@ -1277,8 +1343,16 @@ def pq_codebooks(
     assignment is a broadcast join + a row_number over (vid, m) groups
     of ksub rows. ``localCheckpoint`` bounds lineage across iterations.
     """
-    subs = corpus.select(
-        F.col(id_col).alias("vid"),
+    from opengemini_spark.catalog import parallelize_scan
+
+    # keyed scan spread: assign()'s groupBy(vid, m) is satisfied by
+    # HashPartitioning(vid) (subset of the clustering keys), so the
+    # explode → broadcast-join → L2 argmin chain pipelines after one
+    # keyed exchange of the compact rows
+    subs = parallelize_scan(
+        corpus.select(F.col(id_col).alias("vid"), F.col(emb_col)), by="vid"
+    ).select(
+        "vid",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {m - 1}),"
@@ -1361,10 +1435,21 @@ def ivfpq_build(
     query-serve split. Persist (or write bucketed by cell) in a real
     deployment; callers own the lifecycle.
     """
-    assign, cents = kmeans_cells(
-        corpus, k=nlist, n_iter=coarse_iter, id_col=id_col, emb_col=emb_col
-    )
-    codes, books = pq_codebooks(corpus, id_col=id_col, emb_col=emb_col)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Overlap the two independent trainers (guide §2.6): the coarse
+    # k-means and the PQ codebooks each run a chain of small jobs with
+    # eager localCheckpoint barriers, so one trainer's tail back-fills
+    # the cores the other's barrier leaves idle. Results are the same
+    # DataFrames either way — only the job schedule changes.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_km = pool.submit(
+            kmeans_cells, corpus, k=nlist, n_iter=coarse_iter,
+            id_col=id_col, emb_col=emb_col,
+        )
+        f_pq = pool.submit(pq_codebooks, corpus, id_col=id_col, emb_col=emb_col)
+        assign, cents = f_km.result()
+        codes, books = f_pq.result()
     index = codes.join(assign.withColumnRenamed(id_col, "vid"), "vid")
     return index, books, cents
 

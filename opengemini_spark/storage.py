@@ -103,7 +103,18 @@ def write_measurement(
             # (batches are stamped ≥µs apart; ordinals are small ints)
             df = df.withColumn("__ln", F.lit(base) + F.col("__ln"))
     (
+        # Cluster the batch by its day bucket before the partitioned
+        # write: without this, every one of the source's P partitions
+        # writes its own file into every day directory it touches —
+        # a 300-row ingest batch spread over 32 partitions × D days
+        # emitted up to 32·D tiny parquet files, and the __seq-dedup
+        # read-back then paid footer reads + mergeSchema on all of them
+        # (guide §6 "small files hurt twice"). One exchange of the
+        # (bounded, request-sized) batch yields one file per day bucket;
+        # AQE coalesces the day partitions. Result rows are unchanged —
+        # only the file layout.
         with_partition(df, time_col)
+        .repartition(F.col(PARTITION_COL))
         .write.mode(mode)
         .option("compression", "zstd")   # per-type codecs analog (README.md:52)
         .partitionBy(PARTITION_COL)
