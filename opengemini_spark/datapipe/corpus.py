@@ -764,6 +764,15 @@ def shard_manifest(
     :func:`global_shuffle` plus a 64-row aggregate — the manifest adds
     nothing data-proportional. The content hash rides the shuffle-key
     projection (no join back to the input: one shuffle total).
+
+    Per-shard row bound (r9 ADVICE): ``content_sum`` accumulates int64
+    values < FP_MOD (≈10^9) with Spark's wrapping long SUM before the
+    final mod, so it is exact only while a shard holds fewer than
+    2^63 / FP_MOD ≈ 9.2e9 docs (the DuckDB oracle sums in 128-bit and
+    never wraps). Size ``n_shards`` so shards stay well under ~10^9
+    docs — any training-shard sizing is orders of magnitude below this
+    — or, for an any-size-exact form, accumulate into DECIMAL(38,0)
+    before the mod at ~2x aggregate cost.
     """
     from pyspark.sql import Window
 
@@ -817,6 +826,15 @@ def hash_split(
     if sum(fractions.values()) != 10000:
         raise ValueError(
             f"fractions must sum to 10000 basis points, got {fractions}"
+        )
+    # every value must be a positive basis-point count: a negative entry
+    # (e.g. {'train': -100, 'val': 10100}) passes the sum check but
+    # produces an inverted/empty range for one split and an out-of-range
+    # boundary for the next (r9 ADVICE)
+    bad = {k: v for k, v in fractions.items() if not 0 < v <= 10000}
+    if bad:
+        raise ValueError(
+            f"every fraction must be in (0, 10000] basis points, got {bad}"
         )
     bucket = F.pmod(
         h60_seeded(F.col(id_col).cast("string"), seed), F.lit(10000)

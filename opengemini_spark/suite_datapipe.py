@@ -3129,12 +3129,17 @@ def _url_dedup_oracle() -> str:
         || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '')
         || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url
       FROM (
+        -- coalesce: DuckDB's array_to_string returns NULL for an empty
+        -- list (a URL with no query string, or whose params are ALL
+        -- tracking params), which would take the ELSE branch and NULL
+        -- the whole canonical_url via '?' || NULL — while Spark's
+        -- array_join returns ''. r9 ADVICE (medium): align on ''.
         SELECT doc_id, scheme, hostport, rest,
-          array_to_string(list_sort(list_filter(
+          coalesce(array_to_string(list_sort(list_filter(
             string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
             p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
                       OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')
-                      OR p = ''))), '&') AS kept
+                      OR p = ''))), '&'), '') AS kept
         FROM parts
       )
     )

@@ -1415,6 +1415,45 @@ def test_url_canonicalize_rules(spark):
     assert out[5] == "ftp://h.io:443/f"
 
 
+def test_url_oracle_no_query_agrees_with_engine(spark):
+    """r9 ADVICE (medium): DuckDB's array_to_string returns NULL for an
+    empty list, so a URL with NO query string (or only tracking params)
+    used to NULL the oracle's canonical_url via '?' || NULL while Spark
+    produced the correct string. The oracle now coalesces to '' — this
+    replays the oracle's canonicalization CTEs on exactly those inputs
+    and pins oracle == engine."""
+    import duckdb
+
+    from opengemini_spark import suite_datapipe as sd
+    from opengemini_spark.datapipe import web
+
+    sql = sd._url_dedup_oracle()
+    i = sql.index("nofrag AS")
+    tail = sql[i:]
+    mid = tail[: tail.index("SELECT min(doc_id)")]
+    urls = [
+        (1, "https://site0.example.com/arts/item1"),             # no query
+        (2, "https://site0.example.com/arts/item1?utm_source=x"),  # all-tracking
+        (3, "https://site0.example.com/arts/item1/#frag"),
+        (4, "https://site0.example.com/arts/item1?id=7&lang=en"),
+    ]
+    vals = ", ".join(f"({i}, '{u}')" for i, u in urls)
+    q = (
+        f"WITH u(doc_id, url) AS (VALUES {vals}), {mid} "
+        "SELECT doc_id, canonical_url FROM canon ORDER BY doc_id"
+    )
+    got = dict(duckdb.sql(q).fetchall())
+    eng = {
+        r["doc_id"]: r["canonical_url"]
+        for r in web.canonicalize_urls(
+            spark.createDataFrame(urls, ["doc_id", "url"])
+        ).collect()
+    }
+    assert None not in got.values()
+    assert got == eng
+    assert got[1] == got[2] == got[3] == "https://site0.example.com/arts/item1"
+
+
 def test_url_dedup_keeps_min_id(spark):
     from opengemini_spark.datapipe import web
 
@@ -1598,6 +1637,12 @@ def test_hash_split_validates_fractions(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with _pytest.raises(ValueError):
         corpus.hash_split(df, {"train": 5000, "val": 100})
+    # negative basis points pass the sum check but invert one split's
+    # bucket range and push the next out of [0, 10000) (r9 ADVICE)
+    with _pytest.raises(ValueError, match="0, 10000"):
+        corpus.hash_split(df, {"train": -100, "val": 10100})
+    with _pytest.raises(ValueError, match="0, 10000"):
+        corpus.hash_split(df, {"train": 0, "val": 10000})
 
 
 def test_pack_shuffled_layout_properties(spark):
