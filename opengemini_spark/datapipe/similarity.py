@@ -1227,6 +1227,16 @@ def semantic_dedup(
                     (F.col("cell") + F.lit(int(k))).cast("int").alias("cell"),
                 )
             )
+    # Materialize the assignment ONCE (narrow: vid + cell, no embeddings).
+    # The pair scan's two sides, the cell-size census, and the final keep
+    # join all derive from `cells`; without this barrier each consumer
+    # re-executes the k-means final-assign crossJoin + max_by aggregate
+    # (the O(n·k) compute) — the r9 "after" plan carried FIVE copies of
+    # that subtree and AQE exchange reuse does not fire across them
+    # (per-consumer column pruning breaks subtree equality). Same
+    # guide §3.3/§5 pattern as the crawl e2e checkpoints; within-run
+    # only — every invocation recomputes from the parquet inputs.
+    assign = assign.localCheckpoint()
     cells = (
         df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("e"))
         .join(assign.withColumnRenamed(id_col, "vid"), "vid")
@@ -1241,7 +1251,9 @@ def semantic_dedup(
         # (a, b) is evaluated in exactly ONE (block_a, block_b) task of
         # ≤ max_cell_task² comparisons. Output identical; a hot cell is
         # spread over nb² tasks instead of sitting in one.
-        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
+        # census straight off the checkpointed assignment — same counts as
+        # cells (inner join on the full vid set) without re-reading parquet
+        sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
         vb = v.join(F.broadcast(sizes), "cell").withColumn(
             "__nb",
             F.ceil(F.col("__c") / F.lit(max_cell_task)).cast("int"),
