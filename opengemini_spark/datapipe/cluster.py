@@ -30,9 +30,23 @@ def connected_components(
     # without this every iteration would re-execute the upstream pair
     # pipeline (e.g. the whole MinHash) and the plan would grow per round.
     # localCheckpoint in local mode; a reliable checkpoint dir on a cluster.
+    # Both orientations come out of ONE explode over one scan of `pairs`:
+    # a self-union would carry two copies of the (expensive) pair-pipeline
+    # subtree and execute it twice inside this eager checkpoint.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -48,6 +62,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Labels only ever decrease, so the change flag is computable in
+        # the update projection itself — the convergence probe then scans
+        # the checkpointed blocks instead of re-joining old vs new labels
+        # (one fewer shuffle join per round).
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -55,17 +73,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
