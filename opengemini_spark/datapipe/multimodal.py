@@ -542,7 +542,14 @@ def image_dhash_near_dups(
     collapses to one bucket, the documented skew caveat shared with
     simhash).
     """
-    hashes = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    # Materialize the (16 bytes/image) hash frame before the band
+    # self-join: AQE broadcasts one leg, and a BroadcastExchange cannot
+    # reuse the other leg's shuffle stage — without this the whole
+    # decode+hash mapInPandas executes twice (verified in the executed
+    # plan: two MapInPandas nodes). Within-run only; pixels never move.
+    hashes = image_dhash(df, id_col=id_col, payload_col=payload_col).localCheckpoint(
+        eager=True
+    )
     bands = hashes.select(
         "doc_id", "dhash",
         F.explode(
@@ -641,7 +648,12 @@ def audio_fingerprint_near_dups(
     contour splits into four 12-bit bands — hamming ≤ 3 forces at least
     one equal band — so candidates come from per-(band, value) buckets
     and only candidate pairs pay the exact popcount."""
-    fps = audio_fingerprint(df, id_col=id_col, payload_col=payload_col)
+    # Same reason as image_dhash_near_dups: materialize the tiny hash
+    # frame so the broadcast leg of the band self-join does not replay
+    # the PCM decode mapInPandas a second time.
+    fps = audio_fingerprint(df, id_col=id_col, payload_col=payload_col).localCheckpoint(
+        eager=True
+    )
     bands = fps.select(
         "doc_id", "afp",
         F.explode(
