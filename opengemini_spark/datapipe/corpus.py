@@ -877,29 +877,65 @@ def pack_shuffled(
     """
     from pyspark.sql import Window
 
-    shuffled = global_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
     if counts is not None:
+        shuffled = global_shuffle(
+            df, n_shards=n_shards, seed=seed, id_col=id_col
+        )
         sized = counts.select(
             F.col(id_col), F.col("n_subwords").cast("long").alias("n_subwords")
         )
-    else:
-        sized = df.select(
-            F.col(id_col), tokens_expr(text_col).alias("__toks")
-        ).select(
+        laid = shuffled.join(sized, id_col, "left").select(
             id_col,
-            F.expr(
-                "aggregate(__toks, 0L, "
-                "(acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
-            ).alias("n_subwords"),
+            "shard_id",
+            "shuffle_key",
+            F.coalesce(F.col("n_subwords"), F.lit(0)).cast("long").alias(
+                "n_subwords"
+            ),
         )
-    laid = shuffled.join(sized, id_col, "left").select(
-        id_col,
-        "shard_id",
-        "shuffle_key",
-        F.coalesce(F.col("n_subwords"), F.lit(0)).cast("long").alias(
-            "n_subwords"
-        ),
-    )
+    else:
+        # default 4-chars-per-token count is a row-wise function of the
+        # SAME rows the shuffle key comes from: compute both in one
+        # projection instead of a second scan + doc_id join (r9 — the
+        # join doubled the parquet scan and ran the tokenize on the scan
+        # side's single local split). Keyed spread on shard_id so the
+        # one exchange the per-shard window needs also parallelizes the
+        # tokenize locally (no-op at production scale).
+        from opengemini_spark.catalog import parallelize_scan
+
+        key = h60_seeded(F.col(id_col).cast("string"), seed)
+        laid = (
+            parallelize_scan(
+                df.select(
+                    F.col(id_col),
+                    key.alias("shuffle_key"),
+                    F.pmod(key, F.lit(n_shards))
+                    .cast("long")
+                    .alias("shard_id"),
+                    F.col(text_col),
+                ),
+                by="shard_id",
+            )
+            .select(
+                id_col,
+                "shard_id",
+                "shuffle_key",
+                tokens_expr(text_col).alias("__toks"),
+            )
+            .select(
+                id_col,
+                "shard_id",
+                "shuffle_key",
+                F.coalesce(
+                    F.expr(
+                        "aggregate(__toks, 0L, "
+                        "(acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_subwords"),
+            )
+        )
     w = (
         Window.partitionBy("shard_id")
         .orderBy("shuffle_key", id_col)

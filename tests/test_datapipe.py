@@ -1645,6 +1645,36 @@ def test_hash_split_validates_fractions(spark):
         corpus.hash_split(df, {"train": 0, "val": 10000})
 
 
+def test_pack_shuffled_inline_counts_match_counts_frame(spark):
+    """The counts=None fast path (r9: count computed inline with the
+    shuffle key, no second scan/join) must agree row-for-row with the
+    explicit counts-frame join path given the same per-doc counts."""
+    from pyspark.sql import functions as F
+    from opengemini_spark.datapipe import corpus
+    from opengemini_spark.datapipe.hashing import tokens_expr
+
+    rows = [(i, "lorem ipsum dolor sit amet " * (1 + i % 5))
+            for i in range(300)] + [(300, ""), (301, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = df.select(
+        "doc_id", tokens_expr("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.expr(
+                "aggregate(__toks, 0L, (acc, t) -> "
+                "acc + cast(ceil(length(t) / 4.0) as long))"
+            ),
+            F.lit(0),
+        ).alias("n_subwords"),
+    )
+    inline = corpus.pack_shuffled(df, budget=96, n_shards=8, seed=3).collect()
+    joined = corpus.pack_shuffled(
+        df, budget=96, n_shards=8, seed=3, counts=counts
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, joined))
+
+
 def test_pack_shuffled_layout_properties(spark):
     """Shuffle-order packing: offsets restart at budget boundaries in
     shuffle-key order, every doc appears exactly once, and the layout
