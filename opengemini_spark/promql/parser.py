@@ -343,7 +343,12 @@ class Parser:
                 and self.peek().text.lower() in ("by", "without")
             ):
                 return self._maybe_subquery(self._aggregate(name.lower()))
-            if name in FUNCS:
+            # function names are NOT reserved words: `ln` is only a call
+            # when followed by "(" — bare (or with matchers/range) it is a
+            # vector selector for a metric of that name (promql/parser
+            # grammar: function_call is IDENTIFIER "(", metric_identifier
+            # accepts any IDENTIFIER)
+            if name in FUNCS and self.peek().text == "(":
                 self.expect("OP", "(")
                 args = []
                 if not self.accept("OP", ")"):

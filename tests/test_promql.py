@@ -50,6 +50,21 @@ def test_parse_shapes():
         parse_promql("rate(events_value[5m]")
 
 
+def test_function_names_are_not_reserved():
+    """Upstream PromQL resolves a function only at IDENT "(" — a bare
+    function-name identifier (or one with matchers/range) is a vector
+    selector for a metric of that name (r9 fuzz find: bare `ln` raised)."""
+    n = parse_promql("ln")
+    assert isinstance(n, P.VectorSelector) and n.metric == "ln"
+
+    m = parse_promql('rate{event_type="error"}')
+    assert isinstance(m, P.VectorSelector) and m.metric == "rate"
+    assert m.matchers[0].label == "event_type"
+
+    f = parse_promql("ln(events_value)")
+    assert isinstance(f, P.FuncCall) and f.name == "ln"
+
+
 def test_rate_matches_operator(spark, sf_dir, registry):
     got = query_range(
         spark, sf_dir, registry, "rate(events_value[12h])", START, END, STEP

@@ -3,7 +3,7 @@ invariants — the randomized layer the reference lacks (SURVEY §5)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from opengemini_spark.influxql import ast, parse
 from opengemini_spark.influxql.lexer import KEYWORDS
@@ -160,6 +160,7 @@ def promql_exprs(draw, depth=0):
 
 @given(promql_exprs())
 @settings(max_examples=300, deadline=None)
+@example(q="ln")  # bare function name = vector selector (r9 fuzz find)
 def test_promql_generated_exprs_parse(q):
     node = PP.parse_promql(q)
     assert node is not None
