@@ -623,8 +623,19 @@ def handle_write(
             if _os.path.exists(meta_path):
                 known = _json.load(open(meta_path)).get("field_types", {})
             wide = to_measurement_table(parsed, m, field_types=known)
+            # the write response's row count rides the write job itself as
+            # an Observation metric instead of a second count() job that
+            # re-executes the pivot aggregation (guide §1.4/§5; the metric
+            # point sits BEFORE write_measurement's conflict filter, so the
+            # value equals the old pre-write wide.count())
+            from pyspark.sql import Observation as _Observation
+
+            obs = _Observation()
+            tags = wide._og_tag_cols
+            wide = wide.observe(obs, F.count(F.lit(1)).alias("n"))
+            wide._og_tag_cols = tags  # observe() returns a fresh DataFrame
             storage.write_measurement(wide, f"{data_root}/{dirname}")
-            written[m] = wide.count()
+            written[m] = int(obs.get["n"])
     finally:
         parsed.unpersist()
     if ddl is not None and getattr(ddl.meta, "subscriptions", None):
