@@ -224,6 +224,18 @@ def handle_query(
                         keep = nn if keep is None else (keep | nn)
                     df = df.filter(keep)
                 w = df.withColumnRenamed("time", "time_ns") if "time" in df.columns else df
+                # written-row count rides the write job as an Observation
+                # metric instead of a df.count() that re-executes the whole
+                # SELECT after the write (guide §1.4/§5; same fix as
+                # handle_write — the metric point precedes any write-side
+                # filtering, so the value equals the old df.count())
+                from pyspark.sql import Observation as _Observation
+
+                obs = _Observation()
+                _tags = getattr(w, "_og_tag_cols", None)
+                w = w.observe(obs, F.count(F.lit(1)).alias("n"))
+                if _tags is not None:
+                    w._og_tag_cols = _tags
                 if "time_ns" in w.columns:
                     storage.write_measurement(w, dst)
                 else:
@@ -241,7 +253,7 @@ def handle_query(
                                 "values": [[
                                     0 if epoch is not None
                                     else "1970-01-01T00:00:00Z",
-                                    df.count(),
+                                    int(obs.get["n"]),
                                 ]],
                             }
                         ],
