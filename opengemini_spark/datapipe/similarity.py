@@ -461,11 +461,15 @@ def lsh_near_dups(
     prefix filter's (the 64-dim code dot evaluates interpreted), wall
     −18% but box-noise-dominated — because ADAPTIVE banding already
     makes candidates ≈ true pairs, so in that regime ANY prefilter is
-    overhead and the cheaper 16-dim prefix wins. Default: None = OFF
-    (recorded MIXED). The lever's design regime is fixed/coarse banding
-    where candidates ≫ true pairs — there the lossless full-dim filter
-    collapses the exact-rerank ride; the quantization never affects
-    output, only which pairs pay the exact rerank.
+    overhead and the cheaper 16-dim prefix wins. r9 closed the lever's
+    story by A/B'ing the OTHER regime the r8 record named (mid
+    thresholds, where banding admits junk and the CS bound passes it
+    into the vector ride): at t=0.85 the int8 filter collapsed
+    candidates 3.31 → 1.00 per true dup and halved the wall
+    (SCALE1000_r09.json). Default: None = threshold-dependent (int8
+    below 0.95, CS prefix at ≥0.95 — each regime keeps its measured
+    winner); the quantization never affects output, only which pairs
+    pay the exact rerank.
     """
     if dim is None:
         # Fallback probe (one limit-1 driver round trip); callers that know
@@ -510,7 +514,20 @@ def lsh_near_dups(
         return pd.Series(out)
 
     if int8_rerank is None:
-        int8_rerank = False  # opt-in: MIXED at 1000× (SCALE1000_r08)
+        # Measured policy, both regimes A/B'd at scale (SCALE1000_r08 +
+        # SCALE1000_r09): at TIGHT thresholds (≥0.95) adaptive banding
+        # already makes candidates ≈ true pairs, any prefilter is pure
+        # overhead and the cheaper 16-dim CS prefix wins (int8 candidate
+        # stage 3.5× at t=0.99, shuffle +5.2%). At MID thresholds the CS
+        # bound passes junk into the exact-rerank vector ride while the
+        # int8 bound (E ≈ 1.3e-4 on unit vectors) rejects it before any
+        # vector ships: t=0.85, 100× corpus 400k: candidates 3.31 → 1.00
+        # per true dup, wall 0.54×, shuffle −6.4% (r9; 1000× point in
+        # SCALE1000_r09.json). Output is IDENTICAL either way
+        # (test_lsh_int8_rerank_identical_output pins t=0.85 and 0.45);
+        # the cut sits at 0.95, conservative toward the measured-negative
+        # tight regime.
+        int8_rerank = threshold < 0.95
     if prefilter_dims is None:
         prefilter_dims = dim // 4 if threshold >= 0.8 and dim >= 8 else 0
     use_pre = 0 < prefilter_dims < dim and not int8_rerank

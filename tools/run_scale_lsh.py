@@ -71,11 +71,17 @@ def main() -> None:
     n = 2 * n_base
 
     prefix_g = 0
+    threshold = 0.99
     for a in sys.argv[2:]:
         if a.startswith("--prefix"):
             prefix_g = int(a.split("=")[1]) if "=" in a else 6
+        elif a.startswith("--threshold="):
+            # r9: the SCALE1000_r08 next_lever (a) regime — mid thresholds
+            # (0.8-0.9) where the CS prefix bound's junk-pass rate is the
+            # differentiator between the two rerank prefilters
+            threshold = float(a.split("=")[1])
 
-    kwargs: dict = {"threshold": 0.99, "dim": 64}
+    kwargs: dict = {"threshold": threshold, "dim": 64}
     if fixed:
         kwargs |= {"bands": 8, "rows_per_band": 16}
     else:
@@ -101,7 +107,9 @@ def main() -> None:
         "mode": ("fixed(8x16)" if fixed else
                  f"adaptive({stats['bands']}x{stats['rows_per_band']})")
                 + (f"+prefix(g={prefix_g},s=12)" if prefix_g else "")
-                + ("+int8" if "--int8" in sys.argv else "+cs_prefix"),
+                + ("+int8" if "--int8" in sys.argv else "+cs_prefix")
+                + (f"@t={threshold}" if threshold != 0.99 else ""),
+        "threshold": threshold,
         "corpus": n,
         "result_rows": rows,
         "candidate_pairs": cand,
