@@ -88,8 +88,9 @@ def main() -> None:
         kwargs |= {"adaptive_n": n}
     if prefix_g:
         kwargs |= {"prefix_group_size": prefix_g, "prefix_bits": 12}
-    # int8 lever A/B: default (no flag) = the shipped default (off -> CS
-    # prefix); --int8 forces the int8-codes rerank exchange on
+    # int8 lever A/B: default (no flag) = the shipped default (r9:
+    # threshold-dependent — int8 below 0.95, CS prefix at >=0.95), so
+    # A/B arms must ALWAYS pass an explicit flag to be comparable
     if "--int8" in sys.argv:
         kwargs |= {"int8_rerank": True}
     elif "--noint8" in sys.argv:
