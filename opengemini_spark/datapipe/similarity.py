@@ -466,10 +466,11 @@ def lsh_near_dups(
     thresholds, where banding admits junk and the CS bound passes it
     into the vector ride): at t=0.85 the int8 filter collapsed
     candidates 3.31 → 1.00 per true dup and halved the wall
-    (SCALE1000_r09.json). Default: None = threshold-dependent (int8
-    below 0.95, CS prefix at ≥0.95 — each regime keeps its measured
-    winner); the quantization never affects output, only which pairs
-    pay the exact rerank.
+    (SCALE1000_r09.json). Default: None = threshold-dependent (int8 on
+    the measured band 0.8 ≤ t < 0.95 where it beat the CS prefix; CS
+    prefix at ≥0.95; bare-id pairs below 0.8 where no prefilter engages
+    — each regime keeps its measured winner); the quantization never
+    affects output, only which pairs pay the exact rerank.
     """
     if dim is None:
         # Fallback probe (one limit-1 driver round trip); callers that know
@@ -523,11 +524,16 @@ def lsh_near_dups(
         # int8 bound (E ≈ 1.3e-4 on unit vectors) rejects it before any
         # vector ships: t=0.85, 100× corpus 400k: candidates 3.31 → 1.00
         # per true dup, wall 0.54×, shuffle −6.4% (r9; 1000× point in
-        # SCALE1000_r09.json). Output is IDENTICAL either way
+        # SCALE1000_r09.json). BELOW 0.8 the CS prefix is off anyway
+        # (prefilter_dims rule below) and candidate pairs ride as bare
+        # 16-byte id pairs into the co-partitioned exact rerank — int8
+        # would ~9× that ride for an unmeasured benefit, so the default
+        # stays off there (that regime belongs to blocked_near_dups).
+        # Output is IDENTICAL on every path
         # (test_lsh_int8_rerank_identical_output pins t=0.85 and 0.45);
-        # the cut sits at 0.95, conservative toward the measured-negative
-        # tight regime.
-        int8_rerank = threshold < 0.95
+        # the upper cut sits at 0.95, conservative toward the
+        # measured-negative tight regime.
+        int8_rerank = 0.8 <= threshold < 0.95
     if prefilter_dims is None:
         prefilter_dims = dim // 4 if threshold >= 0.8 and dim >= 8 else 0
     use_pre = 0 < prefilter_dims < dim and not int8_rerank
