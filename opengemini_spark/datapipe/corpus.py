@@ -571,15 +571,27 @@ def holdout_fuzzy_dedup(
         F.col(id_col), (F.col(source_col) == holdout_source).alias("__held")
     )
     bands = bands.join(side, id_col)
-    train_b = bands.filter(~F.col("__held")).select(
-        F.col(id_col).alias("id_t"), "band", "key"
-    )
-    held_b = bands.filter(F.col("__held")).select(
-        F.col(id_col).alias("id_h"), "band", "key"
+    # bucket the bipartite band collision with ONE groupBy exchange on
+    # (band, key) — the train⋈held self-join this replaces either moved
+    # the band rows twice or (when one leg broadcast) re-executed the
+    # whole signature chain for that leg; collect_list skips the
+    # other-side NULLs, and the double explode emits exactly the
+    # train×held pairs of each bucket (same set the join produced)
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.collect_list(
+                F.when(~F.col("__held"), F.col(id_col))
+            ).alias("__t"),
+            F.collect_list(
+                F.when(F.col("__held"), F.col(id_col))
+            ).alias("__h"),
+        )
+        .filter((F.size("__t") >= 1) & (F.size("__h") >= 1))
     )
     cand = (
-        train_b.join(held_b, ["band", "key"])
-        .select("id_t", "id_h")
+        buckets.select(F.explode("__t").alias("id_t"), "__h")
+        .select("id_t", F.explode("__h").alias("id_h"))
         .distinct()
     )
     cand_ids = cand.select(F.col("id_t").alias(id_col)).union(
@@ -592,6 +604,12 @@ def holdout_fuzzy_dedup(
         )
         .groupBy(id_col)
         .agg(F.collect_set("sh").alias("__shs"))
+        # both verify legs (t and h) broadcast this frame; two
+        # BroadcastExchange builds cannot share a shuffle stage, so the
+        # candidate re-shingle executed twice without the barrier (same
+        # r10 fix as minhash_lsh_dedup). Candidates-proportional;
+        # within-run only — recomputed from parquet per call.
+        .localCheckpoint(eager=True)
     )
     t = arrays.select(
         F.col(id_col).alias("id_t"), F.col("__shs").alias("__st"),

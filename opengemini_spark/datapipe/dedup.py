@@ -133,15 +133,30 @@ def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct id pairs that collide in ≥ 1 LSH band: ``(id_a, id_b)``."""
-    a = bands.select(
-        F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
-    )
-    b = bands.select(
-        F.col("band"), F.col("key"), F.col(id_col).alias("id_b")
+    """Distinct id pairs that collide in ≥ 1 LSH band: ``(id_a, id_b)``.
+
+    Buckets form with ONE groupBy exchange on (band, key); pairs come from
+    a double explode of each bucket's id list. The band self-join this
+    replaces moved the (band, key, id) rows twice — and when the planner
+    broadcast one leg, the whole scan→tokenize→shingle→signature chain
+    EXECUTED twice, because a BroadcastExchange cannot reuse the other
+    leg's shuffle stage (the r9 minhash plan shows exactly that). The
+    bucket form computes the signature pipeline once and shuffles each
+    band row once at any scale. Pair set is identical: every unordered
+    (a, b) within a bucket with a < b, distinct across buckets. A
+    degenerate hot bucket concentrates its id list in one aggregation
+    task — the same task the self-join's hot key would land on — and the
+    double explode STREAMS the m² pairs, so task memory is O(bucket),
+    not O(bucket²).
+    """
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
     )
     return (
-        a.join(b, ["band", "key"])
+        buckets.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -196,9 +211,9 @@ def minhash_lsh_dedup(
     # functions evaluate interpreted, while explode + hash-agg min is
     # whole-stage-codegen'd end to end.)
     raw = doc_shingles_raw(df, SHINGLE_K, text_col, id_col)
-    # the band self-join's two legs shuffle the SAME signature subplan by
-    # (band, key), so ReuseExchange computes the scan→tokenize→md5→agg
-    # chain once — no persist needed on the corpus-sized side
+    # candidate_pairs buckets on (band, key) with one groupBy, so the
+    # scan→tokenize→md5→agg chain executes exactly once — no persist
+    # needed on the corpus-sized side
     sig = minhash_signatures(raw, id_col)
     # persist: the candidate set feeds BOTH the verify join and the
     # candidate-doc semi-join below. Size is candidates-proportional
@@ -224,6 +239,14 @@ def minhash_lsh_dedup(
         )
         .groupBy(id_col)
         .agg(F.collect_set("sh").alias("__shs"))
+        # both verify legs (a and b below) broadcast this frame, and two
+        # BroadcastExchange builds cannot share a shuffle stage — without
+        # a barrier the candidate re-shingle executed TWICE (r10
+        # executed-plan audit). localCheckpoint beats persist here (1.43
+        # vs 1.69 s median; the two broadcast builds race the lazy cache
+        # and both compute). Candidates-proportional, so tiny at any
+        # scale; within-run only — recomputed from parquet per call.
+        .localCheckpoint(eager=True)
     )
     a = arrays.select(
         F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"),
@@ -317,16 +340,30 @@ def simhash_near_dups(
         F.col("simhash"),
         F.expr(f"stack({SIMHASH_BANDS}, {', '.join(band_rows)}) as (band, byte)"),
     )
-    a = bands.select(
-        "band", "byte", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
-    )
-    b = bands.select(
-        "band", "byte", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")
+    # bucket the band collision with ONE groupBy exchange — the self-join
+    # this replaces moved the band rows twice (or re-executed the whole
+    # simhash chain under a broadcast leg); same r10 rewrite as
+    # candidate_pairs. Each id appears once per (band, byte), so the
+    # double explode emits exactly the join's pair set.
+    buckets = (
+        bands.groupBy("band", "byte")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("simhash").alias("s")
+                )
+            ).alias("__xs")
+        )
+        .filter(F.size("__xs") >= 2)
     )
     return (
-        a.join(b, ["band", "byte"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        buckets.select(F.explode("__xs").alias("a"), "__xs")
+        .select("a", F.explode("__xs").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"),
+            F.col("a.s").alias("sim_a"), F.col("b.s").alias("sim_b"),
+        )
         .distinct()
         .withColumn(
             "hamming",
