@@ -951,7 +951,7 @@ def kmeans_cells(
             )
         )
 
-    for _ in range(n_iter):
+    for i in range(n_iter):
         a = assign(cents)
         per_pos = (
             a.select("cell", F.posexplode("e").alias("pos", "v"))
@@ -965,8 +965,17 @@ def kmeans_cells(
             per_pos.groupBy("cell")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.expr("transform(pm, s -> s.m)").alias("centroid"))
-            .localCheckpoint()
         )
+        # Truncate lineage every 2nd iteration and at the last one only:
+        # an intermediate centroid frame is referenced exactly ONCE by
+        # the next iteration's assign, so skipping its eager checkpoint
+        # folds two Lloyd rounds into one job without duplicating any
+        # distributed work — lineage depth stays ≤ 2 (guide §5). The
+        # LAST iteration always checkpoints: the returned frames feed
+        # several consumers, which would otherwise each re-execute the
+        # whole training chain. Centroids are bit-identical either way.
+        if i % 2 == 1 or i == n_iter - 1:
+            cents = cents.localCheckpoint()
     final = assign(cents).select(F.col("vid").alias(id_col), "cell")
     return final, cents
 
@@ -1430,7 +1439,7 @@ def pq_codebooks(
             )
         )
 
-    for _ in range(n_iter):
+    for i in range(n_iter):
         a = assign(cents)
         per_pos = (
             a.select("m", "code", F.posexplode("sub").alias("pos", "v"))
@@ -1446,8 +1455,13 @@ def pq_codebooks(
             .select(
                 "m", "code", F.expr("transform(pc, s -> s.c)").alias("cent")
             )
-            .localCheckpoint()
         )
+        # checkpoint cadence: every 2nd iteration + the last (same
+        # rationale as kmeans_cells — the intermediate codebook is
+        # referenced once, so folding two Lloyd rounds into one job
+        # duplicates nothing; codebooks bit-identical)
+        if i % 2 == 1 or i == n_iter - 1:
+            cents = cents.localCheckpoint()
     codes = assign(cents).select("vid", "m", "code")
     return codes, cents
 
