@@ -15,7 +15,7 @@ distributed, which is what makes this viable on a billion-edge dup graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_components(
@@ -56,33 +56,64 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # Labels only ever decrease, so the change flag is computable in
-        # the update projection itself — the convergence probe then scans
-        # the checkpointed blocks instead of re-joining old vs new labels
-        # (one fewer shuffle join per round).
-        updated = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nbr_label"), F.col("label"))
-                    < F.col("label")
-                ).alias("__chg"),
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("cand"),
+                F.col("label").alias("__old"),
             )
+        )
+        if it >= 2:
+            # Pointer jump (label-of-label): every label value is the id
+            # of a node reachable from its owner, so min(cand,
+            # label(cand)) stays within the component and the remaining
+            # path to the component minimum HALVES per round — O(log
+            # diameter) rounds instead of O(diameter). Engaged only from
+            # round 3: near-dup graphs are near-cliques that converge in
+            # 1-2 rounds (measured at sf0.1), where the extra label-sized
+            # join would be pure cost; a pathological chain now converges
+            # (the flat ladder silently truncated propagation at
+            # max_iter). The fixpoint — min reachable id — is unchanged.
+            ptr = labels.select(
+                F.col("node").alias("__pn"), F.col("label").alias("__pl")
+            )
+            stepped = (
+                stepped.join(ptr, stepped.cand == ptr.__pn, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cand"),
+                        F.coalesce(F.col("__pl"), F.col("cand")),
+                    ).alias("cand"),
+                    "__old",
+                )
+            )
+        # Labels only ever decrease, so the change flag is computable in
+        # the update projection itself — and the convergence count rides
+        # the checkpoint job as an Observation (CollectMetrics), so each
+        # round is exactly ONE distributed action, no separate probe.
+        obs = Observation()
+        labels = (
+            stepped.select(
+                "node",
+                F.col("cand").alias("label"),
+                (F.col("cand") < F.col("__old")).alias("__chg"),
+            )
+            .observe(obs, F.count(F.when(F.col("__chg"), True)).alias("n"))
+            .drop("__chg")
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("__chg")).limit(1).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
+        if int(obs.get["n"]) == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 

@@ -145,6 +145,24 @@ def test_connected_components_chain(spark):
     assert keep == {1: True, 2: False, 3: False, 10: True, 11: False, 99: True}
 
 
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 60-edge path has diameter 60 > max_iter=20: flat one-hop
+    propagation would silently truncate at the iteration cap, while the
+    round-3+ pointer jump (label-of-label) converges in O(log diameter)
+    rounds — every node must reach the chain's minimum id."""
+    from opengemini_spark.datapipe.cluster import connected_components
+
+    n = 61  # path 0-1-2-...-60, worst case: min id at one end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_curate_pipeline(docs):
     from opengemini_spark.datapipe.curate import curate
 
