@@ -29,6 +29,50 @@ def test_partitioned_write_and_prune(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan or pruned.count() > 0
 
 
+def test_write_salts_large_batches_within_day(spark, tmp_path, monkeypatch):
+    """Small batches keep 1 file per day bucket; a batch over the salt
+    threshold spreads each day across several write tasks (the salted
+    repartition key), so one giant day never serializes through one
+    task. Rows identical either way."""
+    df = spark.range(600).select(
+        (
+            F.lit(1_700_000_000_000_000_000)
+            + (F.col("id") % 2) * storage.DAY_NS
+            + F.col("id")
+        ).alias("time_ns"),
+        F.col("id").alias("v"),
+    )
+    small_root = str(tmp_path / "small_tbl")
+    storage.write_measurement(df, small_root)
+    for day in sorted(Path(small_root).glob("p_day=*")):
+        assert len(list(day.glob("*.parquet"))) == 1
+
+    # force the salted path (tiny threshold/target) and disable AQE's
+    # small-partition coalescing so the spread is visible at test size
+    monkeypatch.setenv("OG_WRITE_SALT_OVER_BYTES", "1024")
+    monkeypatch.setenv("OG_WRITE_TARGET_FILE_BYTES", "1024")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        salted_root = str(tmp_path / "salted_tbl")
+        storage.write_measurement(df, salted_root)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    days = sorted(Path(salted_root).glob("p_day=*"))
+    assert len(days) == 2
+    assert all(len(list(d.glob("*.parquet"))) > 1 for d in days)
+    a = sorted(
+        storage.read_measurement(spark, small_root)
+        .select("time_ns", "v").collect()
+    )
+    b = sorted(
+        storage.read_measurement(spark, salted_root)
+        .select("time_ns", "v").collect()
+    )
+    assert a == b
+
+
 def test_retention_drop(spark, sf_dir, tmp_path):
     root = str(tmp_path / "ret_tbl")
     ev = load_table(spark, sf_dir, "events").select("time_ns", "value")
