@@ -26,6 +26,23 @@ from opengemini_spark.sources.line_protocol import (
 )
 
 
+def _observed_count(df):
+    """Attach a row-count Observation that rides the next action over
+    ``df`` (guide §1.4/§5 — no second count() job re-executing the
+    plan), preserving the ``_og_tag_cols`` attribute that ``observe()``'s
+    fresh DataFrame would otherwise drop. The metric point sits wherever
+    ``df`` currently is — BEFORE any write-side filtering — so the value
+    equals a pre-write count(). Returns ``(df, observation)``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    tags = getattr(df, "_og_tag_cols", None)
+    out = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    if tags is not None:
+        out._og_tag_cols = tags
+    return out, obs
+
+
 def _split_statements(q: str) -> list[str]:
     return [s.strip() for s in q.split(";") if s.strip()]
 
@@ -226,16 +243,8 @@ def handle_query(
                 w = df.withColumnRenamed("time", "time_ns") if "time" in df.columns else df
                 # written-row count rides the write job as an Observation
                 # metric instead of a df.count() that re-executes the whole
-                # SELECT after the write (guide §1.4/§5; same fix as
-                # handle_write — the metric point precedes any write-side
-                # filtering, so the value equals the old df.count())
-                from pyspark.sql import Observation as _Observation
-
-                obs = _Observation()
-                _tags = getattr(w, "_og_tag_cols", None)
-                w = w.observe(obs, F.count(F.lit(1)).alias("n"))
-                if _tags is not None:
-                    w._og_tag_cols = _tags
+                # SELECT after the write (same fix as handle_write)
+                w, obs = _observed_count(w)
                 if "time_ns" in w.columns:
                     storage.write_measurement(w, dst)
                 else:
@@ -637,15 +646,8 @@ def handle_write(
             wide = to_measurement_table(parsed, m, field_types=known)
             # the write response's row count rides the write job itself as
             # an Observation metric instead of a second count() job that
-            # re-executes the pivot aggregation (guide §1.4/§5; the metric
-            # point sits BEFORE write_measurement's conflict filter, so the
-            # value equals the old pre-write wide.count())
-            from pyspark.sql import Observation as _Observation
-
-            obs = _Observation()
-            tags = wide._og_tag_cols
-            wide = wide.observe(obs, F.count(F.lit(1)).alias("n"))
-            wide._og_tag_cols = tags  # observe() returns a fresh DataFrame
+            # re-executes the pivot aggregation
+            wide, obs = _observed_count(wide)
             storage.write_measurement(wide, f"{data_root}/{dirname}")
             written[m] = int(obs.get["n"])
     finally:

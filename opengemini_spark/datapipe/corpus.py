@@ -715,6 +715,20 @@ def span_decontaminate(
     )
 
 
+def _shuffle_layout_cols(
+    id_col: str, n_shards: int, seed: int
+) -> tuple["F.Column", "F.Column"]:
+    """The deterministic ``(shuffle_key, shard_id)`` projection shared by
+    :func:`global_shuffle`, :func:`shard_manifest` and
+    :func:`pack_shuffled`'s inline path — one derivation so the layout
+    can never drift between them (r9 advice)."""
+    key = h60_seeded(F.col(id_col).cast("string"), seed)
+    return (
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard_id"),
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     n_shards: int = 64,
@@ -743,12 +757,8 @@ def global_shuffle(
     """
     from pyspark.sql import Window
 
-    key = h60_seeded(F.col(id_col).cast("string"), seed)
-    out = df.select(
-        F.col(id_col),
-        key.alias("shuffle_key"),
-        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard_id"),
-    )
+    sk, sid = _shuffle_layout_cols(id_col, n_shards, seed)
+    out = df.select(F.col(id_col), sk, sid)
     w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
     return out.select(
         id_col,
@@ -794,11 +804,11 @@ def shard_manifest(
     """
     from pyspark.sql import Window
 
-    key = h60_seeded(F.col(id_col).cast("string"), seed)
+    sk, sid = _shuffle_layout_cols(id_col, n_shards, seed)
     base = df.select(
         F.col(id_col),
-        key.alias("shuffle_key"),
-        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard_id"),
+        sk,
+        sid,
         (h60(F.col(text_col)) % F.lit(FP_MOD)).alias("__ch"),
     )
     w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
@@ -920,17 +930,10 @@ def pack_shuffled(
         # tokenize locally (no-op at production scale).
         from opengemini_spark.catalog import parallelize_scan
 
-        key = h60_seeded(F.col(id_col).cast("string"), seed)
+        sk, sid = _shuffle_layout_cols(id_col, n_shards, seed)
         laid = (
             parallelize_scan(
-                df.select(
-                    F.col(id_col),
-                    key.alias("shuffle_key"),
-                    F.pmod(key, F.lit(n_shards))
-                    .cast("long")
-                    .alias("shard_id"),
-                    F.col(text_col),
-                ),
+                df.select(F.col(id_col), sk, sid, F.col(text_col)),
                 by="shard_id",
             )
             .select(
