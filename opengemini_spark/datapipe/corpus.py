@@ -35,6 +35,7 @@ from opengemini_spark.datapipe.hashing import (
     h60_seeded,
     shingles_expr,
     tokens_expr,
+    tokens_raw_expr,
 )
 
 # ---------------------------------------------------------------------------
@@ -158,9 +159,11 @@ def pack_sequences(
             )
         )
     else:
+        # unfiltered split: empties add ceil(0/4) = 0 to the sum, so the
+        # tokens_expr filter lambda is a wasted interpreted pass here
         sized = df.select(
             F.col(id_col).alias("doc_id"),
-            tokens_expr(text_col).alias("__toks"),
+            tokens_raw_expr(text_col).alias("__toks"),
         ).select(
             "doc_id",
             F.expr(
@@ -940,7 +943,8 @@ def pack_shuffled(
                 id_col,
                 "shard_id",
                 "shuffle_key",
-                tokens_expr(text_col).alias("__toks"),
+                # unfiltered split: empties add 0 to the subword sum
+                tokens_raw_expr(text_col).alias("__toks"),
             )
             .select(
                 id_col,
